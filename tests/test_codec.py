@@ -1,0 +1,57 @@
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raybm25 import BM25_K1, BM25_B
+from raybm25.codec import (
+    BLOCK_SIZE,
+    block_metadata,
+    decode_doc_ids,
+    delta_decode,
+    delta_encode,
+    encode_doc_ids,
+    tf_norm,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert varbyte_decode(varbyte_encode(arr)).tolist() == vals
+
+
+def test_varbyte_known_bytes():
+    # 0 -> 0x00; 127 -> 0x7f; 128 -> 0x80 0x01 (LEB128 little-endian)
+    assert varbyte_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varbyte_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varbyte_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varbyte_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63), max_size=200, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_docid_delta_roundtrip(vals):
+    arr = np.sort(np.array(vals, dtype=np.uint64))
+    assert decode_doc_ids(encode_doc_ids(arr)).tolist() == arr.tolist()
+
+
+def test_delta_identity():
+    arr = np.array([5, 6, 100, 2**40], dtype=np.uint64)
+    assert delta_decode(delta_encode(arr)).tolist() == arr.tolist()
+
+
+def test_block_metadata():
+    n = 300
+    ids = np.arange(10, 10 + n, dtype=np.uint64)
+    tfs = np.ones(n, dtype=np.int64)
+    tfs[200] = 50
+    dls = np.full(n, 20, dtype=np.int64)
+    last, maxes = block_metadata(ids, tfs, dls, BM25_K1, BM25_B, 20.0)
+    assert last.tolist() == [10 + BLOCK_SIZE - 1, 10 + 2 * BLOCK_SIZE - 1, 10 + n - 1]
+    norms = tf_norm(tfs, dls, BM25_K1, BM25_B, 20.0)
+    assert np.isclose(maxes[0], norms[0].astype(np.float32))
+    assert np.isclose(maxes[1], norms[200].astype(np.float32))
+    assert maxes.dtype == np.float32

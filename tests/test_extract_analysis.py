@@ -1,0 +1,43 @@
+import pyarrow as pa
+
+from raybm25.analysis import doc_lengths, sayt_expand, term_freqs, tokenize
+from raybm25.extract import extract_batch, extract_text, render_html
+from raybm25.fixtures import HAND_DOCS, make_pages
+
+
+def test_tokenize_basic():
+    assert tokenize("The quick, QUICK fox-42!") == ["the", "quick", "quick", "fox", "42"]
+    assert tokenize("") == []
+    assert term_freqs("a b a") == {"a": 2, "b": 1}
+
+
+def test_doc_lengths():
+    assert doc_lengths(["a b c", "", "x"]).tolist() == [3, 0, 1]
+
+
+def test_extract_inverts_template():
+    for text in HAND_DOCS + ["multi\n\npara & <tag> doc", "", "a&amp;b already-escaped"]:
+        html = render_html(text, "https://x.example/")
+        assert extract_text(html) == text
+
+
+def test_extract_invariant_on_fixture():
+    """The per-row invariant from BASELINE.json input_hint, byte-compared."""
+    pages = make_pages(n_rows=200, seed=7)
+    out = extract_batch(pages)
+    for orig, ext in zip(pages["text"].to_pylist(), out["text"].to_pylist()):
+        assert orig.encode() == ext.encode()
+
+
+def test_fixture_determinism_and_dups():
+    a = make_pages(n_rows=300, seed=42)
+    b = make_pages(n_rows=300, seed=42)
+    assert a.equals(b)
+    urls = a["url"].to_pylist()
+    assert len(set(urls)) < len(urls)  # has duplicate urls
+
+
+def test_sayt_expand():
+    terms = sayt_expand(["ab", "cd"], max_shingle=2, max_prefix=3)
+    assert "ab cd" in terms
+    assert "#a" in terms and "#ab" in terms and "#ab " in terms
