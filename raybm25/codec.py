@@ -28,15 +28,33 @@ BLOCK_SIZE = 128
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array to varbyte. Vectorized over values."""
+def round_up_f32(true_max: np.ndarray) -> np.ndarray:
+    """float64 -> float32 rounding UP, so stored block maxes stay valid
+    upper bounds for pruning."""
+    out = true_max.astype(np.float32)
+    low = out.astype(np.float64) < true_max
+    out[low] = np.nextafter(out[low], np.float32(np.inf))
+    return out
+
+
+def varbyte_sizes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # exact byte count per value: 1 + number of thresholds <= value
     nbytes = np.ones(v.shape, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += (v >= t).astype(np.int64)
+    return nbytes
+
+
+def varbyte_encode_with_sizes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a uint64 array; returns (uint8 buffer, per-value byte sizes).
+
+    The sizes array lets callers slice one big encoded buffer into
+    per-group segments without re-encoding (the multi-group encoder)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    nbytes = varbyte_sizes(v)
     starts = np.zeros(v.shape, dtype=np.int64)
     np.cumsum(nbytes[:-1], out=starts[1:])
     total = int(starts[-1] + nbytes[-1])
@@ -47,6 +65,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
         out[starts[mask] + j] = chunk.astype(np.uint8) | cont
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array to varbyte. Vectorized over values."""
+    out, _ = varbyte_encode_with_sizes(values)
     return out.tobytes()
 
 
@@ -118,9 +142,10 @@ def block_metadata(
     last_doc = sorted_doc_ids[np.minimum(np.arange(1, nblocks + 1) * block_size, n) - 1].astype(
         np.uint64
     )
-    maxes = np.empty(nblocks, dtype=np.float32)
     pad = nblocks * block_size - n
     if pad:
         norms = np.concatenate([norms, np.full(pad, -np.inf)])
-    maxes[:] = norms.reshape(nblocks, block_size).max(axis=1)
-    return last_doc, maxes
+    true_max = norms.reshape(nblocks, block_size).max(axis=1)
+    # float32 cast rounds to nearest and may land BELOW the true max,
+    # which would make block-max pruning unsound — round up instead.
+    return last_doc, round_up_f32(true_max)

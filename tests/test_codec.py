@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -55,3 +56,44 @@ def test_block_metadata():
     assert np.isclose(maxes[0], norms[0].astype(np.float32))
     assert np.isclose(maxes[1], norms[200].astype(np.float32))
     assert maxes.dtype == np.float32
+
+
+def test_multi_group_encoder_matches_single_group_path():
+    """encode_posting_groups must agree with the per-group reference
+    codec (delta+varbyte + block metadata) for every group."""
+    import numpy as np
+    from raybm25.codec import encode_doc_ids, varbyte_encode, block_metadata
+    from raybm25.index.encode import encode_posting_groups
+
+    rng = np.random.default_rng(3)
+    gid, ids, tfs, dls = [], [], [], []
+    for g in range(7):
+        n = int(rng.integers(1, 400))
+        gid += [g] * n
+        ids.append(rng.choice(2**40, size=n, replace=False))
+        tfs.append(rng.integers(1, 50, size=n))
+        dls.append(rng.integers(1, 500, size=n))
+    gid = np.array(gid, dtype=np.int64)
+    ids = np.concatenate(ids).astype(np.uint64)
+    tfs = np.concatenate(tfs).astype(np.int64)
+    dls = np.concatenate(dls).astype(np.int64)
+    enc = encode_posting_groups(gid, ids, tfs, dls, k1=1.2, b=0.75, avgdl=90.0)
+
+    order = enc["order"]
+    g_sorted = gid[order]
+    last = enc["block_last_doc"].to_pylist()
+    maxes = enc["block_max_norm"].to_pylist()
+    for g in range(7):
+        m = g_sorted == g
+        o = np.argsort(ids[gid == g])
+        sids = ids[gid == g][o]
+        stfs = tfs[gid == g][o]
+        sdls = dls[gid == g][o]
+        assert enc["doc_ids_enc"][g] == encode_doc_ids(sids)
+        assert enc["tfs_enc"][g] == varbyte_encode(stfs.astype(np.uint64))
+        assert enc["dls_enc"][g] == varbyte_encode(sdls.astype(np.uint64))
+        bl, bm = block_metadata(sids, stfs, sdls, 1.2, 0.75, 90.0)
+        assert last[g] == bl.tolist()
+        assert maxes[g] == pytest.approx(bm.tolist())
+        assert enc["df"][g] == sids.size
+        assert enc["cf"][g] == stfs.sum()
