@@ -118,9 +118,14 @@ def decode_doc_ids(buf: bytes | memoryview) -> np.ndarray:
 
 
 def tf_norm(tfs: np.ndarray, dls: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
-    """BM25 term-frequency normalization (float64)."""
+    """BM25 term-frequency normalization (float64).
+
+    Float association is pinned to ``(1-b) + (b*dl)/avgdl`` and
+    ``tf / denom`` so the engine, the Python oracle, and the DuckDB
+    oracle SQL produce bit-identical doubles (each replicates exactly
+    this order of operations)."""
     tfs = tfs.astype(np.float64)
-    denom = tfs + k1 * (1.0 - b + b * (dls.astype(np.float64) / avgdl))
+    denom = tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
     return tfs / denom
 
 

@@ -1,0 +1,285 @@
+"""Driver-contract pipelines: ``queries()`` + ``oracle_sql()`` bodies.
+
+Each entry runs a Ray-Data pipeline of this engine over the driver
+testdata at ``sf_dir`` and has a DuckDB-equivalent SQL string built
+from the SAME analyzer definition (analysis.SQL_TOKENS_EXPR) and the
+SAME pinned float association (codec.tf_norm docstring), so value
+hashes match bit-exactly — no rounding anywhere.
+
+The documents index is built once per (process, sf_dir) into a /tmp
+cache; the manifest fingerprint makes rebuilds no-ops.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import BM25_B, BM25_K1
+from .analysis import tokenize
+from .index.build import POSTINGS_SUBDIR, build_index
+
+CACHE_ROOT = "/tmp/raybm25_cache"
+
+TOKS_CTE = (
+    "toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    " AS term FROM documents)"
+)
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def docs_index(sf_dir: str) -> str:
+    """Build (or reuse) the full-text index over ``documents``."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    index_dir = os.path.join(CACHE_ROOT, f"docidx_{_tag(sf_dir)}")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_col="text",
+        keyword_cols=("lang", "source"),
+        num_buckets=16,
+        range_docs_target=1 << 20,
+    )
+    _INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def _reader(sf_dir: str):
+    from .query.engine import IndexReader
+
+    return IndexReader(docs_index(sf_dir))
+
+
+# --------------------------------------------------------------- pipelines
+def q_doc_count(sf_dir: str):
+    import ray.data
+
+    n = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    return pd.DataFrame({"n_docs": pd.array([n], dtype="int64")})
+
+
+def q_corpus_stats(sf_dir: str):
+    r = _reader(sf_dir)
+    corpus = r.manifest["corpus"]
+    return pd.DataFrame(
+        {
+            "n_docs": pd.array([corpus["n_docs"]], dtype="int64"),
+            "sum_dl": pd.array([corpus["sum_dl"]], dtype="int64"),
+            "avgdl": [corpus["sum_dl"] / corpus["n_docs"]],
+        }
+    )
+
+
+def _term_stats_ds(sf_dir: str, stat: str, k: int):
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    postings = os.path.join(docs_index(sf_dir), POSTINGS_SUBDIR)
+    ds = ray.data.read_parquet(postings, columns=["term", stat])
+    # analyzed tokens are [a-z0-9]+ — ':' marks keyword-field terms
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.match_substring(t.column("term"), ":"))),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby("term").aggregate(Sum(stat, alias_name=stat))
+    out = agg.sort([stat, "term"], descending=[True, False]).limit(k).to_pandas()
+    out[stat] = out[stat].astype("int64")
+    return out
+
+
+def q_term_df_top20(sf_dir: str):
+    return _term_stats_ds(sf_dir, "df", 20)
+
+
+def q_term_cf_top20(sf_dir: str):
+    return _term_stats_ds(sf_dir, "cf", 20)
+
+
+def _bm25_topk(sf_dir: str, query: str, k: int | None):
+    r = _reader(sf_dir)
+    hits = r.search_pruned(query, k if k is not None else r.n_docs)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array([int(np.int64(np.uint64(d))) for d, _ in hits], dtype="int64"),
+            "score": [s for _, s in hits],
+        }
+    )
+
+
+def q_bm25_topk_single(sf_dir: str):
+    return _bm25_topk(sf_dir, "merge", 12)
+
+
+def q_bm25_topk_multi(sf_dir: str):
+    return _bm25_topk(sf_dir, "merge join filter", 10)
+
+
+def q_bm25_all_single(sf_dir: str):
+    out = _bm25_topk(sf_dir, "stream", None)
+    return out[["doc_id", "score"]]
+
+
+def q_keyword_lang(sf_dir: str):
+    r = _reader(sf_dir)
+    ids = np.sort(r.term_docs("lang", "de")).astype(np.int64)
+    return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
+
+
+def _last_event(g: pd.DataFrame) -> pd.DataFrame:
+    return g.sort_values(["ts", "event_id"], kind="mergesort").tail(1)[["user_id", "event_id"]]
+
+
+def q_dedup_lastwins_events(sf_dir: str):
+    """Last-write-wins dedup (SURVEY.md §2 D1) on the events stream:
+    keep each user's latest event (ties: max event_id)."""
+    import ray.data
+
+    _last_event.__name__ = "last_event"
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_id", "ts"]
+    )
+    return ds.groupby("user_id").map_groups(_last_event, batch_format="pandas").to_pandas()
+
+
+def q_token_count(sf_dir: str):
+    """Per-document token count (dl) from the doc store."""
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        os.path.join(docs_index(sf_dir), "docs"), columns=["doc_id", "dl"]
+    ).to_pandas()
+    docs["doc_id"] = docs["doc_id"].astype("int64")
+    docs["dl"] = docs["dl"].astype("int64")
+    return docs.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_extract_roundtrip_count(sf_dir: str):
+    """Extraction invariant over the adapted pages corpus: html rendered
+    from text must extract back byte-identically for every row."""
+    import ray.data
+
+    from .adapters import pages_parquet_for
+    from .extract import extract_batch
+
+    path = pages_parquet_for(sf_dir, os.path.join(CACHE_ROOT, "pages"))
+
+    def roundtrip_ok(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ext = extract_batch(t.select(["html"]).append_column("text", t.column("text")))
+        ok = pc.equal(ext.column("text"), t.column("text"))
+        return pa.table({"ok": pc.cast(ok, pa.int64())})
+
+    ds = ray.data.read_parquet(path, columns=["html", "text"]).map_batches(
+        roundtrip_ok, batch_format="pyarrow"
+    )
+    n_ok = int(ds.sum("ok"))
+    return pd.DataFrame({"n_ok": pd.array([n_ok], dtype="int64")})
+
+
+# --------------------------------------------------------------- oracle SQL
+def _bm25_sql(query: str, k: int | None, cols: str = "rank, doc_id, score") -> str:
+    qcounts = Counter(tokenize(query))
+    terms = sorted(qcounts)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    parts = [
+        f"WITH {TOKS_CTE},",
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),",
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n,"
+        " (SELECT count(*) FROM toks) / (SELECT count(*) FROM documents) AS avgdl),",
+        f"tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ({in_list})"
+        " GROUP BY doc_id, term),",
+        "dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),",
+        # float association pinned to match the engine exactly:
+        # (w*idf) * (tf / (tf + k1*((1-b) + (b*dl)/avgdl)))
+        "contrib AS (SELECT tfq.doc_id, tfq.term,"
+        f" 1.0 * ln(1 + (stats.n - dfq.df + 0.5)/(dfq.df + 0.5)) *"
+        f" (tfq.tf/(tfq.tf + {BM25_K1}*(1 - {BM25_B} + {BM25_B}*dl.dl/stats.avgdl))) AS c"
+        " FROM tfq JOIN dfq USING(term) JOIN dl ON dl.doc_id = tfq.doc_id, stats),",
+    ]
+    # one CTE per term, combined with explicit left-to-right addition in
+    # sorted-term order (the engine's summation order)
+    for i, t in enumerate(terms):
+        parts.append(f"p{i} AS (SELECT doc_id, c FROM contrib WHERE term = '{t}'),")
+    if len(terms) == 1:
+        scored = "scored AS (SELECT doc_id, c AS score FROM p0)"
+    else:
+        joins = "p0"
+        for i in range(1, len(terms)):
+            joins += f" FULL JOIN p{i} USING(doc_id)"
+        add = " + ".join(f"COALESCE(p{i}.c, 0)" for i in range(len(terms)))
+        scored = f"scored AS (SELECT doc_id, {add} AS score FROM {joins})"
+    parts.append(scored)
+    limit = f" LIMIT {k}" if k is not None else ""
+    parts.append(
+        f"SELECT {cols} FROM (SELECT row_number() OVER (ORDER BY score DESC, doc_id)"
+        f" AS rank, doc_id, score FROM scored) ORDER BY rank{limit}"
+    )
+    return "\n".join(parts)
+
+
+def _term_stats_sql(stat: str) -> str:
+    agg = "count(*)" if stat == "df" else "sum(tf)::BIGINT"
+    return (
+        f"WITH {TOKS_CTE},"
+        " tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)"
+        f" SELECT term, {agg} AS {stat} FROM tf GROUP BY term"
+        f" ORDER BY {stat} DESC, term LIMIT 20"
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "doc_count": "SELECT count(*) AS n_docs FROM documents",
+    "corpus_stats": (
+        f"WITH {TOKS_CTE} SELECT (SELECT count(*) FROM documents) AS n_docs,"
+        " (SELECT count(*) FROM toks) AS sum_dl,"
+        " (SELECT count(*) FROM toks) / (SELECT count(*) FROM documents) AS avgdl"
+    ),
+    "term_df_top20": _term_stats_sql("df"),
+    "term_cf_top20": _term_stats_sql("cf"),
+    "bm25_topk_single": _bm25_sql("merge", 12),
+    "bm25_topk_multi": _bm25_sql("merge join filter", 10),
+    "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
+    "keyword_lang": "SELECT doc_id FROM documents WHERE lang = 'de' ORDER BY doc_id",
+    "dedup_lastwins_events": (
+        "SELECT user_id, event_id FROM events QUALIFY"
+        " row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
+    ),
+    "token_count": (
+        f"WITH {TOKS_CTE},"
+        " c AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)"
+        " SELECT d.doc_id, COALESCE(c.dl, 0) AS dl FROM documents d"
+        " LEFT JOIN c USING(doc_id) ORDER BY d.doc_id"
+    ),
+    "extract_roundtrip_count": "SELECT count(*) AS n_ok FROM documents",
+}
+
+QUERIES = {
+    "doc_count": q_doc_count,
+    "corpus_stats": q_corpus_stats,
+    "term_df_top20": q_term_df_top20,
+    "term_cf_top20": q_term_cf_top20,
+    "bm25_topk_single": q_bm25_topk_single,
+    "bm25_topk_multi": q_bm25_topk_multi,
+    "bm25_all_single": q_bm25_all_single,
+    "keyword_lang": q_keyword_lang,
+    "dedup_lastwins_events": q_dedup_lastwins_events,
+    "token_count": q_token_count,
+    "extract_roundtrip_count": q_extract_roundtrip_count,
+}

@@ -1,0 +1,47 @@
+"""Flagship pipeline: pages corpus -> full index build -> BM25 top-k.
+
+This is the end-to-end path of the north rule: Common-Crawl-style
+pages (here: the driver's documents table adapted to the pages schema)
+flow through extraction, dedup, postings build, and the fixed query
+set is served distributed via a BatchSearcher actor pool.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from .adapters import pages_parquet_for
+from .contract import CACHE_ROOT
+from .fixtures import make_queries
+from .index.build import build_index
+from .query.engine import BatchSearcher
+
+
+def run_flagship(sf_dir: str, *, index_root: str | None = None, concurrency: int = 2) -> pd.DataFrame:
+    import ray.data
+
+    root = index_root or os.path.join(CACHE_ROOT, "flagship")
+    pages = pages_parquet_for(sf_dir, os.path.join(CACHE_ROOT, "pages"))
+    index_dir = os.path.join(root, f"idx_{os.path.basename(os.path.normpath(sf_dir))}")
+    build_index(
+        pages,
+        index_dir,
+        key_col="url",
+        ts_col="warc_ts",
+        extract_html=True,
+        keyword_cols=("lang",),
+        num_buckets=16,
+    )
+    queries_ds = ray.data.from_items(make_queries())
+    results = queries_ds.map_batches(
+        BatchSearcher,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    out = results.to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

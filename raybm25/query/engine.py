@@ -98,8 +98,9 @@ class IndexReader:
         return out
 
     def _norm(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        # association pinned: (1-b) + (b*dl)/avgdl — see codec.tf_norm
         tf = tfs.astype(np.float64)
-        return tf / (tf + self.k1 * (1.0 - self.b + self.b * (dls.astype(np.float64) / self.avgdl)))
+        return tf / (tf + self.k1 * (1.0 - self.b + self.b * dls.astype(np.float64) / self.avgdl))
 
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))

@@ -1,0 +1,74 @@
+"""Mimics the driver's correctness harness: run every queries() entry at
+sf0.001 and compare against oracle_sql() via DuckDB — row count, column
+names, and order-insensitive values (exact, incl. float bits)."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _to_pandas(obj):
+    if hasattr(obj, "to_pandas"):
+        return obj.to_pandas()
+    return obj
+
+
+def pytest_generate_tests(metafunc):
+    if "qname" in metafunc.fixturenames:
+        import __ray_entry__ as e
+
+        metafunc.parametrize("qname", sorted(e.queries().keys()))
+
+
+def test_queries_match_oracle(qname, ray_session, con):
+    import __ray_entry__ as e
+
+    q = e.queries()[qname]
+    sql = e.oracle_sql().get(qname)
+    got = _normalize(_to_pandas(q(SF_DIR)))
+    assert len(got) >= 0
+    if sql is None:
+        return
+    exp = _normalize(con.sql(sql).df())
+    assert list(got.columns) == list(exp.columns), f"{qname} columns"
+    assert len(got) == len(exp), f"{qname} row count"
+    for col in exp.columns:
+        a, b = got[col].to_numpy(), exp[col].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            import numpy as np
+
+            assert np.array_equal(a.astype(float), b.astype(float)), f"{qname}.{col} float values"
+        else:
+            assert (a == b).all(), f"{qname}.{col} values"
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    out = e.entry()
+    assert len(out) >= 0
+    assert {"query_id", "rank", "doc_id", "score"} <= set(out.columns)
