@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Benchmark: index-build throughput + BM25 query latency.
+
+Headline pipeline over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+the sf documents table is deterministically expanded (xBENCH_EXPAND
+replicas, distinct urls/timestamps, varied text) into a pages corpus,
+then timed: full index build (extract -> dedup -> postings) and the
+fixed query set served both serially (latency p50) and as a
+distributed BatchSearcher pool (throughput).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the same job in two fresh processes (num_cpus=8 and
+32 — the sandbox stand-in for N- vs 4N-node clusters) and reports
+docs/s at both plus scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+BENCH_ROOT = "/tmp/raybm25_bench"
+
+# Query mix for the documents-derived corpus vocabulary: hot single
+# terms, multi-term, rare replica markers, absent terms.
+BENCH_QUERIES = [
+    {"query_id": 1, "query_text": "merge", "k": 10},
+    {"query_id": 2, "query_text": "hash join", "k": 10},
+    {"query_id": 3, "query_text": "stream filter batch", "k": 10},
+    {"query_id": 4, "query_text": "replica3", "k": 10},
+    {"query_id": 5, "query_text": "customer vector scan", "k": 100},
+    {"query_id": 6, "query_text": "slow fast table", "k": 10},
+    {"query_id": 7, "query_text": "window sort key", "k": 10},
+    {"query_id": 8, "query_text": "zzzabsentterm", "k": 10},
+    {"query_id": 9, "query_text": "value", "k": 1},
+    {"query_id": 10, "query_text": "spark line column row", "k": 10},
+]
+
+
+def _expanded_pages(sf_dir: str, factor: int) -> str:
+    """Deterministic xfactor expansion of the documents table into a
+    pages corpus (cached; generation is untimed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raybm25.extract import render_html
+    from raybm25.fixtures import EPOCH_US
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(BENCH_ROOT, f"pages_{tag}_x{factor}.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    urls, tss, htmls, otexts, olangs = [], [], [], [], []
+    for k in range(factor):
+        for d, t, lg in zip(ids, texts, langs):
+            u = f"doc://{d}/r{k}"
+            txt = f"{t} replica{k} v{d % 13}"
+            urls.append(u)
+            tss.append(EPOCH_US + d * factor + k)
+            htmls.append(render_html(txt, u))
+            otexts.append(txt)
+            olangs.append(lg)
+    tbl = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(otexts, pa.string()),
+            "lang": pa.array(olangs, pa.string()),
+        }
+    )
+    tmp = out + f".tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, out)
+    return tbl.num_rows and out
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    factor = int(os.environ.get("BENCH_EXPAND", "10"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    from raybm25.index.build import build_index
+    from raybm25.query.engine import BatchSearcher, IndexReader
+
+    pages = _expanded_pages(sf_dir, factor)
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    ray.data.read_parquet(pages).count()
+
+    index_dir = os.path.join(BENCH_ROOT, f"idx_{os.path.basename(pages)}_{ncpu}")
+    t0 = time.perf_counter()
+    metrics = build_index(
+        pages,
+        index_dir,
+        key_col="url",
+        ts_col="warc_ts",
+        extract_html=True,
+        keyword_cols=("lang",),
+        num_buckets=max(32, 4 * ncpu),
+        postings_shards=max(64, 4 * ncpu),
+        overwrite=True,
+    )
+    t_build = time.perf_counter() - t0
+    n_docs = metrics["n_docs"]
+
+    # query latency: serial p50 over the fixed set (pruned path)
+    reader = IndexReader(index_dir)
+    lat = []
+    for _ in range(5):
+        for q in BENCH_QUERIES:
+            t1 = time.perf_counter()
+            reader.search_pruned(q["query_text"], q["k"])
+            lat.append(time.perf_counter() - t1)
+    p50_ms = statistics.median(lat) * 1000
+
+    # query throughput: distributed actor pool over the repeated set
+    qset = [
+        {**q, "query_id": q["query_id"] + 1000 * r}
+        for r in range(20)
+        for q in BENCH_QUERIES
+    ]
+    t2 = time.perf_counter()
+    n_hits = (
+        ray.data.from_items(qset)
+        .map_batches(
+            BatchSearcher,
+            fn_constructor_kwargs={"index_dir": index_dir},
+            batch_format="pandas",
+            batch_size=8,
+            concurrency=min(8, ncpu),
+            num_cpus=1,
+        )
+        .count()
+    )
+    t_query = time.perf_counter() - t2
+
+    result = {
+        "metric": "index_build_plus_query_sec",
+        "value": round(t_build + t_query, 3),
+        "unit": "sec",
+        "queries": {
+            "build": round(t_build, 3),
+            "build_docs_phase": round(metrics["docs_secs"], 3),
+            "build_postings_phase": round(metrics["postings_secs"], 3),
+            "query_pool_200": round(t_query, 3),
+            "query_p50_sec": round(p50_ms / 1000, 5),
+        },
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / t_build, 1),
+        "query_p50_ms": round(p50_ms, 2),
+        "qps_pool": round(len(qset) / t_query, 1),
+        "n_result_rows": n_hits,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    speedup = r_lo["queries"]["build"] / r_hi["queries"]["build"]
+    eff = speedup / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus": [lo, hi],
+        "build_sec": [r_lo["queries"]["build"], r_hi["queries"]["build"]],
+        "docs_per_sec": [r_lo["docs_per_sec"], r_hi["docs_per_sec"]],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "n_docs": r_lo["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

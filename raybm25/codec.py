@@ -75,10 +75,14 @@ def varbyte_encode(values: np.ndarray) -> bytes:
 
 
 def varbyte_decode(buf: bytes | memoryview) -> np.ndarray:
-    """Decode varbyte bytes back to a uint64 array. Vectorized."""
+    """Decode varbyte bytes back to a uint64 array. Vectorized, with a
+    fast path for all-single-byte runs (values < 128 — the common case
+    for tf/dl streams and dense-ordinal deltas)."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
+    if not (b & 0x80).any():
+        return b.astype(np.uint64)
     is_end = (b & 0x80) == 0
     ends = np.flatnonzero(is_end)
     starts = np.empty_like(ends)

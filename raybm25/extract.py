@@ -48,14 +48,19 @@ def extract_text(html: bytes) -> str:
     return "\n\n".join(unescape(p) for p in paras)
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+def extract_batch(batch: pa.Table, drop_html: bool = False) -> pa.Table:
     """map_batches stage: replace/attach ``text`` extracted from ``html``.
 
     Arrow in / Arrow out (zero-copy for the untouched columns).
+    ``drop_html=True`` removes the html column afterwards so downstream
+    shuffles (dedup groupby) don't carry the raw bytes.
     """
     texts = pa.array(
         [extract_text(h) for h in batch.column("html").to_pylist()], type=pa.string()
     )
-    if "text" in batch.column_names:
-        batch = batch.drop_columns(["text"])
+    drop = ["text"] if "text" in batch.column_names else []
+    if drop_html:
+        drop.append("html")
+    if drop:
+        batch = batch.drop_columns(drop)
     return batch.append_column("text", texts)

@@ -48,6 +48,7 @@ import time
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .. import BM25_B, BM25_K1
@@ -59,6 +60,16 @@ from .manifest import Manifest, atomic_write_parquet, load_manifest, parquet_fin
 
 DOCS_SUBDIR = "docs"
 POSTINGS_SUBDIR = "postings"
+
+# Postings are keyed by dense per-bucket ORDINALS, not raw doc ids:
+# ordinal = (bucket << ORD_SHIFT) | row_index_in_bucket (rows sorted by
+# doc_id within their bucket, so ordinals are deterministic). Dense
+# ordinals keep delta+varbyte postings small (~1-2 bytes/posting) even
+# when doc ids are 64-bit hashes (whose deltas would need 7 bytes), and
+# the docstore bucket files double as the ordinal->doc mapping: bucket
+# = ordinal >> ORD_SHIFT, row = ordinal & ORD_MASK.
+ORD_SHIFT = 40
+ORD_MASK = (1 << ORD_SHIFT) - 1
 
 
 def _attach_ids(batch: pa.Table, key_col: str, id_col: str | None, num_buckets: int) -> pa.Table:
@@ -122,6 +133,9 @@ class _DedupWriteBucket:
         )
         out = g[["doc_id"] + self.stored_cols].copy()
         out["dl"] = dl
+        out["ordinal"] = (np.uint64(bucket) << np.uint64(ORD_SHIFT)) + np.arange(
+            len(out), dtype=np.uint64
+        )
         tbl = pa.Table.from_pandas(out, preserve_index=False)
         dest = os.path.join(self.docs_dir, f"bucket={bucket:05d}.parquet")
         atomic_write_parquet(tbl, dest)
@@ -134,6 +148,19 @@ class _DedupWriteBucket:
                 "bytes": [os.path.getsize(dest)],
             }
         )
+
+
+def shard_of(terms: np.ndarray, ranges: np.ndarray, num_shards: int) -> np.ndarray:
+    """Postings output shard of (term, doc-range) keys.
+
+    Shared between the build (row routing) and the reader (a query term
+    maps to at most n_ranges shard FILES, so serving reads only those
+    files instead of scanning every shard)."""
+    h = pd.util.hash_array(np.asarray(terms, dtype=object), categorize=False)
+    return (
+        (h ^ (np.asarray(ranges).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+        % np.uint64(num_shards)
+    ).astype(np.int32)
 
 
 def _pairs_to_rows(
@@ -157,13 +184,7 @@ def _pairs_to_rows(
     rng_chg[1:] = ranges[1:] != ranges[:-1]
     row_starts = np.flatnonzero(term_chg | rng_chg)
     offsets = np.append(row_starts, pair_terms.size).astype(np.int32)
-    shard = (
-        (
-            pd.util.hash_array(pair_terms[row_starts], categorize=False)
-            ^ (ranges[row_starts].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-        )
-        % np.uint64(num_shards)
-    ).astype(np.int32)
+    shard = shard_of(pair_terms[row_starts], ranges[row_starts], num_shards)
     return pa.table(
         {
             "term": pa.array(pair_terms[row_starts], pa.string()),
@@ -193,15 +214,17 @@ class _PartialPostings:
         range_shift: int,
         keyword_cols: tuple[str, ...] = (),
         num_shards: int = 64,
+        key_col: str = "ordinal",
     ):
         self.text_col = text_col
         self.range_shift = np.uint64(range_shift)
         self.keyword_cols = keyword_cols
         self.num_shards = num_shards
+        self.key_col = key_col
         self.findall = TOKEN_RE.findall
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc_ids = batch.column(self.key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         dls_col = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.int32)
         order = np.argsort(doc_ids, kind="stable")
         ids_sorted = doc_ids[order]
@@ -283,13 +306,30 @@ class _PartialPostings:
 
 class _MergeShard:
     """Merge + encode ALL (term, range) groups of one shard in a few
-    numpy passes (see raybm25.index.encode)."""
+    numpy passes (see raybm25.index.encode), then write the shard file
+    atomically under its deterministic name (idempotent under retries;
+    the returned stats row is the lineage record)."""
 
-    def __init__(self, k1: float, b: float, avgdl: float):
+    def __init__(self, k1: float, b: float, avgdl: float, postings_dir: str):
         self.__name__ = "MergeShard"
         self.k1, self.b, self.avgdl = k1, b, avgdl
+        self.postings_dir = postings_dir
 
     def __call__(self, g: pa.Table) -> pa.Table:
+        shard_id = int(g.column("shard")[0].as_py())
+        tbl = self._encode(g)
+        dest = os.path.join(self.postings_dir, f"shard={shard_id:05d}.parquet")
+        atomic_write_parquet(tbl, dest)
+        return pa.table(
+            {
+                "shard": pa.array([shard_id], pa.int32()),
+                "n_rows": pa.array([tbl.num_rows], pa.int64()),
+                "n_postings": pa.array([int(pc.sum(tbl.column("df")).as_py())], pa.int64()),
+                "bytes": pa.array([os.path.getsize(dest)], pa.int64()),
+            }
+        )
+
+    def _encode(self, g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
         terms = g.column("term").to_numpy(zero_copy_only=False)
         ranges = g.column("range").to_numpy(zero_copy_only=False)
@@ -423,11 +463,23 @@ def build_index(
             cols.update(keyword_cols)
             if stored_cols:
                 cols.update(stored_cols)
-            ds = ray.data.read_parquet(source, columns=sorted(cols))
+            # A small file count would otherwise read as 1-2 blocks and
+            # serialize every downstream map stage; split to keep all
+            # cores busy. (With thousands of input files the default
+            # file-based splitting is already fine.)
+            n_files = len(fingerprint)
+            kwargs = {}
+            if n_files < 64:
+                import ray as _ray
+
+                ncpu = int(_ray.cluster_resources().get("CPU", 8))
+                kwargs["override_num_blocks"] = max(2 * ncpu, n_files)
+            ds = ray.data.read_parquet(source, columns=sorted(cols), **kwargs)
         else:
             ds = source
         if extract_html:
-            ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+            # drop html right away: the dedup shuffle must not carry raw bytes
+            ds = ds.map_batches(extract_batch, batch_format="pyarrow", fn_kwargs={"drop_html": True})
         ds = ds.map_batches(
             _attach_ids,
             batch_format="pyarrow",
@@ -478,14 +530,21 @@ def build_index(
 
     # ---------------- Phase B: postings build ----------------
     tb = time.perf_counter()
-    range_shift = _compute_range_shift(
-        corpus["max_doc_id"], corpus["n_docs"], range_docs_target
+    buckets_lineage = man.data["phases"]["docs"]["buckets"]
+    max_ordinal = max(
+        (int(bk) << ORD_SHIFT) + info["rows"] - 1
+        for bk, info in buckets_lineage.items()
+        if info["rows"] > 0
     )
+    man.data["corpus"]["max_ordinal"] = max_ordinal
+    range_shift = _compute_range_shift(max_ordinal, corpus["n_docs"], range_docs_target)
     man.data["range_shift"] = range_shift
+    man.data["num_shards"] = postings_shards
+    man.data["n_ranges"] = (max_ordinal >> range_shift) + 1
     if man.phase_committed("postings") and not docs_fresh:
         metrics["postings_phase"] = "skipped (checkpoint)"
     else:
-        read_cols = ["doc_id", "dl", text_col, *keyword_cols]
+        read_cols = ["ordinal", "dl", text_col, *keyword_cols]
         docs_ds = ray.data.read_parquet(docs_dir, columns=read_cols)
         partials = docs_ds.map_batches(
             _PartialPostings(
@@ -498,20 +557,24 @@ def build_index(
             batch_size=batch_size,
             **({"concurrency": tokenize_concurrency} if tokenize_concurrency else {}),
         )
-        merged = partials.groupby("shard").map_groups(
-            _MergeShard(k1, b, corpus["avgdl"]), batch_format="pyarrow"
-        )
-        tmp_dir = postings_dir + ".tmp"
-        if os.path.isdir(tmp_dir):
-            shutil.rmtree(tmp_dir)
-        merged.write_parquet(tmp_dir)
         if os.path.isdir(postings_dir):
             shutil.rmtree(postings_dir)
-        os.replace(tmp_dir, postings_dir)
+        os.makedirs(postings_dir, exist_ok=True)
+        shard_stats = (
+            partials.groupby("shard")
+            .map_groups(_MergeShard(k1, b, corpus["avgdl"], postings_dir), batch_format="pyarrow")
+            .to_pandas()  # one row per shard — tiny
+        )
         ph = man.phase("postings")
         ph["committed"] = True
         ph["range_shift"] = range_shift
+        ph["shards"] = {
+            str(int(r.shard)): {"rows": int(r.n_rows), "bytes": int(r.bytes)}
+            for r in shard_stats.itertuples()
+        }
+        ph["n_postings"] = int(shard_stats["n_postings"].sum()) if len(shard_stats) else 0
         man.commit()
+        metrics["n_postings"] = man.data["phases"]["postings"]["n_postings"]
     metrics["postings_secs"] = time.perf_counter() - tb
     metrics["total_secs"] = time.perf_counter() - t0
     metrics["docs_per_sec"] = corpus["n_docs"] / metrics["total_secs"]

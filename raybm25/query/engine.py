@@ -34,7 +34,7 @@ import pyarrow.dataset as pads
 
 from ..analysis import tokenize
 from ..codec import BLOCK_SIZE, varbyte_decode, delta_decode
-from ..index.build import DOCS_SUBDIR, POSTINGS_SUBDIR
+from ..index.build import DOCS_SUBDIR, ORD_MASK, ORD_SHIFT, POSTINGS_SUBDIR
 from ..index.manifest import load_manifest
 
 
@@ -63,8 +63,68 @@ class IndexReader:
         self.k1 = float(man.data["k1"])
         self.b = float(man.data["b"])
         self.num_buckets = int(man.data["num_buckets"])
-        self._postings = pads.dataset(os.path.join(index_dir, POSTINGS_SUBDIR))
+        self.num_shards = int(man.data.get("num_shards", 0))
+        self.n_ranges = int(man.data.get("n_ranges", 1))
+        self._postings_dir = os.path.join(index_dir, POSTINGS_SUBDIR)
         self._docs_dir = os.path.join(index_dir, DOCS_SUBDIR)
+        # per-shard dataset cache: parquet footers parsed once per reader
+        self._shard_ds: dict[str, pads.Dataset] = {}
+        # per-bucket ordinal->doc_id arrays (docstore row order IS the
+        # mapping), loaded lazily
+        self._bucket_ids: dict[int, np.ndarray] = {}
+
+    def _map_ordinals(self, ordinals: np.ndarray) -> np.ndarray:
+        """Dense postings ordinals -> original doc ids via the docstore
+        bucket files (bucket = ord >> ORD_SHIFT, row = ord & ORD_MASK)."""
+        import pyarrow.parquet as pq
+
+        ordinals = np.asarray(ordinals, dtype=np.uint64)
+        buckets = (ordinals >> np.uint64(ORD_SHIFT)).astype(np.int64)
+        rows = (ordinals & np.uint64(ORD_MASK)).astype(np.int64)
+        out = np.empty(ordinals.size, dtype=np.uint64)
+        for b in np.unique(buckets):
+            arr = self._bucket_ids.get(int(b))
+            if arr is None:
+                path = os.path.join(self._docs_dir, f"bucket={int(b):05d}.parquet")
+                arr = (
+                    pq.read_table(path, columns=["doc_id"])
+                    .column("doc_id")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
+                self._bucket_ids[int(b)] = arr
+            m = buckets == b
+            out[m] = arr[rows[m]]
+        return out
+
+    def _shard_paths(self, terms: list[str]) -> list[str]:
+        """Shard files that can contain the given terms: at most
+        n_ranges files per term (usually 1) instead of every shard."""
+        import numpy as np
+
+        from ..index.build import shard_of
+
+        if not self.num_shards or self.n_ranges > 4096:
+            import glob
+
+            return sorted(glob.glob(os.path.join(self._postings_dir, "*.parquet")))
+        shards: set[int] = set()
+        t_arr = np.array(terms, dtype=object)
+        for r in range(self.n_ranges):
+            rng = np.full(len(terms), r, dtype=np.int64)
+            shards.update(shard_of(t_arr, rng, self.num_shards).tolist())
+        committed = self.manifest.get("phases", {}).get("postings", {}).get("shards")
+        paths = []
+        for s in sorted(shards):
+            if committed is not None and str(s) not in committed:
+                continue  # shard never produced (no terms hashed there)
+            p = os.path.join(self._postings_dir, f"shard={s:05d}.parquet")
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"index corrupt: committed postings shard {s} missing at {p}"
+                )
+            paths.append(p)
+        return paths
 
     # ------------------------------------------------------------- postings
     def load_postings(self, terms: list[str]) -> dict[str, TermPostings]:
@@ -76,25 +136,54 @@ class IndexReader:
         with no merge (the salting invariant from the build)."""
         if not terms:
             return {}
-        tbl = self._postings.to_table(filter=pads.field("term").isin(terms))
-        if tbl.num_rows == 0:
+        paths = self._shard_paths(terms)
+        if not paths:
             return {}
-        df = tbl.to_pandas()
-        df = df.sort_values(["term", "range"], kind="mergesort")
+        tables = []
+        filt = pads.field("term").isin(terms)
+        for p in paths:
+            ds = self._shard_ds.get(p)
+            if ds is None:
+                ds = self._shard_ds[p] = pads.dataset(p)
+            t = ds.to_table(filter=filt)
+            if t.num_rows:
+                tables.append(t)
+        if not tables:
+            return {}
+        tbl = pa.concat_tables(tables).combine_chunks()
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("term", "ascending"), ("range", "ascending")]
+        )
+        tbl = tbl.take(idx)
+        term_col = tbl.column("term").to_pylist()
+        ids_enc = tbl.column("doc_ids_enc")
+        tfs_enc = tbl.column("tfs_enc")
+        dls_enc = tbl.column("dls_enc")
+        bl_col = tbl.column("block_last_doc")
+        bm_col = tbl.column("block_max_norm")
         out: dict[str, TermPostings] = {}
-        for term, g in df.groupby("term", sort=False):
+        i = 0
+        n = len(term_col)
+        while i < n:
+            j = i
+            while j < n and term_col[j] == term_col[i]:
+                j += 1
+            rows = range(i, j)
             ids = np.concatenate(
-                [delta_decode(varbyte_decode(b)) for b in g["doc_ids_enc"]]
+                [delta_decode(varbyte_decode(ids_enc[r].as_buffer())) for r in rows]
             )
-            tfs = np.concatenate([varbyte_decode(b) for b in g["tfs_enc"]]).astype(np.int64)
-            dls = np.concatenate([varbyte_decode(b) for b in g["dls_enc"]]).astype(np.int64)
+            tfs = np.concatenate([varbyte_decode(tfs_enc[r].as_buffer()) for r in rows])
+            dls = np.concatenate([varbyte_decode(dls_enc[r].as_buffer()) for r in rows])
             block_last = np.concatenate(
-                [np.asarray(x, dtype=np.uint64) for x in g["block_last_doc"]]
+                [np.asarray(bl_col[r].values, dtype=np.uint64) for r in rows]
             )
             block_max = np.concatenate(
-                [np.asarray(x, dtype=np.float32) for x in g["block_max_norm"]]
+                [np.asarray(bm_col[r].values, dtype=np.float32) for r in rows]
             )
-            out[term] = TermPostings(ids, tfs, dls, block_last, block_max)
+            out[term_col[i]] = TermPostings(ids, tfs, dls, block_last, block_max)
+            i = j
         return out
 
     def _norm(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
@@ -106,9 +195,21 @@ class IndexReader:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     # ------------------------------------------------------------- search
-    def _rank(self, ids: np.ndarray, scores: np.ndarray, k: int):
-        order = np.lexsort((ids, -scores))[:k]
-        return ids[order], scores[order]
+    def _rank(self, ordinals: np.ndarray, scores: np.ndarray, k: int):
+        """Top-k by (score desc, doc_id asc). Candidates are keyed by
+        ordinal; ordinal order within a bucket follows doc_id order but
+        not across buckets, so ties at the k boundary are re-broken on
+        the mapped doc ids before the final cut."""
+        order = np.lexsort((ordinals, -scores))
+        if order.size > k:
+            s_k = scores[order[k - 1]]
+            m = int(np.searchsorted(-scores[order], -s_k, side="right"))
+        else:
+            m = order.size
+        cand = order[:m]
+        dids = self._map_ordinals(ordinals[cand])
+        final = np.lexsort((dids, -scores[cand]))[:k]
+        return dids[final], scores[cand][final]
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Exact BM25 top-k (ties: score desc, doc_id asc)."""
@@ -237,7 +338,9 @@ class IndexReader:
         """Exact-match doc ids for a keyword field term (SURVEY.md B2)."""
         p = self.load_postings([f"{field}:{value}"])
         key = f"{field}:{value}"
-        return p[key].doc_ids if key in p else np.empty(0, np.uint64)
+        if key not in p:
+            return np.empty(0, np.uint64)
+        return np.sort(self._map_ordinals(p[key].doc_ids))
 
     def get_docs(self, doc_ids: np.ndarray) -> pa.Table:
         """Doc-store lookup by id (SURVEY.md B5): reads only the hash
