@@ -44,9 +44,12 @@ BENCH_QUERIES = [
 ]
 
 
-def _expanded_pages(sf_dir: str, factor: int) -> str:
+def _expanded_pages(sf_dir: str, factor: int, doclen_x: int = 8) -> str:
     """Deterministic xfactor expansion of the documents table into a
-    pages corpus (cached; generation is untimed)."""
+    pages corpus (cached; generation is untimed). ``doclen_x``
+    paragraphs per page bring doc length to realistic web-page size
+    (~400-500 tokens) so per-doc compute, not scheduling overhead,
+    dominates the measured build."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -54,43 +57,51 @@ def _expanded_pages(sf_dir: str, factor: int) -> str:
     from raybm25.fixtures import EPOCH_US
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(BENCH_ROOT, f"pages_{tag}_x{factor}.parquet")
-    if os.path.exists(out):
+    out = os.path.join(BENCH_ROOT, f"pages_{tag}_x{factor}_l{doclen_x}")
+    done_marker = os.path.join(out, "_DONE")
+    if os.path.exists(done_marker):
         return out
-    os.makedirs(BENCH_ROOT, exist_ok=True)
+    os.makedirs(out, exist_ok=True)
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
     langs = docs.column("lang").to_pylist()
-    urls, tss, htmls, otexts, olangs = [], [], [], [], []
+    n_src = len(ids)
+    # one file per replica round: a directory of files reads with one
+    # Ray task per file — a single giant file would serialize the read
     for k in range(factor):
+        urls, tss, htmls, otexts, olangs = [], [], [], [], []
         for d, t, lg in zip(ids, texts, langs):
             u = f"doc://{d}/r{k}"
-            txt = f"{t} replica{k} v{d % 13}"
+            paras = [f"{t} replica{k} v{(d + j) % 13} p{j}" for j in range(doclen_x)]
+            # vary paragraph mix deterministically with neighbor docs
+            paras.append(texts[(d * 7 + k) % n_src])
+            txt = "\n\n".join(paras)
             urls.append(u)
             tss.append(EPOCH_US + d * factor + k)
             htmls.append(render_html(txt, u))
             otexts.append(txt)
             olangs.append(lg)
-    tbl = pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(tss, pa.timestamp("us")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(otexts, pa.string()),
-            "lang": pa.array(olangs, pa.string()),
-        }
-    )
-    tmp = out + f".tmp-{os.getpid()}"
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, out)
-    return tbl.num_rows and out
+        tbl = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array(otexts, pa.string()),
+                "lang": pa.array(olangs, pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(out, f"part-{k:04d}.parquet"))
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return out
 
 
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    factor = int(os.environ.get("BENCH_EXPAND", "10"))
+    factor = int(os.environ.get("BENCH_EXPAND", "80"))
+    doclen_x = int(os.environ.get("BENCH_DOCLEN", "8"))
 
     import ray
 
@@ -111,9 +122,14 @@ def run_bench() -> dict:
     from raybm25.index.build import build_index
     from raybm25.query.engine import BatchSearcher, IndexReader
 
-    pages = _expanded_pages(sf_dir, factor)
-    # warm the OS page cache (untimed) so we measure compute + shuffle
+    pages = _expanded_pages(sf_dir, factor, doclen_x)
+    # warm-ups (untimed): OS page cache for the input, and the Ray
+    # worker pool (map + shuffle workers) so the timed run measures
+    # compute, not process spawn
     ray.data.read_parquet(pages).count()
+    ray.data.range(200_000, override_num_blocks=2 * ncpu).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).groupby("id").count().count()
 
     index_dir = os.path.join(BENCH_ROOT, f"idx_{os.path.basename(pages)}_{ncpu}")
     t0 = time.perf_counter()
@@ -124,8 +140,10 @@ def run_bench() -> dict:
         ts_col="warc_ts",
         extract_html=True,
         keyword_cols=("lang",),
-        num_buckets=max(32, 4 * ncpu),
-        postings_shards=max(64, 4 * ncpu),
+        # constant partitioning across parallelism levels so the
+        # 8- vs 32-cpu scaling runs produce identical indexes
+        num_buckets=128,
+        postings_shards=128,
         overwrite=True,
     )
     t_build = time.perf_counter() - t0
@@ -168,8 +186,6 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": {
             "build": round(t_build, 3),
-            "build_docs_phase": round(metrics["docs_secs"], 3),
-            "build_postings_phase": round(metrics["postings_secs"], 3),
             "query_pool_200": round(t_query, 3),
             "query_p50_sec": round(p50_ms / 1000, 5),
         },

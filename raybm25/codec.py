@@ -137,24 +137,23 @@ def block_metadata(
     sorted_doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    k1: float,
-    b: float,
-    avgdl: float,
     block_size: int = BLOCK_SIZE,
-) -> tuple[np.ndarray, np.ndarray]:
-    """(last doc_id per block, max tf-norm per block) for BMW pruning."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(last doc_id, max tf, min dl) per block.
+
+    The BMW score bound for a block is ``idf * tf_norm(max_tf, min_dl)``
+    — sound because tf_norm is increasing in tf and decreasing in dl —
+    and is computed at query time when the global avgdl is known, so
+    blocks can be encoded while corpus stats are still streaming."""
     n = sorted_doc_ids.size
     if n == 0:
-        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float32)
-    norms = tf_norm(tfs, dls, k1, b, avgdl)
+        e = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint64), e, e
     nblocks = (n + block_size - 1) // block_size
     last_doc = sorted_doc_ids[np.minimum(np.arange(1, nblocks + 1) * block_size, n) - 1].astype(
         np.uint64
     )
-    pad = nblocks * block_size - n
-    if pad:
-        norms = np.concatenate([norms, np.full(pad, -np.inf)])
-    true_max = norms.reshape(nblocks, block_size).max(axis=1)
-    # float32 cast rounds to nearest and may land BELOW the true max,
-    # which would make block-max pruning unsound — round up instead.
-    return last_doc, round_up_f32(true_max)
+    idx = np.arange(0, n, block_size)
+    max_tf = np.maximum.reduceat(np.asarray(tfs, dtype=np.int64), idx)
+    min_dl = np.minimum.reduceat(np.asarray(dls, dtype=np.int64), idx)
+    return last_doc, max_tf, min_dl

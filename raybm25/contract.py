@@ -49,10 +49,9 @@ def docs_index(sf_dir: str) -> str:
         key_col="doc_id",
         id_col="doc_id",
         ts_col=None,
-        text_col="text",
+        text_cols=("text",),
         keyword_cols=("lang", "source"),
         num_buckets=16,
-        range_docs_target=1 << 20,
     )
     _INDEX_CACHE[sf_dir] = index_dir
     return index_dir
@@ -193,6 +192,50 @@ def q_extract_roundtrip_count(sf_dir: str):
     return pd.DataFrame({"n_ok": pd.array([n_ok], dtype="int64")})
 
 
+def q_update_merge(sf_dir: str):
+    """J2 update semantics end-to-end: build a scratch index over the
+    documents table, apply a derived update batch (docs with
+    doc_id %% 7 == 0 get lang='xx'; some unknown keys must be dropped),
+    then read back (doc_id, lang) from the doc store."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .index.build import build_index
+    from .loader.update import apply_updates
+
+    idx = os.path.join(CACHE_ROOT, f"updidx_{_tag(sf_dir)}")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        idx,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        keyword_cols=("lang",),
+        num_buckets=8,
+        overwrite=True,
+    )
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    ids = docs.column("doc_id").to_numpy()
+    upd_ids = ids[ids % 7 == 0]
+    ghost = np.arange(10_000_000, 10_000_005)
+    updates = pa.table(
+        {
+            "doc_id": np.concatenate([upd_ids, ghost]).astype("int64"),
+            "lang": ["xx"] * (len(upd_ids) + len(ghost)),
+        }
+    )
+    res = apply_updates(idx, updates, "doc_id", rebuild=False)
+    assert res["missing"] == len(ghost)
+    out = (
+        ray.data.read_parquet(os.path.join(idx, "docs"), columns=["doc_id", "lang"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
 # --------------------------------------------------------------- oracle SQL
 def _bm25_sql(query: str, k: int | None, cols: str = "rank, doc_id, score") -> str:
     qcounts = Counter(tokenize(query))
@@ -268,6 +311,10 @@ ORACLE_SQL: dict[str, str] = {
         " LEFT JOIN c USING(doc_id) ORDER BY d.doc_id"
     ),
     "extract_roundtrip_count": "SELECT count(*) AS n_ok FROM documents",
+    "update_merge": (
+        "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang"
+        " FROM documents ORDER BY doc_id"
+    ),
 }
 
 QUERIES = {
@@ -282,4 +329,5 @@ QUERIES = {
     "dedup_lastwins_events": q_dedup_lastwins_events,
     "token_count": q_token_count,
     "extract_roundtrip_count": q_extract_roundtrip_count,
+    "update_merge": q_update_merge,
 }

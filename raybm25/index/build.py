@@ -1,46 +1,49 @@
-"""Ray-Data-native inverted index build.
+"""Ray-Data-native inverted index build — fused single-pass pipeline.
 
-The pipeline (SURVEY.md §3 "Target lifecycle", §7 steps 1-4):
+    read_parquet(pages) [column-pruned, block-split]
+      -> map_batches(extract)            html -> text, byte-identical
+      -> map_batches(attach doc ids)     stable uint64 key + hash bucket
+      -> groupby(bucket).map_groups(DedupTokenizeBucket)
+           dedup last-write-wins | assign dense ordinals | tokenize ONCE
+           | write docs/bucket=N.parquet + stats sidecar (atomic)
+           | emit packed partial postings rows keyed by (term, range, shard)
+      -> groupby(shard).map_groups(MergeShard)
+           merge + delta+varbyte encode + block (last_doc, max_tf, min_dl)
+           | write postings/shard=N.parquet (atomic)
+      -> tiny lineage rows -> manifest commit (the refresh barrier)
 
-    Phase A  read_parquet(pages) [column-pruned]
-             -> map_batches(extract)            (html -> text, byte-identical)
-             -> map_batches(attach doc ids)     (stable uint64 key + bucket)
-             -> groupby(bucket).map_groups(dedup last-wins + tokenize dl
-                + atomic per-bucket docstore write)
-             -> tiny stats reduce (N, sum_dl, max_doc_id)  [manifest commit]
+Both shuffles run in ONE streaming plan with backpressure; the corpus
+text is tokenized exactly once and never read twice. Block score
+bounds are (max_tf, min_dl) per 128 postings — the BM25 bound
+``idf * tf_norm(max_tf, min_dl)`` is computed at query time when
+global avgdl is known, which is what lets encoding stream concurrently
+with stats collection.
 
-    Phase B  read_parquet(docs) [doc_id, dl, text]
-             -> map_batches(partial postings)   (per-batch sorted term runs —
-                the pre-shuffle combiner, SURVEY.md §4 'two-level aggregation')
-             -> groupby(term, range).map_groups (merge + delta+varbyte encode
-                + block-max metadata)
-             -> write postings parquet           [manifest commit]
+Scale design (SURVEY.md §4, §7):
+- ONE partitioning key family: doc_id (hash64(url) or a given id
+  column). Docstore bucket = doc_id % num_buckets; updates co-partition
+  on the same function.
+- Dense ordinals ((bucket << 40) | row) keep postings deltas at 1-2
+  varbyte bytes; docstore row order IS the ordinal -> doc mapping.
+- Postings shuffle key (term, range) with range = ordinal >> shift
+  (= groups of buckets, known a priori): hot Zipf-head terms split
+  into bounded doc-range segments that concatenate back in order with
+  no second merge — the salted repartitioning of the north rule.
+- Shuffled payloads are packed sorted runs (list columns), combined
+  per bucket (maximal combiner) before the exchange.
+- All partition writes use deterministic filenames + tmp-rename, so
+  Ray task retries are idempotent; the manifest records per-partition
+  lineage (rows/bytes/fingerprint) and commits atomically.
 
-Scale design notes:
-- ONE partitioning key family: ``doc_id`` (hash64(url) or the given id
-  column). Docstore buckets = doc_id % num_buckets; the update phase
-  co-partitions on the same function, so no second shuffle key exists.
-- The postings shuffle key is ``(term, range)`` where
-  ``range = doc_id >> range_shift`` — doc-ranges are monotone in
-  doc_id, so a hot (Zipf-head) term's postings land in up to
-  2^range_bits bounded-size groups that concatenate back in range
-  order WITHOUT a second merge pass. This is the "salted
-  repartitioning of hot terms" of the north rule, applied uniformly:
-  rare terms still produce one group; hot terms split by doc range.
-- Group payloads shuffled between phases are packed sorted numpy runs
-  (list<uint64>/list<int32> Arrow columns), not per-posting rows, so
-  shuffle volume ≈ packed data, not row overhead.
-- Writes use deterministic filenames + tmp-rename (idempotent under
-  Ray task retries) and each phase commits atomically to the manifest
-  (the ``refresh`` visibility barrier, SURVEY.md §2 B10).
-
-Reference parity citations: dedup last-write-wins = SURVEY.md §2 D1
-(opensearch_client.py:189-226 upsert semantics); postings/BM25 layer =
-SURVEY.md §2.B B1-B7.
+Reference parity: dedup last-write-wins = SURVEY.md §2 D1 (upsert
+semantics, opensearch_client.py:189-226); analysis/postings/BM25 layer
+= SURVEY.md §2.B B1-B7 (delegated-to-OpenSearch operators rebuilt from
+scratch).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -52,13 +55,14 @@ import pyarrow.compute as pc
 import ray.data
 
 from .. import BM25_B, BM25_K1
-from ..analysis import ANALYZER_VERSION, TOKEN_RE
+from ..analysis import ANALYZER_VERSION, TOKEN_RE, sayt_expand
 from ..extract import extract_batch
 from ..hashing import HASH_IMPL, hash64
 from .encode import encode_posting_groups
 from .manifest import Manifest, atomic_write_parquet, load_manifest, parquet_fingerprint
 
 DOCS_SUBDIR = "docs"
+DOCS_STATS_SUBDIR = "docs_stats"
 POSTINGS_SUBDIR = "postings"
 
 # Postings are keyed by dense per-bucket ORDINALS, not raw doc ids:
@@ -86,70 +90,6 @@ def _attach_ids(batch: pa.Table, key_col: str, id_col: str | None, num_buckets: 
     return batch.append_column("__bucket", pa.array(bucket, pa.int32()))
 
 
-class _DedupWriteBucket:
-    """Per-bucket dedup (last write wins by ts — SURVEY.md §2 D1) +
-    doc-length computation + atomic docstore partition write.
-
-    Returns a one-row lineage/stats frame per bucket; the documents
-    themselves go straight to ``docs/bucket=NNNNN.parquet`` so the full
-    corpus never accumulates in the object store past this stage.
-    """
-
-    def __init__(
-        self,
-        docs_dir: str,
-        key_col: str,
-        ts_col: str | None,
-        text_col: str,
-        stored_cols: list[str],
-        check_collisions: bool,
-    ):
-        self.__name__ = "DedupWriteBucket"  # map_groups requires a __name__
-        self.docs_dir = docs_dir
-        self.key_col = key_col
-        self.ts_col = ts_col
-        self.text_col = text_col
-        self.stored_cols = stored_cols
-        self.check_collisions = check_collisions
-
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(g["__bucket"].iloc[0])
-        if self.check_collisions and self.key_col in g.columns:
-            if int(g.groupby("doc_id")[self.key_col].nunique().max()) > 1:
-                raise ValueError(
-                    f"doc_id hash collision in bucket {bucket}: two distinct "
-                    f"'{self.key_col}' values share a 64-bit key"
-                )
-        sort_cols = ["doc_id"] + ([self.ts_col] if self.ts_col else [])
-        if self.text_col in g.columns:
-            sort_cols.append(self.text_col)
-        g = g.sort_values(sort_cols, kind="mergesort").drop_duplicates("doc_id", keep="last")
-        findall = TOKEN_RE.findall
-        texts = g[self.text_col].tolist()
-        dl = np.fromiter(
-            (len(findall(t.lower())) if isinstance(t, str) else 0 for t in texts),
-            dtype=np.int32,
-            count=len(texts),
-        )
-        out = g[["doc_id"] + self.stored_cols].copy()
-        out["dl"] = dl
-        out["ordinal"] = (np.uint64(bucket) << np.uint64(ORD_SHIFT)) + np.arange(
-            len(out), dtype=np.uint64
-        )
-        tbl = pa.Table.from_pandas(out, preserve_index=False)
-        dest = os.path.join(self.docs_dir, f"bucket={bucket:05d}.parquet")
-        atomic_write_parquet(tbl, dest)
-        return pd.DataFrame(
-            {
-                "bucket": [bucket],
-                "rows": [len(out)],
-                "sum_dl": [int(dl.sum())],
-                "max_doc_id": [int(out["doc_id"].max()) if len(out) else 0],
-                "bytes": [os.path.getsize(dest)],
-            }
-        )
-
-
 def shard_of(terms: np.ndarray, ranges: np.ndarray, num_shards: int) -> np.ndarray:
     """Postings output shard of (term, doc-range) keys.
 
@@ -163,6 +103,18 @@ def shard_of(terms: np.ndarray, ranges: np.ndarray, num_shards: int) -> np.ndarr
     ).astype(np.int32)
 
 
+EMPTY_PARTIALS = pa.table(
+    {
+        "term": pa.array([], pa.string()),
+        "range": pa.array([], pa.int64()),
+        "shard": pa.array([], pa.int32()),
+        "doc_ids": pa.array([], pa.list_(pa.uint64())),
+        "tfs": pa.array([], pa.list_(pa.int32())),
+        "dls": pa.array([], pa.list_(pa.int32())),
+    }
+)
+
+
 def _pairs_to_rows(
     pair_terms: np.ndarray,
     pair_ids: np.ndarray,
@@ -172,7 +124,7 @@ def _pairs_to_rows(
     num_shards: int,
 ) -> pa.Table | None:
     """Pack sorted (term, doc) pairs into (term, range, shard, packed
-    lists) rows. Pairs must arrive sorted by (term, doc_id)."""
+    lists) rows. Pairs must arrive sorted by (term, ordinal)."""
     if pair_terms.size == 0:
         return None
     ranges = (pair_ids >> range_shift).astype(np.int64)
@@ -197,110 +149,243 @@ def _pairs_to_rows(
     )
 
 
-class _PartialPostings:
-    """Per-batch local postings (the combiner before the big shuffle).
+def build_partials(
+    ordinals_sorted: np.ndarray,
+    dls_sorted: np.ndarray,
+    toks_sorted: list[list[str]],
+    kw_values_sorted: dict[str, list],
+    range_shift: int,
+    num_shards: int,
+) -> pa.Table:
+    """Packed partial-postings rows from per-doc token streams (docs
+    must be pre-sorted by ordinal). Counting is factorize + boundary
+    detection — no per-pair Python."""
+    shift = np.uint64(range_shift)
+    lens = np.fromiter((len(t) for t in toks_sorted), dtype=np.int64, count=len(toks_sorted))
+    tables = []
+    if int(lens.sum()):
+        flat = np.concatenate([np.array(t, dtype=object) for t in toks_sorted if t])
+        doc_pos = np.repeat(np.arange(len(toks_sorted), dtype=np.int64), lens)
+        tid, uniq = pd.factorize(flat)
+        ord2 = np.lexsort((doc_pos, tid))
+        t_s, d_s = tid[ord2], doc_pos[ord2]
+        chg = np.empty(t_s.size, dtype=bool)
+        chg[0] = True
+        chg[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+        starts = np.flatnonzero(chg)
+        tf = np.diff(starts, append=t_s.size).astype(np.int32)
+        p_t = uniq.to_numpy(dtype=object) if hasattr(uniq, "to_numpy") else np.asarray(uniq, object)
+        pair_terms = p_t[t_s[starts]]
+        pair_d = d_s[starts]
+        tbl = _pairs_to_rows(
+            pair_terms, ordinals_sorted[pair_d], tf, dls_sorted[pair_d], shift, num_shards
+        )
+        if tbl is not None:
+            tables.append(tbl)
 
-    Emits one row per (term, range) per batch with doc-id-sorted packed
-    arrays; rows carry a ``shard`` key — hash(term, range) — so the
-    merge can run as a few big vectorized shard groups instead of one
-    Python call per term (hot-term skew also spreads across shards this
-    way). Tokenization is the only per-row Python; counting is
-    factorize + unique (C-speed).
-    """
+    # keyword fields: untokenized exact terms, tf=1, dl=1 (SURVEY B2)
+    for col, vals in kw_values_sorted.items():
+        kw_terms: list[str] = []
+        kw_pos: list[int] = []
+        for j, v in enumerate(vals):
+            for kv in v if isinstance(v, list) else ([] if v is None else [v]):
+                kw_terms.append(f"{col}:{kv}")
+                kw_pos.append(j)
+        if not kw_terms:
+            continue
+        kterms = np.array(kw_terms, dtype=object)
+        kpos = np.array(kw_pos, dtype=np.int64)
+        ord3 = np.lexsort((kpos, kterms))
+        kt, kp = kterms[ord3], kpos[ord3]
+        keep = np.empty(kt.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (kt[1:] != kt[:-1]) | (kp[1:] != kp[:-1])  # dedupe repeated values
+        kt, kp = kt[keep], kp[keep]
+        ones = np.ones(kt.size, dtype=np.int32)
+        tbl = _pairs_to_rows(kt, ordinals_sorted[kp], ones, ones, shift, num_shards)
+        if tbl is not None:
+            tables.append(tbl)
+
+    if not tables:
+        return EMPTY_PARTIALS
+    return pa.concat_tables(tables)
+
+
+class _DedupTokenizeBucket:
+    """One call per hash bucket: dedup (last write wins by ts —
+    SURVEY.md §2 D1), assign dense ordinals, tokenize ONCE, write the
+    docstore partition + a stats sidecar atomically, and return the
+    bucket's packed partial postings (input to the shard merge).
+
+    Multiple text fields are supported: the first is the default
+    (unprefixed terms); others index as ``field:token`` with their own
+    per-field dl / avgdl (each posting stores its field's dl)."""
 
     def __init__(
         self,
-        text_col: str,
+        docs_dir: str,
+        stats_dir: str,
+        key_col: str,
+        ts_col: str | None,
+        text_cols: tuple[str, ...],
+        stored_cols: list[str],
+        keyword_cols: tuple[str, ...],
+        check_collisions: bool,
         range_shift: int,
+        num_shards: int,
+        sayt_cols: tuple[str, ...] = (),
+    ):
+        self.__name__ = "DedupTokenizeBucket"
+        self.docs_dir = docs_dir
+        self.stats_dir = stats_dir
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.text_cols = text_cols
+        self.stored_cols = stored_cols
+        self.keyword_cols = keyword_cols
+        self.check_collisions = check_collisions
+        self.range_shift = range_shift
+        self.num_shards = num_shards
+        self.sayt_cols = sayt_cols
+
+    def __call__(self, g: pd.DataFrame) -> pa.Table:
+        bucket = int(g["__bucket"].iloc[0])
+        if self.check_collisions and self.key_col in g.columns:
+            if int(g.groupby("doc_id")[self.key_col].nunique().max()) > 1:
+                raise ValueError(
+                    f"doc_id hash collision in bucket {bucket}: two distinct "
+                    f"'{self.key_col}' values share a 64-bit key"
+                )
+        primary = self.text_cols[0]
+        sort_cols = ["doc_id"] + ([self.ts_col] if self.ts_col else [])
+        if primary in g.columns:
+            sort_cols.append(primary)
+        g = g.sort_values(sort_cols, kind="mergesort").drop_duplicates("doc_id", keep="last")
+
+        findall = TOKEN_RE.findall
+        ordinals = (np.uint64(bucket) << np.uint64(ORD_SHIFT)) + np.arange(
+            len(g), dtype=np.uint64
+        )
+        out = g[["doc_id"] + self.stored_cols].copy()
+        sums: dict[str, int] = {}
+        partial_tables = []
+        kw_vals = {
+            c: (g[c].tolist() if c in g.columns else [None] * len(g))
+            for c in self.keyword_cols
+        }
+        for fi, col in enumerate(self.text_cols):
+            texts = g[col].tolist() if col in g.columns else [None] * len(g)
+            raw_toks = [findall(t.lower()) if isinstance(t, str) else [] for t in texts]
+            toks = (
+                raw_toks if fi == 0 else [[f"{col}:{t}" for t in ts] for ts in raw_toks]
+            )
+            dl = np.fromiter((len(t) for t in toks), dtype=np.int32, count=len(toks))
+            out["dl" if fi == 0 else f"dl_{col}"] = dl
+            sums[col] = int(dl.sum())
+            partial_tables.append(
+                build_partials(
+                    ordinals,
+                    dl,
+                    toks,
+                    kw_vals if fi == 0 else {},
+                    self.range_shift,
+                    self.num_shards,
+                )
+            )
+            if col in self.sayt_cols:
+                # search_as_you_type expansion (SURVEY B3): shingles +
+                # '#'-marked edge prefixes, match-only (tf=1, dl=1)
+                ex = [
+                    [f"{col}:{t}" for t in set(sayt_expand(ts))] for ts in raw_toks
+                ]
+                exdl = np.ones(len(ex), dtype=np.int32)
+                partial_tables.append(
+                    build_partials(
+                        ordinals, exdl, ex, {}, self.range_shift, self.num_shards
+                    )
+                )
+        out["ordinal"] = ordinals
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        dest = os.path.join(self.docs_dir, f"bucket={bucket:05d}.parquet")
+        atomic_write_parquet(tbl, dest)
+        stats = {
+            "bucket": bucket,
+            "rows": int(len(out)),
+            "sum_dl": sums[primary],
+            "sum_dl_fields": sums,
+            "bytes": os.path.getsize(dest),
+        }
+        os.makedirs(self.stats_dir, exist_ok=True)
+        spath = os.path.join(self.stats_dir, f"bucket={bucket:05d}.json")
+        tmp = spath + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, spath)
+        return pa.concat_tables(partial_tables)
+
+
+class _PartialPostings:
+    """Standalone tokenize->partials stage over an existing docstore
+    (postings-only rebuilds and the update phase). Same output rows as
+    the fused path."""
+
+    def __init__(
+        self,
+        text_cols: tuple[str, ...] = ("text",),
+        range_shift: int = ORD_SHIFT,
         keyword_cols: tuple[str, ...] = (),
         num_shards: int = 64,
         key_col: str = "ordinal",
+        sayt_cols: tuple[str, ...] = (),
     ):
-        self.text_col = text_col
-        self.range_shift = np.uint64(range_shift)
+        self.text_cols = text_cols
+        self.range_shift = range_shift
         self.keyword_cols = keyword_cols
         self.num_shards = num_shards
         self.key_col = key_col
+        self.sayt_cols = sayt_cols
         self.findall = TOKEN_RE.findall
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column(self.key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        dls_col = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.int32)
-        order = np.argsort(doc_ids, kind="stable")
-        ids_sorted = doc_ids[order]
-        dls_sorted = dls_col[order]
-        texts = batch.column(self.text_col).to_pylist()
-
+        ordinals = batch.column(self.key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ordinals, kind="stable")
         findall = self.findall
-        toks = [
-            findall(texts[i].lower()) if isinstance(texts[i], str) else [] for i in order
-        ]
-        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
-        flat = np.concatenate([np.array(t, dtype=object) for t in toks]) if lens.sum() else np.empty(0, object)
-        doc_pos = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
-
         tables = []
-        if flat.size:
-            tid, uniq = pd.factorize(flat)
-            ord2 = np.lexsort((doc_pos, tid))
-            t_s, d_s = tid[ord2], doc_pos[ord2]
-            chg = np.empty(t_s.size, dtype=bool)
-            chg[0] = True
-            chg[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
-            starts = np.flatnonzero(chg)
-            tf = np.diff(starts, append=t_s.size).astype(np.int32)
-            p_t = uniq.to_numpy(dtype=object) if hasattr(uniq, "to_numpy") else np.asarray(uniq, object)
-            pair_terms = p_t[t_s[starts]]
-            pair_d = d_s[starts]
-            tbl = _pairs_to_rows(
-                pair_terms,
-                ids_sorted[pair_d],
-                tf,
-                dls_sorted[pair_d],
-                self.range_shift,
-                self.num_shards,
+        for fi, col in enumerate(self.text_cols):
+            dl_name = "dl" if fi == 0 else f"dl_{col}"
+            dls = batch.column(dl_name).to_numpy(zero_copy_only=False).astype(np.int32)
+            texts = batch.column(col).to_pylist()
+            raw_toks = [
+                findall(texts[i].lower()) if isinstance(texts[i], str) else [] for i in order
+            ]
+            toks = (
+                raw_toks if fi == 0 else [[f"{col}:{t}" for t in ts] for ts in raw_toks]
             )
-            if tbl is not None:
-                tables.append(tbl)
-
-        # keyword fields: untokenized exact terms, tf=1, dl=1 (B2)
-        for col in self.keyword_cols:
-            vals = batch.column(col).to_pylist()
-            kw_terms: list[str] = []
-            kw_pos: list[int] = []
-            for j, i in enumerate(order):
-                v = vals[i]
-                for kv in v if isinstance(v, list) else ([] if v is None else [v]):
-                    kw_terms.append(f"{col}:{kv}")
-                    kw_pos.append(j)
-            if not kw_terms:
-                continue
-            kterms = np.array(kw_terms, dtype=object)
-            kpos = np.array(kw_pos, dtype=np.int64)
-            ord3 = np.lexsort((kpos, kterms))
-            kt, kp = kterms[ord3], kpos[ord3]
-            keep = np.empty(kt.size, dtype=bool)
-            keep[0] = True
-            keep[1:] = (kt[1:] != kt[:-1]) | (kp[1:] != kp[:-1])  # dedupe repeated values
-            kt, kp = kt[keep], kp[keep]
-            ones = np.ones(kt.size, dtype=np.int32)
-            tbl = _pairs_to_rows(
-                kt, ids_sorted[kp], ones, ones, self.range_shift, self.num_shards
-            )
-            if tbl is not None:
-                tables.append(tbl)
-
-        if not tables:
-            return pa.table(
+            kw_vals = (
                 {
-                    "term": pa.array([], pa.string()),
-                    "range": pa.array([], pa.int64()),
-                    "shard": pa.array([], pa.int32()),
-                    "doc_ids": pa.array([], pa.list_(pa.uint64())),
-                    "tfs": pa.array([], pa.list_(pa.int32())),
-                    "dls": pa.array([], pa.list_(pa.int32())),
+                    c: (
+                        [batch.column(c).to_pylist()[i] for i in order]
+                        if c in batch.column_names
+                        else [None] * len(order)
+                    )
+                    for c in self.keyword_cols
                 }
+                if fi == 0
+                else {}
             )
+            tables.append(
+                build_partials(
+                    ordinals[order], dls[order], toks, kw_vals, self.range_shift, self.num_shards
+                )
+            )
+            if col in self.sayt_cols:
+                ex = [[f"{col}:{t}" for t in set(sayt_expand(ts))] for ts in raw_toks]
+                exdl = np.ones(len(ex), dtype=np.int32)
+                tables.append(
+                    build_partials(
+                        ordinals[order], exdl, ex, {}, self.range_shift, self.num_shards
+                    )
+                )
         return pa.concat_tables(tables)
 
 
@@ -310,9 +395,8 @@ class _MergeShard:
     atomically under its deterministic name (idempotent under retries;
     the returned stats row is the lineage record)."""
 
-    def __init__(self, k1: float, b: float, avgdl: float, postings_dir: str):
+    def __init__(self, postings_dir: str):
         self.__name__ = "MergeShard"
-        self.k1, self.b, self.avgdl = k1, b, avgdl
         self.postings_dir = postings_dir
 
     def __call__(self, g: pa.Table) -> pa.Table:
@@ -333,7 +417,6 @@ class _MergeShard:
         g = g.combine_chunks()
         terms = g.column("term").to_numpy(zero_copy_only=False)
         ranges = g.column("range").to_numpy(zero_copy_only=False)
-        # order rows by (term, range) so element gids are contiguous
         tcodes, tuniq = pd.factorize(terms)
         row_order = np.lexsort((ranges, tcodes))
         g = g.take(pa.array(row_order))
@@ -352,9 +435,6 @@ class _MergeShard:
             ids_col.values.to_numpy(zero_copy_only=False),
             g.column("tfs").combine_chunks().values.to_numpy(zero_copy_only=False),
             g.column("dls").combine_chunks().values.to_numpy(zero_copy_only=False),
-            k1=self.k1,
-            b=self.b,
-            avgdl=self.avgdl,
         )
         grp_first_row = np.flatnonzero(row_chg)
         out_terms = terms[row_order][grp_first_row]
@@ -375,19 +455,27 @@ class _MergeShard:
                 "tfs_enc": pa.array(pick(enc["tfs_enc"]), pa.binary()),
                 "dls_enc": pa.array(pick(enc["dls_enc"]), pa.binary()),
                 "block_last_doc": enc["block_last_doc"].take(pa.array(out_order)),
-                "block_max_norm": enc["block_max_norm"].take(pa.array(out_order)),
+                "block_max_tf": enc["block_max_tf"].take(pa.array(out_order)),
+                "block_min_dl": enc["block_min_dl"].take(pa.array(out_order)),
             }
         )
 
 
-def _compute_range_shift(max_doc_id: int, n_docs: int, range_docs_target: int) -> int:
-    """Pick the salt granularity: enough doc-ranges that a term seen in
-    every doc still forms groups of ~range_docs_target postings."""
-    if n_docs <= 0 or max_doc_id <= 0:
-        return 63
-    n_ranges = max(1, -(-n_docs // range_docs_target))
-    range_bits = max(0, int(np.ceil(np.log2(n_ranges))))
-    return min(63, max(0, int(max_doc_id).bit_length() - range_bits))
+def _range_shift_for(num_buckets: int, range_buckets: int) -> int:
+    """Salt granularity: one doc-range per `range_buckets` docstore
+    buckets (known a priori — ordinals embed the bucket id)."""
+    rb = max(1, range_buckets)
+    bits = max(0, (rb - 1).bit_length())
+    return ORD_SHIFT + bits
+
+
+def _read_bucket_stats(stats_dir: str) -> list[dict]:
+    out = []
+    for fn in sorted(os.listdir(stats_dir)):
+        if fn.endswith(".json"):
+            with open(os.path.join(stats_dir, fn)) as f:
+                out.append(json.load(f))
+    return out
 
 
 def build_index(
@@ -397,32 +485,32 @@ def build_index(
     key_col: str = "url",
     id_col: str | None = None,
     ts_col: str | None = "warc_ts",
-    text_col: str = "text",
+    text_cols: tuple[str, ...] = ("text",),
     extract_html: bool = False,
     keyword_cols: tuple[str, ...] = (),
+    sayt_cols: tuple[str, ...] = (),
     stored_cols: list[str] | None = None,
     num_buckets: int = 32,
     postings_shards: int = 64,
-    range_docs_target: int = 1 << 20,
+    range_buckets: int = 16,
     k1: float = BM25_K1,
     b: float = BM25_B,
     overwrite: bool = False,
-    tokenize_concurrency: int | None = None,
-    batch_size: int = 2048,
+    batch_size: int = 1024,
 ) -> dict:
     """Build (or resume) a full-text index at ``index_dir``.
 
     ``source`` is a parquet path/list (preferred: enables column pruning
-    and fingerprint-based resume) or a ``ray.data.Dataset``.
-    Returns a metrics dict (per-phase wall time, docs/s, sizes).
+    and fingerprint-based resume) or a ``ray.data.Dataset``. Returns a
+    metrics dict (per-phase wall time, docs/s, sizes).
     """
     t0 = time.perf_counter()
     metrics: dict = {"index_dir": index_dir}
     docs_dir = os.path.join(index_dir, DOCS_SUBDIR)
+    stats_dir = os.path.join(index_dir, DOCS_STATS_SUBDIR)
     postings_dir = os.path.join(index_dir, POSTINGS_SUBDIR)
 
     if overwrite and os.path.isdir(index_dir):
-        # only clear directories that are (or contain) one of our indexes
         if os.path.exists(os.path.join(index_dir, "manifest.json")) or not os.listdir(index_dir):
             shutil.rmtree(index_dir)
         else:
@@ -433,29 +521,53 @@ def build_index(
     man = load_manifest(index_dir)
     if man is None:
         man = Manifest(index_dir, {})
+    range_shift = _range_shift_for(num_buckets, range_buckets)
     man.data.update(
         {
-            "version": 1,
+            "version": 2,
             "analyzer": ANALYZER_VERSION,
             "hash_impl": HASH_IMPL,
             "k1": k1,
             "b": b,
             "num_buckets": num_buckets,
+            "num_shards": postings_shards,
+            "range_shift": range_shift,
+            "n_ranges": ((num_buckets - 1) >> (range_shift - ORD_SHIFT)) + 1,
             "key_col": key_col,
-            "text_col": text_col,
+            "id_is_int": id_col is not None,
+            "text_cols": list(text_cols),
             "keyword_cols": list(keyword_cols),
+            "sayt_cols": list(sayt_cols),
         }
     )
 
-    # ---------------- Phase A: extract + dedup + docstore ----------------
-    docs_fresh = False
-    ta = time.perf_counter()
-    if man.phase_committed("docs", fingerprint) and fingerprint is not None:
+    docs_done = man.phase_committed("docs", fingerprint) and fingerprint is not None
+    postings_done = man.phase_committed("postings") and docs_done
+
+    if docs_done and postings_done:
+        metrics["build_phase"] = "skipped (checkpoint)"
+        metrics.update(man.data["corpus"])
+        metrics["total_secs"] = time.perf_counter() - t0
+        metrics["docs_per_sec"] = float("inf")
+        return metrics
+
+    if docs_done:
+        # docstore checkpoint is valid — rebuild only the postings from
+        # the stored docs (e.g. after an interrupted merge)
+        man.commit()
         metrics["docs_phase"] = "skipped (checkpoint)"
+        rebuild_postings(index_dir, batch_size=batch_size)
+        man = load_manifest(index_dir)
+        metrics.update(man.data["corpus"])
+        metrics["n_postings"] = man.data["phases"]["postings"]["n_postings"]
+        metrics["total_secs"] = time.perf_counter() - t0
+        metrics["docs_per_sec"] = man.data["corpus"]["n_docs"] / metrics["total_secs"]
+        return metrics
     else:
-        docs_fresh = True
         if is_path:
-            cols = {key_col, "html" if extract_html else text_col}
+            cols = {key_col, *(("html",) if extract_html else text_cols)}
+            if extract_html:
+                cols.update(c for c in text_cols if c != "text")
             if ts_col:
                 cols.add(ts_col)
             if id_col:
@@ -470,16 +582,16 @@ def build_index(
             n_files = len(fingerprint)
             kwargs = {}
             if n_files < 64:
-                import ray as _ray
-
-                ncpu = int(_ray.cluster_resources().get("CPU", 8))
+                ncpu = int(ray.cluster_resources().get("CPU", 8))
                 kwargs["override_num_blocks"] = max(2 * ncpu, n_files)
             ds = ray.data.read_parquet(source, columns=sorted(cols), **kwargs)
         else:
             ds = source
         if extract_html:
             # drop html right away: the dedup shuffle must not carry raw bytes
-            ds = ds.map_batches(extract_batch, batch_format="pyarrow", fn_kwargs={"drop_html": True})
+            ds = ds.map_batches(
+                extract_batch, batch_format="pyarrow", fn_kwargs={"drop_html": True}
+            )
         ds = ds.map_batches(
             _attach_ids,
             batch_format="pyarrow",
@@ -493,89 +605,123 @@ def build_index(
             ]
         else:
             first_cols = list(stored_cols)
-        if os.path.isdir(docs_dir):
-            shutil.rmtree(docs_dir)
-        stats_ds = ds.groupby("__bucket").map_groups(
-            _DedupWriteBucket(
+        for d in (docs_dir, stats_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        os.makedirs(docs_dir, exist_ok=True)
+        partials = ds.groupby("__bucket").map_groups(
+            _DedupTokenizeBucket(
                 docs_dir=docs_dir,
+                stats_dir=stats_dir,
                 key_col=key_col,
                 ts_col=ts_col,
-                text_col=text_col,
+                text_cols=text_cols,
                 stored_cols=first_cols,
+                keyword_cols=keyword_cols,
                 check_collisions=id_col is None,
+                range_shift=range_shift,
+                num_shards=postings_shards,
+                sayt_cols=sayt_cols,
             ),
             batch_format="pandas",
         )
-        stats = stats_ds.to_pandas()  # one row per bucket — tiny
-        n_docs = int(stats["rows"].sum())
-        sum_dl = int(stats["sum_dl"].sum())
-        max_doc_id = int(stats["max_doc_id"].max()) if len(stats) else 0
-        man.data["corpus"] = {
-            "n_docs": n_docs,
-            "sum_dl": sum_dl,
-            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
-            "max_doc_id": max_doc_id,
-        }
-        ph = man.phase("docs")
-        ph["committed"] = True
-        ph["input_fingerprint"] = fingerprint
-        ph["buckets"] = {
-            str(int(r.bucket)): {"rows": int(r.rows), "bytes": int(r.bytes)}
-            for r in stats.itertuples()
-        }
-        man.commit()
-    metrics["docs_secs"] = time.perf_counter() - ta
-    corpus = man.data["corpus"]
-    metrics.update(corpus)
 
-    # ---------------- Phase B: postings build ----------------
-    tb = time.perf_counter()
-    buckets_lineage = man.data["phases"]["docs"]["buckets"]
-    max_ordinal = max(
-        (int(bk) << ORD_SHIFT) + info["rows"] - 1
-        for bk, info in buckets_lineage.items()
-        if info["rows"] > 0
+    if os.path.isdir(postings_dir):
+        shutil.rmtree(postings_dir)
+    os.makedirs(postings_dir, exist_ok=True)
+    shard_stats = (
+        partials.groupby("shard")
+        .map_groups(_MergeShard(postings_dir), batch_format="pyarrow")
+        .to_pandas()  # one row per shard — tiny
     )
-    man.data["corpus"]["max_ordinal"] = max_ordinal
-    range_shift = _compute_range_shift(max_ordinal, corpus["n_docs"], range_docs_target)
-    man.data["range_shift"] = range_shift
-    man.data["num_shards"] = postings_shards
-    man.data["n_ranges"] = (max_ordinal >> range_shift) + 1
-    if man.phase_committed("postings") and not docs_fresh:
-        metrics["postings_phase"] = "skipped (checkpoint)"
-    else:
-        read_cols = ["ordinal", "dl", text_col, *keyword_cols]
-        docs_ds = ray.data.read_parquet(docs_dir, columns=read_cols)
-        partials = docs_ds.map_batches(
-            _PartialPostings(
-                text_col=text_col,
-                range_shift=range_shift,
-                keyword_cols=keyword_cols,
-                num_shards=postings_shards,
-            ),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            **({"concurrency": tokenize_concurrency} if tokenize_concurrency else {}),
-        )
-        if os.path.isdir(postings_dir):
-            shutil.rmtree(postings_dir)
-        os.makedirs(postings_dir, exist_ok=True)
-        shard_stats = (
-            partials.groupby("shard")
-            .map_groups(_MergeShard(k1, b, corpus["avgdl"], postings_dir), batch_format="pyarrow")
-            .to_pandas()  # one row per shard — tiny
-        )
-        ph = man.phase("postings")
-        ph["committed"] = True
-        ph["range_shift"] = range_shift
-        ph["shards"] = {
-            str(int(r.shard)): {"rows": int(r.n_rows), "bytes": int(r.bytes)}
-            for r in shard_stats.itertuples()
-        }
-        ph["n_postings"] = int(shard_stats["n_postings"].sum()) if len(shard_stats) else 0
-        man.commit()
-        metrics["n_postings"] = man.data["phases"]["postings"]["n_postings"]
-    metrics["postings_secs"] = time.perf_counter() - tb
+    _commit_build(man, stats_dir, text_cols, fingerprint, shard_stats)
+    metrics.update(man.data["corpus"])
+    metrics["n_postings"] = man.data["phases"]["postings"]["n_postings"]
     metrics["total_secs"] = time.perf_counter() - t0
-    metrics["docs_per_sec"] = corpus["n_docs"] / metrics["total_secs"]
+    metrics["docs_per_sec"] = man.data["corpus"]["n_docs"] / metrics["total_secs"]
     return metrics
+
+
+def _commit_build(
+    man: Manifest,
+    stats_dir: str,
+    text_cols: tuple[str, ...],
+    fingerprint,
+    shard_stats: pd.DataFrame,
+) -> None:
+    """Atomic visibility commit of docstore + postings lineage."""
+    bucket_stats = _read_bucket_stats(stats_dir)
+    n_docs = sum(s["rows"] for s in bucket_stats)
+    sum_dl = sum(s["sum_dl"] for s in bucket_stats)
+    sum_dl_fields = {
+        col: sum(s.get("sum_dl_fields", {}).get(col, 0) for s in bucket_stats)
+        for col in text_cols
+    }
+    man.data["corpus"] = {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        "avgdl_fields": {
+            c: (v / n_docs) if n_docs else 0.0 for c, v in sum_dl_fields.items()
+        },
+    }
+    ph = man.phase("docs")
+    ph["committed"] = True
+    if fingerprint is not ...:
+        ph["input_fingerprint"] = fingerprint
+    ph["buckets"] = {
+        str(s["bucket"]): {"rows": s["rows"], "bytes": s["bytes"]} for s in bucket_stats
+    }
+    php = man.phase("postings")
+    php["committed"] = True
+    php["shards"] = {
+        str(int(r.shard)): {"rows": int(r.n_rows), "bytes": int(r.bytes)}
+        for r in shard_stats.itertuples()
+    }
+    php["n_postings"] = int(shard_stats["n_postings"].sum()) if len(shard_stats) else 0
+    man.commit()
+
+
+def rebuild_postings(index_dir: str, batch_size: int = 1024) -> dict:
+    """Re-derive the postings from the committed docstore (postings-only
+    resume and the post-update re-index; SURVEY.md §2 B8 'v1: rebuild
+    affected partitions'). Reads tokenizer/shuffle parameters from the
+    manifest so the result is identical to a fresh build over the same
+    stored docs."""
+    man = load_manifest(index_dir)
+    if man is None or not man.data.get("phases", {}).get("docs", {}).get("committed"):
+        raise FileNotFoundError(f"no committed docstore at {index_dir}")
+    text_cols = tuple(man.data.get("text_cols", ["text"]))
+    keyword_cols = tuple(man.data.get("keyword_cols", []))
+    sayt_cols = tuple(man.data.get("sayt_cols", []))
+    postings_shards = int(man.data["num_shards"])
+    range_shift = int(man.data["range_shift"])
+    docs_dir = os.path.join(index_dir, DOCS_SUBDIR)
+    stats_dir = os.path.join(index_dir, DOCS_STATS_SUBDIR)
+    postings_dir = os.path.join(index_dir, POSTINGS_SUBDIR)
+
+    dl_cols = ["dl"] + [f"dl_{c}" for c in text_cols[1:]]
+    docs_ds = ray.data.read_parquet(
+        docs_dir, columns=["ordinal", *dl_cols, *text_cols, *keyword_cols]
+    )
+    partials = docs_ds.map_batches(
+        _PartialPostings(
+            text_cols=text_cols,
+            range_shift=range_shift,
+            keyword_cols=keyword_cols,
+            sayt_cols=sayt_cols,
+            num_shards=postings_shards,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    if os.path.isdir(postings_dir):
+        shutil.rmtree(postings_dir)
+    os.makedirs(postings_dir, exist_ok=True)
+    shard_stats = (
+        partials.groupby("shard")
+        .map_groups(_MergeShard(postings_dir), batch_format="pyarrow")
+        .to_pandas()
+    )
+    _commit_build(man, stats_dir, text_cols, ..., shard_stats)
+    return {"n_postings": man.data["phases"]["postings"]["n_postings"]}

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..codec import BLOCK_SIZE, round_up_f32, tf_norm, varbyte_encode_with_sizes
+from ..codec import BLOCK_SIZE, varbyte_encode_with_sizes
 
 
 def _slice_bytes(buf: np.ndarray, sizes: np.ndarray, el_starts: np.ndarray, n_el: int) -> list[bytes]:
@@ -41,9 +41,6 @@ def encode_posting_groups(
     tfs: np.ndarray,
     dls: np.ndarray,
     *,
-    k1: float,
-    b: float,
-    avgdl: float,
     block_size: int = BLOCK_SIZE,
 ) -> dict:
     """Encode many posting groups at once.
@@ -81,8 +78,8 @@ def encode_posting_groups(
     np.cumsum(nblocks[:-1], out=blk_off[1:])
     blk = pos // block_size + np.repeat(blk_off, counts)
     blk_starts = np.flatnonzero(np.diff(blk, prepend=-1))
-    norms = tf_norm(tf, dl, k1, b, avgdl)
-    blk_max = round_up_f32(np.maximum.reduceat(norms, blk_starts))
+    blk_max_tf = np.maximum.reduceat(tf, blk_starts)
+    blk_min_dl = np.minimum.reduceat(dl, blk_starts)
     blk_last = ids[np.append(blk_starts[1:], n) - 1]
     blk_offsets = np.append(blk_off, int(nblocks.sum())).astype(np.int32)
 
@@ -97,7 +94,10 @@ def encode_posting_groups(
         "block_last_doc": pa.ListArray.from_arrays(
             blk_offsets, pa.array(blk_last, pa.uint64())
         ),
-        "block_max_norm": pa.ListArray.from_arrays(
-            blk_offsets, pa.array(blk_max, pa.float32())
+        "block_max_tf": pa.ListArray.from_arrays(
+            blk_offsets, pa.array(blk_max_tf, pa.int32())
+        ),
+        "block_min_dl": pa.ListArray.from_arrays(
+            blk_offsets, pa.array(blk_min_dl, pa.int32())
         ),
     }

@@ -1,0 +1,207 @@
+"""Update phase: bulk partial-document updates (SURVEY.md §2 J2/S7/B8).
+
+Reference semantics (opensearch_client.py:228-350, 168-187):
+- update-only-existing (``doc_as_upsert: False``): updates whose key has
+  no document are counted and skipped silently;
+- shallow merge ``{**existing, **updates}``: provided fields overwrite,
+  all other fields are preserved. Columnar convention: a NULL in an
+  update column means "field not provided for this row" (per-row dicts
+  in the reference simply omit the key), so NULLs preserve;
+- the id field itself is never written into the document body (M9);
+- within one update batch, later rows win for the same key (page-order
+  last-write-wins);
+- changed text fields re-derive postings: the docstore partitions are
+  rewritten in place (ordinals preserved — row positions don't move)
+  and the postings are rebuilt from the stored docs.
+
+The join is co-partitioned by construction: updates hash to the SAME
+``doc_id % num_buckets`` function the docstore was built with, so each
+bucket task touches exactly one docstore partition — no second shuffle
+key exists (SURVEY.md §7 'Shuffles and their keys').
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..analysis import TOKEN_RE
+from ..hashing import hash64
+from ..index.build import DOCS_STATS_SUBDIR, DOCS_SUBDIR, rebuild_postings
+from ..index.manifest import atomic_write_parquet, load_manifest
+
+
+def _doc_ids_for(keys, id_is_int: bool) -> np.ndarray:
+    if id_is_int:
+        return np.asarray(keys, dtype=np.int64).astype(np.uint64)
+    return hash64(np.asarray(keys, dtype=object))
+
+
+class _ApplyUpdateBucket:
+    """One call per bucket: shallow-merge the bucket's updates into its
+    docstore partition and rewrite it atomically."""
+
+    def __init__(
+        self,
+        docs_dir: str,
+        stats_dir: str,
+        id_field: str,
+        text_cols: tuple[str, ...],
+        id_is_int: bool,
+    ):
+        self.__name__ = "ApplyUpdateBucket"
+        self.docs_dir = docs_dir
+        self.stats_dir = stats_dir
+        self.id_field = id_field
+        self.text_cols = text_cols
+        self.id_is_int = id_is_int
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["__bucket"].iloc[0])
+        path = os.path.join(self.docs_dir, f"bucket={bucket:05d}.parquet")
+        if not os.path.exists(path):
+            return pd.DataFrame({"bucket": [bucket], "updated": [0], "missing": [len(g)]})
+        docs = pq.read_table(path).to_pandas()
+        index_of = pd.Series(np.arange(len(docs)), index=docs["doc_id"].astype(np.uint64))
+
+        # page-order last-write-wins within the update set
+        g = g.sort_values("__seq", kind="mergesort").drop_duplicates("doc_id", keep="last")
+        target = index_of.reindex(g["doc_id"].astype(np.uint64))
+        missing = int(target.isna().sum())
+        hit = ~target.isna().to_numpy()
+        rows = target.to_numpy()[hit].astype(np.int64)
+        g_hit = g.iloc[np.flatnonzero(hit)]
+
+        payload_cols = [
+            c
+            for c in g.columns
+            if c not in ("doc_id", "__bucket", "__seq", self.id_field)
+        ]
+        text_changed = False
+        for col in payload_cols:
+            vals = g_hit[col]
+            provided = vals.notna().to_numpy()
+            if not provided.any():
+                continue
+            if col not in docs.columns:
+                docs[col] = None
+            docs.loc[docs.index[rows[provided]], col] = vals.to_numpy()[provided]
+            if col in self.text_cols:
+                text_changed = True
+
+        if text_changed:
+            findall = TOKEN_RE.findall
+            for fi, col in enumerate(self.text_cols):
+                if col not in docs.columns:
+                    continue
+                dl_name = "dl" if fi == 0 else f"dl_{col}"
+                texts = docs[col].iloc[rows].tolist()
+                new_dl = [
+                    len(findall(t.lower())) if isinstance(t, str) else 0 for t in texts
+                ]
+                docs.loc[docs.index[rows], dl_name] = np.array(new_dl, dtype=np.int32)
+                docs[dl_name] = docs[dl_name].astype(np.int32)
+
+        atomic_write_parquet(pa.Table.from_pandas(docs, preserve_index=False), path)
+        # refresh the stats sidecar (dl sums may have changed)
+        spath = os.path.join(self.stats_dir, f"bucket={bucket:05d}.json")
+        sums = {}
+        for fi, col in enumerate(self.text_cols):
+            dl_name = "dl" if fi == 0 else f"dl_{col}"
+            sums[col] = int(docs[dl_name].sum()) if dl_name in docs.columns else 0
+        stats = {
+            "bucket": bucket,
+            "rows": int(len(docs)),
+            "sum_dl": sums.get(self.text_cols[0], 0),
+            "sum_dl_fields": sums,
+            "bytes": os.path.getsize(path),
+        }
+        tmp = spath + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, spath)
+        return pd.DataFrame(
+            {"bucket": [bucket], "updated": [int(hit.sum())], "missing": [missing]}
+        )
+
+
+def apply_updates(
+    index_dir: str,
+    updates,
+    id_field: str,
+    *,
+    rebuild: bool = True,
+    limit: int | None = None,
+) -> dict:
+    """Apply a batch of partial-document updates to a built index.
+
+    ``updates``: pyarrow Table / pandas DataFrame / parquet path. Must
+    contain ``id_field`` plus the columns to overwrite. Returns
+    ``{"updated": n, "missing": m}`` (missing = update-for-unknown-key,
+    dropped + counted per reference semantics).
+    """
+    import ray.data
+
+    man = load_manifest(index_dir)
+    if man is None or not man.data.get("phases", {}).get("docs", {}).get("committed"):
+        raise FileNotFoundError(f"no committed index at {index_dir}")
+    num_buckets = int(man.data["num_buckets"])
+    text_cols = tuple(man.data.get("text_cols", ["text"]))
+    id_is_int = bool(man.data.get("id_is_int", False))
+
+    if isinstance(updates, str):
+        updates = pq.read_table(updates)
+    if isinstance(updates, pd.DataFrame):
+        updates = pa.Table.from_pandas(updates, preserve_index=False)
+    if limit is not None:
+        updates = updates.slice(0, limit)
+    if id_field not in updates.column_names:
+        raise ValueError(f"updates missing id field {id_field!r}")
+
+    df = updates.to_pandas()
+    # drop rows with a falsy id (M7: skip + warn semantics)
+    keyvals = df[id_field]
+    valid = keyvals.notna() & (keyvals.astype(str).str.len() > 0)
+    skipped_no_id = int((~valid).sum())
+    df = df[valid].reset_index(drop=True)
+    doc_id = _doc_ids_for(df[id_field].tolist(), id_is_int)
+    df["doc_id"] = doc_id
+    df["__bucket"] = (doc_id % np.uint64(num_buckets)).astype(np.int32)
+    df["__seq"] = np.arange(len(df), dtype=np.int64)
+
+    stats = (
+        ray.data.from_pandas(df)
+        .groupby("__bucket")
+        .map_groups(
+            _ApplyUpdateBucket(
+                docs_dir=os.path.join(index_dir, DOCS_SUBDIR),
+                stats_dir=os.path.join(index_dir, DOCS_STATS_SUBDIR),
+                id_field=id_field,
+                text_cols=text_cols,
+                id_is_int=id_is_int,
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    result = {
+        "updated": int(stats["updated"].sum()) if len(stats) else 0,
+        "missing": int(stats["missing"].sum()) if len(stats) else 0,
+        "skipped_no_id": skipped_no_id,
+    }
+    # updates mutate the docstore: the source fingerprint no longer
+    # describes it — drop it so a later rebuild starts from source
+    man = load_manifest(index_dir)
+    man.data["phases"]["docs"]["input_fingerprint"] = None
+    man.data["phases"]["docs"]["updates_applied"] = (
+        man.data["phases"]["docs"].get("updates_applied", 0) + 1
+    )
+    man.commit()
+    if rebuild:
+        rebuild_postings(index_dir)  # re-derive postings + stats, commit
+    return result

@@ -1,0 +1,77 @@
+"""Schema validation: first-page fields vs declared mapping.
+
+Reproduces SURVEY.md §2 M5/M6 (loader.py:431-458, 373-429): the field
+names of the first batch of source rows — extracted recursively with
+dot notation through dicts and the first element of list-of-dicts —
+must ALL appear in the mapping, else the index is skipped (initial
+load) or the update query aborts (raising). Arrow-side we introspect
+the schema of the first block instead of per-doc dicts (O(1) per
+source)."""
+
+from __future__ import annotations
+
+import logging
+
+import pyarrow as pa
+
+logger = logging.getLogger(__name__)
+
+
+def extract_field_names(doc: dict, prefix: str = "") -> set[str]:
+    """Recursive field-name set with dot notation (loader.py:431-458):
+    descends dicts, and the FIRST element of a list of dicts."""
+    names: set[str] = set()
+    for key, value in doc.items():
+        full = f"{prefix}{key}"
+        names.add(full)
+        if isinstance(value, dict):
+            names |= extract_field_names(value, f"{full}.")
+        elif isinstance(value, list) and value and isinstance(value[0], dict):
+            names |= extract_field_names(value[0], f"{full}.")
+    return names
+
+
+def schema_field_names(schema: pa.Schema) -> set[str]:
+    """Arrow equivalent: flatten struct (and list-of-struct) fields."""
+    names: set[str] = set()
+
+    def walk(name: str, typ: pa.DataType):
+        names.add(name)
+        if pa.types.is_struct(typ):
+            for f in typ:
+                walk(f"{name}.{f.name}", f.type)
+        elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            vt = typ.value_type
+            if pa.types.is_struct(vt):
+                for f in vt:
+                    walk(f"{name}.{f.name}", f.type)
+
+    for f in schema:
+        walk(f.name, f.type)
+    return names
+
+
+def mapped_field_names(properties: dict) -> set[str]:
+    names: set[str] = set()
+    for name, node in properties.items():
+        names.add(name)
+        for leaf in node.get("properties", {}) or {}:
+            names.add(f"{name}.{leaf}")
+    return names
+
+
+def validate_fields(
+    index_name: str,
+    observed: set[str],
+    properties: dict,
+    id_field: str,
+    extra_allowed: tuple[str, ...] = (),
+) -> bool:
+    """All observed fields must be mapped (or be the id/ts field).
+    Returns False (skip index) and logs each unmapped field, mirroring
+    loader.py:373-429."""
+    allowed = mapped_field_names(properties) | {id_field} | set(extra_allowed)
+    unmapped = sorted(observed - allowed)
+    for f in unmapped:
+        logger.warning("index %s: field %r from source is not in the mapping", index_name, f)
+    return not unmapped

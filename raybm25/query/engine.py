@@ -39,14 +39,15 @@ from ..index.manifest import load_manifest
 
 
 class TermPostings:
-    __slots__ = ("doc_ids", "tfs", "dls", "block_last", "block_max", "df")
+    __slots__ = ("doc_ids", "tfs", "dls", "block_last", "block_max_tf", "block_min_dl", "df")
 
-    def __init__(self, doc_ids, tfs, dls, block_last, block_max):
+    def __init__(self, doc_ids, tfs, dls, block_last, block_max_tf, block_min_dl):
         self.doc_ids = doc_ids
         self.tfs = tfs
         self.dls = dls
         self.block_last = block_last
-        self.block_max = block_max
+        self.block_max_tf = block_max_tf
+        self.block_min_dl = block_min_dl
         self.df = int(doc_ids.size)
 
 
@@ -162,7 +163,8 @@ class IndexReader:
         tfs_enc = tbl.column("tfs_enc")
         dls_enc = tbl.column("dls_enc")
         bl_col = tbl.column("block_last_doc")
-        bm_col = tbl.column("block_max_norm")
+        btf_col = tbl.column("block_max_tf")
+        bdl_col = tbl.column("block_min_dl")
         out: dict[str, TermPostings] = {}
         i = 0
         n = len(term_col)
@@ -179,17 +181,34 @@ class IndexReader:
             block_last = np.concatenate(
                 [np.asarray(bl_col[r].values, dtype=np.uint64) for r in rows]
             )
-            block_max = np.concatenate(
-                [np.asarray(bm_col[r].values, dtype=np.float32) for r in rows]
+            bmax_tf = np.concatenate(
+                [np.asarray(btf_col[r].values, dtype=np.int64) for r in rows]
             )
-            out[term_col[i]] = TermPostings(ids, tfs, dls, block_last, block_max)
+            bmin_dl = np.concatenate(
+                [np.asarray(bdl_col[r].values, dtype=np.int64) for r in rows]
+            )
+            out[term_col[i]] = TermPostings(ids, tfs, dls, block_last, bmax_tf, bmin_dl)
             i = j
         return out
 
-    def _norm(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+    def _norm(self, tfs: np.ndarray, dls: np.ndarray, avgdl: float | None = None) -> np.ndarray:
         # association pinned: (1-b) + (b*dl)/avgdl — see codec.tf_norm
+        avgdl = self.avgdl if avgdl is None else avgdl
         tf = tfs.astype(np.float64)
-        return tf / (tf + self.k1 * (1.0 - self.b + self.b * dls.astype(np.float64) / self.avgdl))
+        return tf / (tf + self.k1 * (1.0 - self.b + self.b * dls.astype(np.float64) / avgdl))
+
+    def field_avgdl(self, field: str | None) -> float:
+        """avgdl of a non-default text field (per-field BM25 stats)."""
+        if field is None:
+            return self.avgdl
+        fields = self.manifest.get("corpus", {}).get("avgdl_fields", {})
+        if field not in fields:
+            raise KeyError(f"unknown text field {field!r}; indexed: {sorted(fields)}")
+        return float(fields[field])
+
+    def field_terms(self, query: str, field: str | None) -> list[str]:
+        toks = tokenize(query)
+        return toks if field is None else [f"{field}:{t}" for t in toks]
 
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
@@ -211,16 +230,17 @@ class IndexReader:
         final = np.lexsort((dids, -scores[cand]))[:k]
         return dids[final], scores[cand][final]
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(self, query: str, k: int = 10, field: str | None = None) -> list[tuple[int, float]]:
         """Exact BM25 top-k (ties: score desc, doc_id asc)."""
-        qcounts = Counter(tokenize(query))
+        avgdl = self.field_avgdl(field)
+        qcounts = Counter(self.field_terms(query, field))
         postings = self.load_postings(sorted(qcounts))
         parts_ids, parts_scores = [], []
         for term in sorted(qcounts):
             p = postings.get(term)
             if p is None:
                 continue
-            contrib = qcounts[term] * self.idf(p.df) * self._norm(p.tfs, p.dls)
+            contrib = qcounts[term] * self.idf(p.df) * self._norm(p.tfs, p.dls, avgdl)
             parts_ids.append(p.doc_ids)
             parts_scores.append(contrib)
         if not parts_ids:
@@ -234,7 +254,11 @@ class IndexReader:
         return list(zip(ids.tolist(), sc.tolist()))
 
     def _score_subset(
-        self, candidates: np.ndarray, qcounts: Counter, postings: dict[str, TermPostings]
+        self,
+        candidates: np.ndarray,
+        qcounts: Counter,
+        postings: dict[str, TermPostings],
+        avgdl: float | None = None,
     ) -> np.ndarray:
         """Exact scores for a sorted candidate id array, summed in
         sorted-term order (same float addition order as `search`)."""
@@ -246,11 +270,15 @@ class IndexReader:
             pos = np.searchsorted(p.doc_ids, candidates)
             pos_c = np.minimum(pos, p.df - 1)
             hit = p.doc_ids[pos_c] == candidates
-            contrib = qcounts[term] * self.idf(p.df) * self._norm(p.tfs[pos_c], p.dls[pos_c])
+            contrib = qcounts[term] * self.idf(p.df) * self._norm(
+                p.tfs[pos_c], p.dls[pos_c], avgdl
+            )
             scores[hit] += contrib[hit]
         return scores
 
-    def search_pruned(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search_pruned(
+        self, query: str, k: int = 10, field: str | None = None
+    ) -> list[tuple[int, float]]:
         """Block-max pruned BM25 top-k; result-identical to `search`.
 
         1. Seed a threshold θ: exact-score the top-k docs of the
@@ -264,14 +292,20 @@ class IndexReader:
            because each bound subsumes the others' full UB.
         4. Exact-score surviving candidates (+ the θ seeds).
         """
-        qcounts = Counter(tokenize(query))
+        avgdl = self.field_avgdl(field)
+        qcounts = Counter(self.field_terms(query, field))
         postings = self.load_postings(sorted(qcounts))
         terms = [t for t in sorted(qcounts) if t in postings]
         if not terms:
             return []
-        ub = {
-            t: qcounts[t] * self.idf(postings[t].df) * float(postings[t].block_max.max())
+        # sound per-block score bound: tf_norm is increasing in tf and
+        # decreasing in dl -> norm(tf,dl) <= norm(max_tf, min_dl)
+        bounds = {
+            t: self._norm(postings[t].block_max_tf, postings[t].block_min_dl, avgdl)
             for t in terms
+        }
+        ub = {
+            t: qcounts[t] * self.idf(postings[t].df) * float(bounds[t].max()) for t in terms
         }
         # --- seed θ with exact scores of k docs from the strongest term
         seed_term = max(terms, key=lambda t: ub[t])
@@ -280,7 +314,7 @@ class IndexReader:
             seed_ids = p.doc_ids
         else:
             # docs from the k best blocks of the strongest term
-            blk = np.argsort(p.block_max)[::-1]
+            blk = np.argsort(bounds[seed_term])[::-1]
             take: list[np.ndarray] = []
             got = 0
             for bi in blk:
@@ -290,7 +324,7 @@ class IndexReader:
                 if got >= k:
                     break
             seed_ids = np.unique(np.concatenate(take))
-        seed_scores = self._score_subset(seed_ids, qcounts, postings)
+        seed_scores = self._score_subset(seed_ids, qcounts, postings, avgdl)
         if seed_ids.size >= k:
             idx = np.lexsort((seed_ids, -seed_scores))[:k]
             theta = float(seed_scores[idx[-1]])
@@ -317,9 +351,7 @@ class IndexReader:
         for t in essential:
             p = postings[t]
             other_ub = total_ub - ub[t]
-            block_bound = (
-                qcounts[t] * self.idf(p.df) * p.block_max.astype(np.float64) + other_ub
-            )
+            block_bound = qcounts[t] * self.idf(p.df) * bounds[t] + other_ub
             keep_blocks = np.flatnonzero(block_bound >= theta)
             if keep_blocks.size == 0:
                 continue
@@ -329,7 +361,7 @@ class IndexReader:
                 segs.append(p.doc_ids[s:e])
             cand_parts.append(np.concatenate(segs) if segs else np.empty(0, np.uint64))
         candidates = np.unique(np.concatenate(cand_parts))
-        scores = self._score_subset(candidates, qcounts, postings)
+        scores = self._score_subset(candidates, qcounts, postings, avgdl)
         ids, sc = self._rank(candidates, scores, k)
         return list(zip(ids.tolist(), sc.tolist()))
 

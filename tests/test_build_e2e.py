@@ -26,7 +26,7 @@ def built(ray_session, tmp_path_factory):
         extract_html=True,
         keyword_cols=("lang",),
         num_buckets=8,
-        range_docs_target=64,  # force multiple doc ranges (salting path)
+        range_buckets=2,  # force multiple doc ranges (salting path)
         batch_size=128,
     )
     # oracle built from the *expected* deduped corpus
@@ -99,10 +99,9 @@ def test_resume_skips_completed_phases(built):
         extract_html=True,
         keyword_cols=("lang",),
         num_buckets=8,
-        range_docs_target=64,
+        range_buckets=2,
     )
-    assert m2["docs_phase"] == "skipped (checkpoint)"
-    assert m2["postings_phase"] == "skipped (checkpoint)"
+    assert m2["build_phase"] == "skipped (checkpoint)"
     assert m2["n_docs"] == len(docs)
 
 
@@ -130,10 +129,10 @@ def test_resume_after_lost_postings_rebuilds_identically(built, tmp_path):
         extract_html=True,
         keyword_cols=("lang",),
         num_buckets=8,
-        range_docs_target=64,
+        range_buckets=2,
     )
-    assert m["docs_phase"] == "skipped (checkpoint)"
-    assert "postings_phase" not in m  # it ran
+    assert m["docs_phase"] == "skipped (checkpoint)"  # docstore kept
+    assert "build_phase" not in m  # postings rebuilt from docstore
     r1, r2 = IndexReader(index_dir), IndexReader(clone)
     for q in make_queries():
         assert r1.search(q["query_text"], q["k"]) == r2.search(q["query_text"], q["k"])

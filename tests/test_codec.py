@@ -50,12 +50,17 @@ def test_block_metadata():
     tfs = np.ones(n, dtype=np.int64)
     tfs[200] = 50
     dls = np.full(n, 20, dtype=np.int64)
-    last, maxes = block_metadata(ids, tfs, dls, BM25_K1, BM25_B, 20.0)
+    dls[5] = 3
+    last, max_tf, min_dl = block_metadata(ids, tfs, dls)
     assert last.tolist() == [10 + BLOCK_SIZE - 1, 10 + 2 * BLOCK_SIZE - 1, 10 + n - 1]
-    norms = tf_norm(tfs, dls, BM25_K1, BM25_B, 20.0)
-    assert np.isclose(maxes[0], norms[0].astype(np.float32))
-    assert np.isclose(maxes[1], norms[200].astype(np.float32))
-    assert maxes.dtype == np.float32
+    assert max_tf.tolist() == [1, 50, 1]
+    assert min_dl.tolist() == [3, 20, 20]
+    # the query-time bound norm(max_tf, min_dl) dominates every member
+    for blk, (mt, md) in enumerate(zip(max_tf, min_dl)):
+        s, e = blk * BLOCK_SIZE, min((blk + 1) * BLOCK_SIZE, n)
+        bound = tf_norm(np.array([mt]), np.array([md]), BM25_K1, BM25_B, 20.0)[0]
+        member = tf_norm(tfs[s:e], dls[s:e], BM25_K1, BM25_B, 20.0)
+        assert (member <= bound + 1e-15).all()
 
 
 def test_multi_group_encoder_matches_single_group_path():
@@ -77,14 +82,12 @@ def test_multi_group_encoder_matches_single_group_path():
     ids = np.concatenate(ids).astype(np.uint64)
     tfs = np.concatenate(tfs).astype(np.int64)
     dls = np.concatenate(dls).astype(np.int64)
-    enc = encode_posting_groups(gid, ids, tfs, dls, k1=1.2, b=0.75, avgdl=90.0)
+    enc = encode_posting_groups(gid, ids, tfs, dls)
 
-    order = enc["order"]
-    g_sorted = gid[order]
     last = enc["block_last_doc"].to_pylist()
-    maxes = enc["block_max_norm"].to_pylist()
+    bmax_tf = enc["block_max_tf"].to_pylist()
+    bmin_dl = enc["block_min_dl"].to_pylist()
     for g in range(7):
-        m = g_sorted == g
         o = np.argsort(ids[gid == g])
         sids = ids[gid == g][o]
         stfs = tfs[gid == g][o]
@@ -92,8 +95,9 @@ def test_multi_group_encoder_matches_single_group_path():
         assert enc["doc_ids_enc"][g] == encode_doc_ids(sids)
         assert enc["tfs_enc"][g] == varbyte_encode(stfs.astype(np.uint64))
         assert enc["dls_enc"][g] == varbyte_encode(sdls.astype(np.uint64))
-        bl, bm = block_metadata(sids, stfs, sdls, 1.2, 0.75, 90.0)
+        bl, btf, bdl = block_metadata(sids, stfs, sdls)
         assert last[g] == bl.tolist()
-        assert maxes[g] == pytest.approx(bm.tolist())
+        assert bmax_tf[g] == btf.tolist()
+        assert bmin_dl[g] == bdl.tolist()
         assert enc["df"][g] == sids.size
         assert enc["cf"][g] == stfs.sum()

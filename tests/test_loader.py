@@ -1,0 +1,275 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raybm25.loader.model_source import merge_model_files, model_documents
+from raybm25.loader.spec import (
+    IndexSpec,
+    coerce_value,
+    mapping_field_kinds,
+    parse_mapping,
+    parse_spec,
+    select_indices,
+)
+from raybm25.loader.validate import extract_field_names, schema_field_names, validate_fields
+
+
+# ---------------- mapping parser (M4): every ValueError path ----------------
+def test_mapping_happy_path():
+    props = parse_mapping(
+        {"keyword": ["url", "lang"], "text": ["body"], "date": ["ts"], "text ": None}
+    )
+    assert props["url"] == {"type": "keyword"}
+    assert props["body"] == {"type": "text"}
+
+
+def test_mapping_nested_single_dot():
+    props = parse_mapping({"text": ["content.title"], "keyword": ["content.tag"]})
+    assert props["content"]["type"] == "object"
+    assert props["content"]["properties"]["title"] == {"type": "text"}
+    assert props["content"]["properties"]["tag"] == {"type": "keyword"}
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        {"badtype": ["x"]},
+        {"text": [""]},
+        {"text": ["a", "a"]},
+        {"text": ["a.b.c"]},
+        {"text": ["a"], "keyword": ["a.b"]},
+        {},
+        {"text": []},
+    ],
+)
+def test_mapping_error_paths(bad):
+    with pytest.raises(ValueError):
+        parse_mapping(bad)
+
+
+def test_mapping_parent_leaf_conflict_both_orders():
+    with pytest.raises(ValueError):
+        parse_mapping({"text": ["a.b"], "keyword": ["a"]})
+
+
+def test_field_kinds():
+    props = parse_mapping(
+        {"text": ["body"], "keyword": ["lang"], "search_as_you_type": ["title"], "long": ["n"]}
+    )
+    kinds = mapping_field_kinds(props)
+    assert kinds == {
+        "text": ["body"],
+        "keyword": ["lang"],
+        "search_as_you_type": ["title"],
+        "stored": ["n"],
+    }
+
+
+def test_coerce_value():
+    assert coerce_value(" true ") is True
+    assert coerce_value("no") is False
+    assert coerce_value("42") == 42
+    assert coerce_value("a, b ,c") == ["a", "b", "c"]
+    assert coerce_value(" x ") == "x"
+
+
+# ---------------- field extraction / validation (M5, M6) ----------------
+def test_extract_field_names_nested():
+    doc = {"a": 1, "b": {"c": 2}, "d": [{"e": 3}], "f": [1, 2]}
+    assert extract_field_names(doc) == {"a", "b", "b.c", "d", "d.e", "f"}
+
+
+def test_schema_field_names_struct():
+    schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.struct([("c", pa.string())])),
+         ("d", pa.list_(pa.struct([("e", pa.int32())])))]
+    )
+    assert schema_field_names(schema) == {"a", "b", "b.c", "d", "d.e"}
+
+
+def test_validate_fields_skips_unmapped():
+    props = parse_mapping({"text": ["body"]})
+    assert validate_fields("i", {"body", "url"}, props, id_field="url")
+    assert not validate_fields("i", {"body", "mystery"}, props, id_field="url")
+
+
+# ---------------- selected-indices filter (M13) ----------------
+def test_select_indices():
+    specs = parse_spec(
+        {
+            "indices": [
+                {"index_name": "a", "id_field": "k", "mapping": {"text": ["t"]}},
+                {"index_name": "b", "id_field": "k", "mapping": {"text": ["t"]}},
+            ]
+        }
+    )
+    assert [s.index_name for s in select_indices(specs, " a , nope ")] == ["a"]
+    assert len(select_indices(specs, None)) == 2
+
+
+# ---------------- model source (S4/S5, D3, D4, F15) ----------------
+def test_model_documents():
+    model = merge_model_files(
+        [
+            {"Nodes": {"_private": {}, "sample": {"Props": {"kind": {"Type": {"Enum": ["a", "b", "a"]}}}}}},
+            {"Nodes": {"study": {"Props": {"rel": {"Type": "@relation x"}, "name": {"Type": "string"}}}}},
+        ]
+    )
+    docs = list(model_documents(model))
+    ids = [d["id"] for d in docs]
+    assert "sample" in ids and "study" in ids
+    assert "sample_kind" in ids and "sample_kind_a" in ids and "sample_kind_b" in ids
+    assert "study_name" in ids
+    assert "study_rel" not in ids  # @relation skipped
+    assert not any(i.startswith("_private") for i in ids)
+
+
+# ---------------- update phase (J2) ----------------
+@pytest.fixture(scope="module")
+def small_index(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("upd")
+    tbl = pa.table(
+        {
+            "url": [f"u{i}" for i in range(50)],
+            "text": [f"alpha beta doc{i}" for i in range(50)],
+            "lang": ["en"] * 25 + ["de"] * 25,
+        }
+    )
+    path = str(root / "docs.parquet")
+    pq.write_table(tbl, path)
+    from raybm25.index.build import build_index
+
+    idx = str(root / "index")
+    build_index(path, idx, key_col="url", ts_col=None, keyword_cols=("lang",), num_buckets=4)
+    return idx, tbl
+
+
+def test_apply_updates_semantics(small_index):
+    from raybm25.loader.update import apply_updates
+    from raybm25.query.engine import IndexReader
+    from raybm25.hashing import hash64
+
+    idx, tbl = small_index
+    updates = pa.table(
+        {
+            "url": ["u1", "u2", "u1", "ghost", ""],
+            "lang": ["fr", None, "it", "xx", "yy"],
+            "text": [None, "gamma delta", None, None, None],
+        }
+    )
+    res = apply_updates(idx, updates, "url")
+    # ghost is missing; empty id skipped; u1 updated twice (last wins: it)
+    assert res["missing"] == 1
+    assert res["skipped_no_id"] == 1
+    assert res["updated"] == 2  # u1 (deduped last-wins) + u2
+    r = IndexReader(idx)
+    u1, u2 = hash64(np.array(["u1", "u2"], dtype=object))
+    got = r.get_docs(np.array([u1, u2], dtype=np.uint64)).to_pandas().set_index("url")
+    assert got.loc["u1", "lang"] == "it"  # last update wins
+    assert got.loc["u1", "text"] == "alpha beta doc1"  # NULL preserves
+    assert got.loc["u2", "lang"] == "en"  # untouched field preserved
+    assert got.loc["u2", "text"] == "gamma delta"  # overwritten
+    # postings rebuilt: new text searchable, old text for u2 gone
+    hits = {d for d, _ in r.search("gamma", 10)}
+    assert int(u2) in {int(h) for h in hits}
+    assert not any(int(d) == int(u2) for d, _ in r.search("doc2", 10))
+
+
+# ---------------- runner lifecycle ----------------
+def test_loader_runner_end_to_end(ray_session, tmp_path):
+    import os
+
+    src = tmp_path / "pages.parquet"
+    tbl = pa.table(
+        {
+            "url": [f"u{i}" for i in range(40)],
+            "body": [f"hello world item{i}" for i in range(40)],
+            "lang": ["en"] * 40,
+        }
+    )
+    pq.write_table(tbl, str(src))
+    upd = tmp_path / "upd.parquet"
+    pq.write_table(
+        pa.table({"url": ["u3", "nope"], "lang": ["fr", "fr"]}), str(upd)
+    )
+    spec = {
+        "indices": [
+            {
+                "index_name": "pages",
+                "id_field": "url",
+                "mapping": {"text": ["body"], "keyword": ["lang"]},
+                "source": {"type": "parquet", "path": str(src)},
+                "update_sources": [{"name": "u1", "type": "parquet", "path": str(upd)}],
+            },
+            {
+                "index_name": "broken",
+                "id_field": "url",
+                "mapping": {"text": ["body"]},
+                "source": {"type": "parquet", "path": str(tmp_path / "missing.parquet")},
+            },
+        ]
+    }
+    from raybm25.loader.runner import Loader
+    from raybm25.query.engine import IndexReader
+
+    loader = Loader(spec, str(tmp_path / "indexes"))
+    summary = loader.load()
+    stats = {s["index"]: s for s in summary["indices"]}
+    assert stats["pages"]["docs"] == 40
+    assert stats["broken"]["docs"] == "ERROR"  # per-index isolation
+    r = IndexReader(str(tmp_path / "indexes" / "pages"))
+    assert r.search("hello", 5, field=None) or r.search("hello", 5)
+    assert len(r.term_docs("lang", "fr")) == 1  # update applied
+    assert os.path.exists(str(tmp_path / "indexes" / "logs" / "loading-summary.json"))
+    assert os.path.exists(str(tmp_path / "indexes" / "logs" / "query-timing.json"))
+
+
+def test_loader_skips_unmapped_index(ray_session, tmp_path):
+    src = tmp_path / "x.parquet"
+    pq.write_table(
+        pa.table({"url": ["a"], "body": ["t"], "mystery": [1]}), str(src)
+    )
+    spec = {
+        "indices": [
+            {
+                "index_name": "strict",
+                "id_field": "url",
+                "mapping": {"text": ["body"]},
+                "source": {"type": "parquet", "path": str(src)},
+            }
+        ]
+    }
+    from raybm25.loader.runner import Loader
+
+    summary = Loader(spec, str(tmp_path / "idx")).load()
+    assert summary["indices"][0]["docs"] == 0  # skipped, not error
+
+
+def test_model_source_end_to_end(ray_session, tmp_path):
+    """Heterogeneous model docs must keep their union schema (regression:
+    pa.Table.from_pylist infers from the first row only)."""
+    spec = {
+        "indices": [
+            {
+                "index_name": "model",
+                "id_field": "id",
+                "mapping": {"keyword": ["kind", "node", "property", "value", "id"]},
+                "source": {
+                    "type": "model",
+                    "items": {
+                        "Nodes": {"study": {"Props": {"phase": {"Type": {"Enum": ["I", "II"]}}}}}
+                    },
+                },
+            }
+        ]
+    }
+    from raybm25.loader.runner import Loader
+    from raybm25.query.engine import IndexReader
+
+    summary = Loader(spec, str(tmp_path / "idx")).load()
+    assert summary["indices"][0]["docs"] == 4
+    r = IndexReader(str(tmp_path / "idx" / "model"))
+    assert len(r.term_docs("property", "phase")) == 3
+    assert len(r.term_docs("value", "I")) == 1
