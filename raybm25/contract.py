@@ -236,6 +236,187 @@ def q_update_merge(sf_dir: str):
     return out
 
 
+# ------------------------------------------------------ training-data extras
+def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
+    )
+
+
+def q_exact_dedup_text(sf_dir: str):
+    """Exact dedup by content: min doc_id kept per distinct text."""
+    from ray.data.aggregate import Min
+
+    out = (
+        _docs_ds(sf_dir)
+        .groupby("text")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "text"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    from .extras.dedup import exact_jaccard_pairs
+
+    return exact_jaccard_pairs(_docs_ds(sf_dir), threshold=0.95)
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    from .extras.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.95)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from .extras.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_ds(sf_dir), max_hamming=8)
+
+
+def q_embedding_cosine_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .extras.similarity import cosine_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q0 = emb.filter(pc_eq(emb.column("vec_id"), 0)).column("embedding").to_pylist()[0]
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = cosine_topk(ds, {0: q0}, k=20)
+    # scores are float64 numpy; the oracle computes float32-ish
+    # list_cosine_similarity — compare the rank/id columns only
+    return out[["rank", "vec_id"]].astype("int64")
+
+
+def pc_eq(col, v):
+    import pyarrow.compute as pc
+
+    return pc.equal(col, v)
+
+
+def q_embedding_neardup_pairs(sf_dir: str):
+    """All-pairs cosine >= 0.45 (threshold sits in a verified empty
+    score window at both test scales, so float-impl differences vs the
+    oracle cannot flip membership)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = ds.to_pandas()
+    import numpy as np
+
+    ids = df["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.array(df["embedding"].tolist(), dtype=np.float64)[order]
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(ids), 1)
+    keep = sims[iu] >= 0.45
+    out = pd.DataFrame(
+        {
+            "vec_a": ids[iu[0][keep]].astype("int64"),
+            "vec_b": ids[iu[1][keep]].astype("int64"),
+        }
+    )
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def q_lang_id(sf_dir: str):
+    from .extras.textstats import lang_id_batch
+
+    out = _docs_ds(sf_dir).map_batches(lang_id_batch, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_quality_score(sf_dir: str):
+    from .extras.textstats import quality_batch
+
+    out = _docs_ds(sf_dir).map_batches(quality_batch, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fingerprint_stats(sf_dir: str):
+    from .extras.textstats import fingerprint_batch
+
+    ds = _docs_ds(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+    out = ds.to_pandas()
+    out["n_fingerprints"] = out["fingerprints"].map(len).astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "n_fingerprints"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_multimodal_meta(sf_dir: str):
+    """Opaque-payload plumbing: text bytes as a binary media column,
+    stats via an actor-pool stage."""
+    from .extras.multimodal import PayloadStats, documents_as_payloads
+
+    ds = _docs_ds(sf_dir).map_batches(documents_as_payloads, batch_format="pyarrow")
+    out = ds.map_batches(
+        PayloadStats, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "n_bytes"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN top-10 for the vec_id=0 query (nprobe=4 of 8 buckets);
+    rows-only check here, exactness vs brute force is pytest-gated."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .extras.similarity import ivf_build, ivf_search
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q0 = emb.filter(pc_eq(emb.column("vec_id"), 0)).column("embedding").to_pylist()[0]
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ivf = ivf_build(ds, n_centroids=8)
+    hits = ivf_search(ivf, np.array(q0, dtype=np.float64), k=10, nprobe=4)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "vec_id": pd.array([v for v, _ in hits], dtype="int64"),
+        }
+    )
+
+
+_JACCARD_SQL_CORE = (
+    "WITH s AS (SELECT doc_id,"
+    " list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks FROM documents)"
+    " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+    " len(list_intersect(a.toks, b.toks)) /"
+    " (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard"
+    " FROM s a JOIN s b ON a.doc_id < b.doc_id"
+)
+
+_LANG_CODES = ["de", "en", "es", "fr", "zh"]
+
+
+def _lang_id_sql() -> str:
+    from .extras.textstats import LANG_STOPWORDS
+
+    counts = ", ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS c_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lg]), lg
+        )
+        for lg in _LANG_CODES
+    )
+    greatest = "greatest({})".format(", ".join(f"c_{lg}" for lg in _LANG_CODES))
+    cases = " ".join(f"WHEN c_{lg} = m THEN '{lg}'" for lg in _LANG_CODES)
+    return (
+        f"WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks"
+        f" FROM documents), c AS (SELECT doc_id, {counts} FROM t),"
+        f" g AS (SELECT *, {greatest} AS m FROM c)"
+        f" SELECT doc_id, CASE WHEN m = 0 THEN 'und' {cases} END AS pred_lang"
+        f" FROM g ORDER BY doc_id"
+    )
+
+
 # --------------------------------------------------------------- oracle SQL
 def _bm25_sql(query: str, k: int | None, cols: str = "rank, doc_id, score") -> str:
     qcounts = Counter(tokenize(query))
@@ -315,6 +496,56 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang"
         " FROM documents ORDER BY doc_id"
     ),
+    "exact_dedup_text": (
+        "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id"
+    ),
+    "ngram_jaccard_pairs": (
+        _JACCARD_SQL_CORE + " WHERE len(list_intersect(a.toks, b.toks)) /"
+        " (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95"
+        " ORDER BY doc_a, doc_b"
+    ),
+    # 16x4 LSH band config has miss probability < 1e-11 at s=0.95, so the
+    # verified LSH pairs equal the exact pairs on this corpus
+    "minhash_lsh_pairs": (
+        "SELECT doc_a, doc_b FROM (" + _JACCARD_SQL_CORE
+        + " WHERE len(list_intersect(a.toks, b.toks)) /"
+        " (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95)"
+        " ORDER BY doc_a, doc_b"
+    ),
+    "embedding_cosine_topk": (
+        "WITH s AS (SELECT vec_id, list_cosine_similarity(embedding,"
+        " (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS score FROM embeddings)"
+        " SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank, vec_id"
+        " FROM s ORDER BY score DESC, vec_id LIMIT 20"
+    ),
+    "embedding_neardup_pairs": (
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a"
+        " JOIN embeddings b ON a.vec_id < b.vec_id"
+        " WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        " ORDER BY vec_a, vec_b"
+    ),
+    "lang_id": _lang_id_sql(),
+    "quality_score": (
+        f"WITH {TOKS_CTE},"
+        " c AS (SELECT doc_id, count(*) AS n_tokens,"
+        " sum(CASE WHEN term IN ('the', 'a', 'key', 'row', 'value') THEN 1 ELSE 0 END)"
+        " AS n_stop FROM toks GROUP BY doc_id)"
+        " SELECT d.doc_id, COALESCE(c.n_tokens, 0) AS n_tokens,"
+        " length(d.text) AS n_chars,"
+        " CASE WHEN length(d.text) = 0 THEN 0.0 ELSE"
+        " length(regexp_replace(d.text, '[^a-zA-Z0-9]', '', 'g')) / length(d.text) END"
+        " AS alnum_ratio,"
+        " CASE WHEN COALESCE(c.n_tokens, 0) = 0 THEN 0.0 ELSE"
+        " COALESCE(c.n_stop, 0) / c.n_tokens END AS stop_ratio"
+        " FROM documents d LEFT JOIN c USING(doc_id) ORDER BY d.doc_id"
+    ),
+    "multimodal_meta": (
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes"
+        " FROM documents ORDER BY doc_id"
+    ),
+    # simhash_pairs / fingerprint_stats / ann_ivf_topk: hash- or
+    # centroid-defined, not SQL-expressible -> rows-only driver check;
+    # exactness is pytest-gated against brute force instead
 }
 
 QUERIES = {
@@ -330,4 +561,15 @@ QUERIES = {
     "token_count": q_token_count,
     "extract_roundtrip_count": q_extract_roundtrip_count,
     "update_merge": q_update_merge,
+    "exact_dedup_text": q_exact_dedup_text,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "fingerprint_stats": q_fingerprint_stats,
+    "multimodal_meta": q_multimodal_meta,
 }

@@ -1,0 +1,115 @@
+"""Text analysis stages for training-data pipelines.
+
+Language-ID (stopword-set heuristic), quality scoring (length /
+alnum / stopword ratios), token counting and document fingerprinting
+(rolling-hash winnowing) — each a vectorized ``map_batches`` stage
+over the documents table. Ratio arithmetic is pinned to int/int
+double division so the DuckDB oracle SQL produces bit-identical
+values.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..analysis import TOKEN_RE
+
+ALNUM_RE = re.compile(r"[a-zA-Z0-9]")
+
+# Deterministic per-language stopword sets (the corpus is synthetic;
+# the OPERATOR — argmax of stopword hits with a deterministic
+# tie-break — is what matters, not linguistics).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "de": ("table", "value", "row"),
+    "es": ("scan", "filter", "line"),
+    "fr": ("merge", "join", "key"),
+    "zh": ("hash", "batch", "vector"),
+}
+
+STOPWORDS = ("the", "a", "key", "row", "value")  # quality-score set
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Predict language = argmax stopword-set hits; ties broken by
+    language code ascending; zero hits -> 'und'."""
+    texts = batch.column(text_col).to_pylist()
+    findall = TOKEN_RE.findall
+    langs = sorted(LANG_STOPWORDS)
+    sets = {lg: frozenset(LANG_STOPWORDS[lg]) for lg in langs}
+    preds = []
+    for t in texts:
+        toks = findall(t.lower()) if isinstance(t, str) else []
+        best_lang, best_n = "und", 0
+        for lg in langs:  # ascending order = deterministic tie-break
+            n = sum(1 for tok in toks if tok in sets[lg])
+            if n > best_n:
+                best_lang, best_n = lg, n
+        preds.append(best_lang)
+    out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
+    return out.append_column("pred_lang", pa.array(preds, pa.string()))
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(n_tokens, n_chars, alnum_ratio, stop_ratio) per doc."""
+    texts = batch.column(text_col).to_pylist()
+    findall = TOKEN_RE.findall
+    aln = ALNUM_RE.findall
+    stop = frozenset(STOPWORDS)
+    n_tokens, n_chars, alnum_ratio, stop_ratio = [], [], [], []
+    for t in texts:
+        t = t if isinstance(t, str) else ""
+        toks = findall(t.lower())
+        n_tokens.append(len(toks))
+        n_chars.append(len(t))
+        alnum_ratio.append(len(aln(t)) / len(t) if t else 0.0)
+        stop_ratio.append(
+            sum(1 for tok in toks if tok in stop) / len(toks) if toks else 0.0
+        )
+    out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
+    out = out.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+    out = out.append_column("n_chars", pa.array(n_chars, pa.int64()))
+    out = out.append_column("alnum_ratio", pa.array(alnum_ratio, pa.float64()))
+    return out.append_column("stop_ratio", pa.array(stop_ratio, pa.float64()))
+
+
+FP_BASE = np.uint64(1_000_003)
+FP_WINDOW = 4
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = FP_WINDOW) -> pa.Table:
+    """Winnowing document fingerprints: rolling polynomial hash over
+    4-token shingles, keep the min hash of each sliding window of
+    ``window`` shingles; fingerprint set identifies near-identical
+    passages. Emits (doc_id, fingerprints:list<uint64>)."""
+    texts = batch.column(text_col).to_pylist()
+    findall = TOKEN_RE.findall
+    fps: list[np.ndarray] = []
+    for t in texts:
+        toks = findall(t.lower()) if isinstance(t, str) else []
+        if len(toks) < 4:
+            fps.append(np.empty(0, dtype=np.uint64))
+            continue
+        tok_h = pd.util.hash_array(np.array(toks, dtype=object), categorize=False)
+        sh = (
+            tok_h[:-3] * FP_BASE**np.uint64(3)
+            + tok_h[1:-2] * FP_BASE**np.uint64(2)
+            + tok_h[2:-1] * FP_BASE
+            + tok_h[3:]
+        )
+        if sh.size <= window:
+            fps.append(np.unique(sh.min(keepdims=True)))
+            continue
+        view = np.lib.stride_tricks.sliding_window_view(sh, window)
+        fps.append(np.unique(view.min(axis=1)))
+    out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
+    offsets = np.zeros(len(fps) + 1, dtype=np.int32)
+    np.cumsum([f.size for f in fps], out=offsets[1:])
+    values = np.concatenate(fps) if fps else np.empty(0, np.uint64)
+    return out.append_column(
+        "fingerprints", pa.ListArray.from_arrays(offsets, pa.array(values, pa.uint64()))
+    )

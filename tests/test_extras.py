@@ -1,0 +1,131 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb_ds():
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def _docs_ds():
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def test_ann_full_probe_equals_brute_force(ray_session):
+    from raybm25.extras.similarity import cosine_topk, ivf_build, ivf_search
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = emb.column("vec_id").to_pylist()
+    vecs = emb.column("embedding").to_pylist()
+    q = np.array(vecs[ids.index(3)], dtype=np.float64)
+
+    ivf = ivf_build(_emb_ds(), n_centroids=4)
+    exact = cosine_topk(_emb_ds(), {3: vecs[ids.index(3)]}, k=10)
+    ann_full = ivf_search(ivf, q, k=10, nprobe=4)  # probe ALL buckets
+    assert [v for v, _ in ann_full] == exact["vec_id"].tolist()
+    for (_, s1), s2 in zip(ann_full, exact["score"]):
+        assert s1 == pytest.approx(s2, abs=1e-12)
+    # partial probe returns a subset ranking consistent with itself
+    ann_2 = ivf_search(ivf, q, k=10, nprobe=2)
+    assert len(ann_2) <= 10
+    scores = [s for _, s in ann_2]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_minhash_lsh_recall_vs_exact(ray_session):
+    from raybm25.extras.dedup import exact_jaccard_pairs, minhash_lsh_pairs
+
+    exact = exact_jaccard_pairs(_docs_ds(), threshold=0.95)
+    lsh = minhash_lsh_pairs(_docs_ds(), threshold=0.95)
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    lsh_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    assert lsh_pairs <= exact_pairs  # verification guarantees precision
+    recall = len(lsh_pairs & exact_pairs) / max(1, len(exact_pairs))
+    assert recall == 1.0  # 16x4 bands at s>=0.95: miss prob < 1e-11
+
+
+def test_simhash_identical_docs_distance_zero(ray_session):
+    import ray.data
+
+    from raybm25.extras.dedup import simhash_pairs
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["alpha beta gamma", "alpha beta gamma", "totally different words here"],
+        }
+    )
+    pairs = simhash_pairs(ray.data.from_arrow(tbl), max_hamming=0)
+    assert list(zip(pairs["doc_a"], pairs["doc_b"])) == [(1, 2)]
+    assert pairs["hamming"].tolist() == [0]
+
+
+def test_fingerprints_detect_shared_passages():
+    from raybm25.extras.textstats import fingerprint_batch
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "one two three four five six seven eight",
+                "zzz one two three four five six yyy",  # shares a passage
+                "completely unrelated content with other tokens",
+            ],
+        }
+    )
+    out = fingerprint_batch(tbl)
+    fps = [set(x) for x in out.column("fingerprints").to_pylist()]
+    assert fps[0] & fps[1]  # shared 4-token shingle survives winnowing
+    assert not (fps[0] & fps[2])
+    # deterministic
+    out2 = fingerprint_batch(tbl)
+    assert out.equals(out2)
+
+
+def test_multimodal_stage_plumbing(ray_session):
+    import ray.data
+
+    from raybm25.extras.multimodal import ImageDecodeStage, documents_as_payloads
+
+    ds = _docs_ds().map_batches(documents_as_payloads, batch_format="pyarrow")
+    out = ds.map_batches(
+        ImageDecodeStage, batch_format="pyarrow", concurrency=2, batch_size=16
+    ).to_pandas()
+    assert {"doc_id", "media_type", "meta"} <= set(out.columns)
+    m = out["meta"].iloc[0]
+    assert set(m.keys()) == {"height", "width", "mean_byte"}
+    # deterministic fake decode
+    out2 = ds.map_batches(
+        ImageDecodeStage, batch_format="pyarrow", concurrency=2, batch_size=16
+    ).to_pandas()
+    assert (out["meta"] == out2["meta"]).all()
+
+
+def test_image_decode_strict_raises_without_codec():
+    from raybm25.extras.multimodal import ImageDecodeStage, _try_real_decoder
+
+    if _try_real_decoder():
+        pytest.skip("codec present")
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(strict=True)
+
+
+def test_lang_id_deterministic_tiebreak():
+    from raybm25.extras.textstats import lang_id_batch
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            # 'the' (en) vs 'table' (de): equal hits -> ascending code wins
+            "text": ["the table", "nothing matching at all zz"],
+        }
+    )
+    out = lang_id_batch(tbl)
+    assert out.column("pred_lang").to_pylist() == ["de", "und"]
