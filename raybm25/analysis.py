@@ -66,6 +66,41 @@ def doc_lengths(texts: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
     return np.array([len(toks) for toks in tokenize_column(texts)], dtype=np.int32)
 
 
+def arrow_tokenize(texts) -> tuple:
+    """C-speed batch tokenization: utf8_lower -> split on [^a-z0-9]+ ->
+    dictionary-encode. No per-token Python strings are materialized
+    (the only Python strings are the UNIQUE terms of the batch), which
+    avoids allocator contention when 32 workers tokenize concurrently.
+
+    Token streams are identical to :func:`tokenize` for ASCII input
+    (the analyzer's token alphabet is ASCII by definition).
+
+    Returns (tid, terms, doc_pos, dl):
+      tid     int64[np]  dictionary code per token (empties removed)
+      terms   object[np] the dictionary (unique token strings)
+      doc_pos int64[np]  row index per token
+      dl      int32[np]  token count per row
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), "[^a-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    values = toks.values
+    lens = np.diff(toks.offsets.to_numpy())
+    n = len(lens)
+    doc_pos = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = pc.not_equal(values, "").to_numpy(zero_copy_only=False).astype(bool)
+    dl = (lens - np.bincount(doc_pos[~keep], minlength=n)).astype(np.int32)
+    enc = values.dictionary_encode()
+    tid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    return tid[keep], terms, doc_pos[keep], dl
+
+
 def sayt_expand(tokens: list[str], max_shingle: int = 3, max_prefix: int = 10) -> list[str]:
     """``search_as_you_type`` term expansion (SURVEY.md §2.B B3).
 

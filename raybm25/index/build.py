@@ -55,7 +55,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from .. import BM25_B, BM25_K1
-from ..analysis import ANALYZER_VERSION, TOKEN_RE, sayt_expand
+from ..analysis import ANALYZER_VERSION, TOKEN_RE, arrow_tokenize, sayt_expand
 from ..extract import extract_batch
 from ..hashing import HASH_IMPL, hash64
 from .encode import encode_posting_groups
@@ -149,6 +149,75 @@ def _pairs_to_rows(
     )
 
 
+def build_partials_codes(
+    ordinals_sorted: np.ndarray,
+    dls_sorted: np.ndarray,
+    tid: np.ndarray,
+    terms: np.ndarray,
+    doc_pos: np.ndarray,
+    kw_values_sorted: dict[str, list],
+    range_shift: int,
+    num_shards: int,
+    term_prefix: str | None = None,
+) -> pa.Table:
+    """Packed partial-postings rows from dictionary-encoded tokens
+    (arrow_tokenize output; docs pre-sorted by ordinal). One np.unique
+    over a combined (term, doc) key does all the counting — no Python
+    token objects anywhere."""
+    shift = np.uint64(range_shift)
+    tables = []
+    if tid.size:
+        if term_prefix:
+            terms = np.array([f"{term_prefix}:{t}" for t in terms], dtype=object)
+        n_docs = ordinals_sorted.size
+        key = tid * n_docs + doc_pos
+        uk, tf = np.unique(key, return_counts=True)
+        pair_tid = uk // n_docs
+        pair_d = uk % n_docs
+        tbl = _pairs_to_rows(
+            terms[pair_tid],
+            ordinals_sorted[pair_d],
+            tf.astype(np.int32),
+            dls_sorted[pair_d],
+            shift,
+            num_shards,
+        )
+        if tbl is not None:
+            tables.append(tbl)
+    kw_tbl = _keyword_partials(ordinals_sorted, kw_values_sorted, shift, num_shards)
+    if kw_tbl is not None:
+        tables.append(kw_tbl)
+    if not tables:
+        return EMPTY_PARTIALS
+    return pa.concat_tables(tables)
+
+
+def _keyword_partials(ordinals_sorted, kw_values_sorted, shift, num_shards):
+    tables = []
+    for col, vals in kw_values_sorted.items():
+        kw_terms: list[str] = []
+        kw_pos: list[int] = []
+        for j, v in enumerate(vals):
+            for kv in v if isinstance(v, list) else ([] if v is None else [v]):
+                kw_terms.append(f"{col}:{kv}")
+                kw_pos.append(j)
+        if not kw_terms:
+            continue
+        kterms = np.array(kw_terms, dtype=object)
+        kpos = np.array(kw_pos, dtype=np.int64)
+        ord3 = np.lexsort((kpos, kterms))
+        kt, kp = kterms[ord3], kpos[ord3]
+        keep = np.empty(kt.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (kt[1:] != kt[:-1]) | (kp[1:] != kp[:-1])  # dedupe repeated values
+        kt, kp = kt[keep], kp[keep]
+        ones = np.ones(kt.size, dtype=np.int32)
+        tbl = _pairs_to_rows(kt, ordinals_sorted[kp], ones, ones, shift, num_shards)
+        if tbl is not None:
+            tables.append(tbl)
+    return pa.concat_tables(tables) if tables else None
+
+
 def build_partials(
     ordinals_sorted: np.ndarray,
     dls_sorted: np.ndarray,
@@ -167,18 +236,22 @@ def build_partials(
         flat = np.concatenate([np.array(t, dtype=object) for t in toks_sorted if t])
         doc_pos = np.repeat(np.arange(len(toks_sorted), dtype=np.int64), lens)
         tid, uniq = pd.factorize(flat)
-        ord2 = np.lexsort((doc_pos, tid))
-        t_s, d_s = tid[ord2], doc_pos[ord2]
-        chg = np.empty(t_s.size, dtype=bool)
-        chg[0] = True
-        chg[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
-        starts = np.flatnonzero(chg)
-        tf = np.diff(starts, append=t_s.size).astype(np.int32)
+        # count (term, doc) pairs with ONE sort over a combined int key
+        # (a lexsort + two fancy gathers over millions of tokens costs
+        # ~3x more than np.unique on the packed key)
+        n_docs = len(toks_sorted)
+        key = tid.astype(np.int64) * n_docs + doc_pos
+        uk, tf = np.unique(key, return_counts=True)
+        pair_tid = uk // n_docs
+        pair_d = uk % n_docs
         p_t = uniq.to_numpy(dtype=object) if hasattr(uniq, "to_numpy") else np.asarray(uniq, object)
-        pair_terms = p_t[t_s[starts]]
-        pair_d = d_s[starts]
         tbl = _pairs_to_rows(
-            pair_terms, ordinals_sorted[pair_d], tf, dls_sorted[pair_d], shift, num_shards
+            p_t[pair_tid],
+            ordinals_sorted[pair_d],
+            tf.astype(np.int32),
+            dls_sorted[pair_d],
+            shift,
+            num_shards,
         )
         if tbl is not None:
             tables.append(tbl)
@@ -262,7 +335,6 @@ class _DedupTokenizeBucket:
             sort_cols.append(primary)
         g = g.sort_values(sort_cols, kind="mergesort").drop_duplicates("doc_id", keep="last")
 
-        findall = TOKEN_RE.findall
         ordinals = (np.uint64(bucket) << np.uint64(ORD_SHIFT)) + np.arange(
             len(g), dtype=np.uint64
         )
@@ -274,29 +346,36 @@ class _DedupTokenizeBucket:
             for c in self.keyword_cols
         }
         for fi, col in enumerate(self.text_cols):
-            texts = g[col].tolist() if col in g.columns else [None] * len(g)
-            raw_toks = [findall(t.lower()) if isinstance(t, str) else [] for t in texts]
-            toks = (
-                raw_toks if fi == 0 else [[f"{col}:{t}" for t in ts] for ts in raw_toks]
+            texts = pa.array(
+                g[col].tolist() if col in g.columns else [None] * len(g), pa.string()
             )
-            dl = np.fromiter((len(t) for t in toks), dtype=np.int32, count=len(toks))
+            tid, terms, doc_pos, dl = arrow_tokenize(texts)
             out["dl" if fi == 0 else f"dl_{col}"] = dl
             sums[col] = int(dl.sum())
             partial_tables.append(
-                build_partials(
+                build_partials_codes(
                     ordinals,
                     dl,
-                    toks,
+                    tid,
+                    terms,
+                    doc_pos,
                     kw_vals if fi == 0 else {},
                     self.range_shift,
                     self.num_shards,
+                    term_prefix=None if fi == 0 else col,
                 )
             )
             if col in self.sayt_cols:
                 # search_as_you_type expansion (SURVEY B3): shingles +
-                # '#'-marked edge prefixes, match-only (tf=1, dl=1)
+                # '#'-marked edge prefixes, match-only (tf=1, dl=1);
+                # reconstruct per-doc token lists from the codes
+                bounds = np.searchsorted(doc_pos, np.arange(len(g) + 1))
                 ex = [
-                    [f"{col}:{t}" for t in set(sayt_expand(ts))] for ts in raw_toks
+                    [
+                        f"{col}:{t}"
+                        for t in set(sayt_expand(list(terms[tid[bounds[i] : bounds[i + 1]]])))
+                    ]
+                    for i in range(len(g))
                 ]
                 exdl = np.ones(len(ex), dtype=np.int32)
                 partial_tables.append(
@@ -351,20 +430,16 @@ class _PartialPostings:
         order = np.argsort(ordinals, kind="stable")
         findall = self.findall
         tables = []
+        take = pa.array(order)
         for fi, col in enumerate(self.text_cols):
             dl_name = "dl" if fi == 0 else f"dl_{col}"
             dls = batch.column(dl_name).to_numpy(zero_copy_only=False).astype(np.int32)
-            texts = batch.column(col).to_pylist()
-            raw_toks = [
-                findall(texts[i].lower()) if isinstance(texts[i], str) else [] for i in order
-            ]
-            toks = (
-                raw_toks if fi == 0 else [[f"{col}:{t}" for t in ts] for ts in raw_toks]
-            )
+            texts = batch.column(col).take(take)
+            tid, terms, doc_pos, dl = arrow_tokenize(texts)
             kw_vals = (
                 {
                     c: (
-                        [batch.column(c).to_pylist()[i] for i in order]
+                        batch.column(c).take(take).to_pylist()
                         if c in batch.column_names
                         else [None] * len(order)
                     )
@@ -374,12 +449,28 @@ class _PartialPostings:
                 else {}
             )
             tables.append(
-                build_partials(
-                    ordinals[order], dls[order], toks, kw_vals, self.range_shift, self.num_shards
+                build_partials_codes(
+                    ordinals[order],
+                    dls[order],
+                    tid,
+                    terms,
+                    doc_pos,
+                    kw_vals,
+                    self.range_shift,
+                    self.num_shards,
+                    term_prefix=None if fi == 0 else col,
                 )
             )
             if col in self.sayt_cols:
-                ex = [[f"{col}:{t}" for t in set(sayt_expand(ts))] for ts in raw_toks]
+                n = len(order)
+                bounds = np.searchsorted(doc_pos, np.arange(n + 1))
+                ex = [
+                    [
+                        f"{col}:{t}"
+                        for t in set(sayt_expand(list(terms[tid[bounds[i] : bounds[i + 1]]])))
+                    ]
+                    for i in range(n)
+                ]
                 exdl = np.ones(len(ex), dtype=np.int32)
                 tables.append(
                     build_partials(
@@ -403,7 +494,11 @@ class _MergeShard:
         shard_id = int(g.column("shard")[0].as_py())
         tbl = self._encode(g)
         dest = os.path.join(self.postings_dir, f"shard={shard_id:05d}.parquet")
-        atomic_write_parquet(tbl, dest)
+        # small row groups: the file is term-sorted, so a term filter
+        # decodes only the row groups whose stats cover it
+        atomic_write_parquet(
+            tbl, dest, row_group_size=128, stats_cols=["term", "range", "df", "cf"]
+        )
         return pa.table(
             {
                 "shard": pa.array([shard_id], pa.int32()),

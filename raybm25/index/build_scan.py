@@ -1,0 +1,417 @@
+"""Scan-layout index build: the corpus text NEVER shuffles.
+
+The hash-bucket build (build.py) implements the reference's strict
+upsert semantics with a full-corpus groupby — correct, but the text
+bytes cross the exchange. At 100 TB that shuffle is the dominant cost
+and, on a fixed-size cluster, the bandwidth that limits scaling. This
+module builds the same index (same postings, same BM25 results, same
+dedup winners) while shuffling ONLY keys:
+
+  stage 1  one task per input file: read -> extract -> doc ids ->
+           in-file dedup -> sort by doc_id -> write docs/part=N.parquet
+           (ordinal = N << 40 | row) -> return KEYS (doc_id, ts,
+           text_hash, ordinal)                       [no text moves]
+  stage 2  keys.groupby(doc_id % KB): winner per doc_id =
+           max (ts, text_hash, ordinal)  — last-write-wins with a
+           deterministic content tie-break — writes the key index
+           keyidx/kb=M.parquet (doc_id -> winning ordinal; powers
+           point lookups + update joins) and emits LOSER ordinals
+  stage 3  losers.groupby(part): dead-list sidecar per partition
+  stage 4  one task per part: read docs/part + dead list, drop dead
+           rows, tokenize ONCE, emit packed partial postings
+  stage 5  groupby(shard): merge + encode + write shard files
+           (identical to the hash-bucket path)
+
+Shuffle volume: stages 2/3 move ~32 bytes/doc; stage 5 moves packed
+postings. Resume lineage is per input file (stage 1 skips parts whose
+docstore file already exists with matching fingerprint) — "resumable
+from per-partition checkpoints" in the north-rule sense.
+
+Trade-off vs the hash layout: point lookups go through the key index
+(doc_id -> ordinal -> partition) instead of hashing straight to a
+bucket, and updates must join via that index. The loader keeps the
+hash layout; the flagship/bench path uses this one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from .. import BM25_B, BM25_K1
+from ..analysis import ANALYZER_VERSION, TOKEN_RE, arrow_tokenize
+from ..extract import extract_text
+from ..hashing import HASH_IMPL, hash64
+from .build import (
+    build_partials_codes,
+    DOCS_STATS_SUBDIR,
+    DOCS_SUBDIR,
+    ORD_SHIFT,
+    POSTINGS_SUBDIR,
+    _MergeShard,
+    _commit_build,
+    build_partials,
+)
+from .manifest import Manifest, atomic_write_parquet, load_manifest
+
+KEYIDX_SUBDIR = "keyidx"
+DEAD_SUBDIR = "dead"
+
+
+class _ScanExtractWrite:
+    """Stage 1: one input file -> one docstore partition + its keys."""
+
+    def __init__(
+        self,
+        docs_dir: str,
+        key_col: str,
+        id_col: str | None,
+        ts_col: str | None,
+        text_col: str,
+        extract_html: bool,
+        stored_cols: list[str] | None,
+    ):
+        self.docs_dir = docs_dir
+        self.key_col = key_col
+        self.id_col = id_col
+        self.ts_col = ts_col
+        self.text_col = text_col
+        self.extract_html = extract_html
+        self.stored_cols = stored_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_keys = []
+        for path, pidx in zip(
+            batch.column("path").to_pylist(), batch.column("pidx").to_pylist()
+        ):
+            cols = None  # prune at the read
+            if self.stored_cols is not None:
+                cols = sorted(
+                    {self.key_col, *(self.stored_cols)}
+                    | ({"html"} if self.extract_html else {self.text_col})
+                    | ({self.ts_col} if self.ts_col else set())
+                    | ({self.id_col} if self.id_col else set())
+                )
+            tbl = pq.read_table(path, columns=cols)
+            df = tbl.to_pandas()
+            if self.extract_html:
+                df[self.text_col] = [extract_text(h) for h in df["html"]]
+                df = df.drop(columns=["html"])
+            if self.id_col is not None:
+                doc_id = df[self.id_col].to_numpy().astype(np.uint64)
+            else:
+                doc_id = hash64(df[self.key_col].to_numpy(dtype=object))
+            df["doc_id"] = doc_id
+            th = hash64(df[self.text_col].astype(str).to_numpy(dtype=object))
+            df["__texth"] = th
+            sort_cols = ["doc_id"] + ([self.ts_col] if self.ts_col else []) + ["__texth"]
+            df = df.sort_values(sort_cols, kind="mergesort")
+            # in-file dedup: last write wins locally; cross-file via dead-list
+            df = df.drop_duplicates("doc_id", keep="last").reset_index(drop=True)
+            df["ordinal"] = (np.uint64(pidx) << np.uint64(ORD_SHIFT)) + np.arange(
+                len(df), dtype=np.uint64
+            )
+            keys = df[["doc_id", "ordinal", "__texth"]].copy()
+            if self.ts_col:
+                keys["ts"] = df[self.ts_col].to_numpy()
+            else:
+                keys["ts"] = np.int64(0)
+            store = df.drop(columns=["__texth"])
+            dest = os.path.join(self.docs_dir, f"part={pidx:05d}.parquet")
+            atomic_write_parquet(pa.Table.from_pandas(store, preserve_index=False), dest)
+            out_keys.append(pa.Table.from_pandas(keys, preserve_index=False))
+        return (
+            pa.concat_tables(out_keys)
+            if out_keys
+            else pa.table(
+                {
+                    "doc_id": pa.array([], pa.uint64()),
+                    "ordinal": pa.array([], pa.uint64()),
+                    "__texth": pa.array([], pa.uint64()),
+                    "ts": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+
+class _ResolveWinners:
+    """Stage 2: per key-bucket winner resolution + key-index write.
+
+    Winner = max (ts, text_hash, ordinal) per doc_id — last-write-wins
+    by timestamp with a deterministic content/position tie-break.
+    Emits the LOSER ordinals (they become dead-list entries)."""
+
+    def __init__(self, keyidx_dir: str, num_kb: int):
+        self.__name__ = "ResolveWinners"
+        self.keyidx_dir = keyidx_dir
+        self.num_kb = num_kb
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        kb = int(g["__kb"].iloc[0])
+        g = g.sort_values(["doc_id", "ts", "__texth", "ordinal"], kind="mergesort")
+        winners = g.drop_duplicates("doc_id", keep="last")
+        losers = g.loc[~g["ordinal"].isin(winners["ordinal"]), "ordinal"]
+        idx = winners[["doc_id", "ordinal"]].sort_values("doc_id")
+        atomic_write_parquet(
+            pa.Table.from_pandas(idx, preserve_index=False),
+            os.path.join(self.keyidx_dir, f"kb={kb:05d}.parquet"),
+        )
+        return pd.DataFrame({"dead_ordinal": losers.to_numpy().astype(np.uint64)})
+
+
+class _TokenizePart:
+    """Stage 4: one docstore partition -> packed partial postings
+    (skipping dead rows), plus the partition stats sidecar."""
+
+    def __init__(
+        self,
+        docs_dir: str,
+        dead_dir: str,
+        stats_dir: str,
+        text_cols: tuple[str, ...],
+        keyword_cols: tuple[str, ...],
+        range_shift: int,
+        num_shards: int,
+    ):
+        self.docs_dir = docs_dir
+        self.dead_dir = dead_dir
+        self.stats_dir = stats_dir
+        self.text_cols = text_cols
+        self.keyword_cols = keyword_cols
+        self.range_shift = range_shift
+        self.num_shards = num_shards
+        self.findall = TOKEN_RE.findall
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tables = []
+        for pidx in batch.column("pidx").to_pylist():
+            path = os.path.join(self.docs_dir, f"part={pidx:05d}.parquet")
+            cols = ["ordinal", *self.text_cols, *self.keyword_cols]
+            tbl = pq.read_table(path, columns=cols)
+            dead_path = os.path.join(self.dead_dir, f"part={pidx:05d}.json")
+            if os.path.exists(dead_path):
+                with open(dead_path) as f:
+                    dead = pa.array(np.array(json.load(f), dtype=np.uint64), pa.uint64())
+                keep = pc.invert(pc.is_in(tbl.column("ordinal"), value_set=dead))
+                tbl = tbl.filter(keep)
+            # stay in Arrow end-to-end: no pandas round-trip, no Python
+            # token strings (allocator contention under 32-way load)
+            ordinals = tbl.column("ordinal").to_numpy(zero_copy_only=False).astype(np.uint64)
+            sums: dict[str, int] = {}
+            kw_vals = {
+                c: (
+                    tbl.column(c).to_pylist()
+                    if c in tbl.column_names
+                    else [None] * tbl.num_rows
+                )
+                for c in self.keyword_cols
+            }
+            for fi, col in enumerate(self.text_cols):
+                texts = (
+                    tbl.column(col)
+                    if col in tbl.column_names
+                    else pa.nulls(tbl.num_rows, pa.string())
+                )
+                tid, terms, doc_pos, dl = arrow_tokenize(texts)
+                sums[col] = int(dl.sum())
+                tables.append(
+                    build_partials_codes(
+                        ordinals,
+                        dl,
+                        tid,
+                        terms,
+                        doc_pos,
+                        kw_vals if fi == 0 else {},
+                        self.range_shift,
+                        self.num_shards,
+                        term_prefix=None if fi == 0 else col,
+                    )
+                )
+            stats = {
+                "bucket": int(pidx),
+                "rows": int(tbl.num_rows),
+                "sum_dl": sums[self.text_cols[0]],
+                "sum_dl_fields": sums,
+                "bytes": os.path.getsize(path),
+            }
+            os.makedirs(self.stats_dir, exist_ok=True)
+            spath = os.path.join(self.stats_dir, f"bucket={int(pidx):05d}.json")
+            tmp = spath + f".tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(stats, f)
+            os.replace(tmp, spath)
+        return pa.concat_tables(tables)
+
+
+def _write_dead_lists(losers: pd.DataFrame, dead_dir: str) -> int:
+    """Stage 3 (driver-side — the loser set is ~dup-rate x corpus keys;
+    at full scale this is a groupby(part) over tiny rows)."""
+    os.makedirs(dead_dir, exist_ok=True)
+    if not len(losers):
+        return 0
+    ords = losers["dead_ordinal"].to_numpy().astype(np.uint64)
+    parts = (ords >> np.uint64(ORD_SHIFT)).astype(np.int64)
+    for p in np.unique(parts):
+        vals = sorted(int(o) for o in ords[parts == p])
+        path = os.path.join(dead_dir, f"part={int(p):05d}.json")
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(vals, f)
+        os.replace(tmp, path)
+    return int(len(ords))
+
+
+def build_index_scan(
+    paths: list[str] | str,
+    index_dir: str,
+    *,
+    key_col: str = "url",
+    id_col: str | None = None,
+    ts_col: str | None = "warc_ts",
+    text_cols: tuple[str, ...] = ("text",),
+    extract_html: bool = False,
+    keyword_cols: tuple[str, ...] = (),
+    stored_cols: list[str] | None = None,
+    postings_shards: int = 64,
+    range_parts: int = 16,
+    key_buckets: int = 64,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    overwrite: bool = False,
+) -> dict:
+    """Scan-layout build over a list of parquet files (or a directory).
+
+    One docstore partition per input file; text never shuffles. Returns
+    a metrics dict. ``range_parts``: doc-range salt granularity, in
+    input-file units (hot terms split into ~n_files/range_parts
+    segments)."""
+    t0 = time.perf_counter()
+    if isinstance(paths, str):
+        root = paths
+        paths = sorted(
+            os.path.join(root, f) for f in os.listdir(root) if f.endswith(".parquet")
+        )
+    paths = sorted(paths)
+    if not paths:
+        raise ValueError("no input parquet files")
+
+    if overwrite and os.path.isdir(index_dir):
+        if os.path.exists(os.path.join(index_dir, "manifest.json")) or not os.listdir(index_dir):
+            shutil.rmtree(index_dir)
+        else:
+            raise ValueError(f"refusing to overwrite non-index directory {index_dir}")
+
+    docs_dir = os.path.join(index_dir, DOCS_SUBDIR)
+    stats_dir = os.path.join(index_dir, DOCS_STATS_SUBDIR)
+    postings_dir = os.path.join(index_dir, POSTINGS_SUBDIR)
+    keyidx_dir = os.path.join(index_dir, KEYIDX_SUBDIR)
+    dead_dir = os.path.join(index_dir, DEAD_SUBDIR)
+    for d in (docs_dir, stats_dir, postings_dir, keyidx_dir, dead_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        os.makedirs(d, exist_ok=True)
+
+    rp_bits = max(0, (max(1, range_parts) - 1).bit_length())
+    range_shift = ORD_SHIFT + rp_bits
+    man = Manifest(
+        index_dir,
+        {
+            "version": 2,
+            "layout": "scan",
+            "analyzer": ANALYZER_VERSION,
+            "hash_impl": HASH_IMPL,
+            "k1": k1,
+            "b": b,
+            "num_buckets": len(paths),  # docstore partitions
+            "docstore_prefix": "part",
+            "key_buckets": key_buckets,
+            "num_shards": postings_shards,
+            "range_shift": range_shift,
+            "n_ranges": ((len(paths) - 1) >> rp_bits) + 1,
+            "key_col": key_col,
+            "id_is_int": id_col is not None,
+            "text_cols": list(text_cols),
+            "keyword_cols": list(keyword_cols),
+            "sayt_cols": [],
+            "input_files": paths,
+        },
+    )
+
+    items = [{"path": p, "pidx": i} for i, p in enumerate(paths)]
+    files_ds = ray.data.from_items(items, override_num_blocks=len(items))
+
+    # stages 1-2: partition writes + keys-only winner resolution
+    keys = files_ds.map_batches(
+        _ScanExtractWrite(
+            docs_dir=docs_dir,
+            key_col=key_col,
+            id_col=id_col,
+            ts_col=ts_col,
+            text_col=text_cols[0],
+            extract_html=extract_html,
+            stored_cols=stored_cols,
+        ),
+        batch_format="pyarrow",
+    )
+    keys = keys.map_batches(
+        lambda t: t.append_column(
+            "__kb",
+            pa.array(
+                (
+                    t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+                    % np.uint64(key_buckets)
+                ).astype(np.int32),
+                pa.int32(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    losers = (
+        keys.groupby("__kb")
+        .map_groups(_ResolveWinners(keyidx_dir, key_buckets), batch_format="pandas")
+        .to_pandas()
+    )
+    n_dead = _write_dead_lists(losers, dead_dir)
+    t_docs = time.perf_counter() - t0
+
+    # stages 4-5: tokenize per part -> shard merge
+    partials = files_ds.map_batches(
+        _TokenizePart(
+            docs_dir=docs_dir,
+            dead_dir=dead_dir,
+            stats_dir=stats_dir,
+            text_cols=text_cols,
+            keyword_cols=keyword_cols,
+            range_shift=range_shift,
+            num_shards=postings_shards,
+        ),
+        batch_format="pyarrow",
+    )
+    shard_stats = (
+        partials.groupby("shard")
+        .map_groups(_MergeShard(postings_dir), batch_format="pyarrow")
+        .to_pandas()
+    )
+    _commit_build(man, stats_dir, text_cols, None, shard_stats)
+    metrics = {
+        "index_dir": index_dir,
+        "layout": "scan",
+        "n_dead": n_dead,
+        "docs_secs": t_docs,
+        "postings_secs": time.perf_counter() - t0 - t_docs,
+        "total_secs": time.perf_counter() - t0,
+    }
+    metrics.update(man.data["corpus"])
+    metrics["n_postings"] = man.data["phases"]["postings"]["n_postings"]
+    metrics["docs_per_sec"] = metrics["n_docs"] / metrics["total_secs"]
+    return metrics

@@ -55,15 +55,26 @@ def load_manifest(index_dir: str) -> Manifest | None:
         return Manifest(index_dir, json.load(f))
 
 
-def atomic_write_parquet(table, dest_path: str) -> None:
+def atomic_write_parquet(
+    table, dest_path: str, row_group_size: int | None = None, stats_cols: list[str] | None = None
+) -> None:
     """Write a parquet file atomically (tmp + rename) — deterministic
     destination filenames make Ray task retries idempotent (SURVEY.md §4
-    'write idempotency')."""
+    'write idempotency'). ``row_group_size`` controls predicate-pushdown
+    granularity for sorted files (postings shards use small groups so a
+    term filter decodes only its row groups)."""
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(dest_path), exist_ok=True)
     tmp = dest_path + f".tmp-{os.getpid()}"
-    pq.write_table(table, tmp)
+    kwargs = {}
+    if row_group_size:
+        kwargs["row_group_size"] = row_group_size
+    if stats_cols is not None:
+        # statistics on large binary columns bloat footers and slow
+        # every filtered read; keep stats only on the filter keys
+        kwargs["write_statistics"] = stats_cols
+    pq.write_table(table, tmp, **kwargs)
     os.replace(tmp, dest_path)
 
 

@@ -64,12 +64,18 @@ class IndexReader:
         self.k1 = float(man.data["k1"])
         self.b = float(man.data["b"])
         self.num_buckets = int(man.data["num_buckets"])
+        self.layout = man.data.get("layout", "hash")
+        self.docstore_prefix = man.data.get("docstore_prefix", "bucket")
+        self.key_buckets = int(man.data.get("key_buckets", 0))
         self.num_shards = int(man.data.get("num_shards", 0))
         self.n_ranges = int(man.data.get("n_ranges", 1))
         self._postings_dir = os.path.join(index_dir, POSTINGS_SUBDIR)
         self._docs_dir = os.path.join(index_dir, DOCS_SUBDIR)
-        # per-shard dataset cache: parquet footers parsed once per reader
-        self._shard_ds: dict[str, pads.Dataset] = {}
+        # per-shard footer cache: (ParquetFile, per-row-group term
+        # min/max). Row-group pruning runs against these in-memory
+        # stats, so a term lookup touches disk only for the row groups
+        # that can contain it (absent terms cost ~no I/O at all).
+        self._shard_pf: dict[str, tuple] = {}
         # per-bucket ordinal->doc_id arrays (docstore row order IS the
         # mapping), loaded lazily
         self._bucket_ids: dict[int, np.ndarray] = {}
@@ -86,7 +92,9 @@ class IndexReader:
         for b in np.unique(buckets):
             arr = self._bucket_ids.get(int(b))
             if arr is None:
-                path = os.path.join(self._docs_dir, f"bucket={int(b):05d}.parquet")
+                path = os.path.join(
+                    self._docs_dir, f"{self.docstore_prefix}={int(b):05d}.parquet"
+                )
                 arr = (
                     pq.read_table(path, columns=["doc_id"])
                     .column("doc_id")
@@ -140,13 +148,33 @@ class IndexReader:
         paths = self._shard_paths(terms)
         if not paths:
             return {}
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
         tables = []
-        filt = pads.field("term").isin(terms)
         for p in paths:
-            ds = self._shard_ds.get(p)
-            if ds is None:
-                ds = self._shard_ds[p] = pads.dataset(p)
-            t = ds.to_table(filter=filt)
+            cached = self._shard_pf.get(p)
+            if cached is None:
+                pf = pq.ParquetFile(p)
+                md = pf.metadata
+                term_idx = pf.schema_arrow.get_field_index("term")
+                mins, maxs = [], []
+                for gi in range(md.num_row_groups):
+                    st = md.row_group(gi).column(term_idx).statistics
+                    mins.append(st.min if st else "")
+                    maxs.append(st.max if st else "\U0010ffff")
+                cached = self._shard_pf[p] = (pf, mins, maxs)
+            pf, mins, maxs = cached
+            groups = [
+                gi
+                for gi in range(len(mins))
+                if any(mins[gi] <= t <= maxs[gi] for t in terms)
+            ]
+            if not groups:
+                continue
+            t = pf.read_row_groups(groups)
+            mask = pc.is_in(t.column("term"), value_set=pa.array(terms, pa.string()))
+            t = t.filter(mask)
             if t.num_rows:
                 tables.append(t)
         if not tables:
@@ -219,6 +247,14 @@ class IndexReader:
         ordinal; ordinal order within a bucket follows doc_id order but
         not across buckets, so ties at the k boundary are re-broken on
         the mapped doc ids before the final cut."""
+        if scores.size > 4 * k > 0:
+            # cheap pre-cut: keep only candidates that can make top-k
+            # (score >= kth-best, ties included) before the full sort
+            top = np.argpartition(-scores, k - 1)[:k]
+            s_min = scores[top].min()
+            keep = np.flatnonzero(scores >= s_min)
+            ordinals = ordinals[keep]
+            scores = scores[keep]
         order = np.lexsort((ordinals, -scores))
         if order.size > k:
             s_k = scores[order[k - 1]]
@@ -375,12 +411,38 @@ class IndexReader:
         return np.sort(self._map_ordinals(p[key].doc_ids))
 
     def get_docs(self, doc_ids: np.ndarray) -> pa.Table:
-        """Doc-store lookup by id (SURVEY.md B5): reads only the hash
-        buckets the ids live in."""
+        """Doc-store lookup by id (SURVEY.md B5).
+
+        Hash layout: ids hash straight to their bucket files. Scan
+        layout: two hops — key index (doc_id -> winning ordinal), then
+        the ordinal's partition file — touching only relevant files."""
         ids = np.asarray(doc_ids, dtype=np.uint64)
+        if self.layout == "scan":
+            from ..index.build_scan import KEYIDX_SUBDIR
+
+            kbs = np.unique(ids % np.uint64(self.key_buckets))
+            kb_paths = [
+                os.path.join(self.index_dir, KEYIDX_SUBDIR, f"kb={int(b):05d}.parquet")
+                for b in kbs
+            ]
+            kb_paths = [p for p in kb_paths if os.path.exists(p)]
+            if not kb_paths:
+                return pa.table({})
+            idx = pads.dataset(kb_paths).to_table(filter=pads.field("doc_id").isin(ids))
+            ordinals = idx.column("ordinal").to_numpy(zero_copy_only=False).astype(np.uint64)
+            if ordinals.size == 0:
+                return pa.table({})
+            parts = np.unique(ordinals >> np.uint64(ORD_SHIFT))
+            paths = [
+                os.path.join(self._docs_dir, f"{self.docstore_prefix}={int(p):05d}.parquet")
+                for p in parts
+            ]
+            dset = pads.dataset([p for p in paths if os.path.exists(p)])
+            return dset.to_table(filter=pads.field("ordinal").isin(ordinals))
         buckets = np.unique(ids % np.uint64(self.num_buckets))
         paths = [
-            os.path.join(self._docs_dir, f"bucket={int(b):05d}.parquet") for b in buckets
+            os.path.join(self._docs_dir, f"{self.docstore_prefix}={int(b):05d}.parquet")
+            for b in buckets
         ]
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:

@@ -1,0 +1,72 @@
+"""Scan-layout build (text never shuffles) must be result-identical to
+the hash-bucket build: same dedup winners, same BM25 top-k (ids AND
+scores), same doc-store lookups — with duplicate urls spread across
+input files (cross-file dedup goes through the keys-only dead-list)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from raybm25.fixtures import make_pages, make_queries
+from raybm25.hashing import hash64
+from raybm25.index.build import build_index
+from raybm25.index.build_scan import build_index_scan
+from raybm25.query.engine import IndexReader
+
+
+@pytest.fixture(scope="module")
+def both_layouts(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("scan")
+    pages = make_pages(n_rows=700, seed=42)
+    # split into 5 files: the shuffled fixture puts url-duplicates in
+    # different files, exercising the cross-file dead-list path
+    files = []
+    n = pages.num_rows
+    for i in range(5):
+        part = pages.slice(i * n // 5, (i + 1) * n // 5 - i * n // 5)
+        p = str(root / f"pages-{i:02d}.parquet")
+        pq.write_table(part, p)
+        files.append(p)
+
+    hash_dir = str(root / "hash_idx")
+    build_index(
+        files, hash_dir, key_col="url", ts_col="warc_ts", extract_html=True,
+        keyword_cols=("lang",), num_buckets=8, range_buckets=2,
+    )
+    scan_dir = str(root / "scan_idx")
+    m = build_index_scan(
+        files, scan_dir, key_col="url", ts_col="warc_ts", extract_html=True,
+        keyword_cols=("lang",), postings_shards=64, range_parts=2, key_buckets=8,
+    )
+    return hash_dir, scan_dir, pages, m
+
+
+def test_same_corpus_stats(both_layouts):
+    hash_dir, scan_dir, pages, m = both_layouts
+    r1, r2 = IndexReader(hash_dir), IndexReader(scan_dir)
+    assert r1.n_docs == r2.n_docs
+    assert r1.avgdl == r2.avgdl
+    assert m["n_dead"] > 0  # the fixture really has cross-file dups
+
+
+def test_search_identical_across_layouts(both_layouts):
+    hash_dir, scan_dir, _, _ = both_layouts
+    r1, r2 = IndexReader(hash_dir), IndexReader(scan_dir)
+    for q in make_queries():
+        a = r1.search(q["query_text"], q["k"])
+        b = r2.search(q["query_text"], q["k"])
+        assert a == b, q
+        assert r2.search_pruned(q["query_text"], q["k"]) == b
+
+
+def test_keyword_and_docstore_across_layouts(both_layouts):
+    hash_dir, scan_dir, pages, _ = both_layouts
+    r1, r2 = IndexReader(hash_dir), IndexReader(scan_dir)
+    assert set(r1.term_docs("lang", "en").tolist()) == set(
+        r2.term_docs("lang", "en").tolist()
+    )
+    some = hash64(np.array(pages["url"].to_pylist()[:20], dtype=object))
+    d1 = r1.get_docs(some).to_pandas().sort_values("url").reset_index(drop=True)
+    d2 = r2.get_docs(some).to_pandas().sort_values("url").reset_index(drop=True)
+    assert (d1["url"] == d2["url"]).all()
+    assert (d1["text"] == d2["text"]).all()
