@@ -187,6 +187,9 @@ class Loader:
         if isinstance(data, pa.Table):
             import ray.data
 
+            from .validate import flatten_structs
+
+            data = flatten_structs(data)
             source = ray.data.from_arrow(data)
         else:
             source = data

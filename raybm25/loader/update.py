@@ -205,3 +205,19 @@ def apply_updates(
     if rebuild:
         rebuild_postings(index_dir)  # re-derive postings + stats, commit
     return result
+
+
+def merge_document(index_dir: str, key, updates: dict, id_field: str | None = None) -> dict:
+    """Single-document get-then-merge (SURVEY.md §2 J1,
+    opensearch_client.py:168-187): shallow merge of ``updates`` into the
+    existing doc with that key; if the doc does not exist the update is
+    dropped and counted (our engine's update phase is update-only —
+    insert-if-absent requires a rebuild with the new row, because doc
+    ordinals are assigned at build time)."""
+    man = load_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no index at {index_dir}")
+    id_field = id_field or man.data.get("key_col", "doc_id")
+    row = {id_field: key, **updates}
+    tbl = pa.Table.from_pylist([row])
+    return apply_updates(index_dir, tbl, id_field)

@@ -75,3 +75,21 @@ def validate_fields(
     for f in unmapped:
         logger.warning("index %s: field %r from source is not in the mapping", index_name, f)
     return not unmapped
+
+
+def flatten_structs(table: pa.Table) -> pa.Table:
+    """Struct columns -> dotted leaf columns (single level), matching
+    the mapping's ``a.b`` notation (SURVEY.md §1 'Nested object
+    fields'). Non-struct columns pass through unchanged."""
+    cols, names = [], []
+    for name in table.column_names:
+        col = table.column(name)
+        if pa.types.is_struct(col.type):
+            combined = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            for f in col.type:
+                names.append(f"{name}.{f.name}")
+                cols.append(combined.field(f.name))
+        else:
+            names.append(name)
+            cols.append(col)
+    return pa.table(dict(zip(names, cols)))

@@ -225,9 +225,14 @@ class IndexReader:
         tf = tfs.astype(np.float64)
         return tf / (tf + self.k1 * (1.0 - self.b + self.b * dls.astype(np.float64) / avgdl))
 
+    @property
+    def primary_field(self) -> str:
+        return (self.manifest.get("text_cols") or ["text"])[0]
+
     def field_avgdl(self, field: str | None) -> float:
-        """avgdl of a non-default text field (per-field BM25 stats)."""
-        if field is None:
+        """avgdl of a text field (per-field BM25 stats); the primary
+        field (first in text_cols) is the default."""
+        if field is None or field == self.primary_field:
             return self.avgdl
         fields = self.manifest.get("corpus", {}).get("avgdl_fields", {})
         if field not in fields:
@@ -236,7 +241,9 @@ class IndexReader:
 
     def field_terms(self, query: str, field: str | None) -> list[str]:
         toks = tokenize(query)
-        return toks if field is None else [f"{field}:{t}" for t in toks]
+        if field is None or field == self.primary_field:
+            return toks
+        return [f"{field}:{t}" for t in toks]
 
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))

@@ -273,3 +273,55 @@ def test_model_source_end_to_end(ray_session, tmp_path):
     r = IndexReader(str(tmp_path / "idx" / "model"))
     assert len(r.term_docs("property", "phase")) == 3
     assert len(r.term_docs("value", "I")) == 1
+
+
+def test_merge_document_single(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+
+    src = tmp_path / "d.parquet"
+    pq2.write_table(
+        pa.table({"url": ["a", "b"], "text": ["one two", "three four"], "lang": ["en", "en"]}),
+        str(src),
+    )
+    from raybm25.index.build import build_index
+    from raybm25.loader.update import merge_document
+    from raybm25.query.engine import IndexReader
+    from raybm25.hashing import hash64
+
+    idx = str(tmp_path / "i")
+    build_index(str(src), idx, key_col="url", ts_col=None, keyword_cols=("lang",), num_buckets=2)
+    res = merge_document(idx, "a", {"lang": "fr"})
+    assert res == {"updated": 1, "missing": 0, "skipped_no_id": 0}
+    r = IndexReader(idx)
+    a = hash64(np.array(["a"], dtype=object))
+    assert r.get_docs(a).to_pandas()["lang"].iloc[0] == "fr"
+    res2 = merge_document(idx, "ghost", {"lang": "xx"})
+    assert res2["missing"] == 1  # absent key dropped + counted
+
+
+def test_nested_struct_mapping_flattens(ray_session, tmp_path):
+    spec = {
+        "indices": [
+            {
+                "index_name": "nested",
+                "id_field": "id",
+                "mapping": {"text": ["content.title"], "keyword": ["content.tag"]},
+                "source": {
+                    "type": "items",
+                    "items": [
+                        {"id": "x1", "content": {"title": "deep blue sea", "tag": "t1"}},
+                        {"id": "x2", "content": {"title": "red desert", "tag": "t2"}},
+                    ],
+                },
+            }
+        ]
+    }
+    from raybm25.loader.runner import Loader
+    from raybm25.query.engine import IndexReader
+
+    summary = Loader(spec, str(tmp_path / "idx")).load()
+    assert summary["indices"][0]["docs"] == 2
+    r = IndexReader(str(tmp_path / "idx" / "nested"))
+    hits = r.search("blue", 5, field="content.title")
+    assert len(hits) == 1
+    assert len(r.term_docs("content.tag", "t2")) == 1
