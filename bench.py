@@ -118,6 +118,13 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # per-operator resource reservation starves chained pipelines when
+    # total CPUs ~ number of operators (the 4-cpu scaling leg would
+    # measure scheduler artifacts, not the pipeline)
+    try:
+        ctx.op_resource_reservation_enabled = False
+    except AttributeError:
+        pass
 
     import ray.data
 
@@ -224,14 +231,16 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N vs 4N parallelism (driver instruction allows any N). 4 vs 16 is
-    # used because this single box saturates its MEMORY BANDWIDTH near
-    # ~20 effective cores (16 and 32 cpus measure the same docs/s), so
-    # 8-vs-32 measures the machine's memory bus, not the pipeline's
-    # scalability; on a real N- vs 4N-node cluster each node brings its
-    # own bandwidth. Override with BENCH_SCALE_LO/HI.
-    lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
-    hi = int(os.environ.get("BENCH_SCALE_HI", "16"))
+    # N vs 4N parallelism in fresh processes (sandbox stand-in for N-
+    # vs 4N-node clusters). NOTE on interpretation (full data in
+    # BASELINE.md): on this single box all workers share one memory
+    # bus, and per-task times inflate ~3x between 8- and 32-way
+    # concurrency (measured via ds.stats: 0.6s -> 2.2s per tokenize
+    # task), so the measured ratio bounds the pipeline's scalability
+    # from BELOW; real N- vs 4N-node clusters add memory bandwidth
+    # with nodes. Override the pair with BENCH_SCALE_LO/HI.
+    lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
+    hi = int(os.environ.get("BENCH_SCALE_HI", "32"))
     r_lo, r_hi = run(lo), run(hi)
     speedup = r_lo["queries"]["build"] / r_hi["queries"]["build"]
     eff = speedup / (hi / lo)
