@@ -26,3 +26,23 @@ __version__ = "0.1.0"
 # citing opensearch_client.py:75-124).
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+def __getattr__(name):
+    # lazy top-level exports (avoid importing ray at package import)
+    if name == "build_index":
+        from .index.build import build_index
+
+        return build_index
+    if name == "build_index_scan":
+        from .index.build_scan import build_index_scan
+
+        return build_index_scan
+    if name == "IndexReader":
+        from .query.engine import IndexReader
+
+        return IndexReader
+    if name == "Loader":
+        from .loader import Loader
+
+        return Loader
+    raise AttributeError(name)

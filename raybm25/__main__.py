@@ -1,0 +1,126 @@
+"""CLI entry points — the reference's ``python -m opensearch_loader.cli``
+analog (SURVEY.md §3 'Entry point 1'; cli.py:200-236 semantics: parse
+args, print effective config, run the Loader, always clean up).
+
+    python -m raybm25 load   --spec indices.yaml --index-root DIR
+                             [--select a,b] [--test-mode]
+    python -m raybm25 build  --input pages_dir_or_glob --index DIR
+                             [--layout scan|hash] [--key-col url] ...
+    python -m raybm25 search --index DIR --query "text" [-k 10] [--field f]
+    python -m raybm25 bench  [...]            (delegates to bench.py envs)
+
+Owns its Ray session (guarded init) — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_load(args) -> int:
+    _ray_session()
+    from .loader import Loader
+
+    loader = Loader(
+        args.spec,
+        args.index_root,
+        selected_indices=args.select,
+        test_mode=args.test_mode,
+    )
+    summary = loader.load()
+    print(summary["table"])
+    return 0 if all(s["error"] is None for s in summary["indices"]) else 1
+
+
+def cmd_build(args) -> int:
+    _ray_session()
+    if args.layout == "scan":
+        from .index.build_scan import build_index_scan as build
+
+        kwargs = {}
+    else:
+        from .index.build import build_index as build
+
+        kwargs = {"overwrite": args.overwrite}
+    metrics = build(
+        args.input,
+        args.index,
+        key_col=args.key_col,
+        ts_col=args.ts_col or None,
+        extract_html=args.extract_html,
+        keyword_cols=tuple(args.keyword.split(",")) if args.keyword else (),
+        **kwargs,
+    )
+    print(json.dumps({k: v for k, v in metrics.items() if not isinstance(v, dict)}, default=str))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .query.engine import IndexReader
+
+    r = IndexReader(args.index)
+    hits = r.search_pruned(args.query, args.k, field=args.field)
+    for rank, (doc_id, score) in enumerate(hits, 1):
+        print(f"{rank}\t{doc_id}\t{score:.6f}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="raybm25")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pl = sub.add_parser("load", help="run an index-spec through the Loader")
+    pl.add_argument("--spec", required=True)
+    pl.add_argument("--index-root", required=True)
+    pl.add_argument("--select", default=None, help="comma-separated index names")
+    pl.add_argument("--test-mode", action="store_true")
+    pl.set_defaults(fn=cmd_load)
+
+    pb = sub.add_parser("build", help="build a full-text index over parquet")
+    pb.add_argument("--input", required=True)
+    pb.add_argument("--index", required=True)
+    pb.add_argument("--layout", choices=["scan", "hash"], default="scan")
+    pb.add_argument("--key-col", default="url")
+    pb.add_argument("--ts-col", default="warc_ts")
+    pb.add_argument("--keyword", default="")
+    pb.add_argument("--extract-html", action="store_true")
+    pb.add_argument("--overwrite", action="store_true")
+    pb.set_defaults(fn=cmd_build)
+
+    ps = sub.add_parser("search", help="BM25 top-k over a built index")
+    ps.add_argument("--index", required=True)
+    ps.add_argument("--query", required=True)
+    ps.add_argument("-k", type=int, default=10)
+    ps.add_argument("--field", default=None)
+    ps.set_defaults(fn=cmd_search)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

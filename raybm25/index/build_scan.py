@@ -87,11 +87,37 @@ class _ScanExtractWrite:
         self.extract_html = extract_html
         self.stored_cols = stored_cols
 
+    def _fingerprint(self, path: str) -> list:
+        st = os.stat(path)
+        return [path, st.st_size, st.st_mtime_ns]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_keys = []
         for path, pidx in zip(
             batch.column("path").to_pylist(), batch.column("pidx").to_pylist()
         ):
+            dest = os.path.join(self.docs_dir, f"part={pidx:05d}.parquet")
+            fp_path = dest + ".src.json"
+            fp = self._fingerprint(path)
+            if os.path.exists(dest) and os.path.exists(fp_path):
+                with open(fp_path) as f:
+                    if json.load(f) == fp:
+                        # per-partition resume: partition already built
+                        # from this exact input file — recover its keys
+                        # from the columnar store (no text read)
+                        kcols = ["doc_id", "ordinal", "texth"] + (
+                            [self.ts_col] if self.ts_col else []
+                        )
+                        kt = pq.read_table(dest, columns=kcols)
+                        keys = kt.to_pandas().rename(columns={"texth": "__texth"})
+                        if self.ts_col:
+                            keys["ts"] = keys.pop(self.ts_col)
+                        else:
+                            keys["ts"] = np.int64(0)
+                        out_keys.append(
+                            pa.Table.from_pandas(keys, preserve_index=False)
+                        )
+                        continue
             cols = None  # prune at the read
             if self.stored_cols is not None:
                 cols = sorted(
@@ -124,9 +150,12 @@ class _ScanExtractWrite:
                 keys["ts"] = df[self.ts_col].to_numpy()
             else:
                 keys["ts"] = np.int64(0)
-            store = df.drop(columns=["__texth"])
-            dest = os.path.join(self.docs_dir, f"part={pidx:05d}.parquet")
+            store = df.rename(columns={"__texth": "texth"})
             atomic_write_parquet(pa.Table.from_pandas(store, preserve_index=False), dest)
+            tmp = fp_path + f".tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(fp, f)
+            os.replace(tmp, fp_path)
             out_keys.append(pa.Table.from_pandas(keys, preserve_index=False))
         return (
             pa.concat_tables(out_keys)
@@ -297,10 +326,13 @@ def build_index_scan(
     segments)."""
     t0 = time.perf_counter()
     if isinstance(paths, str):
-        root = paths
-        paths = sorted(
-            os.path.join(root, f) for f in os.listdir(root) if f.endswith(".parquet")
-        )
+        if os.path.isdir(paths):
+            root = paths
+            paths = sorted(
+                os.path.join(root, f) for f in os.listdir(root) if f.endswith(".parquet")
+            )
+        else:
+            paths = [paths]
     paths = sorted(paths)
     if not paths:
         raise ValueError("no input parquet files")
@@ -316,10 +348,14 @@ def build_index_scan(
     postings_dir = os.path.join(index_dir, POSTINGS_SUBDIR)
     keyidx_dir = os.path.join(index_dir, KEYIDX_SUBDIR)
     dead_dir = os.path.join(index_dir, DEAD_SUBDIR)
-    for d in (docs_dir, stats_dir, postings_dir, keyidx_dir, dead_dir):
+    # docs partitions are per-input-file checkpoints: kept across runs
+    # (stage 1 skips files whose fingerprint matches); derived state is
+    # rebuilt every run
+    for d in (stats_dir, postings_dir, keyidx_dir, dead_dir):
         if os.path.isdir(d):
             shutil.rmtree(d)
         os.makedirs(d, exist_ok=True)
+    os.makedirs(docs_dir, exist_ok=True)
 
     rp_bits = max(0, (max(1, range_parts) - 1).bit_length())
     range_shift = ORD_SHIFT + rp_bits

@@ -79,6 +79,12 @@ class IndexReader:
         # per-bucket ordinal->doc_id arrays (docstore row order IS the
         # mapping), loaded lazily
         self._bucket_ids: dict[int, np.ndarray] = {}
+        # decoded-postings LRU (the reference's query-serving cache
+        # analog, SURVEY.md §2 ST2): hot Zipf-head terms are re-queried
+        # constantly; capped by posting count, not entry count
+        self._term_cache: dict[str, TermPostings] = {}
+        self._term_cache_postings = 0
+        self.term_cache_max_postings = 5_000_000
 
     def _map_ordinals(self, ordinals: np.ndarray) -> np.ndarray:
         """Dense postings ordinals -> original doc ids via the docstore
@@ -145,16 +151,20 @@ class IndexReader:
         with no merge (the salting invariant from the build)."""
         if not terms:
             return {}
+        cached = {t: self._term_cache[t] for t in terms if t in self._term_cache}
+        terms = [t for t in terms if t not in cached]
+        if not terms:
+            return cached
         paths = self._shard_paths(terms)
         if not paths:
-            return {}
+            return cached
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         tables = []
         for p in paths:
-            cached = self._shard_pf.get(p)
-            if cached is None:
+            entry = self._shard_pf.get(p)
+            if entry is None:
                 pf = pq.ParquetFile(p)
                 md = pf.metadata
                 term_idx = pf.schema_arrow.get_field_index("term")
@@ -163,8 +173,8 @@ class IndexReader:
                     st = md.row_group(gi).column(term_idx).statistics
                     mins.append(st.min if st else "")
                     maxs.append(st.max if st else "\U0010ffff")
-                cached = self._shard_pf[p] = (pf, mins, maxs)
-            pf, mins, maxs = cached
+                entry = self._shard_pf[p] = (pf, mins, maxs)
+            pf, mins, maxs = entry
             groups = [
                 gi
                 for gi in range(len(mins))
@@ -178,7 +188,7 @@ class IndexReader:
             if t.num_rows:
                 tables.append(t)
         if not tables:
-            return {}
+            return cached
         tbl = pa.concat_tables(tables).combine_chunks()
         import pyarrow.compute as pc
 
@@ -215,9 +225,22 @@ class IndexReader:
             bmin_dl = np.concatenate(
                 [np.asarray(bdl_col[r].values, dtype=np.int64) for r in rows]
             )
-            out[term_col[i]] = TermPostings(ids, tfs, dls, block_last, bmax_tf, bmin_dl)
+            tp = TermPostings(ids, tfs, dls, block_last, bmax_tf, bmin_dl)
+            out[term_col[i]] = tp
+            self._cache_put(term_col[i], tp)
             i = j
+        out.update(cached)
         return out
+
+    def _cache_put(self, term: str, tp: TermPostings) -> None:
+        limit = self.term_cache_max_postings
+        if tp.df > limit:
+            return
+        while self._term_cache_postings + tp.df > limit and self._term_cache:
+            _, old = self._term_cache.popitem()  # LIFO-ish eviction; fine for a hot-set cache
+            self._term_cache_postings -= old.df
+        self._term_cache[term] = tp
+        self._term_cache_postings += tp.df
 
     def _norm(self, tfs: np.ndarray, dls: np.ndarray, avgdl: float | None = None) -> np.ndarray:
         # association pinned: (1-b) + (b*dl)/avgdl — see codec.tf_norm

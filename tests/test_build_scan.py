@@ -70,3 +70,35 @@ def test_keyword_and_docstore_across_layouts(both_layouts):
     d2 = r2.get_docs(some).to_pandas().sort_values("url").reset_index(drop=True)
     assert (d1["url"] == d2["url"]).all()
     assert (d1["text"] == d2["text"]).all()
+
+
+def test_scan_per_file_resume(ray_session, tmp_path):
+    """Interrupted scan build: completed partitions are skipped on the
+    rerun (per-input-file checkpoints), and the result is identical."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq2
+
+    pages = make_pages(n_rows=400, seed=5)
+    files = []
+    for i in range(4):
+        p = str(tmp_path / f"f{i}.parquet")
+        pq2.write_table(pages.slice(i * 100, 100), p)
+        files.append(p)
+    idx = str(tmp_path / "idx")
+    build_index_scan(files, idx, key_col="url", ts_col="warc_ts", extract_html=True,
+                     postings_shards=16, range_parts=2, key_buckets=4)
+    r1 = [IndexReader(idx).search(q["query_text"], q["k"]) for q in make_queries()]
+    # note partition mtimes; simulate a crash that lost parts 2,3
+    kept = [os.path.getmtime(os.path.join(idx, "docs", f"part=0000{i}.parquet")) for i in (0, 1)]
+    for i in (2, 3):
+        os.remove(os.path.join(idx, "docs", f"part=0000{i}.parquet"))
+    time.sleep(0.05)
+    build_index_scan(files, idx, key_col="url", ts_col="warc_ts", extract_html=True,
+                     postings_shards=16, range_parts=2, key_buckets=4)
+    # untouched partitions were NOT rewritten (checkpoint skip)
+    for i, old in zip((0, 1), kept):
+        assert os.path.getmtime(os.path.join(idx, "docs", f"part=0000{i}.parquet")) == old
+    r2 = [IndexReader(idx).search(q["query_text"], q["k"]) for q in make_queries()]
+    assert r1 == r2
