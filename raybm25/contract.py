@@ -385,6 +385,67 @@ def q_ann_ivf_topk(sf_dir: str):
     )
 
 
+def q_sayt_prefix_docs(sf_dir: str):
+    """search_as_you_type prefix matching (SURVEY B3): docs whose text
+    contains a token starting with 'merg'. Served from the '#'-marked
+    edge-prefix terms of a sayt-enabled index. For alnum prefixes a
+    shingle can only start with the prefix if its first token does, so
+    the SQL oracle is a plain token LIKE check."""
+    import ray.data
+
+    idx = os.path.join(CACHE_ROOT, f"saytidx_{_tag(sf_dir)}")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        idx,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("text",),
+        sayt_cols=("text",),
+        num_buckets=8,
+    )
+    r = _IndexReader()(idx)
+    ids = np.sort(r.term_docs("text", "#merg")).astype("int64")
+    return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
+
+
+def _IndexReader():
+    from .query.engine import IndexReader
+
+    return IndexReader
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling-window aggregate over the events stream (the engine's
+    stream-shaped operator: partition by key, hourly windows within
+    the sorted group). Exact aggregates only (count/max) so float
+    summation order cannot differ from the oracle."""
+    import ray.data
+
+    def window_agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        # normalize the timestamp unit explicitly (Ray blocks keep
+        # datetime64[us]; plain pandas often uses [ns])
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        win = (us // (3_600 * 1_000_000)).astype("int64")
+        out = g.groupby(win).agg(
+            n_events=("event_id", "count"), max_value=("value", "max")
+        )
+        out.index.name = "window_hour"
+        out = out.reset_index()
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "window_hour", "n_events", "max_value"]]
+
+    window_agg.__name__ = "window_agg"
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    out = ds.groupby("user_id").map_groups(window_agg, batch_format="pandas").to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["user_id", "window_hour"]).reset_index(drop=True)
+
+
 _JACCARD_SQL_CORE = (
     "WITH s AS (SELECT doc_id,"
     " list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks FROM documents)"
@@ -543,6 +604,15 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes"
         " FROM documents ORDER BY doc_id"
     ),
+    "sayt_prefix_docs": (
+        f"WITH {TOKS_CTE}"
+        " SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'merg%' ORDER BY doc_id"
+    ),
+    "events_window": (
+        "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS window_hour,"
+        " count(*) AS n_events, max(value) AS max_value"
+        " FROM events GROUP BY user_id, window_hour ORDER BY user_id, window_hour"
+    ),
     # simhash_pairs / fingerprint_stats / ann_ivf_topk: hash- or
     # centroid-defined, not SQL-expressible -> rows-only driver check;
     # exactness is pytest-gated against brute force instead
@@ -572,4 +642,6 @@ QUERIES = {
     "quality_score": q_quality_score,
     "fingerprint_stats": q_fingerprint_stats,
     "multimodal_meta": q_multimodal_meta,
+    "sayt_prefix_docs": q_sayt_prefix_docs,
+    "events_window": q_events_window,
 }
