@@ -150,6 +150,11 @@ def apply_updates(
     man = load_manifest(index_dir)
     if man is None or not man.data.get("phases", {}).get("docs", {}).get("committed"):
         raise FileNotFoundError(f"no committed index at {index_dir}")
+    if man.data.get("layout", "hash") != "hash":
+        raise NotImplementedError(
+            "apply_updates currently supports the hash-bucket layout only; "
+            "scan-layout indexes need the key-index join (rebuild instead)"
+        )
     num_buckets = int(man.data["num_buckets"])
     text_cols = tuple(man.data.get("text_cols", ["text"]))
     id_is_int = bool(man.data.get("id_is_int", False))
