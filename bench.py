@@ -116,6 +116,9 @@ def run_bench() -> dict:
     )
     from ray.data import DataContext
 
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)  # schema-mismatch noise
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     # per-operator resource reservation starves chained pipelines when

@@ -29,8 +29,11 @@ def _ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        import logging
+
         from ray.data import DataContext
 
+        logging.getLogger("ray.data").setLevel(logging.ERROR)
         DataContext.get_current().enable_progress_bars = False
     return ray
 

@@ -301,6 +301,15 @@ class IndexReader:
         avgdl = self.field_avgdl(field)
         qcounts = Counter(self.field_terms(query, field))
         postings = self.load_postings(sorted(qcounts))
+        return self._exact_topk(qcounts, postings, avgdl, k)
+
+    def _exact_topk(
+        self,
+        qcounts: Counter,
+        postings: dict[str, TermPostings],
+        avgdl: float,
+        k: int,
+    ) -> list[tuple[int, float]]:
         parts_ids, parts_scores = [], []
         for term in sorted(qcounts):
             p = postings.get(term)
@@ -364,6 +373,13 @@ class IndexReader:
         terms = [t for t in sorted(qcounts) if t in postings]
         if not terms:
             return []
+        # adaptive gate: when EVERY query term is Zipf-head (df a large
+        # fraction of the corpus), scores are densely clustered and
+        # block bounds cannot skip anything — the exact TAAT kernel is
+        # cheaper than seeding + candidate gathering. Results are
+        # identical either way (both paths are exact).
+        if min(postings[t].df for t in terms) > 0.2 * self.n_docs:
+            return self._exact_topk(qcounts, postings, avgdl, k)
         # sound per-block score bound: tf_norm is increasing in tf and
         # decreasing in dl -> norm(tf,dl) <= norm(max_tf, min_dl)
         bounds = {
