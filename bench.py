@@ -46,17 +46,52 @@ BENCH_QUERIES = [
 ]
 
 
-def _expanded_pages(sf_dir: str, factor: int, doclen_x: int = 8) -> str:
-    """Deterministic xfactor expansion of the documents table into a
-    pages corpus (cached; generation is untimed). ``doclen_x``
-    paragraphs per page bring doc length to realistic web-page size
-    (~400-500 tokens) so per-doc compute, not scheduling overhead,
-    dominates the measured build."""
+def _gen_replica_file(sf_dir: str, out: str, k: int, factor: int, doclen_x: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from raybm25.extract import render_html
     from raybm25.fixtures import EPOCH_US
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    n_src = len(ids)
+    urls, tss, htmls, otexts, olangs = [], [], [], [], []
+    for d, t, lg in zip(ids, texts, langs):
+        u = f"doc://{d}/r{k}"
+        paras = [f"{t} replica{k} v{(d + j) % 13} p{j}" for j in range(doclen_x)]
+        # vary paragraph mix deterministically with neighbor docs
+        paras.append(texts[(d * 7 + k) % n_src])
+        txt = "\n\n".join(paras)
+        urls.append(u)
+        tss.append(EPOCH_US + d * factor + k)
+        htmls.append(render_html(txt, u))
+        otexts.append(txt)
+        olangs.append(lg)
+    tbl = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(otexts, pa.string()),
+            "lang": pa.array(olangs, pa.string()),
+        }
+    )
+    tmp = os.path.join(out, f"part-{k:04d}.parquet.tmp")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(out, f"part-{k:04d}.parquet"))
+
+
+def _expanded_pages(sf_dir: str, factor: int, doclen_x: int = 8) -> str:
+    """Deterministic xfactor expansion of the documents table into a
+    pages corpus (cached; generation is untimed and parallelized with
+    Ray tasks — one file per replica round, so reads parallelize too).
+    ``doclen_x`` paragraphs per page bring doc length to realistic
+    web-page size (~400-500 tokens) so per-doc compute, not scheduling
+    overhead, dominates the measured build."""
+    import ray
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out = os.path.join(BENCH_ROOT, f"pages_{tag}_x{factor}_l{doclen_x}")
@@ -64,36 +99,8 @@ def _expanded_pages(sf_dir: str, factor: int, doclen_x: int = 8) -> str:
     if os.path.exists(done_marker):
         return out
     os.makedirs(out, exist_ok=True)
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-    ids = docs.column("doc_id").to_pylist()
-    texts = docs.column("text").to_pylist()
-    langs = docs.column("lang").to_pylist()
-    n_src = len(ids)
-    # one file per replica round: a directory of files reads with one
-    # Ray task per file — a single giant file would serialize the read
-    for k in range(factor):
-        urls, tss, htmls, otexts, olangs = [], [], [], [], []
-        for d, t, lg in zip(ids, texts, langs):
-            u = f"doc://{d}/r{k}"
-            paras = [f"{t} replica{k} v{(d + j) % 13} p{j}" for j in range(doclen_x)]
-            # vary paragraph mix deterministically with neighbor docs
-            paras.append(texts[(d * 7 + k) % n_src])
-            txt = "\n\n".join(paras)
-            urls.append(u)
-            tss.append(EPOCH_US + d * factor + k)
-            htmls.append(render_html(txt, u))
-            otexts.append(txt)
-            olangs.append(lg)
-        tbl = pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "warc_ts": pa.array(tss, pa.timestamp("us")),
-                "html": pa.array(htmls, pa.binary()),
-                "text": pa.array(otexts, pa.string()),
-                "lang": pa.array(olangs, pa.string()),
-            }
-        )
-        pq.write_table(tbl, os.path.join(out, f"part-{k:04d}.parquet"))
+    gen = ray.remote(_gen_replica_file)
+    ray.get([gen.remote(sf_dir, out, k, factor, doclen_x) for k in range(factor)])
     with open(done_marker, "w") as f:
         f.write("ok")
     return out
