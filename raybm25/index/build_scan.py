@@ -451,3 +451,45 @@ def build_index_scan(
     metrics["n_postings"] = man.data["phases"]["postings"]["n_postings"]
     metrics["docs_per_sec"] = metrics["n_docs"] / metrics["total_secs"]
     return metrics
+
+
+def rebuild_postings_scan(index_dir: str) -> dict:
+    """Re-derive the postings of a scan-layout index from its committed
+    docstore partitions (the post-update re-index; dead-lists remain
+    valid because updates neither add nor remove documents)."""
+    man = load_manifest(index_dir)
+    if man is None or man.data.get("layout") != "scan":
+        raise FileNotFoundError(f"no scan-layout index at {index_dir}")
+    docs_dir = os.path.join(index_dir, DOCS_SUBDIR)
+    stats_dir = os.path.join(index_dir, DOCS_STATS_SUBDIR)
+    postings_dir = os.path.join(index_dir, POSTINGS_SUBDIR)
+    dead_dir = os.path.join(index_dir, DEAD_SUBDIR)
+    n_parts = int(man.data["num_buckets"])
+    text_cols = tuple(man.data.get("text_cols", ["text"]))
+    keyword_cols = tuple(man.data.get("keyword_cols", []))
+
+    files_ds = ray.data.from_items(
+        [{"pidx": i} for i in range(n_parts)], override_num_blocks=n_parts
+    )
+    partials = files_ds.map_batches(
+        _TokenizePart(
+            docs_dir=docs_dir,
+            dead_dir=dead_dir,
+            stats_dir=stats_dir,
+            text_cols=text_cols,
+            keyword_cols=keyword_cols,
+            range_shift=int(man.data["range_shift"]),
+            num_shards=int(man.data["num_shards"]),
+        ),
+        batch_format="pyarrow",
+    )
+    if os.path.isdir(postings_dir):
+        shutil.rmtree(postings_dir)
+    os.makedirs(postings_dir, exist_ok=True)
+    shard_stats = (
+        partials.groupby("shard")
+        .map_groups(_MergeShard(postings_dir), batch_format="pyarrow")
+        .to_pandas()
+    )
+    _commit_build(man, stats_dir, text_cols, ..., shard_stats)
+    return {"n_postings": man.data["phases"]["postings"]["n_postings"]}

@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 
 from ..analysis import TOKEN_RE
 from ..hashing import hash64
-from ..index.build import DOCS_STATS_SUBDIR, DOCS_SUBDIR, rebuild_postings
+from ..index.build import DOCS_STATS_SUBDIR, DOCS_SUBDIR, ORD_SHIFT, rebuild_postings
 from ..index.manifest import atomic_write_parquet, load_manifest
 
 
@@ -150,11 +150,6 @@ def apply_updates(
     man = load_manifest(index_dir)
     if man is None or not man.data.get("phases", {}).get("docs", {}).get("committed"):
         raise FileNotFoundError(f"no committed index at {index_dir}")
-    if man.data.get("layout", "hash") != "hash":
-        raise NotImplementedError(
-            "apply_updates currently supports the hash-bucket layout only; "
-            "scan-layout indexes need the key-index join (rebuild instead)"
-        )
     num_buckets = int(man.data["num_buckets"])
     text_cols = tuple(man.data.get("text_cols", ["text"]))
     id_is_int = bool(man.data.get("id_is_int", False))
@@ -176,8 +171,18 @@ def apply_updates(
     df = df[valid].reset_index(drop=True)
     doc_id = _doc_ids_for(df[id_field].tolist(), id_is_int)
     df["doc_id"] = doc_id
-    df["__bucket"] = (doc_id % np.uint64(num_buckets)).astype(np.int32)
     df["__seq"] = np.arange(len(df), dtype=np.int64)
+
+    if man.data.get("layout", "hash") == "scan":
+        result = _apply_updates_scan(index_dir, man, df, id_field, text_cols)
+        result["skipped_no_id"] = skipped_no_id
+        if rebuild:
+            from ..index.build_scan import rebuild_postings_scan
+
+            rebuild_postings_scan(index_dir)
+        return result
+
+    df["__bucket"] = (doc_id % np.uint64(num_buckets)).astype(np.int32)
 
     stats = (
         ray.data.from_pandas(df)
@@ -226,3 +231,112 @@ def merge_document(index_dir: str, key, updates: dict, id_field: str | None = No
     row = {id_field: key, **updates}
     tbl = pa.Table.from_pylist([row])
     return apply_updates(index_dir, tbl, id_field)
+
+
+class _ApplyUpdateScanPart:
+    """One call per docstore partition of a scan-layout index: rows are
+    addressed by ORDINAL (resolved through the key index beforehand).
+    The partition's source fingerprint is dropped so a later
+    build-from-source rebuilds it instead of resuming over the edit."""
+
+    def __init__(self, docs_dir: str, id_field: str, text_cols: tuple[str, ...]):
+        self.__name__ = "ApplyUpdateScanPart"
+        self.docs_dir = docs_dir
+        self.id_field = id_field
+        self.text_cols = text_cols
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["__part"].iloc[0])
+        path = os.path.join(self.docs_dir, f"part={part:05d}.parquet")
+        docs = pq.read_table(path).to_pandas()
+        index_of = pd.Series(np.arange(len(docs)), index=docs["ordinal"].astype(np.uint64))
+        g = g.sort_values("__seq", kind="mergesort").drop_duplicates("ordinal", keep="last")
+        rows = index_of.reindex(g["ordinal"].astype(np.uint64)).to_numpy().astype(np.int64)
+
+        payload_cols = [
+            c
+            for c in g.columns
+            if c not in ("doc_id", "ordinal", "__part", "__seq", self.id_field)
+        ]
+        text_changed = False
+        for col in payload_cols:
+            vals = g[col]
+            provided = vals.notna().to_numpy()
+            if not provided.any():
+                continue
+            if col not in docs.columns:
+                docs[col] = None
+            docs.loc[docs.index[rows[provided]], col] = vals.to_numpy()[provided]
+            if col in self.text_cols:
+                text_changed = True
+        if text_changed and self.text_cols[0] in docs.columns and "texth" in docs.columns:
+            texts = docs[self.text_cols[0]].iloc[rows].astype(str).to_numpy(dtype=object)
+            docs.loc[docs.index[rows], "texth"] = hash64(texts)
+        atomic_write_parquet(pa.Table.from_pandas(docs, preserve_index=False), path)
+        fp = path + ".src.json"
+        if os.path.exists(fp):
+            os.remove(fp)  # partition no longer derivable from its source file
+        return pd.DataFrame({"part": [part], "updated": [int(len(g))]})
+
+
+def _apply_updates_scan(
+    index_dir: str, man, df: pd.DataFrame, id_field: str, text_cols: tuple[str, ...]
+) -> dict:
+    """Scan-layout update join: doc keys -> winning ordinals through the
+    hash-partitioned key index, then per-partition rewrites. Only the
+    key-index buckets the updates hash to are read."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..index.build_scan import KEYIDX_SUBDIR
+
+    key_buckets = int(man.data["key_buckets"])
+    ids = df["doc_id"].to_numpy().astype(np.uint64)
+    kbs = np.unique(ids % np.uint64(key_buckets))
+    paths = [
+        os.path.join(index_dir, KEYIDX_SUBDIR, f"kb={int(b):05d}.parquet") for b in kbs
+    ]
+    paths = [p for p in paths if os.path.exists(p)]
+    if paths:
+        idx = (
+            pads.dataset(paths)
+            .to_table(filter=pads.field("doc_id").isin(ids))
+            .to_pandas()
+        )
+    else:
+        idx = pd.DataFrame({"doc_id": [], "ordinal": []})
+    idx["doc_id"] = idx["doc_id"].astype(np.uint64)
+    joined = df.merge(idx, on="doc_id", how="left")
+    # page-order last-wins per key BEFORE counting missing
+    joined = joined.sort_values("__seq", kind="mergesort").drop_duplicates(
+        "doc_id", keep="last"
+    )
+    missing = int(joined["ordinal"].isna().sum())
+    joined = joined[joined["ordinal"].notna()].copy()
+    if not len(joined):
+        return {"updated": 0, "missing": missing}
+    joined["ordinal"] = joined["ordinal"].astype(np.uint64)
+    joined["__part"] = (
+        joined["ordinal"].to_numpy() >> np.uint64(ORD_SHIFT)
+    ).astype(np.int32)
+    stats = (
+        ray.data.from_pandas(joined.reset_index(drop=True))
+        .groupby("__part")
+        .map_groups(
+            _ApplyUpdateScanPart(
+                docs_dir=os.path.join(index_dir, DOCS_SUBDIR),
+                id_field=id_field,
+                text_cols=text_cols,
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    man.data["phases"]["docs"]["updates_applied"] = (
+        man.data["phases"]["docs"].get("updates_applied", 0) + 1
+    )
+    man.commit()
+    return {
+        "updated": int(stats["updated"].sum()) if len(stats) else 0,
+        "missing": missing,
+    }

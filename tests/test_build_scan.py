@@ -102,3 +102,50 @@ def test_scan_per_file_resume(ray_session, tmp_path):
         assert os.path.getmtime(os.path.join(idx, "docs", f"part=0000{i}.parquet")) == old
     r2 = [IndexReader(idx).search(q["query_text"], q["k"]) for q in make_queries()]
     assert r1 == r2
+
+
+def test_scan_layout_updates(ray_session, tmp_path):
+    """J2 updates on a scan-layout index: key-index join resolves
+    ordinals, shallow merge + NULL-preserve, missing counted, postings
+    rebuilt so new text is searchable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from raybm25.hashing import hash64
+    from raybm25.loader.update import apply_updates
+
+    files = []
+    for i in range(3):
+        tbl = pa.table(
+            {
+                "url": [f"u{i}_{j}" for j in range(20)],
+                "text": [f"alpha beta item{i}x{j}" for j in range(20)],
+                "lang": ["en"] * 20,
+            }
+        )
+        p = str(tmp_path / f"f{i}.parquet")
+        pq2.write_table(tbl, p)
+        files.append(p)
+    idx = str(tmp_path / "idx")
+    build_index_scan(files, idx, key_col="url", ts_col=None, keyword_cols=("lang",),
+                     postings_shards=8, range_parts=1, key_buckets=4)
+    updates = pa.table(
+        {
+            "url": ["u1_3", "u2_7", "u1_3", "ghost"],
+            "lang": ["fr", None, "it", "xx"],
+            "text": [None, "gamma delta", None, None],
+        }
+    )
+    res = apply_updates(idx, updates, "url")
+    assert res["missing"] == 1
+    assert res["updated"] == 2  # u1_3 (last wins) + u2_7
+    r = IndexReader(idx)
+    a, b = hash64(np.array(["u1_3", "u2_7"], dtype=object))
+    got = r.get_docs(np.array([a, b], dtype=np.uint64)).to_pandas().set_index("url")
+    assert got.loc["u1_3", "lang"] == "it"
+    assert got.loc["u1_3", "text"] == "alpha beta item1x3"  # NULL preserves
+    assert got.loc["u2_7", "text"] == "gamma delta"
+    assert got.loc["u2_7", "lang"] == "en"  # untouched preserved
+    hits = {int(d) for d, _ in r.search("gamma", 10)}
+    assert int(b) in hits  # postings rebuilt
+    assert not any(int(d) == int(b) for d, _ in r.search("item2x7", 10))
