@@ -15,7 +15,7 @@ import pandas as pd
 from .adapters import pages_parquet_for
 from .contract import CACHE_ROOT
 from .fixtures import make_queries
-from .index.build import build_index
+from .index.build_scan import build_index_scan
 from .query.engine import BatchSearcher
 
 
@@ -25,14 +25,16 @@ def run_flagship(sf_dir: str, *, index_root: str | None = None, concurrency: int
     root = index_root or os.path.join(CACHE_ROOT, "flagship")
     pages = pages_parquet_for(sf_dir, os.path.join(CACHE_ROOT, "pages"))
     index_dir = os.path.join(root, f"idx_{os.path.basename(os.path.normpath(sf_dir))}")
-    build_index(
+    # scan layout: the north-star build (text never shuffles)
+    build_index_scan(
         pages,
         index_dir,
         key_col="url",
         ts_col="warc_ts",
         extract_html=True,
         keyword_cols=("lang",),
-        num_buckets=16,
+        postings_shards=16,
+        key_buckets=8,
     )
     queries_ds = ray.data.from_items(make_queries())
     results = queries_ds.map_batches(

@@ -127,6 +127,8 @@ def _pairs_to_rows(
     lists) rows. Pairs must arrive sorted by (term, ordinal)."""
     if pair_terms.size == 0:
         return None
+    if pair_terms.size >= (1 << 31):
+        raise ValueError("batch produced >2^31 postings pairs; lower batch_size")
     ranges = (pair_ids >> range_shift).astype(np.int64)
     term_chg = np.empty(pair_terms.size, dtype=bool)
     term_chg[0] = True

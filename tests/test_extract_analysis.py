@@ -41,3 +41,42 @@ def test_sayt_expand():
     terms = sayt_expand(["ab", "cd"], max_shingle=2, max_prefix=3)
     assert "ab cd" in terms
     assert "#a" in terms and "#ab" in terms and "#ab " in terms
+
+
+def test_arrow_tokenize_matches_python():
+    """arrow_tokenize must produce the same token streams as the Python
+    analyzer (the engine/oracle/SQL shared definition) for ASCII text;
+    property-tested over adversarial strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from raybm25.analysis import arrow_tokenize, tokenize
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    @settings(max_examples=150, deadline=None)
+    def check(texts):
+        tid, terms, doc_pos, dl = arrow_tokenize(pa.array(texts, pa.string()))
+        got = [[] for _ in texts]
+        for t, d in zip(tid, doc_pos):
+            got[d].append(terms[t])
+        expected = [tokenize(t) for t in texts]
+        assert got == expected
+        assert dl.tolist() == [len(e) for e in expected]
+
+    check()
+
+
+def test_arrow_tokenize_nulls_and_empties():
+    from raybm25.analysis import arrow_tokenize
+
+    tid, terms, doc_pos, dl = arrow_tokenize(pa.array([None, "", "a b", "!!"], pa.string()))
+    assert dl.tolist() == [0, 0, 2, 0]
+    assert [terms[t] for t in tid] == ["a", "b"]
