@@ -23,7 +23,11 @@ from . import BM25_B, BM25_K1
 from .analysis import tokenize
 from .index.build import POSTINGS_SUBDIR, build_index
 
-CACHE_ROOT = "/tmp/raybm25_cache"
+from . import __version__ as _ver
+
+# versioned cache: a future round changing the index format must not
+# read stale /tmp artifacts from a previous round
+CACHE_ROOT = f"/tmp/raybm25_cache_{_ver}"
 
 TOKS_CTE = (
     "toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))"
