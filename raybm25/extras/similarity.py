@@ -2,23 +2,49 @@
 
 - Brute-force cosine top-k: numpy matmul per batch against a broadcast
   query matrix (``ray.put`` once, read per actor) — the baseline.
-- IVF (inverted-file) ANN: vectors assigned to their nearest centroid
-  (deterministic centroids = the first C vectors, one refinement
-  sweep); queries probe the P nearest centroid buckets. nprobe=C
-  degrades to exact search (tested equal to brute force).
+- Blocked all-pairs near-dup: normalized vectors are written into
+  ``vec_id % B`` block files once, then every block pair (i <= j) is
+  scored by an actor-pool matmul — O(n^2) work split into O(B^2)
+  bounded-memory tasks, nothing materializes on the driver
+  (VERDICT r1 "Next round" #4).
+- IVF (inverted-file) ANN, bucketed + file-backed (VERDICT r1 #3):
+  centroids are trained driver-side on a small deterministic sample
+  (the lowest ``train_sample`` vec_ids — standard IVF practice at
+  scale), assignment is a distributed ``map_batches`` against the
+  broadcast centroids, and each centroid's vectors land in their own
+  parquet bucket file. Queries read ONLY the probed bucket files (the
+  postings-shard reader pattern). nprobe=C degrades to exact search
+  (tested equal to brute force).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..util import auto_concurrency
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+def _emb_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:  # fixed-width lists flatten zero-copy
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        dim = len(col[0])
+        return flat.reshape(len(col), dim).astype(np.float64, copy=False)
+    except Exception:
+        return np.array(col.to_pylist(), dtype=np.float64)
 
 
 class CosineTopK:
@@ -37,7 +63,7 @@ class CosineTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        emb = np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float64)
+        emb = _emb_matrix(batch, self.vec_col)
         sims = _normalize(emb) @ self.qmat.T  # (n, Q)
         k = min(self.k, len(ids))
         top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, Q)
@@ -68,7 +94,7 @@ def cosine_topk(ds, queries: dict[int, list[float]], k: int = 20,
         CosineTopK,
         fn_constructor_kwargs={"queries_ref": qref, "k": k, "vec_col": vec_col},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=auto_concurrency(),
     ).to_pandas()
     out = []
     for qid, g in cand.groupby("query_id"):
@@ -89,32 +115,270 @@ def cosine_topk(ds, queries: dict[int, list[float]], k: int = 20,
     )
 
 
-def ivf_build(ds, n_centroids: int = 8, vec_col: str = "embedding") -> dict:
-    """Deterministic IVF structure: centroids = first C vectors refined
-    by one mean sweep; returns {centroids, assignments df}."""
-    df = ds.select_columns(["vec_id", vec_col]).to_pandas()
-    mat = _normalize(np.array(df[vec_col].tolist(), dtype=np.float64))
-    ids = df["vec_id"].to_numpy()
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
+# ------------------------------------------------------- blocked near-dup
+def _norm_block_stage(batch: pa.Table, vec_col: str, n_blocks: int) -> pa.Table:
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _normalize(_emb_matrix(batch, vec_col))
+    dim = mat.shape[1] if mat.size else 0
+    offsets = np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int64)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "blk": pa.array((ids % n_blocks).astype(np.int32), pa.int32()),
+            "vec": pa.LargeListArray.from_arrays(
+                offsets, pa.array(mat.ravel(), pa.float64())
+            ),
+        }
+    )
+
+
+class _WriteVecBlock:
+    def __init__(self, blocks_dir: str):
+        self.__name__ = "WriteVecBlock"
+        self.blocks_dir = blocks_dir
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        from ..index.manifest import atomic_write_parquet
+
+        blk = int(g.column("blk")[0].as_py())
+        g = g.sort_by("vec_id").drop_columns(["blk"])
+        atomic_write_parquet(g, os.path.join(self.blocks_dir, f"blk={blk:05d}.parquet"))
+        return pa.table(
+            {"blk": pa.array([blk], pa.int32()), "rows": pa.array([g.num_rows], pa.int64())}
+        )
+
+
+def _load_block(blocks_dir: str, blk: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(blocks_dir, f"blk={blk:05d}.parquet"))
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    vec = tbl.column("vec").combine_chunks()
+    flat = vec.values.to_numpy(zero_copy_only=False)
+    dim = flat.size // max(1, ids.size)
+    return ids, flat.reshape(ids.size, dim)
+
+
+class BlockPairScorer:
+    """Actor-pool stage over (bi, bj) block-pair rows: one matmul per
+    pair, emit (vec_a < vec_b) with cosine >= threshold. Per-actor LRU
+    keeps recently used blocks loaded."""
+
+    def __init__(self, blocks_dir: str, threshold: float, max_cached: int = 8):
+        self.blocks_dir = blocks_dir
+        self.threshold = threshold
+        self.max_cached = max_cached
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _block(self, b: int):
+        got = self._cache.get(b)
+        if got is None:
+            got = _load_block(self.blocks_dir, b)
+            while len(self._cache) >= self.max_cached:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[b] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for bi, bj in zip(
+            batch.column("bi").to_pylist(), batch.column("bj").to_pylist()
+        ):
+            ids_i, mat_i = self._block(int(bi))
+            ids_j, mat_j = self._block(int(bj))
+            if not ids_i.size or not ids_j.size:
+                continue
+            sims = mat_i @ mat_j.T
+            if bi == bj:
+                ii, jj = np.triu_indices(ids_i.size, 1)
+                keep = sims[ii, jj] >= self.threshold
+                ii, jj = ii[keep], jj[keep]
+            else:
+                ii, jj = np.nonzero(sims >= self.threshold)
+            a = ids_i[ii]
+            b = ids_j[jj]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            out_a.extend(lo.tolist())
+            out_b.extend(hi.tolist())
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+            }
+        )
+
+
+def embedding_neardup_pairs(
+    ds,
+    threshold: float,
+    vec_col: str = "embedding",
+    work_dir: str | None = None,
+    block_rows: int = 4096,
+) -> pd.DataFrame:
+    """All-pairs cosine >= threshold, blocked: O(B^2) bounded tasks over
+    normalized block files instead of a driver-side n x n matmul."""
+    import ray.data
+
+    work_dir = work_dir or tempfile.mkdtemp(prefix="raybm25_neardup_", dir="/tmp")
+    blocks_dir = os.path.join(work_dir, "blocks")
+    if os.path.isdir(blocks_dir):  # stale blocks from a prior run
+        import shutil
+
+        shutil.rmtree(blocks_dir)
+    os.makedirs(blocks_dir, exist_ok=True)
+    n = ds.count()
+    n_blocks = max(1, -(-n // block_rows))
+    stats = (
+        ds.map_batches(
+            _norm_block_stage,
+            batch_format="pyarrow",
+            fn_kwargs={"vec_col": vec_col, "n_blocks": n_blocks},
+        )
+        .groupby("blk")
+        .map_groups(_WriteVecBlock(blocks_dir), batch_format="pyarrow")
+        .to_pandas()
+    )
+    present = sorted(stats["blk"].tolist())
+    items = [
+        {"bi": i, "bj": j} for ix, i in enumerate(present) for j in present[ix:]
+    ]
+    if not items:
+        return pd.DataFrame(
+            {"vec_a": pd.array([], dtype="int64"), "vec_b": pd.array([], dtype="int64")}
+        )
+    pairs = (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(
+            BlockPairScorer,
+            fn_constructor_kwargs={"blocks_dir": blocks_dir, "threshold": threshold},
+            batch_format="pyarrow",
+            concurrency=auto_concurrency(),
+        )
+        .to_pandas()
+    )
+    if not len(pairs):
+        return pd.DataFrame(
+            {"vec_a": pd.array([], dtype="int64"), "vec_b": pd.array([], dtype="int64")}
+        )
+    out = pairs.astype("int64")
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------- IVF ANN
+def _lowest_id_sample(ds, vec_col: str, n: int) -> pd.DataFrame:
+    """Deterministic training sample: the n lowest vec_ids, found with a
+    per-batch partial cut + a tiny driver reduce (no full sort)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows > n:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            keep = np.argsort(ids, kind="stable")[:n]
+            batch = batch.take(pa.array(np.sort(keep)))
+        return batch.select(["vec_id", vec_col])
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="mergesort").head(n)
+    return cand.reset_index(drop=True)
+
+
+def _train_centroids(sample: pd.DataFrame, vec_col: str, n_centroids: int,
+                     sweeps: int = 2) -> np.ndarray:
+    mat = _normalize(np.array(sample[vec_col].tolist(), dtype=np.float64))
     cent = mat[:n_centroids].copy()
-    for _ in range(2):  # fixed sweeps, deterministic
+    for _ in range(sweeps):  # fixed sweeps, deterministic
         assign = np.argmax(mat @ cent.T, axis=1)
         for c in range(n_centroids):
             m = assign == c
             if m.any():
                 cent[c] = _normalize(mat[m].mean(axis=0, keepdims=True))[0]
-    assign = np.argmax(mat @ cent.T, axis=1)
-    return {"centroids": cent, "vec_ids": ids, "vectors": mat, "assign": assign}
+    return cent
+
+
+class _AssignStage:
+    """map_batches stage: nearest-centroid assignment against the
+    broadcast centroid matrix (ray.put once, read per actor)."""
+
+    def __init__(self, cent_ref, vec_col: str):
+        import ray
+
+        self.cent = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_emb_matrix(batch, self.vec_col))
+        assign = np.argmax(mat @ self.cent.T, axis=1).astype(np.int32)
+        dim = mat.shape[1] if mat.size else 0
+        offsets = np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "blk": pa.array(assign, pa.int32()),
+                "vec": pa.LargeListArray.from_arrays(
+                    offsets, pa.array(mat.ravel(), pa.float64())
+                ),
+            }
+        )
+
+
+def ivf_build(
+    ds,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    index_dir: str | None = None,
+    train_sample: int = 4096,
+) -> dict:
+    """Bucketed, file-backed IVF index: per-centroid parquet bucket
+    files + a centroids sidecar. No full-vector materialization on the
+    driver — only the bounded training sample."""
+    import ray
+    import ray.data  # noqa: F401
+
+    index_dir = index_dir or tempfile.mkdtemp(prefix="raybm25_ivf_", dir="/tmp")
+    buckets_dir = os.path.join(index_dir, "buckets")
+    if os.path.isdir(buckets_dir):  # stale buckets from a prior build
+        import shutil
+
+        shutil.rmtree(buckets_dir)
+    os.makedirs(buckets_dir, exist_ok=True)
+
+    sample = _lowest_id_sample(ds, vec_col, train_sample)
+    cent = _train_centroids(sample, vec_col, n_centroids)
+    cent_ref = ray.put(cent)
+
+    ds.map_batches(
+        _AssignStage,
+        fn_constructor_kwargs={"cent_ref": cent_ref, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=auto_concurrency(),
+    ).groupby("blk").map_groups(
+        _WriteVecBlock(buckets_dir), batch_format="pyarrow"
+    ).materialize()
+
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    return {"index_dir": index_dir, "centroids": cent, "n_centroids": n_centroids}
 
 
 def ivf_search(ivf: dict, query: np.ndarray, k: int = 10, nprobe: int = 2):
-    """Probe the nprobe nearest buckets, exact within. Returns
-    [(vec_id, score)] ties broken by vec_id asc."""
+    """Probe the nprobe nearest centroid buckets — reading ONLY those
+    bucket files — exact cosine within. Returns [(vec_id, score)], ties
+    broken by vec_id asc."""
+    cent = ivf["centroids"]
+    buckets_dir = os.path.join(ivf["index_dir"], "buckets")
     q = query / (np.linalg.norm(query) or 1.0)
-    cent_order = np.argsort(-(ivf["centroids"] @ q))[:nprobe]
-    mask = np.isin(ivf["assign"], cent_order)
-    ids = ivf["vec_ids"][mask]
-    sims = ivf["vectors"][mask] @ q
+    probe = np.argsort(-(cent @ q))[:nprobe]
+    ids_parts, sim_parts = [], []
+    for b in probe:
+        path = os.path.join(buckets_dir, f"blk={int(b):05d}.parquet")
+        if not os.path.exists(path):
+            continue  # centroid won no vectors
+        ids, mat = _load_block(buckets_dir, int(b))
+        ids_parts.append(ids)
+        sim_parts.append(mat @ q)
+    if not ids_parts:
+        return []
+    ids = np.concatenate(ids_parts)
+    sims = np.concatenate(sim_parts)
     order = np.lexsort((ids, -sims))[:k]
     return [(int(ids[i]), float(sims[i])) for i in order]

@@ -19,14 +19,25 @@ import pandas as pd
 
 HASH_IMPL = "pandas-siphash13/raybm25-doc-key-1"
 _HASH_KEY = "raybm25_dockey16"  # exactly 16 bytes
+_HASH_KEY_B = "raybm25_witness2"  # independent witness key (collision check)
 
 assert len(_HASH_KEY) == 16
+assert len(_HASH_KEY_B) == 16
 
 
 def hash64(strings) -> np.ndarray:
     """Vectorized stable uint64 hash of a string array-like."""
     arr = np.asarray(strings, dtype=object)
     return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
+
+
+def hash64b(strings) -> np.ndarray:
+    """Second, independently-keyed hash: paired with :func:`hash64` as a
+    collision witness (two texts matching on BOTH 64-bit hashes are
+    treated as equal; the joint false-match probability is ~2**-128 per
+    pair)."""
+    arr = np.asarray(strings, dtype=object)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY_B, categorize=False)
 
 
 def bucket_of(doc_keys, num_buckets: int) -> np.ndarray:

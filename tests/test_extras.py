@@ -129,3 +129,98 @@ def test_lang_id_deterministic_tiebreak():
     )
     out = lang_id_batch(tbl)
     assert out.column("pred_lang").to_pylist() == ["de", "und"]
+
+
+def test_lsh_pipeline_never_materializes_text(ray_session, monkeypatch, tmp_path):
+    """VERDICT r1 #1 'done' gate: no dataset carrying the text column is
+    ever pulled to the driver by the LSH near-dup pipeline."""
+    import ray.data
+
+    from raybm25.extras.dedup import minhash_lsh_pairs
+
+    seen_schemas = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        try:
+            seen_schemas.append(set(self.schema().names))
+        except Exception:
+            seen_schemas.append(set())
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    out = minhash_lsh_pairs(_docs_ds(), threshold=0.95, work_dir=str(tmp_path))
+    assert len(out) > 0
+    assert all("text" not in cols for cols in seen_schemas)
+
+
+def test_exact_dedup_streaming(ray_session):
+    import ray.data
+
+    from raybm25.extras.dedup import exact_dedup
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 3, 2, 9, 7], pa.int64()),
+            "text": ["same", "same", "other", "same", "other", "unique"],
+        }
+    )
+    out = exact_dedup(ray.data.from_arrow(tbl)).to_pandas().sort_values("doc_id")
+    # min doc_id wins per distinct text
+    assert out["doc_id"].tolist() == [1, 3, 7]
+
+
+def test_ivf_is_file_backed(ray_session, tmp_path):
+    import os
+
+    from raybm25.extras.similarity import ivf_build
+
+    ivf = ivf_build(_emb_ds(), n_centroids=4, index_dir=str(tmp_path))
+    buckets = sorted(os.listdir(os.path.join(str(tmp_path), "buckets")))
+    assert buckets and all(b.startswith("blk=") for b in buckets)
+    assert os.path.exists(os.path.join(str(tmp_path), "centroids.npy"))
+
+
+def test_blocked_neardup_matches_brute_force(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from raybm25.extras.similarity import embedding_neardup_pairs
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.array(emb.column("vec_id").to_pylist())
+    mat = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(ids), 1)
+    keep = sims[iu] >= 0.45
+    a = np.minimum(ids[iu[0][keep]], ids[iu[1][keep]])
+    b = np.maximum(ids[iu[0][keep]], ids[iu[1][keep]])
+    want = sorted(zip(a.tolist(), b.tolist()))
+
+    got = embedding_neardup_pairs(
+        _emb_ds(), threshold=0.45, work_dir=str(tmp_path), block_rows=16
+    )
+    assert sorted(zip(got["vec_a"], got["vec_b"])) == want
+
+
+def test_simhash_distributed_matches_reference_kernel(ray_session):
+    """The distributed slice-bucket path must equal the brute-force
+    pairs for distances the 4-slice pigeonhole guarantees (<= 3)."""
+    import ray.data
+
+    from raybm25.extras.dedup import SimHashStage, popcount64, simhash_pairs
+
+    docs = _docs_ds().to_pandas().head(120)
+    tbl = pa.Table.from_pandas(docs, preserve_index=False)
+    sig = SimHashStage()(tbl)
+    ids = sig.column("doc_id").to_numpy(zero_copy_only=False)
+    sigs = sig.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    iu = np.triu_indices(len(ids), 1)
+    ham = popcount64(sigs[iu[0]] ^ sigs[iu[1]])
+    keep = ham <= 3
+    want = sorted(
+        (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+        for i, j in zip(iu[0][keep], iu[1][keep])
+    )
+    got = simhash_pairs(ray.data.from_arrow(tbl), max_hamming=3)
+    assert sorted(zip(got["doc_a"], got["doc_b"])) == want
