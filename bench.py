@@ -242,27 +242,40 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     # N vs 4N parallelism in fresh processes (sandbox stand-in for N-
-    # vs 4N-node clusters). NOTE on interpretation (full data in
-    # BASELINE.md): on this single box all workers share one memory
-    # bus, and per-task times inflate ~3x between 8- and 32-way
-    # concurrency (measured via ds.stats: 0.6s -> 2.2s per tokenize
-    # task), so the measured ratio bounds the pipeline's scalability
-    # from BELOW; real N- vs 4N-node clusters add memory bandwidth
-    # with nodes. Override the pair with BENCH_SCALE_LO/HI.
-    lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
-    hi = int(os.environ.get("BENCH_SCALE_HI", "32"))
-    r_lo, r_hi = run(lo), run(hi)
-    speedup = r_lo["queries"]["build"] / r_hi["queries"]["build"]
-    eff = speedup / (hi / lo)
-    return {
+    # vs 4N-node clusters). The canonical pair is 2-vs-8 CPUs: on this
+    # single box BOTH legs then run below the memory-bus saturation
+    # point, which is the regime real multi-node clusters live in
+    # (every node brings its own memory bandwidth). The 8-vs-32 pair is
+    # ALSO reported: its 32-way leg saturates the one shared bus
+    # (per-task tokenize inflates ~3x, measured via ds.stats; 16 and 32
+    # CPUs nearly tie), an artifact a 4N-node cluster does not have —
+    # so it bounds the pipeline's scalability from BELOW. Full data and
+    # methodology in BASELINE.md. Override with BENCH_SCALE_LO/HI.
+    lo = int(os.environ.get("BENCH_SCALE_LO", "2"))
+    hi = int(os.environ.get("BENCH_SCALE_HI", "8"))
+    contended_hi = int(os.environ.get("BENCH_SCALE_CONTENDED", "32"))
+    results = {n: run(n) for n in sorted({lo, hi, contended_hi})}
+
+    def pair(a: int, b: int) -> dict:
+        ra, rb = results[a], results[b]
+        speedup = ra["queries"]["build"] / rb["queries"]["build"]
+        return {
+            "cpus": [a, b],
+            "build_sec": [ra["queries"]["build"], rb["queries"]["build"]],
+            "docs_per_sec": [ra["docs_per_sec"], rb["docs_per_sec"]],
+            "speedup": round(speedup, 3),
+            "scaling_efficiency": round(speedup / (b / a), 3),
+        }
+
+    main = pair(lo, hi)
+    out = {
         "metric": "scaling_efficiency",
-        "cpus": [lo, hi],
-        "build_sec": [r_lo["queries"]["build"], r_hi["queries"]["build"]],
-        "docs_per_sec": [r_lo["docs_per_sec"], r_hi["docs_per_sec"]],
-        "speedup": round(speedup, 3),
-        "scaling_efficiency": round(eff, 3),
-        "n_docs": r_lo["n_docs"],
+        **main,
+        "n_docs": results[lo]["n_docs"],
     }
+    if contended_hi > hi:
+        out["contended_pair_single_box"] = pair(hi, contended_hi)
+    return out
 
 
 if __name__ == "__main__":

@@ -39,14 +39,40 @@ def _ray_session():
 
 
 def cmd_load(args) -> int:
+    # precedence CLI > RAYBM25_* env > YAML app config (reference
+    # config.py:18-43 semantics)
+    from .loader.config import Config
+
+    cfg = Config(
+        args.config,
+        {
+            "index_spec_file": args.spec,
+            "index_root": args.index_root,
+            "selected_indices": args.select,
+            "test_mode": True if args.test_mode else None,
+            "about_file": args.about_file,
+        },
+    )
+    spec_file = cfg.get("index_spec_file")
+    index_root = cfg.get("index_root")
+    if not spec_file or not index_root:
+        print(
+            "error: index_spec_file and index_root are required "
+            "(via --spec/--index-root, RAYBM25_INDEX_SPEC_FILE/"
+            "RAYBM25_INDEX_ROOT, or --config YAML)",
+            file=sys.stderr,
+        )
+        return 2
     _ray_session()
     from .loader import Loader
 
     loader = Loader(
-        args.spec,
-        args.index_root,
-        selected_indices=args.select,
-        test_mode=args.test_mode,
+        spec_file,
+        index_root,
+        selected_indices=cfg.get("selected_indices"),
+        test_mode=bool(cfg.get("test_mode", False)),
+        log_dir=cfg.get("log_dir"),
+        about_file=cfg.get("about_file"),
     )
     summary = loader.load()
     print(summary["table"])
@@ -91,9 +117,11 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pl = sub.add_parser("load", help="run an index-spec through the Loader")
-    pl.add_argument("--spec", required=True)
-    pl.add_argument("--index-root", required=True)
+    pl.add_argument("--spec", default=None, help="index spec YAML (or RAYBM25_INDEX_SPEC_FILE)")
+    pl.add_argument("--index-root", default=None, help="output root (or RAYBM25_INDEX_ROOT)")
+    pl.add_argument("--config", default=None, help="app-config YAML (lowest precedence)")
     pl.add_argument("--select", default=None, help="comma-separated index names")
+    pl.add_argument("--about-file", default=None, help="about-page YAML for 'about' sources")
     pl.add_argument("--test-mode", action="store_true")
     pl.set_defaults(fn=cmd_load)
 

@@ -127,31 +127,67 @@ class _ScanExtractWrite:
                     | ({self.id_col} if self.id_col else set())
                 )
             tbl = pq.read_table(path, columns=cols)
-            df = tbl.to_pandas()
+            # Arrow-native throughout: no pandas round-trip, and the
+            # corpus text is materialized as Python strings exactly once
+            # (inside extraction / hashing) — allocator and memory-bus
+            # churn here was the measured single-node scaling limiter.
             if self.extract_html:
-                df[self.text_col] = [extract_text(h) for h in df["html"]]
-                df = df.drop(columns=["html"])
+                texts_list = [extract_text(h) for h in tbl.column("html").to_pylist()]
+                th = hash64(np.array(texts_list, dtype=object))
+                drop = ["html"] + (
+                    [self.text_col] if self.text_col in tbl.column_names else []
+                )
+                tbl = tbl.drop_columns(drop).append_column(
+                    self.text_col, pa.array(texts_list, pa.string())
+                )
+                del texts_list
+            else:
+                tcol = tbl.column(self.text_col)
+                if tcol.null_count:
+                    import pyarrow.compute as pc
+
+                    tcol = pc.fill_null(tcol, "")
+                th = hash64(tcol.to_numpy(zero_copy_only=False))
             if self.id_col is not None:
-                doc_id = df[self.id_col].to_numpy().astype(np.uint64)
+                doc_id = (
+                    tbl.column(self.id_col)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
             else:
-                doc_id = hash64(df[self.key_col].to_numpy(dtype=object))
-            df["doc_id"] = doc_id
-            th = hash64(df[self.text_col].astype(str).to_numpy(dtype=object))
-            df["__texth"] = th
-            sort_cols = ["doc_id"] + ([self.ts_col] if self.ts_col else []) + ["__texth"]
-            df = df.sort_values(sort_cols, kind="mergesort")
-            # in-file dedup: last write wins locally; cross-file via dead-list
-            df = df.drop_duplicates("doc_id", keep="last").reset_index(drop=True)
-            df["ordinal"] = (np.uint64(pidx) << np.uint64(ORD_SHIFT)) + np.arange(
-                len(df), dtype=np.uint64
-            )
-            keys = df[["doc_id", "ordinal", "__texth"]].copy()
+                doc_id = hash64(
+                    tbl.column(self.key_col).to_numpy(zero_copy_only=False)
+                )
             if self.ts_col:
-                keys["ts"] = df[self.ts_col].to_numpy()
+                ts = tbl.column(self.ts_col).to_numpy(zero_copy_only=False)
+                ts_sort = ts.view(np.int64)
             else:
-                keys["ts"] = np.int64(0)
-            store = df.rename(columns={"__texth": "texth"})
-            atomic_write_parquet(pa.Table.from_pandas(store, preserve_index=False), dest)
+                ts = np.zeros(len(doc_id), dtype=np.int64)
+                ts_sort = ts
+            # stable sort by (doc_id, ts, texth); in-file dedup keeps the
+            # LAST row per doc_id (last write wins locally; cross-file
+            # duplicates resolve via the dead-list stages)
+            order = np.lexsort((th, ts_sort, doc_id))
+            sorted_ids = doc_id[order]
+            last_in_run = np.empty(len(order), dtype=bool)
+            if len(order):
+                last_in_run[:-1] = sorted_ids[1:] != sorted_ids[:-1]
+                last_in_run[-1] = True
+            kept = order[last_in_run]
+            doc_id, th, ts = doc_id[kept], th[kept], ts[kept]
+            ordinal = (np.uint64(pidx) << np.uint64(ORD_SHIFT)) + np.arange(
+                len(kept), dtype=np.uint64
+            )
+            store = (
+                tbl.take(pa.array(kept))
+                .append_column("doc_id", pa.array(doc_id, pa.uint64()))
+                .append_column("texth", pa.array(th, pa.uint64()))
+                .append_column("ordinal", pa.array(ordinal, pa.uint64()))
+            )
+            keys = pd.DataFrame(
+                {"doc_id": doc_id, "ordinal": ordinal, "__texth": th, "ts": ts}
+            )
+            atomic_write_parquet(store, dest)
             tmp = fp_path + f".tmp-{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump(fp, f)
@@ -282,22 +318,47 @@ class _TokenizePart:
         return pa.concat_tables(tables)
 
 
-def _write_dead_lists(losers: pd.DataFrame, dead_dir: str) -> int:
-    """Stage 3 (driver-side — the loser set is ~dup-rate x corpus keys;
-    at full scale this is a groupby(part) over tiny rows)."""
-    os.makedirs(dead_dir, exist_ok=True)
-    if not len(losers):
-        return 0
-    ords = losers["dead_ordinal"].to_numpy().astype(np.uint64)
-    parts = (ords >> np.uint64(ORD_SHIFT)).astype(np.int64)
-    for p in np.unique(parts):
-        vals = sorted(int(o) for o in ords[parts == p])
-        path = os.path.join(dead_dir, f"part={int(p):05d}.json")
+class _WriteDeadList:
+    """Stage 3: one dead-list sidecar per docstore partition, written by
+    a groupby(part) task (VERDICT r1 #8: at 100 TB the loser set is
+    dup-rate x corpus keys — it must not funnel through the driver)."""
+
+    def __init__(self, dead_dir: str):
+        self.__name__ = "WriteDeadList"
+        self.dead_dir = dead_dir
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["__part"].iloc[0])
+        vals = sorted(int(o) for o in g["dead_ordinal"].to_numpy().astype(np.uint64))
+        path = os.path.join(self.dead_dir, f"part={part:05d}.json")
         tmp = path + f".tmp-{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(vals, f)
         os.replace(tmp, path)
-    return int(len(ords))
+        return pd.DataFrame({"part": [part], "n_dead": [len(vals)]})
+
+
+def _write_dead_lists(losers_ds, dead_dir: str) -> int:
+    """Distributed stage-3 driver: shuffle loser ordinals (8 bytes each)
+    by their partition and write each partition's sidecar in its own
+    task. Returns the total dead count (one tiny row per partition
+    reaches the driver)."""
+    os.makedirs(dead_dir, exist_ok=True)
+
+    def attach_part(t: pa.Table) -> pa.Table:
+        ords = t.column("dead_ordinal").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__part",
+            pa.array((ords >> np.uint64(ORD_SHIFT)).astype(np.int32), pa.int32()),
+        )
+
+    stats = (
+        losers_ds.map_batches(attach_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_WriteDeadList(dead_dir), batch_format="pandas")
+        .to_pandas()
+    )
+    return int(stats["n_dead"].sum()) if len(stats) else 0
 
 
 def build_index_scan(
@@ -412,10 +473,8 @@ def build_index_scan(
         ),
         batch_format="pyarrow",
     )
-    losers = (
-        keys.groupby("__kb")
-        .map_groups(_ResolveWinners(keyidx_dir, key_buckets), batch_format="pandas")
-        .to_pandas()
+    losers = keys.groupby("__kb").map_groups(
+        _ResolveWinners(keyidx_dir, key_buckets), batch_format="pandas"
     )
     n_dead = _write_dead_lists(losers, dead_dir)
     t_docs = time.perf_counter() - t0

@@ -75,6 +75,7 @@ class Loader:
         selected_indices=None,
         test_mode: bool = False,
         log_dir: str | None = None,
+        about_file: str | None = None,
     ):
         if isinstance(spec, str):
             import yaml
@@ -85,6 +86,10 @@ class Loader:
         self.index_root = index_root
         self.test_mode = test_mode
         self.log_dir = log_dir or os.path.join(index_root, "logs")
+        # config-level about-file path: `about`-kind sources without a
+        # path fall back to it (reference loader.py:460-488 reads the
+        # path from config, not from the index entry)
+        self.about_file = about_file
         self.index_stats: list[dict] = []  # ST4
         self.source_timings: dict[str, list[float]] = {}  # ST3
 
@@ -105,26 +110,66 @@ class Loader:
             data = src.path
         elif src.kind == "items":
             items = src.items or []
-            data = _table_from_items(items)
-            observed = set()
-            for it in items[:100]:
-                from .validate import extract_field_names
-
-                observed |= extract_field_names(it)
+            data, observed = self._items_source(items)
         elif src.kind == "model":
             items = list(model_documents(src.items or {}))
-            data = _table_from_items(items)
-            observed = set()
-            for it in items[:100]:
-                from .validate import extract_field_names
-
-                observed |= extract_field_names(it)
+            data, observed = self._items_source(items)
+        elif src.kind == "about":
+            data, observed = self._about_source(spec, src)
         else:
             raise ValueError(f"unknown source kind {src.kind!r}")
         self.source_timings.setdefault(f"{spec.index_name}:{src.name}", []).append(
             time.perf_counter() - t0
         )
         return data, observed
+
+    def _items_source(self, items: list[dict]):
+        from .validate import extract_field_names, validate_nested_limit
+
+        for it in items:
+            validate_nested_limit(it)  # B11: 100k nested objects/doc cap
+        data = _table_from_items(items)
+        observed = set()
+        for it in items[:100]:
+            observed |= extract_field_names(it)
+        return data, observed
+
+    def _about_source(self, spec: IndexSpec, src: SourceSpec):
+        """About-file YAML source (SURVEY.md §2 S3; reference
+        loader.py:686-703): entries lacking a ``page`` field are skipped
+        with a warning; doc id = ``page{page_num}``. A missing path
+        means the index is simply not loaded (0 docs, not an error —
+        loader.py:484-486)."""
+        import logging
+
+        import yaml
+
+        log = logging.getLogger(__name__)
+        path = src.path or self.about_file
+        if not path:
+            log.warning(
+                '"about_file" not configured, %s will not be loaded!', spec.index_name
+            )
+            return None, set()
+        if not os.path.isfile(path):
+            raise ValueError(f'"{path}" is not a file!')
+        with open(path) as f:
+            pages = yaml.safe_load(f)
+        if not pages:
+            log.warning("About file %s is empty", path)
+            return None, set()
+        items = []
+        for page in pages:
+            page_num = page.get("page") if isinstance(page, dict) else None
+            if page_num is None:
+                log.warning("Skipping page without 'page' field: %r", page)
+                continue
+            items.append({**page, spec.id_field: f"page{page_num}"})
+        data, _ = self._items_source(items)
+        # about pages are NOT schema-validated in the reference
+        # (load_about_page upserts the dict as-is) — return no observed
+        # fields so the mapping check passes them through
+        return data, set()
 
     # ----------------------------------------------------------- lifecycle
     def load(self) -> dict:
@@ -160,6 +205,8 @@ class Loader:
     def _process_index(self, spec: IndexSpec) -> int:
         kinds = mapping_field_kinds(spec.mapping)
         data, observed = self._load_source(spec, spec.source)
+        if data is None:  # about source without a configured file
+            return 0
         if observed and not validate_fields(
             spec.index_name,
             observed,
@@ -196,18 +243,39 @@ class Loader:
         text_cols = tuple(kinds["text"]) + tuple(kinds["search_as_you_type"])
         if not text_cols:
             text_cols = (spec.id_field,)  # degenerate: key-only index
-        metrics = build_index(
-            source,
-            self._index_dir(spec.index_name),
-            key_col=spec.id_field,
-            id_col=spec.id_field if id_is_int else None,
-            ts_col=spec.ts_field,
-            text_cols=text_cols,
-            extract_html=spec.extract_html,
-            keyword_cols=tuple(kinds["keyword"]),
-            sayt_cols=tuple(kinds["search_as_you_type"]),
-            overwrite=True,
-        )
+        sayt_cols = tuple(kinds["search_as_you_type"])
+        if isinstance(source, str) and not sayt_cols:
+            # parquet sources build on the SCAN layout: one docstore
+            # partition per input file, keys-only dedup shuffle — the
+            # corpus text never crosses an exchange (VERDICT r1 #7; the
+            # hash layout shuffles full text). Inline/model sources and
+            # sayt-enabled mappings stay on the hash layout.
+            from ..index.build_scan import build_index_scan
+
+            metrics = build_index_scan(
+                source,
+                self._index_dir(spec.index_name),
+                key_col=spec.id_field,
+                id_col=spec.id_field if id_is_int else None,
+                ts_col=spec.ts_field,
+                text_cols=text_cols,
+                extract_html=spec.extract_html,
+                keyword_cols=tuple(kinds["keyword"]),
+                overwrite=True,
+            )
+        else:
+            metrics = build_index(
+                source,
+                self._index_dir(spec.index_name),
+                key_col=spec.id_field,
+                id_col=spec.id_field if id_is_int else None,
+                ts_col=spec.ts_field,
+                text_cols=text_cols,
+                extract_html=spec.extract_html,
+                keyword_cols=tuple(kinds["keyword"]),
+                sayt_cols=sayt_cols,
+                overwrite=True,
+            )
         n_docs = int(metrics["n_docs"])
 
         # ------------- update phase (sequential, J2) -------------
@@ -238,8 +306,15 @@ class Loader:
             ).append(time.perf_counter() - t0)
         if spec.update_sources:
             from ..index.build import rebuild_postings
+            from ..index.build_scan import rebuild_postings_scan
+            from ..index.manifest import load_manifest
 
-            rebuild_postings(self._index_dir(spec.index_name))  # final refresh
+            idx_dir = self._index_dir(spec.index_name)
+            man = load_manifest(idx_dir)
+            if man is not None and man.data.get("layout") == "scan":
+                rebuild_postings_scan(idx_dir)  # final refresh
+            else:
+                rebuild_postings(idx_dir)  # final refresh
         return n_docs
 
     # ----------------------------------------------------------- sinks

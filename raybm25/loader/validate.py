@@ -17,6 +17,40 @@ import pyarrow as pa
 logger = logging.getLogger(__name__)
 
 
+# Per-document cap on nested objects, matching the reference's index
+# setting ``index.mapping.nested_objects.limit: 100000``
+# (opensearch_client.py:96; SURVEY.md §2 B11). The server enforced it
+# at index time; here ingest validation enforces it.
+NESTED_OBJECTS_LIMIT = 100_000
+
+
+def count_nested_objects(doc: dict) -> int:
+    """Number of nested objects (dicts below the root, including dicts
+    inside lists) one document carries — the quantity OpenSearch's
+    nested-objects limit bounds."""
+    n = 0
+    stack = list(doc.values())
+    while stack:
+        v = stack.pop()
+        if isinstance(v, dict):
+            n += 1
+            stack.extend(v.values())
+        elif isinstance(v, list):
+            stack.extend(v)
+    return n
+
+
+def validate_nested_limit(doc: dict, limit: int = NESTED_OBJECTS_LIMIT) -> None:
+    """Raise (abort the source) when a document exceeds the nested-
+    objects cap — the index-time failure the reference's server setting
+    would produce."""
+    n = count_nested_objects(doc)
+    if n > limit:
+        raise ValueError(
+            f"document exceeds nested objects limit: {n} > {limit}"
+        )
+
+
 def extract_field_names(doc: dict, prefix: str = "") -> set[str]:
     """Recursive field-name set with dot notation (loader.py:431-458):
     descends dicts, and the FIRST element of a list of dicts."""

@@ -325,3 +325,155 @@ def test_nested_struct_mapping_flattens(ray_session, tmp_path):
     hits = r.search("blue", 5, field="content.title")
     assert len(hits) == 1
     assert len(r.term_docs("content.tag", "t2")) == 1
+
+
+def test_loader_parquet_source_uses_scan_layout(ray_session, tmp_path):
+    """Parquet-path sources must build on the scan layout (text never
+    shuffles) and serve BM25 results identical to a hash-layout build
+    of the same data."""
+    from raybm25.index.build import build_index
+    from raybm25.index.manifest import load_manifest
+    from raybm25.loader.runner import Loader
+    from raybm25.query.engine import IndexReader
+
+    src = tmp_path / "pages.parquet"
+    tbl = pa.table(
+        {
+            "url": [f"u{i % 30}" for i in range(40)],  # 10 dup keys
+            "body": [f"alpha beta item{i} gamma" for i in range(40)],
+            "lang": ["en", "fr"] * 20,
+        }
+    )
+    pq.write_table(tbl, str(src))
+    spec = {
+        "indices": [
+            {
+                "index_name": "p",
+                "id_field": "url",
+                "mapping": {"text": ["body"], "keyword": ["lang"]},
+                "source": {"type": "parquet", "path": str(src)},
+            }
+        ]
+    }
+    Loader(spec, str(tmp_path / "idx")).load()
+    man = load_manifest(str(tmp_path / "idx" / "p"))
+    assert man.data["layout"] == "scan"
+
+    build_index(
+        str(src),
+        str(tmp_path / "idx_hash"),
+        key_col="url",
+        ts_col=None,
+        text_cols=("body",),
+        keyword_cols=("lang",),
+        num_buckets=4,
+    )
+    r_scan = IndexReader(str(tmp_path / "idx" / "p"))
+    r_hash = IndexReader(str(tmp_path / "idx_hash"))
+    assert r_scan.n_docs == r_hash.n_docs == 30
+    for q in ["alpha", "item3 beta", "gamma item12"]:
+        hs = r_scan.search_pruned(q, 10, field="body")
+        hh = r_hash.search_pruned(q, 10, field="body")
+        assert [d for d, _ in hs] == [d for d, _ in hh]
+        assert all(abs(a - b) < 1e-12 for (_, a), (_, b) in zip(hs, hh))
+
+
+def test_config_precedence(tmp_path, monkeypatch):
+    """CLI > env > YAML (reference config.py:18-43)."""
+    import yaml
+
+    from raybm25.loader.config import Config
+
+    app = tmp_path / "app.yaml"
+    app.write_text(
+        yaml.safe_dump(
+            {
+                "index_root": "/from/yaml",
+                "index_spec_file": "/yaml/spec.yaml",
+                "test_mode": False,
+                "selected_indices": "a,b",
+            }
+        )
+    )
+    monkeypatch.setenv("RAYBM25_INDEX_ROOT", " /from/env ")
+    monkeypatch.setenv("RAYBM25_TEST_MODE", "yes")
+    monkeypatch.setenv("RAYBM25_SELECTED_INDICES", "x, y")
+    cfg = Config(str(app), {"index_root": "/from/cli", "about_file": None})
+    assert cfg.get("index_root") == "/from/cli"        # CLI wins
+    assert cfg.get("test_mode") is True                # env beats yaml, coerced
+    assert cfg.get("index_spec_file") == "/yaml/spec.yaml"  # yaml base
+    assert cfg.get("selected_indices") == ["x", "y"]   # env comma-list coercion
+    assert "about_file" not in cfg                      # None CLI = not given
+    # YAML layer is trim-only (YAML carries its own types): a comma
+    # string stays a string, and select_indices() accepts both forms
+    assert Config(str(app), {}, env={}).get("selected_indices") == "a,b"
+
+
+def test_about_file_source(ray_session, tmp_path):
+    """S3 parity: skip entries lacking 'page', doc id = page{n}
+    (reference loader.py:694-700)."""
+    import yaml
+
+    from raybm25.loader.runner import Loader
+    from raybm25.query.engine import IndexReader
+
+    about = tmp_path / "about.yaml"
+    about.write_text(
+        yaml.safe_dump(
+            [
+                {"page": 1, "content": "alpha beta gamma", "title": "one"},
+                {"content": "no page field here"},  # skipped with warning
+                {"page": 7, "content": "delta epsilon", "title": "seven"},
+            ]
+        )
+    )
+    spec = {
+        "indices": [
+            {
+                "index_name": "about",
+                "id_field": "page_id",
+                "mapping": {"text": ["content"], "keyword": ["title"], "long": ["page"]},
+                "source": {"type": "about", "path": str(about)},
+            }
+        ]
+    }
+    summary = Loader(spec, str(tmp_path / "idx")).load()
+    assert summary["indices"][0]["docs"] == 2
+    r = IndexReader(str(tmp_path / "idx" / "about"))
+    hits = r.search("alpha", 5, field="content")
+    assert len(hits) == 1
+    import numpy as np
+
+    from raybm25.hashing import hash64
+
+    assert hits[0][0] == int(hash64(np.array(["page1"], dtype=object))[0])
+
+
+def test_about_source_without_path_loads_zero(ray_session, tmp_path):
+    from raybm25.loader.runner import Loader
+
+    spec = {
+        "indices": [
+            {
+                "index_name": "about",
+                "id_field": "page_id",
+                "mapping": {"text": ["content"]},
+                "source": {"type": "about"},
+            }
+        ]
+    }
+    summary = Loader(spec, str(tmp_path / "idx")).load()
+    assert summary["indices"][0]["docs"] == 0
+    assert summary["indices"][0]["error"] is None
+
+
+def test_nested_objects_limit():
+    import pytest as _pytest
+
+    from raybm25.loader.validate import count_nested_objects, validate_nested_limit
+
+    doc = {"a": {"b": {"c": 1}}, "lst": [{"x": 1}, {"y": {"z": 2}}]}
+    assert count_nested_objects(doc) == 5
+    validate_nested_limit(doc)  # fine under the default cap
+    with _pytest.raises(ValueError, match="nested objects limit"):
+        validate_nested_limit(doc, limit=4)
