@@ -612,9 +612,35 @@ ORACLE_SQL: dict[str, str] = {
         " count(*) AS n_events, max(value) AS max_value"
         " FROM events GROUP BY user_id, window_hour ORDER BY user_id, window_hour"
     ),
-    # simhash_pairs / fingerprint_stats / ann_ivf_topk: hash- or
-    # centroid-defined, not SQL-expressible -> rows-only driver check;
-    # exactness is pytest-gated against brute force instead
+    # Winnowing fingerprints, bit-exact in SQL: the engine's token hash
+    # is a polynomial byte hash mod 2^64 (textstats.poly_token_hashes)
+    # precisely so DuckDB can reproduce it — HUGEINT list_reduce per
+    # token, Horner shingle combine, windowed list_min, distinct count.
+    # Congruence note: SQL reduces mod 2^64 once per step on exact
+    # HUGEINTs; numpy wraps every op — identical residues (ring
+    # homomorphism), verified value-exact in tests.
+    "fingerprint_stats": (
+        "WITH t AS (SELECT doc_id,"
+        " list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),"
+        " tok -> list_reduce(list_transform(regexp_extract_all(tok, '[a-z0-9]'),"
+        " c -> CAST(unicode(c) AS HUGEINT)),"
+        " (h, c) -> (h * 1000003::HUGEINT + c) % 18446744073709551616::HUGEINT)) AS th"
+        " FROM documents),"
+        " s AS (SELECT doc_id, CASE WHEN len(th) < 4 THEN []::HUGEINT[]"
+        " ELSE list_transform(range(1, len(th) - 2),"
+        " i -> (th[i]*1000003::HUGEINT*1000003::HUGEINT*1000003::HUGEINT"
+        " + th[i+1]*1000003::HUGEINT*1000003::HUGEINT + th[i+2]*1000003::HUGEINT"
+        " + th[i+3]) % 18446744073709551616::HUGEINT) END AS sh FROM t),"
+        " w AS (SELECT doc_id, CASE WHEN len(sh) = 0 THEN []::HUGEINT[]"
+        " WHEN len(sh) <= 4 THEN [list_min(sh)]"
+        " ELSE list_transform(range(1, len(sh) - 2), j -> list_min(sh[j:j+3])) END"
+        " AS mins FROM s)"
+        " SELECT doc_id, len(list_distinct(mins)) AS n_fingerprints FROM w"
+        " ORDER BY doc_id"
+    ),
+    # simhash_pairs / ann_ivf_topk: hash-slice- or centroid-defined,
+    # not SQL-expressible -> rows-only driver check; exactness is
+    # pytest-gated against brute force instead
 }
 
 QUERIES = {

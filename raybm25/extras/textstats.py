@@ -13,7 +13,6 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..analysis import TOKEN_RE
@@ -81,6 +80,27 @@ FP_BASE = np.uint64(1_000_003)
 FP_WINDOW = 4
 
 
+def poly_token_hashes(toks: list[str]) -> np.ndarray:
+    """Polynomial byte hash per token, mod 2^64 (uint64 wraparound):
+    ``h = h*B + byte`` over the token's ASCII bytes. Chosen over
+    siphash BECAUSE it is SQL-expressible — the DuckDB oracle computes
+    the identical values with a HUGEINT list_reduce (contract.py,
+    fingerprint_stats), making the winnowing pipeline hash-checkable.
+    Vectorized: tokens become a fixed-width byte matrix and the Horner
+    step runs column-wise (analyzer tokens are [a-z0-9]+, so a zero
+    byte is always padding)."""
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    b = np.array(toks, dtype=bytes)
+    m = b.view(np.uint8).reshape(len(toks), -1)
+    h = np.zeros(len(toks), dtype=np.uint64)
+    for col in range(m.shape[1]):
+        c = m[:, col].astype(np.uint64)
+        active = m[:, col] > 0
+        h[active] = h[active] * FP_BASE + c[active]
+    return h
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = FP_WINDOW) -> pa.Table:
     """Winnowing document fingerprints: rolling polynomial hash over
     4-token shingles, keep the min hash of each sliding window of
@@ -94,7 +114,7 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = FP_
         if len(toks) < 4:
             fps.append(np.empty(0, dtype=np.uint64))
             continue
-        tok_h = pd.util.hash_array(np.array(toks, dtype=object), categorize=False)
+        tok_h = poly_token_hashes(toks)
         sh = (
             tok_h[:-3] * FP_BASE**np.uint64(3)
             + tok_h[1:-2] * FP_BASE**np.uint64(2)

@@ -292,8 +292,8 @@ class Loader:
                 )
             limit = usrc.limit if (self.test_mode or usrc.limit) else None
             t0 = time.perf_counter()
-            if isinstance(udata, str):
-                udata = pq.read_table(udata)
+            # parquet paths pass through as-is: apply_updates streams
+            # them (per-file attach tasks) unless a limit applies
             apply_updates(
                 self._index_dir(spec.index_name),
                 udata,

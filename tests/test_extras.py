@@ -224,3 +224,27 @@ def test_simhash_distributed_matches_reference_kernel(ray_session):
     )
     got = simhash_pairs(ray.data.from_arrow(tbl), max_hamming=3)
     assert sorted(zip(got["doc_a"], got["doc_b"])) == want
+
+
+def test_poly_token_hash_matches_duckdb():
+    """The winnowing token hash must be value-exact vs the oracle's
+    HUGEINT list_reduce (this is what makes fingerprint_stats
+    hash-checkable)."""
+    import duckdb
+
+    from raybm25.extras.textstats import poly_token_hashes
+
+    toks = ["a", "z9", "longertoken123", "0", "qqqqqqqqqqqqqqqqqqqq"]
+    got = [
+        int(v)
+        for v in duckdb.connect()
+        .execute(
+            "SELECT list_transform($toks::VARCHAR[],"
+            " tok -> list_reduce(list_transform(regexp_extract_all(tok, '[a-z0-9]'),"
+            " c -> CAST(unicode(c) AS HUGEINT)),"
+            " (h, c) -> (h * 1000003::HUGEINT + c) % 18446744073709551616::HUGEINT))",
+            {"toks": toks},
+        )
+        .fetchall()[0][0]
+    ]
+    assert got == poly_token_hashes(toks).tolist()

@@ -477,3 +477,62 @@ def test_nested_objects_limit():
     validate_nested_limit(doc)  # fine under the default cap
     with _pytest.raises(ValueError, match="nested objects limit"):
         validate_nested_limit(doc, limit=4)
+
+
+def test_apply_updates_streaming_path_matches_table(ray_session, tmp_path):
+    """Parquet-path updates (streamed, per-file attach tasks) must
+    produce the same docstore state and counts as the same updates
+    applied as an in-memory table — on BOTH layouts."""
+    import numpy as np
+
+    from raybm25.index.build import build_index
+    from raybm25.index.build_scan import build_index_scan
+    from raybm25.loader.update import apply_updates
+    from raybm25.query.engine import IndexReader
+
+    src_dir = tmp_path / "pages"
+    src_dir.mkdir()
+    for f in range(2):
+        rows = range(f * 20, f * 20 + 20)
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [f"u{i}" for i in rows],
+                    "body": [f"text token{i}" for i in rows],
+                    "lang": ["en"] * 20,
+                }
+            ),
+            str(src_dir / f"p{f}.parquet"),
+        )
+    upd_dir = tmp_path / "upd"
+    upd_dir.mkdir()
+    # two files; u5 updated in both (later file must win); ghost + empty ids
+    pq.write_table(
+        pa.table({"url": ["u5", "u7", ""], "lang": ["aa", "bb", "cc"]}),
+        str(upd_dir / "u0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"url": ["u5", "ghost"], "lang": ["zz", "yy"]}),
+        str(upd_dir / "u1.parquet"),
+    )
+
+    def check(index_dir):
+        res = apply_updates(str(index_dir), str(upd_dir), "url", rebuild=False)
+        assert res == {"updated": 2, "missing": 1, "skipped_no_id": 1}
+        r = IndexReader(str(index_dir))
+        from raybm25.hashing import hash64
+
+        docs = r.get_docs(hash64(np.array(["u5", "u7"], dtype=object)))
+        langs = dict(zip(docs.column("url").to_pylist(), docs.column("lang").to_pylist()))
+        assert langs == {"u5": "zz", "u7": "bb"}  # page-order LWW across files
+
+    build_index_scan(
+        str(src_dir), str(tmp_path / "idx_scan"), key_col="url", ts_col=None,
+        text_cols=("body",), keyword_cols=("lang",),
+    )
+    check(tmp_path / "idx_scan")
+    build_index(
+        str(src_dir), str(tmp_path / "idx_hash"), key_col="url", ts_col=None,
+        text_cols=("body",), keyword_cols=("lang",), num_buckets=4,
+    )
+    check(tmp_path / "idx_hash")
