@@ -44,6 +44,7 @@ def run_flagship(sf_dir: str, *, index_root: str | None = None, concurrency: int
         batch_size=4,
         concurrency=concurrency,
         num_cpus=1,
+        max_restarts=0,  # index is immutable; avoids ray#53727 warning
     )
     out = results.to_pandas()
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -521,4 +521,13 @@ class BatchSearcher:
                 out["rank"].append(rank)
                 out["doc_id"].append(doc_id)
                 out["score"].append(score)
-        return pd.DataFrame(out)
+        # explicit dtypes: a batch with zero hits must keep the same
+        # block schema as a hitting batch (Ray warns on drift otherwise)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out["query_id"], dtype=batch["query_id"].dtype),
+                "rank": pd.Series(out["rank"], dtype="int64"),
+                "doc_id": pd.Series(out["doc_id"], dtype="uint64"),
+                "score": pd.Series(out["score"], dtype="float64"),
+            }
+        )
