@@ -108,7 +108,7 @@ class _ScanExtractWrite:
                         kcols = ["doc_id", "ordinal", "texth"] + (
                             [self.ts_col] if self.ts_col else []
                         )
-                        kt = pq.read_table(dest, columns=kcols)
+                        kt = pq.read_table(dest, columns=kcols, use_threads=False)
                         keys = kt.to_pandas().rename(columns={"texth": "__texth"})
                         if self.ts_col:
                             keys["ts"] = keys.pop(self.ts_col)
@@ -126,7 +126,7 @@ class _ScanExtractWrite:
                     | ({self.ts_col} if self.ts_col else set())
                     | ({self.id_col} if self.id_col else set())
                 )
-            tbl = pq.read_table(path, columns=cols)
+            tbl = pq.read_table(path, columns=cols, use_threads=False)
             # Arrow-native throughout: no pandas round-trip, and the
             # corpus text is materialized as Python strings exactly once
             # (inside extraction / hashing) — allocator and memory-bus
@@ -262,7 +262,7 @@ class _TokenizePart:
         for pidx in batch.column("pidx").to_pylist():
             path = os.path.join(self.docs_dir, f"part={pidx:05d}.parquet")
             cols = ["ordinal", *self.text_cols, *self.keyword_cols]
-            tbl = pq.read_table(path, columns=cols)
+            tbl = pq.read_table(path, columns=cols, use_threads=False)
             dead_path = os.path.join(self.dead_dir, f"part={pidx:05d}.json")
             if os.path.exists(dead_path):
                 with open(dead_path) as f:

@@ -77,7 +77,7 @@ class _ApplyUpdateBucket:
                     "rows": [n_rows],
                 }
             )
-        docs = pq.read_table(path).to_pandas()
+        docs = pq.read_table(path, use_threads=False).to_pandas()
         index_of = pd.Series(np.arange(len(docs)), index=docs["doc_id"].astype(np.uint64))
 
         # page-order last-write-wins within the update set
@@ -179,7 +179,7 @@ class _StreamAttachKeys:
 
             path = os.path.join(self.index_dir, KEYIDX_SUBDIR, f"kb={kb:05d}.parquet")
             if os.path.exists(path):
-                t = pq.read_table(path)
+                t = pq.read_table(path, use_threads=False)
                 got = pd.Series(
                     t.column("ordinal").to_numpy(zero_copy_only=False).astype(np.uint64),
                     index=t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64),
@@ -196,7 +196,7 @@ class _StreamAttachKeys:
         for path, off in zip(
             batch.column("path").to_pylist(), batch.column("offset").to_pylist()
         ):
-            df = pq.read_table(path).to_pandas()
+            df = pq.read_table(path, use_threads=False).to_pandas()
             seq = np.arange(len(df), dtype=np.int64) + int(off)
             keyvals = df[self.id_field]
             valid = (keyvals.notna() & (keyvals.astype(str).str.len() > 0)).to_numpy()
@@ -441,7 +441,7 @@ class _ApplyUpdateScanPart:
                 }
             )
         path = os.path.join(self.docs_dir, f"part={part:05d}.parquet")
-        docs = pq.read_table(path).to_pandas()
+        docs = pq.read_table(path, use_threads=False).to_pandas()
         index_of = pd.Series(np.arange(len(docs)), index=docs["ordinal"].astype(np.uint64))
         g = g.sort_values("__seq", kind="mergesort").drop_duplicates("ordinal", keep="last")
         rows = index_of.reindex(g["ordinal"].astype(np.uint64)).to_numpy().astype(np.int64)
