@@ -445,6 +445,81 @@ def q_events_window(sf_dir: str):
     return out.sort_values(["user_id", "window_hour"]).reset_index(drop=True)
 
 
+def q_bigram_top20(sf_dir: str):
+    """Corpus-level top-20 token bigrams — the pre-aggregation pattern:
+    each batch emits its LOCAL bigram counts (np.unique combiner), so
+    the groupby shuffles one row per distinct bigram per block instead
+    of one per occurrence."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from .analysis import TOKEN_RE
+
+    def bigram_counts(t: pa.Table) -> pa.Table:
+        findall = TOKEN_RE.findall
+        grams: list[str] = []
+        for txt in t.column("text").to_pylist():
+            toks = findall(txt.lower()) if isinstance(txt, str) else []
+            grams.extend(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        if not grams:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.array(grams, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "bigram": pa.array(uniq.astype(str), pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _docs_ds(sf_dir)
+        .map_batches(bigram_counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out[["bigram", "n"]]
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based session windows over the events stream: a new session
+    starts when a user's inter-event gap exceeds 30 minutes. Exact
+    aggregates only (count/max), deterministic ordering (ts, event_id)."""
+    import ray.data
+
+    gap_us = 1_800 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new = np.ones(len(g), dtype=np.int64)
+        new[1:] = (np.diff(us) > gap_us).astype(np.int64)
+        sid = np.cumsum(new)
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id")
+            .agg(n_events=("event_id", "count"), max_value=("value", "max"))
+            .reset_index()
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_id", "n_events", "max_value"]]
+
+    sessions.__name__ = "sessions"
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out["session_id"] = out["session_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
 _JACCARD_SQL_CORE = (
     "WITH s AS (SELECT doc_id,"
     " list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks FROM documents)"
@@ -612,6 +687,26 @@ ORACLE_SQL: dict[str, str] = {
         " count(*) AS n_events, max(value) AS max_value"
         " FROM events GROUP BY user_id, window_hour ORDER BY user_id, window_hour"
     ),
+    "bigram_top20": (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks"
+        " FROM documents),"
+        " b AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]"
+        " ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END)"
+        " AS bigram FROM t)"
+        " SELECT bigram, count(*) AS n FROM b GROUP BY bigram"
+        " ORDER BY n DESC, bigram LIMIT 20"
+    ),
+    "events_sessions": (
+        "WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,"
+        " lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev"
+        " FROM events),"
+        " f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1"
+        " ELSE 0 END AS new_session FROM e),"
+        " s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY us,"
+        " event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM f)"
+        " SELECT user_id, session_id, count(*) AS n_events, max(value) AS max_value"
+        " FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"
+    ),
     # Winnowing fingerprints, bit-exact in SQL: the engine's token hash
     # is a polynomial byte hash mod 2^64 (textstats.poly_token_hashes)
     # precisely so DuckDB can reproduce it — HUGEINT list_reduce per
@@ -669,4 +764,6 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "sayt_prefix_docs": q_sayt_prefix_docs,
     "events_window": q_events_window,
+    "bigram_top20": q_bigram_top20,
+    "events_sessions": q_events_sessions,
 }
