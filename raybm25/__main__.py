@@ -7,6 +7,7 @@ args, print effective config, run the Loader, always clean up).
     python -m raybm25 build  --input pages_dir_or_glob --index DIR
                              [--layout scan|hash] [--key-col url] ...
     python -m raybm25 search --index DIR --query "text" [-k 10] [--field f]
+    python -m raybm25 searchfile --index DIR --queries q.parquet --out DIR
     python -m raybm25 bench  [...]            (delegates to bench.py envs)
 
 Owns its Ray session (guarded init) — library code never does.
@@ -19,10 +20,15 @@ import json
 import sys
 
 
+_OWNS_RAY = False
+
+
 def _ray_session():
+    global _OWNS_RAY
     import ray
 
     if not ray.is_initialized():
+        _OWNS_RAY = True
         ray.init(
             address="local",
             include_dashboard=False,
@@ -112,6 +118,33 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_searchfile(args) -> int:
+    """Batch serving: a parquet file of queries (query_id, query_text
+    [, k]) -> partitioned parquet of (query_id, rank, doc_id, score),
+    scored by a BatchSearcher actor pool (stateful stage: the reader
+    opens once per actor)."""
+    _ray_session()
+    import ray
+    import ray.data
+
+    from .query.engine import BatchSearcher
+
+    ds = ray.data.read_parquet(args.queries)
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    out = ds.map_batches(
+        BatchSearcher,
+        fn_constructor_kwargs={"index_dir": args.index, "k": args.k},
+        batch_format="pandas",
+        batch_size=args.batch_size,
+        concurrency=min(args.concurrency or ncpu, ncpu),
+        num_cpus=1,
+        max_restarts=0,
+    )
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="raybm25")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -143,13 +176,26 @@ def main(argv=None) -> int:
     ps.add_argument("--field", default=None)
     ps.set_defaults(fn=cmd_search)
 
+    pf = sub.add_parser(
+        "searchfile", help="score a parquet query set via the actor pool"
+    )
+    pf.add_argument("--index", required=True)
+    pf.add_argument("--queries", required=True, help="parquet with query_id, query_text[, k]")
+    pf.add_argument("--out", required=True, help="output parquet directory")
+    pf.add_argument("-k", type=int, default=10)
+    pf.add_argument("--batch-size", type=int, default=16)
+    pf.add_argument("--concurrency", type=int, default=None)
+    pf.set_defaults(fn=cmd_searchfile)
+
     args = p.parse_args(argv)
     try:
         return args.fn(args)
     finally:
         import ray
 
-        if ray.is_initialized():
+        # only tear down a session this CLI started (an embedding
+        # caller — tests, a driving script — owns its own session)
+        if _OWNS_RAY and ray.is_initialized():
             ray.shutdown()
 
 

@@ -536,3 +536,49 @@ def test_apply_updates_streaming_path_matches_table(ray_session, tmp_path):
         text_cols=("body",), keyword_cols=("lang",), num_buckets=4,
     )
     check(tmp_path / "idx_hash")
+
+
+def test_searchfile_cli(ray_session, tmp_path):
+    """CLI batch serving: parquet queries -> partitioned parquet results
+    equal to serial search."""
+    from raybm25.__main__ import main as cli_main
+    from raybm25.index.build import build_index
+    from raybm25.query.engine import IndexReader
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "url": [f"u{i}" for i in range(30)],
+                "text": [f"alpha beta doc{i}" for i in range(30)],
+            }
+        ),
+        str(src),
+    )
+    build_index(str(src), str(tmp_path / "idx"), key_col="url", ts_col=None, num_buckets=4)
+    qfile = tmp_path / "q.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array([1, 2], pa.int64()),
+                "query_text": ["alpha doc3", "zzznope"],
+                "k": pa.array([3, 3], pa.int64()),
+            }
+        ),
+        str(qfile),
+    )
+    rc = cli_main(
+        [
+            "searchfile", "--index", str(tmp_path / "idx"),
+            "--queries", str(qfile), "--out", str(tmp_path / "res"),
+            "--concurrency", "2",
+        ]
+    )
+    assert rc == 0
+    got = (
+        pq.read_table(str(tmp_path / "res")).to_pandas().sort_values(["query_id", "rank"])
+    )
+    r = IndexReader(str(tmp_path / "idx"))
+    want = r.search_pruned("alpha doc3", 3)
+    assert [int(d) for d in got[got["query_id"] == 1]["doc_id"]] == [d for d, _ in want]
+    assert (got["query_id"] == 2).sum() == 0  # absent term: no rows
