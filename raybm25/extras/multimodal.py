@@ -102,3 +102,138 @@ def documents_as_payloads(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "media_type": pa.array(["text/plain"] * len(texts), pa.string()),
         }
     )
+
+
+class ResizeStage:
+    """Actor-pool stage: payload -> resized payload + updated meta.
+
+    Real path would decode, resample to (target_h, target_w) and
+    re-encode; the container has no codec libs, so the DETERMINISTIC
+    FAKE keeps the plumbing honest: the "resized" payload is a strided
+    byte sample whose length scales with the target area, and the meta
+    struct carries the new dimensions. Large-payload guidance applies:
+    keep batch_size small so batch x concurrency fits worker heaps."""
+
+    def __init__(
+        self,
+        target_h: int = 64,
+        target_w: int = 64,
+        payload_col: str = "payload",
+        strict: bool = False,
+    ):
+        self.target_h = target_h
+        self.target_w = target_w
+        self.payload_col = payload_col
+        self.has_real = _try_real_decoder()
+        if strict and not self.has_real:
+            raise NotImplementedError(
+                "real resize requires an image codec library (not in container); "
+                "run with strict=False for the deterministic fake"
+            )
+
+    def _fake_resize(self, buf: bytes) -> bytes:
+        want = max(1, self.target_h * self.target_w // 64)
+        if not buf:
+            return b"\0" * want
+        stride = max(1, len(buf) // want)
+        return bytes(buf[::stride][:want])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        resized = [self._fake_resize(b or b"") for b in payloads]
+        metas = [
+            {"height": self.target_h, "width": self.target_w,
+             "mean_byte": (sum(r) / len(r)) if r else 0.0}
+            for r in resized
+        ]
+        out = batch.drop_columns([self.payload_col])
+        out = out.append_column(self.payload_col, pa.array(resized, pa.binary()))
+        return out.append_column("meta", pa.array(metas, META_TYPE))
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video payload -> every-Nth-frame payload rows
+    (flat_map shape: one input row expands to ``max_frames`` rows).
+
+    The fake treats the payload as fixed-size frame records
+    (``frame_bytes`` each) and emits every ``step``-th record — the
+    real decoder would seek keyframes. Output schema: (doc_id,
+    frame_idx, payload, media_type)."""
+
+    def __init__(
+        self,
+        step: int = 10,
+        max_frames: int = 4,
+        frame_bytes: int = 256,
+        payload_col: str = "payload",
+    ):
+        self.step = step
+        self.max_frames = max_frames
+        self.frame_bytes = frame_bytes
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column(self.payload_col).to_pylist()
+        out_doc, out_idx, out_payload = [], [], []
+        for did, buf in zip(doc_ids, payloads):
+            buf = buf or b""
+            n_frames = max(1, len(buf) // self.frame_bytes)
+            taken = 0
+            for fi in range(0, n_frames, self.step):
+                if taken >= self.max_frames:
+                    break
+                s = fi * self.frame_bytes
+                out_doc.append(did)
+                out_idx.append(fi)
+                out_payload.append(bytes(buf[s : s + self.frame_bytes]))
+                taken += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "payload": pa.array(out_payload, pa.binary()),
+                "media_type": pa.array(["video/frame"] * len(out_doc), pa.string()),
+            }
+        )
+
+
+class FakeEmbedStage:
+    """Actor-pool stage: batched "model inference" — text -> unit
+    vector. A real model load belongs in __init__ (once per actor) and
+    inference in __call__ (per batch); with no model libs in the
+    container, a deterministic hash-seeded projection stands in, so the
+    batched-inference plumbing (batch sizing, actor reuse, list<float>
+    output schema) is real and feeds the similarity/ANN operators."""
+
+    def __init__(self, dim: int = 16, text_col: str = "text", seed: int = 13):
+        self.dim = dim
+        self.text_col = text_col
+        # "model load": the projection matrix, built once per actor
+        rng = np.random.default_rng(seed)
+        self.proj = rng.normal(size=(64, dim))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..analysis import TOKEN_RE
+        from ..hashing import hash64
+
+        texts = batch.column(self.text_col).to_pylist()
+        vecs = np.zeros((len(texts), self.dim), dtype=np.float64)
+        for i, t in enumerate(texts):
+            toks = TOKEN_RE.findall(t.lower()) if isinstance(t, str) else []
+            if not toks:
+                continue
+            h = hash64(np.array(sorted(set(toks)), dtype=object))
+            feats = np.zeros(64)
+            np.add.at(feats, (h % 64).astype(np.int64), 1.0)
+            vecs[i] = feats @ self.proj
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vecs = vecs / norms
+        out = batch.drop_columns([self.text_col])
+        dim = self.dim
+        offsets = np.arange(0, (len(texts) + 1) * dim, dim, dtype=np.int64)
+        return out.append_column(
+            "embedding",
+            pa.LargeListArray.from_arrays(offsets, pa.array(vecs.ravel(), pa.float64())),
+        )

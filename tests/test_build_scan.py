@@ -149,3 +149,51 @@ def test_scan_layout_updates(ray_session, tmp_path):
     hits = {int(d) for d, _ in r.search("gamma", 10)}
     assert int(b) in hits  # postings rebuilt
     assert not any(int(d) == int(b) for d, _ in r.search("item2x7", 10))
+
+
+def test_hot_term_salted_across_doc_ranges(ray_session, tmp_path):
+    """Skew handling (north rule "salted repartitioning of hot terms"):
+    a term present in EVERY document must be split into multiple
+    doc-range segments — bounded per-group merge work — and still serve
+    exact results after segment concatenation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data  # noqa: F401
+
+    from raybm25.index.build import POSTINGS_SUBDIR
+    from raybm25.index.build_scan import build_index_scan
+    from raybm25.query.engine import IndexReader
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    n_files = 8
+    for f in range(n_files):
+        rows = range(f * 25, f * 25 + 25)
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [f"u{i}" for i in rows],
+                    "text": [f"hotterm filler{i}" for i in rows],
+                }
+            ),
+            str(src / f"p{f}.parquet"),
+        )
+    idx = tmp_path / "idx"
+    # range_parts=2 -> one doc-range per 2 input files -> 4 segments
+    build_index_scan(
+        str(src), str(idx), key_col="url", ts_col=None, text_cols=("text",),
+        postings_shards=8, range_parts=2,
+    )
+    import pyarrow.dataset as pads
+
+    rows = (
+        pads.dataset(str(idx / POSTINGS_SUBDIR))
+        .to_table(filter=pads.field("term") == "hotterm", columns=["term", "range", "df"])
+    )
+    ranges = sorted(set(rows.column("range").to_pylist()))
+    assert len(ranges) == 4, ranges        # split into 4 doc-range segments
+    assert int(np.sum(rows.column("df").to_numpy())) == 200  # all docs covered
+    r = IndexReader(str(idx))
+    hits = r.search_pruned("hotterm filler37", 5, field="text")
+    assert len(hits) == 5 and len(r.search("hotterm", 300)) == 200

@@ -248,3 +248,66 @@ def test_poly_token_hash_matches_duckdb():
         .fetchall()[0][0]
     ]
     assert got == poly_token_hashes(toks).tolist()
+
+
+def test_resize_and_frame_sample_stages(ray_session):
+    import ray.data
+
+    from raybm25.extras.multimodal import (
+        FrameSampleStage,
+        ResizeStage,
+        documents_as_payloads,
+    )
+
+    ds = _docs_ds().map_batches(documents_as_payloads, batch_format="pyarrow")
+    resized = ds.map_batches(
+        ResizeStage, fn_constructor_kwargs={"target_h": 8, "target_w": 8},
+        batch_format="pyarrow", concurrency=2, batch_size=16,
+    ).to_pandas()
+    assert (resized["payload"].map(len) == 1).all()  # 8*8//64
+    assert all(m["height"] == 8 and m["width"] == 8 for m in resized["meta"])
+
+    frames = ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"step": 2, "max_frames": 3, "frame_bytes": 16},
+        batch_format="pyarrow", concurrency=2, batch_size=16,
+    ).to_pandas()
+    assert set(frames.columns) == {"doc_id", "frame_idx", "payload", "media_type"}
+    assert (frames["frame_idx"] % 2 == 0).all()
+    assert frames.groupby("doc_id").size().max() <= 3
+    # deterministic
+    frames2 = ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"step": 2, "max_frames": 3, "frame_bytes": 16},
+        batch_format="pyarrow", concurrency=2, batch_size=16,
+    ).to_pandas()
+    assert frames.equals(frames2)
+
+
+def test_fake_embed_feeds_ann(ray_session, tmp_path):
+    """Batched-inference plumbing: text -> embed stage -> IVF index;
+    full probe equals brute force over the derived vectors."""
+    import ray.data
+
+    from raybm25.extras.multimodal import FakeEmbedStage
+    from raybm25.extras.similarity import cosine_topk, ivf_build, ivf_search
+
+    docs = _docs_ds().to_pandas()
+    emb_ds = (
+        _docs_ds()
+        .map_batches(FakeEmbedStage, batch_format="pyarrow", concurrency=2)
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["vec_id" if c == "doc_id" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    first = emb_ds.take(1)[0]
+    q = list(first["embedding"])
+    qid = int(first["vec_id"])
+    ivf = ivf_build(emb_ds, n_centroids=4, index_dir=str(tmp_path))
+    full = ivf_search(ivf, np.array(q), k=5, nprobe=4)
+    bf = cosine_topk(emb_ds, {qid: q}, k=5)
+    assert [v for v, _ in full] == bf["vec_id"].tolist()
+    assert full[0][0] == qid  # self is nearest
