@@ -509,6 +509,13 @@ def build_index_scan(
     metrics.update(man.data["corpus"])
     metrics["n_postings"] = man.data["phases"]["postings"]["n_postings"]
     metrics["docs_per_sec"] = metrics["n_docs"] / metrics["total_secs"]
+    # persist throughput metrics next to the lineage (north rule:
+    # checkpoints carry lineage AND metrics) — visible to later runs
+    man.data["metrics"] = {
+        k: metrics[k]
+        for k in ("n_dead", "docs_secs", "postings_secs", "total_secs", "docs_per_sec")
+    }
+    man.commit()
     return metrics
 
 

@@ -1,0 +1,79 @@
+"""Property-based checks (hypothesis) for the pure kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1), min_size=1, max_size=50))
+def test_popcount64_matches_int_bit_count(vals):
+    from raybm25.extras.dedup import popcount64
+
+    arr = np.array(vals, dtype=np.uint64)
+    assert popcount64(arr).tolist() == [int(v).bit_count() for v in vals]
+
+
+@settings(deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcxyz019", min_size=1, max_size=24), min_size=1, max_size=40
+    )
+)
+def test_poly_token_hash_reference_impl(toks):
+    """Vectorized byte-matrix Horner == the obvious per-token loop."""
+    from raybm25.extras.textstats import FP_BASE, poly_token_hashes
+
+    def ref(tok: str) -> int:
+        h = 0
+        for b in tok.encode():
+            h = (h * int(FP_BASE) + b) % (1 << 64)
+        return h
+
+    assert poly_token_hashes(toks).tolist() == [ref(t) for t in toks]
+
+
+@settings(deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["aa bb", "cc dd", "ee", "ff gg hh"])),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_exact_dedup_loser_logic_matches_pandas(rows):
+    """The coarse-bucket loser kernel == pandas groupby ground truth."""
+    import pandas as pd
+
+    from raybm25.extras.dedup import _losers_in_bucket
+    from raybm25.hashing import hash64, hash64b
+
+    ids = list(range(len(rows)))
+    texts = [t for _, t in rows]
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.array(ids, dtype="int64"),
+            "texth": hash64(np.array(texts, dtype=object)).view(np.int64),
+            "texth2": hash64b(np.array(texts, dtype=object)).view(np.int64),
+        }
+    )
+    losers = set(_losers_in_bucket(df)["doc_id"].tolist())
+    winners_want = {
+        min(i for i in ids if texts[i] == t) for t in set(texts)
+    }
+    assert losers == set(ids) - winners_want
+
+
+@settings(deadline=None)
+@given(st.text(alphabet="ab01 \n.", max_size=120), st.text(alphabet="ab01 \n.", max_size=120))
+def test_fingerprint_shared_prefix_property(a, b):
+    """Identical texts always share all fingerprints; fingerprints are
+    deterministic."""
+    import pyarrow as pa
+
+    from raybm25.extras.textstats import fingerprint_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": [a, a]})
+    out = fingerprint_batch(t)
+    f1, f2 = [list(x) for x in out.column("fingerprints").to_pylist()]
+    assert f1 == f2
