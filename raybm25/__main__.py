@@ -124,19 +124,20 @@ def cmd_searchfile(args) -> int:
     scored by a BatchSearcher actor pool (stateful stage: the reader
     opens once per actor)."""
     _ray_session()
-    import ray
     import ray.data
 
     from .query.engine import BatchSearcher
+    from .util import auto_concurrency
 
     ds = ray.data.read_parquet(args.queries)
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
     out = ds.map_batches(
         BatchSearcher,
         fn_constructor_kwargs={"index_dir": args.index, "k": args.k},
         batch_format="pandas",
         batch_size=args.batch_size,
-        concurrency=min(args.concurrency or ncpu, ncpu),
+        # explicit --concurrency is honored as given; default sizes the
+        # autoscaling pool from the cluster (util.auto_concurrency)
+        concurrency=args.concurrency if args.concurrency else auto_concurrency(),
         num_cpus=1,
         max_restarts=0,
     )

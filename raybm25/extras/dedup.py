@@ -79,13 +79,24 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
 
 
 # --------------------------------------------------------------- exact dedup
+def _ids_as_int64(col) -> np.ndarray:
+    """Doc ids as int64 for shuffling: uint64 engine keys (hash64-based,
+    ~half exceed int64 max) REINTERPRET bit-for-bit instead of a safe
+    cast that would raise; the mapping is bijective so winner/loser
+    identity is preserved, and the filter side views the same way."""
+    ids = col.to_numpy(zero_copy_only=False)
+    if ids.dtype == np.uint64:
+        return ids.view(np.int64)
+    return ids.astype(np.int64)
+
+
 def text_hash_keys(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """map_batches stage: (doc_id, texth, texth2) — the text bytes never
     leave this stage; downstream groupbys shuffle 24 bytes/doc."""
     texts = batch.column(text_col).to_numpy(zero_copy_only=False)
     return pa.table(
         {
-            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "doc_id": pa.array(_ids_as_int64(batch.column("doc_id")), pa.int64()),
             "texth": pa.array(hash64(texts).view(np.int64), pa.int64()),
             "texth2": pa.array(hash64b(texts).view(np.int64), pa.int64()),
         }
@@ -143,7 +154,7 @@ def exact_dedup(ds, text_col: str = "text"):
 
     def drop_losers(batch: pa.Table) -> pa.Table:
         dead = ray.get(loser_ref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = _ids_as_int64(batch.column("doc_id"))
         keep = ~np.isin(ids, dead, assume_unique=False)
         return batch.filter(pa.array(keep))
 
@@ -283,6 +294,8 @@ class PairVerifier:
 
     def __init__(self, sets_dir: str, num_buckets: int, threshold: float,
                  max_cached_buckets: int = 64):
+        from collections import OrderedDict
+
         import pyarrow.parquet as pq
 
         self.sets_dir = sets_dir
@@ -290,21 +303,23 @@ class PairVerifier:
         self.threshold = threshold
         self.max_cached = max_cached_buckets
         self._pq = pq
-        self._cache: dict[int, dict[int, np.ndarray]] = {}
+        self._cache: OrderedDict[int, dict[int, np.ndarray]] = OrderedDict()
 
     def _bucket(self, b: int) -> dict[int, np.ndarray]:
         got = self._cache.get(b)
-        if got is None:
-            path = os.path.join(self.sets_dir, f"bucket={b:05d}.parquet")
-            tbl = self._pq.read_table(path)
-            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-            got = {
-                int(d): np.asarray(s.values, dtype=np.uint64)
-                for d, s in zip(ids, tbl.column("sh"))
-            }
-            while len(self._cache) >= self.max_cached:
-                self._cache.pop(next(iter(self._cache)))
-            self._cache[b] = got
+        if got is not None:
+            self._cache.move_to_end(b)  # true LRU: refresh on hit
+            return got
+        path = os.path.join(self.sets_dir, f"bucket={b:05d}.parquet")
+        tbl = self._pq.read_table(path, use_threads=False)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        got = {
+            int(d): np.asarray(s.values, dtype=np.uint64)
+            for d, s in zip(ids, tbl.column("sh"))
+        }
+        while len(self._cache) >= self.max_cached:
+            self._cache.popitem(last=False)
+        self._cache[b] = got
         return got
 
     def __call__(self, batch: pa.Table) -> pa.Table:

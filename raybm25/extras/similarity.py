@@ -36,6 +36,8 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _emb_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    if batch.num_rows == 0:
+        return np.empty((0, 0), dtype=np.float64)
     col = batch.column(vec_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -45,6 +47,14 @@ def _emb_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
         return flat.reshape(len(col), dim).astype(np.float64, copy=False)
     except Exception:
         return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _list_offsets(n_rows: int, dim: int) -> np.ndarray:
+    """Offsets for a fixed-dim list column; dim may be 0 only when the
+    batch is empty (step must not be 0 for numpy arange)."""
+    if n_rows == 0:
+        return np.zeros(1, dtype=np.int64)
+    return np.arange(0, (n_rows + 1) * dim, dim, dtype=np.int64)
 
 
 class CosineTopK:
@@ -62,6 +72,14 @@ class CosineTopK:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         emb = _emb_matrix(batch, self.vec_col)
         sims = _normalize(emb) @ self.qmat.T  # (n, Q)
@@ -118,9 +136,8 @@ def cosine_topk(ds, queries: dict[int, list[float]], k: int = 20,
 # ------------------------------------------------------- blocked near-dup
 def _norm_block_stage(batch: pa.Table, vec_col: str, n_blocks: int) -> pa.Table:
     ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = _normalize(_emb_matrix(batch, vec_col))
-    dim = mat.shape[1] if mat.size else 0
-    offsets = np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int64)
+    mat = _normalize(_emb_matrix(batch, vec_col)) if batch.num_rows else np.empty((0, 0))
+    offsets = _list_offsets(len(ids), mat.shape[1])
     return pa.table(
         {
             "vec_id": pa.array(ids, pa.int64()),
@@ -165,18 +182,22 @@ class BlockPairScorer:
     keeps recently used blocks loaded."""
 
     def __init__(self, blocks_dir: str, threshold: float, max_cached: int = 8):
+        from collections import OrderedDict
+
         self.blocks_dir = blocks_dir
         self.threshold = threshold
         self.max_cached = max_cached
-        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._cache: "OrderedDict[int, tuple[np.ndarray, np.ndarray]]" = OrderedDict()
 
     def _block(self, b: int):
         got = self._cache.get(b)
-        if got is None:
-            got = _load_block(self.blocks_dir, b)
-            while len(self._cache) >= self.max_cached:
-                self._cache.pop(next(iter(self._cache)))
-            self._cache[b] = got
+        if got is not None:
+            self._cache.move_to_end(b)  # true LRU: refresh on hit
+            return got
+        got = _load_block(self.blocks_dir, b)
+        while len(self._cache) >= self.max_cached:
+            self._cache.popitem(last=False)
+        self._cache[b] = got
         return got
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -307,10 +328,9 @@ class _AssignStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = _normalize(_emb_matrix(batch, self.vec_col))
-        assign = np.argmax(mat @ self.cent.T, axis=1).astype(np.int32)
-        dim = mat.shape[1] if mat.size else 0
-        offsets = np.arange(0, (len(ids) + 1) * dim, dim, dtype=np.int64)
+        mat = _normalize(_emb_matrix(batch, self.vec_col)) if batch.num_rows else np.empty((0, 0))
+        assign = np.argmax(mat @ self.cent.T, axis=1).astype(np.int32) if len(ids) else np.empty(0, np.int32)
+        offsets = _list_offsets(len(ids), mat.shape[1])
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),

@@ -29,8 +29,10 @@ from per-partition checkpoints" in the north-rule sense.
 
 Trade-off vs the hash layout: point lookups go through the key index
 (doc_id -> ordinal -> partition) instead of hashing straight to a
-bucket, and updates must join via that index. The loader keeps the
-hash layout; the flagship/bench path uses this one.
+bucket, and updates must join via that index. The loader builds
+parquet sources on THIS layout (runner.py routes them here so spec-
+driven builds never shuffle text); inline/model sources and
+sayt-enabled mappings use the hash layout.
 """
 
 from __future__ import annotations
@@ -160,14 +162,16 @@ class _ScanExtractWrite:
                 )
             if self.ts_col:
                 ts = tbl.column(self.ts_col).to_numpy(zero_copy_only=False)
-                ts_sort = ts.view(np.int64)
             else:
                 ts = np.zeros(len(doc_id), dtype=np.int64)
-                ts_sort = ts
+            # lexsort compares datetime64 (NaT last, numpy >= 1.18 —
+            # pandas parity), numerics and object/string dtypes natively;
+            # no int64 reinterpretation (an object or 4-byte ts column
+            # would crash a .view, and NaT would flip to sort first)
             # stable sort by (doc_id, ts, texth); in-file dedup keeps the
             # LAST row per doc_id (last write wins locally; cross-file
             # duplicates resolve via the dead-list stages)
-            order = np.lexsort((th, ts_sort, doc_id))
+            order = np.lexsort((th, ts, doc_id))
             sorted_ids = doc_id[order]
             last_in_run = np.empty(len(order), dtype=bool)
             if len(order):
@@ -178,9 +182,14 @@ class _ScanExtractWrite:
             ordinal = (np.uint64(pidx) << np.uint64(ORD_SHIFT)) + np.arange(
                 len(kept), dtype=np.uint64
             )
+            store = tbl.take(pa.array(kept))
+            # replace, not duplicate, columns the source already carries
+            # (e.g. an integer id column literally named "doc_id")
+            clash = [c for c in ("doc_id", "texth", "ordinal") if c in store.column_names]
+            if clash:
+                store = store.drop_columns(clash)
             store = (
-                tbl.take(pa.array(kept))
-                .append_column("doc_id", pa.array(doc_id, pa.uint64()))
+                store.append_column("doc_id", pa.array(doc_id, pa.uint64()))
                 .append_column("texth", pa.array(th, pa.uint64()))
                 .append_column("ordinal", pa.array(ordinal, pa.uint64()))
             )

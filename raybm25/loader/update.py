@@ -206,18 +206,24 @@ class _StreamAttachKeys:
             df["doc_id"] = doc_id
             df["__seq"] = seq
             if self.layout == "scan":
-                ordinal = np.full(len(df), np.nan)
+                # ordinals stay uint64 end-to-end: a float64 hop would
+                # silently round ordinals >= 2^53 (any partition index
+                # >= 2^13 with ORD_SHIFT=40) onto neighboring rows
+                ordinal = np.zeros(len(df), dtype=np.uint64)
+                hit = np.zeros(len(df), dtype=bool)
                 kbs = (doc_id % np.uint64(self.key_buckets)).astype(np.int64)
                 for kb in np.unique(kbs):
                     idx = self._kb_index(int(kb))
                     m = kbs == kb
-                    ordinal[m] = idx.reindex(doc_id[m]).to_numpy(dtype=np.float64)
+                    pos = idx.index.get_indexer(doc_id[m])
+                    found = pos >= 0
+                    vals = np.zeros(int(m.sum()), dtype=np.uint64)
+                    vals[found] = idx.to_numpy()[pos[found]]
+                    ordinal[m] = vals
+                    hit[m] = found
                 df["ordinal"] = ordinal
                 part = np.full(len(df), -1, dtype=np.int32)
-                hit = ~np.isnan(ordinal)
-                part[hit] = (
-                    ordinal[hit].astype(np.uint64) >> np.uint64(_SHIFT)
-                ).astype(np.int32)
+                part[hit] = (ordinal[hit] >> np.uint64(_SHIFT)).astype(np.int32)
                 df["__part"] = part
             else:
                 df["__bucket"] = (doc_id % np.uint64(self.num_buckets)).astype(np.int32)
@@ -248,6 +254,10 @@ def _apply_updates_streaming(
         paths = [updates_path]
     if not paths:
         return {"updated": 0, "missing": 0, "skipped_no_id": 0}
+    if id_field not in pq.read_schema(paths[0]).names:
+        # fail fast at the driver with the same message as the
+        # in-memory path, not a KeyError inside a retried actor task
+        raise ValueError(f"updates missing id field {id_field!r}")
     counts = [pq.ParquetFile(p).metadata.num_rows for p in paths]
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     total = int(sum(counts))
@@ -493,24 +503,28 @@ def _apply_updates_scan(
     ]
     paths = [p for p in paths if os.path.exists(p)]
     if paths:
-        idx = (
-            pads.dataset(paths)
-            .to_table(filter=pads.field("doc_id").isin(ids))
-            .to_pandas()
-        )
+        idx_tbl = pads.dataset(paths).to_table(filter=pads.field("doc_id").isin(ids))
+        idx_ids = idx_tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        idx_ord = idx_tbl.column("ordinal").to_numpy(zero_copy_only=False).astype(np.uint64)
     else:
-        idx = pd.DataFrame({"doc_id": [], "ordinal": []})
-    idx["doc_id"] = idx["doc_id"].astype(np.uint64)
-    joined = df.merge(idx, on="doc_id", how="left")
+        idx_ids = np.empty(0, dtype=np.uint64)
+        idx_ord = np.empty(0, dtype=np.uint64)
+    # uint64-safe lookup (a float64 merge would round ordinals >= 2^53)
+    pos = pd.Index(idx_ids).get_indexer(df["doc_id"].to_numpy().astype(np.uint64))
+    hit = pos >= 0
+    ordinal = np.zeros(len(df), dtype=np.uint64)
+    ordinal[hit] = idx_ord[pos[hit]]
+    joined = df.copy()
+    joined["ordinal"] = ordinal
+    joined["__hit"] = hit
     # page-order last-wins per key BEFORE counting missing
     joined = joined.sort_values("__seq", kind="mergesort").drop_duplicates(
         "doc_id", keep="last"
     )
-    missing = int(joined["ordinal"].isna().sum())
-    joined = joined[joined["ordinal"].notna()].copy()
+    missing = int((~joined["__hit"]).sum())
+    joined = joined[joined["__hit"]].drop(columns="__hit")
     if not len(joined):
         return {"updated": 0, "missing": missing}
-    joined["ordinal"] = joined["ordinal"].astype(np.uint64)
     joined["__part"] = (
         joined["ordinal"].to_numpy() >> np.uint64(ORD_SHIFT)
     ).astype(np.int32)
