@@ -370,6 +370,44 @@ def _write_dead_lists(losers_ds, dead_dir: str) -> int:
     return int(stats["n_dead"].sum()) if len(stats) else 0
 
 
+def _committed_and_current(index_dir: str, paths: list[str]) -> dict | None:
+    """Full-skip checkpoint: a committed scan index whose input file
+    list AND per-partition source fingerprints all match the current
+    inputs needs no work at all (the hash layout's input_fingerprint
+    fast path, expressed with the scan layout's per-file lineage)."""
+    man = load_manifest(index_dir)
+    if (
+        man is None
+        or man.data.get("layout") != "scan"
+        or not man.phase_committed("docs")
+        or not man.phase_committed("postings")
+        or man.data.get("input_files") != paths
+        or man.data.get("phases", {}).get("docs", {}).get("updates_applied")
+    ):
+        return None
+    docs_dir = os.path.join(index_dir, DOCS_SUBDIR)
+    for i, p in enumerate(paths):
+        part_path = os.path.join(docs_dir, f"part={i:05d}.parquet")
+        if not os.path.exists(part_path):  # sidecar without its partition
+            return None
+        try:
+            with open(part_path + ".src.json") as f:
+                st = os.stat(p)
+                if json.load(f) != [p, st.st_size, st.st_mtime_ns]:
+                    return None
+        except OSError:
+            return None
+    metrics = {
+        "index_dir": index_dir,
+        "layout": "scan",
+        "build_phase": "skipped (checkpoint)",
+    }
+    metrics.update(man.data["corpus"])
+    metrics["n_postings"] = man.data["phases"]["postings"]["n_postings"]
+    metrics["docs_per_sec"] = float("inf")
+    return metrics
+
+
 def build_index_scan(
     paths: list[str] | str,
     index_dir: str,
@@ -406,6 +444,12 @@ def build_index_scan(
     paths = sorted(paths)
     if not paths:
         raise ValueError("no input parquet files")
+
+    if not overwrite:
+        skipped = _committed_and_current(index_dir, paths)
+        if skipped is not None:
+            skipped["total_secs"] = time.perf_counter() - t0
+            return skipped
 
     if overwrite and os.path.isdir(index_dir):
         if os.path.exists(os.path.join(index_dir, "manifest.json")) or not os.listdir(index_dir):

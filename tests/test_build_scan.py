@@ -197,3 +197,48 @@ def test_hot_term_salted_across_doc_ranges(ray_session, tmp_path):
     r = IndexReader(str(idx))
     hits = r.search_pruned("hotterm filler37", 5, field="text")
     assert len(hits) == 5 and len(r.search("hotterm", 300)) == 200
+
+
+def test_scan_build_full_skip_checkpoint(ray_session, tmp_path):
+    """A second build over unchanged inputs is a no-op (full-skip
+    checkpoint); touching one input file triggers a real rebuild."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raybm25.index.build import POSTINGS_SUBDIR
+    from raybm25.index.build_scan import build_index_scan
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    for f in range(2):
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [f"u{f}_{i}" for i in range(10)],
+                    "text": [f"alpha f{f} doc{i}" for i in range(10)],
+                }
+            ),
+            str(src / f"p{f}.parquet"),
+        )
+    idx = str(tmp_path / "idx")
+    m1 = build_index_scan(src.as_posix(), idx, key_col="url", ts_col=None, text_cols=("text",))
+    shard_dir = os.path.join(idx, POSTINGS_SUBDIR)
+    mtimes = {f: os.stat(os.path.join(shard_dir, f)).st_mtime_ns for f in os.listdir(shard_dir)}
+
+    m2 = build_index_scan(src.as_posix(), idx, key_col="url", ts_col=None, text_cols=("text",))
+    assert m2["build_phase"] == "skipped (checkpoint)"
+    assert m2["n_docs"] == m1["n_docs"] == 20
+    after = {f: os.stat(os.path.join(shard_dir, f)).st_mtime_ns for f in os.listdir(shard_dir)}
+    assert after == mtimes  # nothing rewritten
+
+    _time.sleep(0.01)
+    pq.write_table(
+        pa.table({"url": ["u0_0"], "text": ["changed content zz"]}),
+        str(src / "p0.parquet"),
+    )
+    m3 = build_index_scan(src.as_posix(), idx, key_col="url", ts_col=None, text_cols=("text",))
+    assert "build_phase" not in m3  # real rebuild
+    assert m3["n_docs"] == 11  # p0 now has 1 row
