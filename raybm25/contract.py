@@ -278,9 +278,15 @@ def q_minhash_lsh_pairs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs at Hamming <= 3 — the regime where the
+    4 x 16-bit slice pigeonhole guarantees FULL recall, so the engine's
+    bucketed candidate generation is exactly the all-pairs answer and
+    the all-pairs DuckDB oracle applies (hash-checked). Beyond 3 the
+    slicing is the standard approximation (simhash_pairs(max_hamming=8)
+    remains available, pytest-gated)."""
     from .extras.dedup import simhash_pairs
 
-    return simhash_pairs(_docs_ds(sf_dir), max_hamming=8)
+    return simhash_pairs(_docs_ds(sf_dir), max_hamming=3)
 
 
 def q_embedding_cosine_topk(sf_dir: str):
@@ -733,9 +739,36 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT doc_id, len(list_distinct(mins)) AS n_fingerprints FROM w"
         " ORDER BY doc_id"
     ),
-    # simhash_pairs / ann_ivf_topk: hash-slice- or centroid-defined,
-    # not SQL-expressible -> rows-only driver check; exactness is
-    # pytest-gated against brute force instead
+    # SimHash, bit-exact in SQL: the signature's token hash is the same
+    # polynomial byte hash; bits are the sign of the tf-weighted sum per
+    # bit position, and pair Hamming distance is counted by joining the
+    # per-doc bit tables. At the contract threshold (<= 3) the engine's
+    # slice-bucket candidate generation has guaranteed full recall, so
+    # the all-pairs oracle is exactly the engine's answer.
+    "simhash_pairs": (
+        f"WITH {TOKS_CTE},"
+        " tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),"
+        " th AS (SELECT doc_id, tf,"
+        " list_reduce(list_transform(regexp_extract_all(term, '[a-z0-9]'),"
+        " c -> CAST(unicode(c) AS HUGEINT)),"
+        " (h, c) -> (h * 1000003::HUGEINT + c) % 18446744073709551616::HUGEINT) AS h"
+        " FROM tf),"
+        " bits AS (SELECT d.doc_id, b.range AS b,"
+        " CASE WHEN COALESCE(sum(th.tf * (CASE WHEN"
+        " (th.h >> CAST(b.range AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0"
+        " THEN 1 ELSE 0 END AS bit"
+        " FROM documents d CROSS JOIN range(64) b"
+        " LEFT JOIN th ON th.doc_id = d.doc_id GROUP BY d.doc_id, b.range),"
+        " ham AS (SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,"
+        " sum(CASE WHEN a.bit != bb.bit THEN 1 ELSE 0 END)::BIGINT AS hamming"
+        " FROM bits a JOIN bits bb ON a.b = bb.b AND a.doc_id < bb.doc_id"
+        " GROUP BY doc_a, doc_b)"
+        " SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"
+        " ORDER BY doc_a, doc_b"
+    ),
+    # ann_ivf_topk: centroid-defined, not SQL-expressible -> rows-only
+    # driver check; exactness is pytest-gated against brute force
+    # (full probe == exhaustive search) instead
 }
 
 QUERIES = {

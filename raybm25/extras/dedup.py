@@ -464,12 +464,19 @@ def exact_jaccard_pairs(ds, threshold: float, text_col: str = "text") -> pd.Data
 
 # ------------------------------------------------------------------ SimHash
 class SimHashStage:
-    """map_batches stage: 64-bit SimHash per doc (tf-weighted bits)."""
+    """map_batches stage: 64-bit SimHash per doc (tf-weighted bits).
+
+    Token hashes are the SQL-expressible polynomial byte hash
+    (textstats.poly_token_hashes) so the whole signature — and
+    therefore the pair set — has a bit-exact DuckDB oracle
+    (contract.py ``simhash_pairs``)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .textstats import poly_token_hashes
+
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column(self.text_col).to_pylist()
         out = []
@@ -480,7 +487,7 @@ class SimHashStage:
                 out.append(0)
                 continue
             uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-            h = pd.util.hash_array(uniq, categorize=False)
+            h = poly_token_hashes(uniq.tolist())
             bits = ((h[:, None] & bitcols) != 0).astype(np.int64)  # (n, 64)
             acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
             sig = np.uint64(0)
