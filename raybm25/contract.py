@@ -708,8 +708,8 @@ ORACLE_SQL: dict[str, str] = {
         " FROM events),"
         " f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1"
         " ELSE 0 END AS new_session FROM e),"
-        " s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY us,"
-        " event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM f)"
+        " s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us,"
+        " event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)"
         " SELECT user_id, session_id, count(*) AS n_events, max(value) AS max_value"
         " FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"
     ),
