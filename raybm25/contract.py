@@ -262,19 +262,30 @@ def q_exact_dedup_text(sf_dir: str):
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
-    from .extras.dedup import exact_jaccard_pairs
-
-    return exact_jaccard_pairs(_docs_ds(sf_dir), threshold=0.95)
-
-
-def q_minhash_lsh_pairs(sf_dir: str):
+    """Token-set Jaccard pairs >= 0.95 — served by the distributed
+    MinHash+LSH pipeline (VERDICT r2 'Next round' #2): at tau=0.95 the
+    16x4 band config misses a qualifying pair with probability < 1e-11,
+    and every candidate is verified by EXACT set Jaccard, so the answer
+    equals the all-pairs kernel (``exact_jaccard_pairs`` stays as the
+    pytest verification kernel). No ``to_pandas()`` of the corpus."""
     from .extras.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         _docs_ds(sf_dir),
         threshold=0.95,
+        work_dir=os.path.join(CACHE_ROOT, f"lsh_jac_{_tag(sf_dir)}"),
+    )
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    from .extras.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(
+        _docs_ds(sf_dir),
+        threshold=0.95,
         work_dir=os.path.join(CACHE_ROOT, f"lsh_{_tag(sf_dir)}"),
     )
+    return out[["doc_a", "doc_b"]]
 
 
 def q_simhash_pairs(sf_dir: str):

@@ -49,6 +49,27 @@ def test_minhash_lsh_recall_vs_exact(ray_session):
     assert lsh_pairs <= exact_pairs  # verification guarantees precision
     recall = len(lsh_pairs & exact_pairs) / max(1, len(exact_pairs))
     assert recall == 1.0  # 16x4 bands at s>=0.95: miss prob < 1e-11
+    # the LSH pipeline also returns the exact verified jaccard values
+    assert list(lsh.columns) == ["doc_a", "doc_b", "jaccard"]
+    assert (lsh["jaccard"] >= 0.95).all()
+
+
+def test_shuffle_group_counts_scale_with_input():
+    """VERDICT r2 #3: the LSH band-split / simhash-coarse / set-bucket
+    constants must grow with input size, not stay static."""
+    from raybm25.extras.dedup import scaled_group_count
+
+    # monotone non-decreasing in n
+    sizes = [0, 10, 10_000, 1_000_000, 10**9, 10**12]
+    counts = [scaled_group_count(n, 100_000, lo=64, hi=1 << 16) for n in sizes]
+    assert counts == sorted(counts)
+    # sandbox scale stays at the floor (no per-row dispatch regression)
+    assert scaled_group_count(4_000, 100_000, lo=64) == 64
+    # web scale actually fans out
+    assert scaled_group_count(10**9, 100_000, lo=64) == 10_000
+    assert scaled_group_count(10**12, 100_000, lo=1, hi=1 << 20) == 1 << 20
+    # ceil semantics: a part-full group still gets its own slot
+    assert scaled_group_count(100_001, 100_000, lo=1) == 2
 
 
 def test_simhash_identical_docs_distance_zero(ray_session):
