@@ -31,8 +31,9 @@ Trade-off vs the hash layout: point lookups go through the key index
 (doc_id -> ordinal -> partition) instead of hashing straight to a
 bucket, and updates must join via that index. The loader builds
 parquet sources on THIS layout (runner.py routes them here so spec-
-driven builds never shuffle text); inline/model sources and
-sayt-enabled mappings use the hash layout.
+driven builds never shuffle text), including sayt-enabled mappings
+(the expansion is per-doc and runs inside stage 4); only inline/model
+sources use the hash layout.
 """
 
 from __future__ import annotations
@@ -49,7 +50,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from .. import BM25_B, BM25_K1
-from ..analysis import ANALYZER_VERSION, TOKEN_RE, arrow_tokenize
+from ..analysis import ANALYZER_VERSION, TOKEN_RE, arrow_tokenize, sayt_expand
 from ..extract import extract_text
 from ..hashing import HASH_IMPL, hash64
 from .build import (
@@ -254,6 +255,7 @@ class _TokenizePart:
         keyword_cols: tuple[str, ...],
         range_shift: int,
         num_shards: int,
+        sayt_cols: tuple[str, ...] = (),
     ):
         self.docs_dir = docs_dir
         self.dead_dir = dead_dir
@@ -262,6 +264,7 @@ class _TokenizePart:
         self.keyword_cols = keyword_cols
         self.range_shift = range_shift
         self.num_shards = num_shards
+        self.sayt_cols = sayt_cols
         self.findall = TOKEN_RE.findall
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -311,6 +314,30 @@ class _TokenizePart:
                         term_prefix=None if fi == 0 else col,
                     )
                 )
+                if col in self.sayt_cols:
+                    # search_as_you_type expansion (SURVEY B3), same
+                    # semantics as the hash layout's DedupTokenizeBucket:
+                    # shingles + '#'-marked edge prefixes, match-only
+                    # (tf=1, dl=1). Per-doc, so it composes with this
+                    # per-partition stage — the sayt terms join the same
+                    # partials shuffle; no text moves (VERDICT r2 #4).
+                    n = tbl.num_rows
+                    bounds = np.searchsorted(doc_pos, np.arange(n + 1))
+                    ex = [
+                        [
+                            f"{col}:{t}"
+                            for t in set(
+                                sayt_expand(list(terms[tid[bounds[i] : bounds[i + 1]]]))
+                            )
+                        ]
+                        for i in range(n)
+                    ]
+                    exdl = np.ones(len(ex), dtype=np.int32)
+                    tables.append(
+                        build_partials(
+                            ordinals, exdl, ex, {}, self.range_shift, self.num_shards
+                        )
+                    )
             stats = {
                 "bucket": int(pidx),
                 "rows": int(tbl.num_rows),
@@ -418,6 +445,7 @@ def build_index_scan(
     text_cols: tuple[str, ...] = ("text",),
     extract_html: bool = False,
     keyword_cols: tuple[str, ...] = (),
+    sayt_cols: tuple[str, ...] = (),
     stored_cols: list[str] | None = None,
     postings_shards: int = 64,
     range_parts: int = 16,
@@ -492,7 +520,7 @@ def build_index_scan(
             "id_is_int": id_col is not None,
             "text_cols": list(text_cols),
             "keyword_cols": list(keyword_cols),
-            "sayt_cols": [],
+            "sayt_cols": list(sayt_cols),
             "input_files": paths,
         },
     )
@@ -542,6 +570,7 @@ def build_index_scan(
             keyword_cols=keyword_cols,
             range_shift=range_shift,
             num_shards=postings_shards,
+            sayt_cols=sayt_cols,
         ),
         batch_format="pyarrow",
     )
@@ -586,6 +615,7 @@ def rebuild_postings_scan(index_dir: str) -> dict:
     n_parts = int(man.data["num_buckets"])
     text_cols = tuple(man.data.get("text_cols", ["text"]))
     keyword_cols = tuple(man.data.get("keyword_cols", []))
+    sayt_cols = tuple(man.data.get("sayt_cols", []))
 
     files_ds = ray.data.from_items(
         [{"pidx": i} for i in range(n_parts)], override_num_blocks=n_parts
@@ -599,6 +629,7 @@ def rebuild_postings_scan(index_dir: str) -> dict:
             keyword_cols=keyword_cols,
             range_shift=int(man.data["range_shift"]),
             num_shards=int(man.data["num_shards"]),
+            sayt_cols=sayt_cols,
         ),
         batch_format="pyarrow",
     )

@@ -31,12 +31,13 @@ def both_layouts(ray_session, tmp_path_factory):
     hash_dir = str(root / "hash_idx")
     build_index(
         files, hash_dir, key_col="url", ts_col="warc_ts", extract_html=True,
-        keyword_cols=("lang",), num_buckets=8, range_buckets=2,
+        keyword_cols=("lang",), sayt_cols=("text",), num_buckets=8, range_buckets=2,
     )
     scan_dir = str(root / "scan_idx")
     m = build_index_scan(
         files, scan_dir, key_col="url", ts_col="warc_ts", extract_html=True,
-        keyword_cols=("lang",), postings_shards=64, range_parts=2, key_buckets=8,
+        keyword_cols=("lang",), sayt_cols=("text",), postings_shards=64,
+        range_parts=2, key_buckets=8,
     )
     return hash_dir, scan_dir, pages, m
 
@@ -70,6 +71,19 @@ def test_keyword_and_docstore_across_layouts(both_layouts):
     d2 = r2.get_docs(some).to_pandas().sort_values("url").reset_index(drop=True)
     assert (d1["url"] == d2["url"]).all()
     assert (d1["text"] == d2["text"]).all()
+
+
+def test_sayt_identical_across_layouts(both_layouts):
+    """VERDICT r2 #4: sayt expansion now runs in the scan tokenize
+    stage — prefix and shingle lookups must match the hash layout."""
+    hash_dir, scan_dir, _, _ = both_layouts
+    r1, r2 = IndexReader(hash_dir), IndexReader(scan_dir)
+    hits = 0
+    for term in ("#th", "#the", "#merg", "#qui", "#a"):
+        a = set(r1.term_docs("text", term).tolist())
+        assert a == set(r2.term_docs("text", term).tolist()), term
+        hits += len(a)
+    assert hits > 0  # the probe prefixes actually match something
 
 
 def test_scan_per_file_resume(ray_session, tmp_path):
