@@ -407,17 +407,153 @@ def apply_updates(
 def merge_document(index_dir: str, key, updates: dict, id_field: str | None = None) -> dict:
     """Single-document get-then-merge (SURVEY.md §2 J1,
     opensearch_client.py:168-187): shallow merge of ``updates`` into the
-    existing doc with that key; if the doc does not exist the update is
-    dropped and counted (our engine's update phase is update-only —
-    insert-if-absent requires a rebuild with the new row, because doc
-    ordinals are assigned at build time)."""
+    existing doc with that key; if the doc does NOT exist, a new
+    document containing the update fields is created ("Document doesn't
+    exist, create new one", opensearch_client.py:178-186).
+
+    Insert path (VERDICT r2 'What's missing' #1): ordinals are assigned
+    at build time, so the new doc gets a fresh ordinal appended to its
+    hash bucket (hash layout) or a dedicated tail partition + key-index
+    row (scan layout) — no corpus rebuild. The single postings rebuild
+    that every update batch already performs then indexes it. Bulk
+    inserts still belong in a build; this is the single-doc J1 path."""
     man = load_manifest(index_dir)
     if man is None:
         raise FileNotFoundError(f"no index at {index_dir}")
     id_field = id_field or man.data.get("key_col", "doc_id")
     row = {id_field: key, **updates}
     tbl = pa.Table.from_pylist([row])
-    return apply_updates(index_dir, tbl, id_field)
+    res = apply_updates(index_dir, tbl, id_field, rebuild=False)
+    created = 0
+    if res.get("missing"):
+        _insert_document(index_dir, row, id_field)
+        created = 1
+        res["updated"] = res.get("updated", 0) + 1
+        res["missing"] = 0
+    man = load_manifest(index_dir)
+    if man.data.get("layout", "hash") == "scan":
+        from ..index.build_scan import rebuild_postings_scan
+
+        rebuild_postings_scan(index_dir)
+    else:
+        rebuild_postings(index_dir)
+    res["created"] = created
+    return res
+
+
+def _one_row_table(schema: pa.Schema, values: dict) -> pa.Table:
+    """One-row Arrow table conforming to ``schema``; fields absent from
+    ``values`` are null. Update fields unknown to the schema are
+    APPENDED as new (sparse) columns — per-document fields, reference
+    docs are schemaless."""
+    arrays, fields = [], []
+    for field in schema:
+        arrays.append(pa.array([values.get(field.name)], type=field.type))
+        fields.append(field)
+    for name, val in values.items():
+        if schema.get_field_index(name) == -1:
+            arr = pa.array([val])
+            arrays.append(arr)
+            fields.append(pa.field(name, arr.type))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def _insert_document(index_dir: str, row: dict, id_field: str) -> None:
+    """Append ONE new document to a committed index's docstore (the
+    merge_document insert-if-absent path). Postings are NOT rebuilt
+    here — the caller runs the single rebuild."""
+    man = load_manifest(index_dir)
+    id_is_int = bool(man.data.get("id_is_int", False))
+    text_cols = tuple(man.data.get("text_cols", ["text"]))
+    doc_id = _doc_ids_for([row[id_field]], id_is_int)[0]
+    docs_dir = os.path.join(index_dir, DOCS_SUBDIR)
+    dls = {
+        col: len(TOKEN_RE.findall(str(row.get(col) or "").lower()))
+        for col in text_cols
+    }
+
+    if man.data.get("layout", "hash") == "scan":
+        from ..index.build_scan import KEYIDX_SUBDIR
+
+        pidx = int(man.data["num_buckets"])  # fresh tail partition
+        ordinal = np.uint64(pidx) << np.uint64(ORD_SHIFT)
+        template = os.path.join(docs_dir, "part=00000.parquet")
+        schema = pq.read_schema(template)
+        vals = dict(row)
+        vals["doc_id"] = doc_id
+        vals["ordinal"] = ordinal
+        vals["texth"] = hash64(np.array([str(row.get(text_cols[0]) or "")], object))[0]
+        atomic_write_parquet(
+            _one_row_table(schema, vals),
+            os.path.join(docs_dir, f"part={pidx:05d}.parquet"),
+        )
+        # key-index row so point lookups and future update joins hit it
+        kb = int(doc_id % np.uint64(man.data["key_buckets"]))
+        kb_path = os.path.join(index_dir, KEYIDX_SUBDIR, f"kb={kb:05d}.parquet")
+        new_row = pd.DataFrame(
+            {"doc_id": np.array([doc_id], np.uint64), "ordinal": np.array([ordinal], np.uint64)}
+        )
+        if os.path.exists(kb_path):
+            idx = pq.read_table(kb_path, use_threads=False).to_pandas()
+            idx = pd.concat([idx, new_row], ignore_index=True).sort_values("doc_id")
+        else:
+            idx = new_row
+        atomic_write_parquet(pa.Table.from_pandas(idx, preserve_index=False), kb_path)
+        rp_bits = int(man.data["range_shift"]) - ORD_SHIFT
+        man.data["num_buckets"] = pidx + 1
+        man.data["n_ranges"] = (pidx >> rp_bits) + 1
+    else:
+        num_buckets = int(man.data["num_buckets"])
+        bucket = int(doc_id % np.uint64(num_buckets))
+        path = os.path.join(docs_dir, f"bucket={bucket:05d}.parquet")
+        vals = dict(row)
+        vals["doc_id"] = doc_id
+        for fi, col in enumerate(text_cols):
+            vals["dl" if fi == 0 else f"dl_{col}"] = dls[col]
+        if os.path.exists(path):
+            docs = pq.read_table(path, use_threads=False)
+            ordmax = docs.column("ordinal").to_numpy(zero_copy_only=False).astype(np.uint64).max()
+            vals["ordinal"] = ordmax + np.uint64(1)
+            docs = pa.concat_tables(
+                [docs, _one_row_table(docs.schema, vals)], promote_options="default"
+            )
+        else:
+            # bucket never materialized during the build: seed from a
+            # sibling's schema
+            sib = sorted(f for f in os.listdir(docs_dir) if f.endswith(".parquet"))[0]
+            schema = pq.read_schema(os.path.join(docs_dir, sib))
+            vals["ordinal"] = np.uint64(bucket) << np.uint64(ORD_SHIFT)
+            docs = _one_row_table(schema, vals)
+        atomic_write_parquet(docs, path)
+        # the stats sidecar feeds corpus stats (n_docs, avgdl) at the
+        # postings commit — keep it in step with the appended row
+        spath = os.path.join(index_dir, DOCS_STATS_SUBDIR, f"bucket={bucket:05d}.json")
+        if os.path.exists(spath):
+            with open(spath) as f:
+                stats = json.load(f)
+        else:
+            stats = {
+                "bucket": bucket,
+                "rows": 0,
+                "sum_dl": 0,
+                "sum_dl_fields": {c: 0 for c in text_cols},
+                "bytes": 0,
+            }
+        stats["rows"] += 1
+        stats["sum_dl"] += dls[text_cols[0]]
+        for col in text_cols:
+            stats["sum_dl_fields"][col] = stats["sum_dl_fields"].get(col, 0) + dls[col]
+        stats["bytes"] = os.path.getsize(path)
+        tmp = spath + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, spath)
+        man.data["phases"]["docs"]["input_fingerprint"] = None
+
+    man.data["phases"]["docs"]["updates_applied"] = (
+        man.data["phases"]["docs"].get("updates_applied", 0) + 1
+    )
+    man.commit()
 
 
 class _ApplyUpdateScanPart:
