@@ -54,6 +54,11 @@ class ImageDecodeStage:
                 "real image decode requires an image codec library (not in container); "
                 "run with strict=False for the deterministic fake decoder"
             )
+        # strict=True selects the REAL kernel (payloads must be actual
+        # images); strict=False keeps the deterministic fake so
+        # codec-independent pipelines (and their oracles) are stable
+        # even in a codec-equipped environment
+        self.use_real = strict and self.has_real
 
     def _fake_decode(self, buf: bytes) -> tuple[int, int, float]:
         h = 1 + (buf[0] if buf else 0)
@@ -61,12 +66,27 @@ class ImageDecodeStage:
         mean = (zlib.crc32(buf) % 256_000) / 1000.0
         return h, w, mean
 
+    def _real_decode(self, buf: bytes) -> tuple[int, int, float]:
+        """PIL decode — reachable only when the codec lib imports
+        (opt-in integration test test_image_decode_real_kernel; skips
+        in this container). Zero code change needed the day codec libs
+        exist: the branch below picks this automatically."""
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(buf))
+        gray = img.convert("L")
+        arr = np.asarray(gray, dtype=np.float64)
+        return img.height, img.width, float(arr.mean()) if arr.size else 0.0
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
+        decode = self._real_decode if self.use_real else self._fake_decode
         metas = []
         for buf in payloads:
             buf = buf or b""
-            h, w, m = self._fake_decode(buf)  # real path would branch here
+            h, w, m = decode(buf)
             metas.append({"height": h, "width": w, "mean_byte": m})
         out = batch.drop_columns([self.payload_col])
         return out.append_column("meta", pa.array(metas, META_TYPE))
