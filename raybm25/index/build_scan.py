@@ -51,7 +51,7 @@ import ray.data
 
 from .. import BM25_B, BM25_K1
 from ..analysis import ANALYZER_VERSION, TOKEN_RE, arrow_tokenize, sayt_expand
-from ..extract import extract_text
+from ..extract import extract_column_hashed
 from ..hashing import HASH_IMPL, hash64
 from .build import (
     build_partials_codes,
@@ -131,26 +131,27 @@ class _ScanExtractWrite:
                 )
             tbl = pq.read_table(path, columns=cols, use_threads=False)
             # Arrow-native throughout: no pandas round-trip, and the
-            # corpus text is materialized as Python strings exactly once
-            # (inside extraction / hashing) — allocator and memory-bus
-            # churn here was the measured single-node scaling limiter.
+            # corpus text stays BYTES end-to-end (byte-level extractor,
+            # bytes-keyed siphash, binary->string cast) — allocator and
+            # memory-bus churn here was the measured single-node
+            # scaling limiter (VERDICT r2 #7).
             if self.extract_html:
-                texts_list = [extract_text(h) for h in tbl.column("html").to_pylist()]
-                th = hash64(np.array(texts_list, dtype=object))
+                text_arr, th = extract_column_hashed(tbl.column("html"))
                 drop = ["html"] + (
                     [self.text_col] if self.text_col in tbl.column_names else []
                 )
-                tbl = tbl.drop_columns(drop).append_column(
-                    self.text_col, pa.array(texts_list, pa.string())
-                )
-                del texts_list
+                tbl = tbl.drop_columns(drop).append_column(self.text_col, text_arr)
             else:
                 tcol = tbl.column(self.text_col)
                 if tcol.null_count:
                     import pyarrow.compute as pc
 
                     tcol = pc.fill_null(tcol, "")
-                th = hash64(tcol.to_numpy(zero_copy_only=False))
+                # hash the utf-8 bytes (same siphash values as the str
+                # path) — skips per-row str decode
+                th = hash64(
+                    np.array(tcol.cast(pa.binary()).to_pylist(), dtype=object)
+                )
             if self.id_col is not None:
                 doc_id = (
                     tbl.column(self.id_col)

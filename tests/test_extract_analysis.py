@@ -29,6 +29,38 @@ def test_extract_invariant_on_fixture():
         assert orig.encode() == ext.encode()
 
 
+def test_byte_level_extract_matches_str_path():
+    """extract_column / extract_column_hashed (the buffer-walking byte
+    path, VERDICT r2 #7) must equal per-row extract_text byte-for-byte
+    and hash-for-hash — on plain, sliced, and large_binary arrays."""
+    import numpy as np
+
+    from raybm25.extract import extract_column, extract_column_hashed
+    from raybm25.hashing import hash64
+
+    pages = make_pages(n_rows=120, seed=3)
+    html = pages.column("html").combine_chunks()
+    want = [extract_text(h) for h in html.to_pylist()]
+    want_th = hash64(np.array(want, dtype=object))
+
+    for col in (
+        html,
+        html.slice(0, len(html)),        # zero-offset slice
+        pa.chunked_array([html]),        # chunked
+        html.cast(pa.large_binary()),    # int64 offsets
+    ):
+        got, th = extract_column_hashed(col)
+        assert got.to_pylist() == want
+        assert (th == want_th).all()
+        assert extract_column(col).to_pylist() == want
+    # non-zero offset slice
+    got = extract_column(html.slice(10, 50))
+    assert got.to_pylist() == want[10:60]
+    # nulls + empties fall back cleanly
+    mixed = pa.array([None, b"", html[0].as_py()], pa.binary())
+    assert extract_column(mixed).to_pylist() == ["", "", want[0]]
+
+
 def test_fixture_determinism_and_dups():
     a = make_pages(n_rows=300, seed=42)
     b = make_pages(n_rows=300, seed=42)
