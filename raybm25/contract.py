@@ -133,6 +133,22 @@ def q_bm25_topk_multi(sf_dir: str):
     return _bm25_topk(sf_dir, "merge join filter", 10)
 
 
+def q_bm25_filtered(sf_dir: str):
+    """BM25 top-k restricted by a keyword filter (the OpenSearch
+    bool-must-match + term-filter shape): corpus-global idf/avgdl,
+    candidate set intersected with the filter term's postings before
+    any scoring (query/engine.search_filtered)."""
+    r = _reader(sf_dir)
+    hits = r.search_filtered("merge join", "lang", "en", k=15)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array([int(np.int64(np.uint64(d))) for d, _ in hits], dtype="int64"),
+            "score": [s for _, s in hits],
+        }
+    )
+
+
 def q_bm25_all_single(sf_dir: str):
     out = _bm25_topk(sf_dir, "stream", None)
     return out[["doc_id", "score"]]
@@ -574,7 +590,12 @@ def _lang_id_sql() -> str:
 
 
 # --------------------------------------------------------------- oracle SQL
-def _bm25_sql(query: str, k: int | None, cols: str = "rank, doc_id, score") -> str:
+def _bm25_sql(
+    query: str,
+    k: int | None,
+    cols: str = "rank, doc_id, score",
+    where: str | None = None,
+) -> str:
     qcounts = Counter(tokenize(query))
     terms = sorted(qcounts)
     in_list = ", ".join(f"'{t}'" for t in terms)
@@ -605,11 +626,20 @@ def _bm25_sql(query: str, k: int | None, cols: str = "rank, doc_id, score") -> s
             joins += f" FULL JOIN p{i} USING(doc_id)"
         add = " + ".join(f"COALESCE(p{i}.c, 0)" for i in range(len(terms)))
         scored = f"scored AS (SELECT doc_id, {add} AS score FROM {joins})"
-    parts.append(scored)
+    src = "scored"
+    if where:
+        parts.append(scored + ",")
+        parts.append(
+            "filt AS (SELECT scored.doc_id, score FROM scored"
+            f" JOIN documents USING(doc_id) WHERE {where})"
+        )
+        src = "filt"
+    else:
+        parts.append(scored)
     limit = f" LIMIT {k}" if k is not None else ""
     parts.append(
         f"SELECT {cols} FROM (SELECT row_number() OVER (ORDER BY score DESC, doc_id)"
-        f" AS rank, doc_id, score FROM scored) ORDER BY rank{limit}"
+        f" AS rank, doc_id, score FROM {src}) ORDER BY rank{limit}"
     )
     return "\n".join(parts)
 
@@ -635,6 +665,7 @@ ORACLE_SQL: dict[str, str] = {
     "term_cf_top20": _term_stats_sql("cf"),
     "bm25_topk_single": _bm25_sql("merge", 12),
     "bm25_topk_multi": _bm25_sql("merge join filter", 10),
+    "bm25_filtered": _bm25_sql("merge join", 15, where="lang = 'en'"),
     "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
     "keyword_lang": "SELECT doc_id FROM documents WHERE lang = 'de' ORDER BY doc_id",
     "dedup_lastwins_events": (
@@ -793,6 +824,7 @@ QUERIES = {
     "term_cf_top20": q_term_cf_top20,
     "bm25_topk_single": q_bm25_topk_single,
     "bm25_topk_multi": q_bm25_topk_multi,
+    "bm25_filtered": q_bm25_filtered,
     "bm25_all_single": q_bm25_all_single,
     "keyword_lang": q_keyword_lang,
     "dedup_lastwins_events": q_dedup_lastwins_events,

@@ -328,6 +328,42 @@ class IndexReader:
         ids, sc = self._rank(uniq, scores, k)
         return list(zip(ids.tolist(), sc.tolist()))
 
+    def search_filtered(
+        self,
+        query: str,
+        filter_field: str,
+        filter_value: str,
+        k: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Exact BM25 top-k restricted to docs whose keyword field
+        matches (the OpenSearch ``bool: {must: match, filter: term}``
+        shape the reference's default mappings are built for). BM25
+        stats (idf, avgdl) stay corpus-global — the filter restricts
+        the candidate set, not the scoring model. Cost: the filter's
+        postings are one term lookup; candidates are intersected
+        before any scoring work."""
+        fkey = f"{filter_field}:{filter_value}"
+        fp = self.load_postings([fkey]).get(fkey)
+        if fp is None:
+            return []
+        avgdl = self.field_avgdl(field)
+        qcounts = Counter(self.field_terms(query, field))
+        postings = self.load_postings(sorted(qcounts))
+        parts = [p.doc_ids for p in (postings.get(t) for t in sorted(qcounts)) if p]
+        if not parts:
+            return []
+        cand = np.unique(np.concatenate(parts))
+        # sorted-array intersection with the filter's ordinals
+        pos = np.searchsorted(fp.doc_ids, cand)
+        pos_c = np.minimum(pos, fp.df - 1)
+        cand = cand[fp.doc_ids[pos_c] == cand]
+        if cand.size == 0:
+            return []
+        scores = self._score_subset(cand, qcounts, postings, avgdl)
+        ids, sc = self._rank(cand, scores, k)
+        return list(zip(ids.tolist(), sc.tolist()))
+
     def _score_subset(
         self,
         candidates: np.ndarray,

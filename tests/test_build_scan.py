@@ -73,7 +73,21 @@ def test_keyword_and_docstore_across_layouts(both_layouts):
     assert (d1["text"] == d2["text"]).all()
 
 
-def test_sayt_identical_across_layouts(both_layouts):
+def test_search_filtered_equals_postfilter(both_layouts):
+    """Filtered BM25 (keyword-term filter intersected before scoring)
+    must equal unfiltered search post-filtered to the keyword's doc
+    set — on both layouts."""
+    hash_dir, scan_dir, _, _ = both_layouts
+    for d in (hash_dir, scan_dir):
+        r = IndexReader(d)
+        allowed = set(r.term_docs("lang", "en").tolist())
+        assert allowed  # fixture really has lang=en docs
+        for q in ("merge", "merge join"):
+            want = [(d_, s) for d_, s in r.search(q, r.n_docs) if d_ in allowed][:5]
+            got = r.search_filtered(q, "lang", "en", k=5)
+            assert got == want, (d, q)
+        assert r.search_filtered("merge", "lang", "nosuchlang", k=5) == []
+        assert r.search_filtered("zzzabsent", "lang", "en", k=5) == []
     """VERDICT r2 #4: sayt expansion now runs in the scan tokenize
     stage — prefix and shingle lookups must match the hash layout."""
     hash_dir, scan_dir, _, _ = both_layouts
