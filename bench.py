@@ -241,17 +241,24 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # box wall-times vary ±20-30% run to run: take the best of N fresh
+    # processes per leg (min build time = least external interference)
+    best_of = int(os.environ.get("BENCH_SCALE_BEST_OF", "2"))
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        env.setdefault("BENCH_EXPAND", "80")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        def once() -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env.setdefault("BENCH_EXPAND", "80")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        return min((once() for _ in range(best_of)), key=lambda r: r["queries"]["build"])
 
     # N vs 4N parallelism in fresh processes (sandbox stand-in for N-
     # vs 4N-node clusters). The canonical pair is 2-vs-8 CPUs: on this
