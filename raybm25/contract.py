@@ -304,6 +304,20 @@ def q_minhash_lsh_pairs(sf_dir: str):
     return out[["doc_a", "doc_b"]]
 
 
+def q_neardup_clusters(sf_dir: str):
+    """Near-dup clusters: LSH pairs (distributed) -> connected
+    components -> (doc_id, rep) with rep = cluster-min doc_id. The
+    transitive closure runs over the dup-rate-sized PAIR list only;
+    oracle = DuckDB recursive CTE over the exact-Jaccard pair graph."""
+    from .extras.dedup import neardup_clusters
+
+    return neardup_clusters(
+        _docs_ds(sf_dir),
+        threshold=0.95,
+        work_dir=os.path.join(CACHE_ROOT, f"lsh_cc_{_tag(sf_dir)}"),
+    )
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs at Hamming <= 3 — the regime where the
     4 x 16-bit slice pigeonhole guarantees FULL recall, so the engine's
@@ -691,6 +705,22 @@ ORACLE_SQL: dict[str, str] = {
         " (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95"
         " ORDER BY doc_a, doc_b"
     ),
+    # connected components over the exact-Jaccard pair graph via a
+    # recursive CTE: seed every endpoint with its own label, propagate
+    # labels along (bidirectional) edges to a fixpoint, then min per
+    # doc = component-minimum doc_id — matching the engine's union-find
+    # over the LSH pair list (equal to the exact pairs at tau=0.95)
+    "neardup_clusters": (
+        "WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ("
+        + _JACCARD_SQL_CORE
+        + " WHERE len(list_intersect(a.toks, b.toks)) /"
+        " (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95)),"
+        " e AS (SELECT doc_a AS a, doc_b AS b FROM p"
+        " UNION ALL SELECT doc_b, doc_a FROM p),"
+        " cc(doc, lab) AS (SELECT DISTINCT a, a FROM e"
+        " UNION SELECT e.b, cc.lab FROM cc JOIN e ON e.a = cc.doc)"
+        " SELECT doc AS doc_id, min(lab) AS rep FROM cc GROUP BY doc ORDER BY doc_id"
+    ),
     # 16x4 LSH band config has miss probability < 1e-11 at s=0.95, so the
     # verified LSH pairs equal the exact pairs on this corpus
     "minhash_lsh_pairs": (
@@ -834,6 +864,7 @@ QUERIES = {
     "exact_dedup_text": q_exact_dedup_text,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "neardup_clusters": q_neardup_clusters,
     "simhash_pairs": q_simhash_pairs,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,

@@ -675,3 +675,66 @@ def simhash_pairs(
         )
     out = pairs[["doc_a", "doc_b", "hamming"]].astype("int64")
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# -------------------------------------------------- near-dup clustering
+def union_find_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Connected components over a (doc_a, doc_b) edge list: returns
+    (doc_id, rep) with rep = component-minimum doc_id, one row per doc
+    that appears in any edge. Path-halving union-find, vectorized-ish.
+
+    Driver-side BY DESIGN: the edge list is dup-rate-sized (O(dups),
+    not O(corpus)) — the same budget as exact_dedup's loser set. The
+    corpus never enters this function."""
+    ids = np.unique(
+        np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])
+    ).astype(np.int64)
+    idx = pd.Index(ids)
+    parent = np.arange(ids.size, dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]  # path halving
+            i = parent[i]
+        return i
+
+    for a, b in zip(
+        idx.get_indexer(pairs["doc_a"].to_numpy().astype(np.int64)),
+        idx.get_indexer(pairs["doc_b"].to_numpy().astype(np.int64)),
+    ):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by smaller doc_id so the root IS the component min
+            if ids[ra] < ids[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rep = ids[np.array([find(i) for i in range(ids.size)], dtype=np.int64)]
+    out = pd.DataFrame(
+        {"doc_id": pd.array(ids, dtype="int64"), "rep": pd.array(rep, dtype="int64")}
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def neardup_clusters(
+    ds,
+    threshold: float = 0.95,
+    text_col: str = "text",
+    work_dir: str | None = None,
+) -> pd.DataFrame:
+    """Near-duplicate clusters over a documents Dataset: MinHash+LSH
+    candidate pairs (distributed, see minhash_lsh_pairs) -> connected
+    components -> (doc_id, rep) rows for every doc in a cluster of
+    size >= 2, rep = cluster-minimum doc_id.
+
+    The transitive-closure step runs on the driver over the PAIR list
+    only (dup-rate-sized); the oracle is a DuckDB recursive CTE
+    (contract.py ``neardup_clusters``)."""
+    pairs = minhash_lsh_pairs(
+        ds, threshold=threshold, text_col=text_col, work_dir=work_dir
+    )
+    if not len(pairs):
+        return pd.DataFrame(
+            {"doc_id": pd.array([], dtype="int64"), "rep": pd.array([], dtype="int64")}
+        )
+    return union_find_pairs(pairs)

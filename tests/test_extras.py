@@ -372,3 +372,50 @@ def test_fake_embed_feeds_ann(ray_session, tmp_path):
     bf = cosine_topk(emb_ds, {qid: q}, k=5)
     assert [v for v, _ in full] == bf["vec_id"].tolist()
     assert full[0][0] == qid  # self is nearest
+
+
+def test_union_find_pairs_hand():
+    """Component rep = min doc_id, across chains and merges."""
+    import pandas as pd
+
+    from raybm25.extras.dedup import union_find_pairs
+
+    pairs = pd.DataFrame(
+        {
+            # chain 5-3-9, separate pair (2,7), then 9-2 merges them;
+            # (40,41) stays its own component
+            "doc_a": [5, 3, 2, 9, 40],
+            "doc_b": [3, 9, 7, 2, 41],
+        }
+    )
+    out = union_find_pairs(pairs)
+    got = dict(zip(out["doc_id"], out["rep"]))
+    assert got == {2: 2, 3: 2, 5: 2, 7: 2, 9: 2, 40: 40, 41: 40}
+    assert list(out.columns) == ["doc_id", "rep"]
+
+
+def test_neardup_clusters_transitive(ray_session):
+    """a~b and b~c near-dup => one cluster {a,b,c} even when a~c alone
+    might not pair; reps are cluster minima."""
+    import pyarrow as pa
+    import ray.data
+
+    from raybm25.extras.dedup import neardup_clusters
+
+    base = ("tok%02d " * 40) % tuple(range(40))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 10, 11, 50], pa.int64()),
+            "text": [
+                base,                     # 1
+                base + "xa",              # 2: ~0.976 vs 1
+                base + "xa xb",           # 3: ~0.976 vs 2, ~0.952 vs 1
+                "totally different words here",   # 10
+                "totally different words here",   # 11: exact dup of 10
+                "a lone singleton document",      # 50
+            ],
+        }
+    )
+    out = neardup_clusters(ray.data.from_arrow(tbl), threshold=0.95)
+    got = dict(zip(out["doc_id"], out["rep"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
