@@ -132,6 +132,44 @@ def test_scan_per_file_resume(ray_session, tmp_path):
     assert r1 == r2
 
 
+def test_incremental_append_new_files(ray_session, tmp_path):
+    """Incremental ingest: re-running build_index_scan with the input
+    list EXTENDED by new files builds only the new partitions (existing
+    ones checkpoint-skip; their keys are recovered without reading
+    text), cross-file dedup spans old+new, and the result equals a
+    from-scratch build over the full list."""
+    import os
+
+    import pyarrow.parquet as pq2
+
+    pages = make_pages(n_rows=500, seed=9)
+    files = []
+    for i in range(5):
+        p = str(tmp_path / f"f{i}.parquet")
+        pq2.write_table(pages.slice(i * 100, 100), p)
+        files.append(p)
+
+    kw = dict(key_col="url", ts_col="warc_ts", extract_html=True,
+              postings_shards=16, range_parts=2, key_buckets=4)
+    inc = str(tmp_path / "inc")
+    build_index_scan(files[:3], inc, **kw)
+    old_mtimes = [
+        os.path.getmtime(os.path.join(inc, "docs", f"part=0000{i}.parquet"))
+        for i in range(3)
+    ]
+    m = build_index_scan(files, inc, **kw)  # append f3, f4
+    assert m["n_docs"] == IndexReader(inc).n_docs
+    for i, old in enumerate(old_mtimes):  # old partitions untouched
+        assert os.path.getmtime(os.path.join(inc, "docs", f"part=0000{i}.parquet")) == old
+
+    full = str(tmp_path / "full")
+    build_index_scan(files, full, **kw)
+    ri, rf = IndexReader(inc), IndexReader(full)
+    assert (ri.n_docs, ri.avgdl) == (rf.n_docs, rf.avgdl)
+    for q in make_queries():
+        assert ri.search(q["query_text"], q["k"]) == rf.search(q["query_text"], q["k"])
+
+
 def test_scan_layout_updates(ray_session, tmp_path):
     """J2 updates on a scan-layout index: key-index join resolves
     ordinals, shallow merge + NULL-preserve, missing counted, postings
