@@ -318,6 +318,21 @@ def q_neardup_clusters(sf_dir: str):
     )
 
 
+def q_neardup_dedup_text(sf_dir: str):
+    """Near-dup-deduped corpus: every LSH cluster keeps only its
+    minimum-id representative; unclustered docs pass through. Same
+    broadcast anti-join streaming shape as exact_dedup."""
+    from .extras.dedup import neardup_dedup
+
+    out = neardup_dedup(
+        _docs_ds(sf_dir),
+        threshold=0.95,
+        work_dir=os.path.join(CACHE_ROOT, f"lsh_nd_{_tag(sf_dir)}"),
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "text"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs at Hamming <= 3 — the regime where the
     4 x 16-bit slice pigeonhole guarantees FULL recall, so the engine's
@@ -721,6 +736,21 @@ ORACLE_SQL: dict[str, str] = {
         " UNION SELECT e.b, cc.lab FROM cc JOIN e ON e.a = cc.doc)"
         " SELECT doc AS doc_id, min(lab) AS rep FROM cc GROUP BY doc ORDER BY doc_id"
     ),
+    # corpus minus non-representative cluster members (rep = component
+    # min via the same recursive CTE)
+    "neardup_dedup_text": (
+        "WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ("
+        + _JACCARD_SQL_CORE
+        + " WHERE len(list_intersect(a.toks, b.toks)) /"
+        " (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95)),"
+        " e AS (SELECT doc_a AS a, doc_b AS b FROM p"
+        " UNION ALL SELECT doc_b, doc_a FROM p),"
+        " cc(doc, lab) AS (SELECT DISTINCT a, a FROM e"
+        " UNION SELECT e.b, cc.lab FROM cc JOIN e ON e.a = cc.doc),"
+        " losers AS (SELECT doc FROM cc GROUP BY doc HAVING doc != min(lab))"
+        " SELECT doc_id, text FROM documents"
+        " WHERE doc_id NOT IN (SELECT doc FROM losers) ORDER BY doc_id"
+    ),
     # 16x4 LSH band config has miss probability < 1e-11 at s=0.95, so the
     # verified LSH pairs equal the exact pairs on this corpus
     "minhash_lsh_pairs": (
@@ -865,6 +895,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "neardup_clusters": q_neardup_clusters,
+    "neardup_dedup_text": q_neardup_dedup_text,
     "simhash_pairs": q_simhash_pairs,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,

@@ -738,3 +738,32 @@ def neardup_clusters(
             {"doc_id": pd.array([], dtype="int64"), "rep": pd.array([], dtype="int64")}
         )
     return union_find_pairs(pairs)
+
+
+def neardup_dedup(
+    ds,
+    threshold: float = 0.95,
+    text_col: str = "text",
+    work_dir: str | None = None,
+):
+    """Near-dup-dedup a documents Dataset: drop every cluster member
+    except the cluster-minimum representative, keep all unclustered
+    docs — the fuzzy analog of :func:`exact_dedup`, same broadcast
+    anti-join pattern (the loser set is dup-rate-sized; the corpus
+    streams through the filter unchanged)."""
+    import ray
+
+    clusters = neardup_clusters(
+        ds, threshold=threshold, text_col=text_col, work_dir=work_dir
+    )
+    losers = clusters.loc[clusters["doc_id"] != clusters["rep"], "doc_id"]
+    loser_arr = np.sort(losers.to_numpy().astype(np.int64))
+    loser_ref = ray.put(loser_arr)
+
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        dead = ray.get(loser_ref)
+        ids = _ids_as_int64(batch.column("doc_id"))
+        keep = ~np.isin(ids, dead, assume_unique=False)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(drop_losers, batch_format="pyarrow")

@@ -77,3 +77,48 @@ def test_fingerprint_shared_prefix_property(a, b):
     out = fingerprint_batch(t)
     f1, f2 = [list(x) for x in out.column("fingerprints").to_pylist()]
     assert f1 == f2
+
+
+@settings(deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_union_find_matches_bfs_components(edges):
+    """union_find_pairs == BFS connected components with min-id reps."""
+    import pandas as pd
+
+    from raybm25.extras.dedup import union_find_pairs
+
+    pairs = pd.DataFrame(
+        {"doc_a": [a for a, _ in edges], "doc_b": [b for _, b in edges]}
+    )
+    got = dict(zip(*(union_find_pairs(pairs)[c] for c in ("doc_id", "rep"))))
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    seen: set[int] = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            comp.append(v)
+            stack.extend(adj[v] - seen)
+        rep = min(comp)
+        for v in comp:
+            want[v] = rep
+    assert got == want
