@@ -511,6 +511,39 @@ def q_events_window(sf_dir: str):
     return out.sort_values(["user_id", "window_hour"]).reset_index(drop=True)
 
 
+def q_events_hopping_window(sf_dir: str):
+    """HOPPING-window aggregate (size 1h, hop 30m): each event falls in
+    exactly two windows — win = us // hop and win-1, window id = start
+    / hop. Same per-user map_groups shape as the tumbling window; the
+    window expansion is a vectorized 2x repeat inside the group."""
+    import ray.data
+
+    HOP = 1_800 * 1_000_000  # 30 min in us
+
+    def hop_agg(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        w0 = (us // HOP).to_numpy()
+        win = np.concatenate([w0, w0 - 1])
+        vals = np.tile(g["value"].to_numpy(), 2)
+        out = (
+            pd.DataFrame({"win": win, "value": vals})
+            .groupby("win")
+            .agg(n_events=("value", "size"), max_value=("value", "max"))
+            .reset_index()
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "win", "n_events", "max_value"]]
+
+    hop_agg.__name__ = "hop_agg"
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+    out = ds.groupby("user_id").map_groups(hop_agg, batch_format="pandas").to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["win"] = out["win"].astype("int64")
+    return out.sort_values(["user_id", "win"]).reset_index(drop=True)
+
+
 def q_bigram_top20(sf_dir: str):
     """Corpus-level top-20 token bigrams — the pre-aggregation pattern:
     each batch emits its LOCAL bigram counts (np.unique combiner), so
@@ -799,6 +832,16 @@ ORACLE_SQL: dict[str, str] = {
         " count(*) AS n_events, max(value) AS max_value"
         " FROM events GROUP BY user_id, window_hour ORDER BY user_id, window_hour"
     ),
+    # hopping window (size 1h, hop 30m): event at us lives in windows
+    # us//hop and us//hop - 1 (window id = start/hop)
+    "events_hopping_window": (
+        "WITH x AS (SELECT user_id, value,"
+        " epoch_us(ts) // 1800000000 AS w0 FROM events),"
+        " ex AS (SELECT user_id, value, w0 AS win FROM x"
+        " UNION ALL SELECT user_id, value, w0 - 1 FROM x)"
+        " SELECT user_id, win, count(*) AS n_events, max(value) AS max_value"
+        " FROM ex GROUP BY user_id, win ORDER BY user_id, win"
+    ),
     "bigram_top20": (
         "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks"
         " FROM documents),"
@@ -906,6 +949,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "sayt_prefix_docs": q_sayt_prefix_docs,
     "events_window": q_events_window,
+    "events_hopping_window": q_events_hopping_window,
     "bigram_top20": q_bigram_top20,
     "events_sessions": q_events_sessions,
 }
