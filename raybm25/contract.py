@@ -12,6 +12,7 @@ cache; the manifest fingerprint makes rebuilds no-ops.
 
 from __future__ import annotations
 
+import math
 import os
 from collections import Counter
 
@@ -544,6 +545,84 @@ def q_events_hopping_window(sf_dir: str):
     return out.sort_values(["user_id", "win"]).reset_index(drop=True)
 
 
+def q_top_tokens_per_lang(sf_dir: str):
+    """Top-3 docs by token count per language — the grouped-top-k
+    pattern with a per-batch COMBINER: each batch emits only its local
+    top-3 per lang (tiny), the final groupby re-ranks combiner rows
+    instead of the corpus."""
+    import ray.data
+
+    from .analysis import arrow_tokenize
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        _, _, _, dl = arrow_tokenize(t.column("text"))
+        df = pd.DataFrame(
+            {
+                "lang": t.column("lang").to_pylist(),
+                "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                "n_tokens": dl.astype(np.int64),
+            }
+        )
+        df = df.sort_values(["lang", "n_tokens", "doc_id"], ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("lang").head(3), preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tokens", "doc_id"], ascending=[False, True]).head(3)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "rank", "doc_id", "n_tokens"]]
+
+    final_topk.__name__ = "final_topk"
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    out = (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype({"rank": "int64", "doc_id": "int64", "n_tokens": "int64"})
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
+def q_token_count_quantiles(sf_dir: str):
+    """Exact token-count quantiles via a DISTRIBUTED HISTOGRAM: batches
+    emit (dl, count) partials, a tiny groupby sums them, and the
+    quantile is read off the cumulative counts — no global sort. The
+    quantile definition is rank = ceil(q * n) over the sorted values
+    (deterministic; reproduced in SQL with ORDER BY ... OFFSET)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .analysis import arrow_tokenize
+
+    def dl_counts(t: pa.Table) -> pa.Table:
+        _, _, _, dl = arrow_tokenize(t.column("text"))
+        vals, counts = np.unique(dl.astype(np.int64), return_counts=True)
+        return pa.table(
+            {"dl": pa.array(vals, pa.int64()), "n": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    hist = (
+        ds.map_batches(dl_counts, batch_format="pyarrow")
+        .groupby("dl")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("dl")
+        .to_pandas()
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    qs = [0.25, 0.5, 0.75, 0.99]
+    vals = []
+    for q in qs:
+        rank = int(math.ceil(q * total))
+        vals.append(int(hist["dl"].to_numpy()[np.searchsorted(cum, rank)]))
+    return pd.DataFrame({"q": qs, "dl": pd.array(vals, dtype="int64")})
+
+
 def q_bigram_top20(sf_dir: str):
     """Corpus-level top-20 token bigrams — the pre-aggregation pattern:
     each batch emits its LOCAL bigram counts (np.unique combiner), so
@@ -832,6 +911,30 @@ ORACLE_SQL: dict[str, str] = {
         " count(*) AS n_events, max(value) AS max_value"
         " FROM events GROUP BY user_id, window_hour ORDER BY user_id, window_hour"
     ),
+    "top_tokens_per_lang": (
+        f"WITH {TOKS_CTE},"
+        " c AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),"
+        " d AS (SELECT d.doc_id, d.lang, COALESCE(c.n_tokens, 0) AS n_tokens"
+        " FROM documents d LEFT JOIN c USING(doc_id)),"
+        " r AS (SELECT lang, doc_id, n_tokens, row_number() OVER"
+        " (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rank FROM d)"
+        " SELECT lang, rank, doc_id, n_tokens FROM r WHERE rank <= 3"
+        " ORDER BY lang, rank"
+    ),
+    # quantile definition: value at rank = ceil(q * n) of the sorted
+    # token counts (exact; matches the engine's histogram read-off)
+    "token_count_quantiles": (
+        f"WITH {TOKS_CTE},"
+        " c AS (SELECT d.doc_id, COALESCE(x.n, 0) AS dl FROM documents d"
+        " LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id) x"
+        " USING(doc_id)),"
+        " s AS (SELECT dl, row_number() OVER (ORDER BY dl) AS rn FROM c),"
+        " tot AS (SELECT count(*) AS total FROM c)"
+        " SELECT CAST(t.q AS DOUBLE) AS q, s.dl"
+        " FROM (VALUES (0.25), (0.5), (0.75), (0.99)) t(q)"
+        " JOIN s ON s.rn = CAST(ceil(t.q * (SELECT total FROM tot)) AS BIGINT)"
+        " ORDER BY q"
+    ),
     # hopping window (size 1h, hop 30m): event at us lives in windows
     # us//hop and us//hop - 1 (window id = start/hop)
     "events_hopping_window": (
@@ -950,6 +1053,8 @@ QUERIES = {
     "sayt_prefix_docs": q_sayt_prefix_docs,
     "events_window": q_events_window,
     "events_hopping_window": q_events_hopping_window,
+    "top_tokens_per_lang": q_top_tokens_per_lang,
+    "token_count_quantiles": q_token_count_quantiles,
     "bigram_top20": q_bigram_top20,
     "events_sessions": q_events_sessions,
 }
