@@ -729,7 +729,16 @@ def neardup_clusters(
 
     The transitive-closure step runs on the driver over the PAIR list
     only (dup-rate-sized); the oracle is a DuckDB recursive CTE
-    (contract.py ``neardup_clusters``)."""
+    (contract.py ``neardup_clusters``).
+
+    Scale budget: the verified pair list is quadratic in CLUSTER size
+    (a near-dup cluster is close to a clique). At web scale, run
+    :func:`exact_dedup` FIRST — identical copies are what produce
+    mega-clusters; after exact dedup, residual near-dup clusters are
+    small and the pair list is O(dups). If a degenerate mega-cluster
+    survives anyway, swap the closure for distributed label
+    propagation (iterated min-label groupby) — the pair generation
+    stages are already bucketed and unaffected."""
     pairs = minhash_lsh_pairs(
         ds, threshold=threshold, text_col=text_col, work_dir=work_dir
     )
