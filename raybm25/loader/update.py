@@ -36,6 +36,11 @@ from ..index.build import DOCS_STATS_SUBDIR, DOCS_SUBDIR, ORD_SHIFT, rebuild_pos
 from ..index.manifest import atomic_write_parquet, load_manifest
 
 
+# block size for the zero-copy slicing of in-memory update tables
+# (module-level so tests can shrink it to exercise multi-block runs)
+_ATTACH_CHUNK = 65536
+
+
 def _doc_ids_for(keys, id_is_int: bool) -> np.ndarray:
     if id_is_int:
         return np.asarray(keys, dtype=np.int64).astype(np.uint64)
@@ -396,7 +401,7 @@ def apply_updates(
     updates = updates.append_column(
         "__seq", pa.array(np.arange(total, dtype=np.int64), pa.int64())
     )
-    chunk = 65536
+    chunk = _ATTACH_CHUNK
     blocks = [updates.slice(i, chunk) for i in range(0, max(total, 1), chunk)]
     ds = ray.data.from_arrow(blocks).map_batches(
         _AttachKeysTable,

@@ -635,3 +635,41 @@ def test_searchfile_cli(ray_session, tmp_path):
     want = r.search_pruned("alpha doc3", 3)
     assert [int(d) for d in got[got["query_id"] == 1]["doc_id"]] == [d for d, _ in want]
     assert (got["query_id"] == 2).sum() == 0  # absent term: no rows
+
+
+def test_inmemory_update_lww_across_chunks(ray_session, tmp_path, monkeypatch):
+    """In-memory update tables are sliced into blocks before the
+    distributed attach; page-order last-write-wins must hold ACROSS
+    block boundaries (global __seq is stamped before slicing)."""
+    import pyarrow.parquet as pq2
+
+    from raybm25.index.build_scan import build_index_scan
+    from raybm25.loader import update as upd_mod
+    from raybm25.loader.update import apply_updates
+    from raybm25.query.engine import IndexReader
+    from raybm25.hashing import hash64
+
+    src = tmp_path / "d.parquet"
+    pq2.write_table(
+        pa.table(
+            {
+                "url": [f"u{i}" for i in range(20)],
+                "text": [f"tok{i} body" for i in range(20)],
+                "lang": ["en"] * 20,
+            }
+        ),
+        str(src),
+    )
+    idx = str(tmp_path / "i")
+    build_index_scan(str(src), idx, key_col="url", ts_col=None, keyword_cols=("lang",))
+
+    monkeypatch.setattr(upd_mod, "_ATTACH_CHUNK", 7)  # force many blocks
+    n = 30
+    # u5 updated in rows 2, 16 and 29 (three different blocks): row 29 wins
+    urls = [f"u{i % 10}" for i in range(n)]
+    urls[2] = urls[16] = urls[29] = "u5"
+    langs = [f"l{i:02d}" for i in range(n)]
+    res = apply_updates(idx, pa.table({"url": urls, "lang": langs}), "url", rebuild=False)
+    assert res["missing"] == 0 and res["skipped_no_id"] == 0
+    got = IndexReader(idx).get_docs(hash64(np.array(["u5"], dtype=object)))
+    assert got.column("lang").to_pylist() == ["l29"]
