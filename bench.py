@@ -203,21 +203,25 @@ def run_bench() -> dict:
         for r in range(100)
         for q in BENCH_QUERIES
     ]
-    t2 = time.perf_counter()
-    n_hits = (
-        ray.data.from_items(qset)
-        .map_batches(
-            BatchSearcher,
-            fn_constructor_kwargs={"index_dir": index_dir},
-            batch_format="pandas",
-            batch_size=16,
-            concurrency=min(16, ncpu),
-            num_cpus=1,
-            max_restarts=0,
+    # best-of-N like the build (external box load hits the pool leg the
+    # same way it hits the build leg)
+    t_query = float("inf")
+    for _ in range(reps):
+        t2 = time.perf_counter()
+        n_hits = (
+            ray.data.from_items(qset)
+            .map_batches(
+                BatchSearcher,
+                fn_constructor_kwargs={"index_dir": index_dir},
+                batch_format="pandas",
+                batch_size=16,
+                concurrency=min(16, ncpu),
+                num_cpus=1,
+                max_restarts=0,
+            )
+            .count()
         )
-        .count()
-    )
-    t_query = time.perf_counter() - t2
+        t_query = min(t_query, time.perf_counter() - t2)
 
     result = {
         "metric": "index_build_plus_query_sec",

@@ -721,6 +721,7 @@ def neardup_clusters(
     threshold: float = 0.95,
     text_col: str = "text",
     work_dir: str | None = None,
+    method: str = "unionfind",
 ) -> pd.DataFrame:
     """Near-duplicate clusters over a documents Dataset: MinHash+LSH
     candidate pairs (distributed, see minhash_lsh_pairs) -> connected
@@ -736,9 +737,10 @@ def neardup_clusters(
     :func:`exact_dedup` FIRST — identical copies are what produce
     mega-clusters; after exact dedup, residual near-dup clusters are
     small and the pair list is O(dups). If a degenerate mega-cluster
-    survives anyway, swap the closure for distributed label
-    propagation (iterated min-label groupby) — the pair generation
-    stages are already bucketed and unaffected."""
+    survives anyway, pass ``method="labelprop"`` — the DISTRIBUTED
+    closure (:func:`label_propagation_components`, iterated min-label
+    groupby, same answer, tested) — the pair generation stages are
+    already bucketed and unaffected."""
     pairs = minhash_lsh_pairs(
         ds, threshold=threshold, text_col=text_col, work_dir=work_dir
     )
@@ -746,6 +748,8 @@ def neardup_clusters(
         return pd.DataFrame(
             {"doc_id": pd.array([], dtype="int64"), "rep": pd.array([], dtype="int64")}
         )
+    if method == "labelprop":
+        return label_propagation_components(pairs)
     return union_find_pairs(pairs)
 
 
@@ -776,3 +780,101 @@ def neardup_dedup(
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(drop_losers, batch_format="pyarrow")
+
+
+def label_propagation_components(
+    pairs: pd.DataFrame,
+    num_buckets: int | None = None,
+    max_iters: int = 100,
+) -> pd.DataFrame:
+    """DISTRIBUTED connected components over the pair graph: iterated
+    min-label propagation, two coarse-bucketed groupbys per round
+    (label-join then min-reduce), converging in O(graph diameter)
+    rounds — near-dup components are near-cliques, so 2-3 rounds in
+    practice. The driver sees one scalar (changed-count) per round;
+    labels and messages are all pair-graph-sized and live in the
+    object store. Same answer as :func:`union_find_pairs` (tested);
+    this is the scale path when the pair list outgrows the driver."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    if not len(pairs):
+        return pd.DataFrame(
+            {"doc_id": pd.array([], dtype="int64"), "rep": pd.array([], dtype="int64")}
+        )
+    a = pairs["doc_a"].to_numpy().astype(np.int64)
+    b = pairs["doc_b"].to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    if num_buckets is None:
+        num_buckets = scaled_group_count(nodes.size, 100_000, lo=8)
+
+    # bidirectional edges; labels start as self
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "node": np.concatenate([a, b]),
+                "nbr": np.concatenate([b, a]),
+            }
+        )
+    ).materialize()
+    labels = ray.data.from_pandas(
+        pd.DataFrame({"node": nodes, "lab": nodes})
+    ).materialize()
+
+    def bucketed(ds):
+        def add(t: pa.Table) -> pa.Table:
+            nd = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column(
+                "__b", pa.array((nd % num_buckets).astype(np.int32), pa.int32())
+            )
+
+        return ds.map_batches(add, batch_format="pyarrow")
+
+    def send_messages(g: pd.DataFrame) -> pd.DataFrame:
+        labs = g[g["nbr"].isna()][["node", "lab"]]
+        edg = g[g["nbr"].notna()][["node", "nbr"]]
+        msgs = edg.merge(labs, on="node")[["nbr", "lab"]].rename(columns={"nbr": "node"})
+        msgs["is_self"] = np.int64(0)
+        labs = labs.copy()
+        labs["is_self"] = np.int64(1)
+        out = pd.concat([labs, msgs], ignore_index=True)
+        return out.astype({"node": "int64", "lab": "int64", "is_self": "int64"})
+
+    def min_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby("node")["lab"].min()
+        # the node's own label row (is_self=1) is present exactly once
+        old = g[g["is_self"] == 1].set_index("node")["lab"]
+        out = pd.DataFrame({"node": new.index.to_numpy(), "lab": new.to_numpy()})
+        out["changed"] = (
+            new.to_numpy() < old.reindex(new.index).to_numpy()
+        ).astype(np.int64)
+        return out.astype({"node": "int64", "lab": "int64", "changed": "int64"})
+
+    send_messages.__name__ = "send_messages"
+    min_reduce.__name__ = "min_reduce"
+    for _ in range(max_iters):
+        combined = labels.select_columns(["node", "lab"]).map_batches(
+            lambda t: t.append_column("nbr", pa.nulls(t.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        ).union(
+            edges.map_batches(
+                lambda t: t.append_column("lab", pa.nulls(t.num_rows, pa.int64())),
+                batch_format="pyarrow",
+            )
+        )
+        stage1 = bucketed(combined).groupby("__b").map_groups(
+            send_messages, batch_format="pandas"
+        )
+        labels = (
+            bucketed(stage1)
+            .groupby("__b")
+            .map_groups(min_reduce, batch_format="pandas")
+            .materialize()
+        )
+        changed = labels.aggregate(Sum("changed", alias_name="n"))["n"]
+        if not changed:
+            break
+    out = labels.select_columns(["node", "lab"]).to_pandas()
+    out = out.rename(columns={"node": "doc_id", "lab": "rep"})
+    out = out.astype({"doc_id": "int64", "rep": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)

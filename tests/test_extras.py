@@ -419,3 +419,22 @@ def test_neardup_clusters_transitive(ray_session):
     out = neardup_clusters(ray.data.from_arrow(tbl), threshold=0.95)
     got = dict(zip(out["doc_id"], out["rep"]))
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_label_propagation_matches_union_find(ray_session):
+    """The distributed closure (iterated min-label groupby) must equal
+    the driver union-find — including on a long chain (max diameter)
+    and a random multigraph."""
+    import numpy as np
+    import pandas as pd
+
+    from raybm25.extras.dedup import label_propagation_components, union_find_pairs
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 150, 400)
+    b = rng.integers(0, 150, 400)
+    m = a != b
+    rand = pd.DataFrame({"doc_a": a[m], "doc_b": b[m]})
+    chain = pd.DataFrame({"doc_a": range(0, 25), "doc_b": range(1, 26)})
+    for pairs in (rand, chain):
+        assert union_find_pairs(pairs).equals(label_propagation_components(pairs))
