@@ -623,6 +623,65 @@ def q_token_count_quantiles(sf_dir: str):
     return pd.DataFrame({"q": qs, "dl": pd.array(vals, dtype="int64")})
 
 
+def _shuffle_keys(t: pa.Table) -> pa.Table:
+    """(doc_id, shufkey): SQL-expressible polynomial byte hash of the
+    id's decimal digits — reproducible sampling / epoch shuffling keys
+    (order-independent, restart-stable; the same HUGEINT list_reduce
+    trick as fingerprint_stats gives the oracle identical values)."""
+    from .extras.textstats import poly_token_hashes
+
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = poly_token_hashes([str(i) for i in ids])
+    # uint64 end-to-end: an int64 view would invert the sort order for
+    # keys >= 2^63 and diverge from the oracle's HUGEINT ordering
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "shufkey": pa.array(keys, pa.uint64()),
+        }
+    )
+
+
+def q_deterministic_sample(sf_dir: str):
+    """Reproducible ~10% sample by content-independent id hash:
+    keep docs with shufkey % 10 == 0 — a distributed filter, stable
+    under re-partitioning/restarts (a core training-data op)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = _shuffle_keys(t)
+        k = t.column("shufkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.select(["doc_id"]).filter(pa.array(k % np.uint64(10) == 0))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_deterministic_shuffle(sf_dir: str):
+    """Epoch shuffle: global order = distributed sort by (id-hash,
+    doc_id). At contract scale the rank is attached after to_pandas;
+    at 100 TB the sorted partitioned output IS the epoch order (file
+    order x in-file order) and no rank column is materialized."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = (
+        ds.map_batches(_shuffle_keys, batch_format="pyarrow")
+        .sort(["shufkey", "doc_id"])
+        .to_pandas()
+    )
+    out["pos"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["pos", "doc_id"]].reset_index(drop=True)
+
+
 def q_bigram_top20(sf_dir: str):
     """Corpus-level top-20 token bigrams — the pre-aggregation pattern:
     each batch emits its LOCAL bigram counts (np.unique combiner), so
@@ -911,6 +970,25 @@ ORACLE_SQL: dict[str, str] = {
         " count(*) AS n_events, max(value) AS max_value"
         " FROM events GROUP BY user_id, window_hour ORDER BY user_id, window_hour"
     ),
+    # shufkey = polynomial byte hash of the id's decimal digits (same
+    # HUGEINT list_reduce congruence as fingerprint_stats)
+    "deterministic_sample": (
+        "WITH k AS (SELECT doc_id,"
+        " list_reduce(list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '[0-9]'),"
+        " c -> CAST(unicode(c) AS HUGEINT)),"
+        " (h, c) -> (h * 1000003::HUGEINT + c) % 18446744073709551616::HUGEINT)"
+        " AS shufkey FROM documents)"
+        " SELECT doc_id FROM k WHERE shufkey % 10 = 0 ORDER BY doc_id"
+    ),
+    "deterministic_shuffle": (
+        "WITH k AS (SELECT doc_id,"
+        " list_reduce(list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '[0-9]'),"
+        " c -> CAST(unicode(c) AS HUGEINT)),"
+        " (h, c) -> (h * 1000003::HUGEINT + c) % 18446744073709551616::HUGEINT)"
+        " AS shufkey FROM documents)"
+        " SELECT row_number() OVER (ORDER BY shufkey, doc_id) AS pos, doc_id"
+        " FROM k ORDER BY pos"
+    ),
     "top_tokens_per_lang": (
         f"WITH {TOKS_CTE},"
         " c AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),"
@@ -1054,6 +1132,8 @@ QUERIES = {
     "events_window": q_events_window,
     "events_hopping_window": q_events_hopping_window,
     "top_tokens_per_lang": q_top_tokens_per_lang,
+    "deterministic_sample": q_deterministic_sample,
+    "deterministic_shuffle": q_deterministic_shuffle,
     "token_count_quantiles": q_token_count_quantiles,
     "bigram_top20": q_bigram_top20,
     "events_sessions": q_events_sessions,
