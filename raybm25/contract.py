@@ -682,6 +682,68 @@ def q_deterministic_shuffle(sf_dir: str):
     return out[["pos", "doc_id"]].reset_index(drop=True)
 
 
+def q_orders_per_nation(sf_dir: str):
+    """Broadcast hash join + pre-aggregation over the relational
+    tables: the SMALL side (customer -> nation name, via nation) is
+    built once and `ray.put` into the object store; each orders batch
+    maps o_custkey -> nation locally and emits per-batch partial
+    (nation, count, max) rows, so the final groupby shuffles one row
+    per nation per block — the canonical no-shuffle-join pattern for
+    a fact table against a dimension."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nk = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    lookup = pd.Series(
+        [nk[k] for k in cust.column("c_nationkey").to_pylist()],
+        index=cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    lookup_ref = ray.put(lookup)
+
+    def partials(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        keys = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "n_name": lk.reindex(keys).to_numpy(),
+                "price": t.column("o_totalprice").to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("n_name").agg(n_orders=("price", "size"), max_price=("price", "max"))
+        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": [g["n_name"].iloc[0]],
+                "n_orders": [int(g["n_orders"].sum())],
+                "max_price": [float(g["max_price"].max())],
+            }
+        )
+
+    final.__name__ = "final"
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("n_name")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 def q_bigram_top20(sf_dir: str):
     """Corpus-level top-20 token bigrams — the pre-aggregation pattern:
     each batch emits its LOCAL bigram counts (np.unique combiner), so
@@ -970,6 +1032,12 @@ ORACLE_SQL: dict[str, str] = {
         " count(*) AS n_events, max(value) AS max_value"
         " FROM events GROUP BY user_id, window_hour ORDER BY user_id, window_hour"
     ),
+    "orders_per_nation": (
+        "SELECT n_name, count(*) AS n_orders, max(o_totalprice) AS max_price"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " GROUP BY n_name ORDER BY n_name"
+    ),
     # shufkey = polynomial byte hash of the id's decimal digits (same
     # HUGEINT list_reduce congruence as fingerprint_stats)
     "deterministic_sample": (
@@ -1132,6 +1200,7 @@ QUERIES = {
     "events_window": q_events_window,
     "events_hopping_window": q_events_hopping_window,
     "top_tokens_per_lang": q_top_tokens_per_lang,
+    "orders_per_nation": q_orders_per_nation,
     "deterministic_sample": q_deterministic_sample,
     "deterministic_shuffle": q_deterministic_shuffle,
     "token_count_quantiles": q_token_count_quantiles,
