@@ -457,6 +457,12 @@ def q_sayt_prefix_docs(sf_dir: str):
     Built on the SCAN layout (VERDICT r2 'Next round' #4): sayt
     expansion runs inside the per-partition tokenize stage, so
     sayt-mapped parquet corpora keep the no-text-shuffle path."""
+    r = _IndexReader()(_sayt_index(sf_dir))
+    ids = np.sort(r.term_docs("text", "#merg")).astype("int64")
+    return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
+
+
+def _sayt_index(sf_dir: str) -> str:
     from .index.build_scan import build_index_scan
 
     idx = os.path.join(CACHE_ROOT, f"saytscan_{_tag(sf_dir)}")
@@ -470,8 +476,15 @@ def q_sayt_prefix_docs(sf_dir: str):
         sayt_cols=("text",),
         key_buckets=8,
     )
-    r = _IndexReader()(idx)
-    ids = np.sort(r.term_docs("text", "#merg")).astype("int64")
+    return idx
+
+
+def q_phrase_docs(sf_dir: str):
+    """Exact phrase (adjacent-token) match: the sayt 2/3-gram shingle
+    terms are adjacency facts, so a 2-3 token phrase is ONE postings
+    lookup — no positional postings needed at this width."""
+    r = _IndexReader()(_sayt_index(sf_dir))
+    ids = np.sort(r.phrase_docs("text", "hash join")).astype("int64")
     return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
 
 
@@ -1027,6 +1040,15 @@ ORACLE_SQL: dict[str, str] = {
         f"WITH {TOKS_CTE}"
         " SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'merg%' ORDER BY doc_id"
     ),
+    # adjacent-token phrase: any i with toks[i]='hash' and toks[i+1]='join'
+    "phrase_docs": (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
+        " AS toks FROM documents)"
+        " SELECT doc_id FROM t WHERE len(toks) >= 2 AND"
+        " len(list_filter(range(1, len(toks)),"
+        " i -> toks[i] = 'hash' AND toks[i+1] = 'join')) > 0"
+        " ORDER BY doc_id"
+    ),
     "events_window": (
         "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS window_hour,"
         " count(*) AS n_events, max(value) AS max_value"
@@ -1197,6 +1219,7 @@ QUERIES = {
     "fingerprint_stats": q_fingerprint_stats,
     "multimodal_meta": q_multimodal_meta,
     "sayt_prefix_docs": q_sayt_prefix_docs,
+    "phrase_docs": q_phrase_docs,
     "events_window": q_events_window,
     "events_hopping_window": q_events_hopping_window,
     "top_tokens_per_lang": q_top_tokens_per_lang,

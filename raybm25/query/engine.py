@@ -492,6 +492,19 @@ class IndexReader:
             return np.empty(0, np.uint64)
         return np.sort(self._map_ordinals(p[key].doc_ids))
 
+    def phrase_docs(self, field: str, phrase: str) -> np.ndarray:
+        """Exact 2-3 token phrase match on a sayt-enabled field: the
+        search_as_you_type 2/3-gram shingle terms ARE adjacency facts,
+        so the phrase resolves to one term lookup (no positions stored;
+        longer phrases would need positional postings — out of the
+        reference's capability surface)."""
+        toks = tokenize(phrase)
+        if not 2 <= len(toks) <= 3:
+            raise ValueError("phrase_docs supports 2-3 token phrases (shingle width)")
+        if field not in self.manifest.get("sayt_cols", []):
+            raise ValueError(f"field {field!r} is not sayt-indexed (no shingle terms)")
+        return self.term_docs(field, " ".join(toks))
+
     def get_docs(self, doc_ids: np.ndarray) -> pa.Table:
         """Doc-store lookup by id (SURVEY.md B5).
 
