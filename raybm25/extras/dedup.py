@@ -367,7 +367,8 @@ def minhash_lsh_pairs(
     work_dir: str | None = None,
     num_set_buckets: int | None = None,
     n_docs_hint: int | None = None,
-) -> pd.DataFrame:
+    output_dir: str | None = None,
+) -> pd.DataFrame | None:
     """Full near-dup pipeline over a documents Dataset: returns verified
     pairs (doc_a < doc_b, jaccard >= threshold), sorted.
 
@@ -460,19 +461,22 @@ def minhash_lsh_pairs(
         .groupby("__pk")
         .map_groups(_distinct_pairs, batch_format="pandas")
     )
-    verified = (
-        pairs.map_batches(
-            PairVerifier,
-            fn_constructor_kwargs={
-                "sets_dir": sets_dir,
-                "num_buckets": num_set_buckets,
-                "threshold": threshold,
-            },
-            batch_format="pyarrow",
-            concurrency=auto_concurrency(),
-        )
-        .to_pandas()
+    verified_ds = pairs.map_batches(
+        PairVerifier,
+        fn_constructor_kwargs={
+            "sets_dir": sets_dir,
+            "num_buckets": num_set_buckets,
+            "threshold": threshold,
+        },
+        batch_format="pyarrow",
+        concurrency=auto_concurrency(),
     )
+    if output_dir is not None:
+        # sink mode (100-TB path): verified pairs stream to partitioned
+        # parquet — nothing but write stats reaches the driver
+        verified_ds.write_parquet(output_dir)
+        return None
+    verified = verified_ds.to_pandas()
     if not len(verified):
         return pd.DataFrame(
             {

@@ -438,3 +438,26 @@ def test_label_propagation_matches_union_find(ray_session):
     chain = pd.DataFrame({"doc_a": range(0, 25), "doc_b": range(1, 26)})
     for pairs in (rand, chain):
         assert union_find_pairs(pairs).equals(label_propagation_components(pairs))
+
+
+def test_lsh_parquet_sink_matches_dataframe(ray_session, tmp_path):
+    """output_dir mode streams verified pairs to partitioned parquet —
+    same pair set as the default DataFrame return."""
+    import pyarrow.dataset as pads
+
+    from raybm25.extras.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(_docs_ds(), threshold=0.95, work_dir=str(tmp_path / "w1"))
+    out = str(tmp_path / "pairs")
+    ret = minhash_lsh_pairs(
+        _docs_ds(), threshold=0.95, work_dir=str(tmp_path / "w2"), output_dir=out
+    )
+    assert ret is None
+    got = (
+        pads.dataset(out)
+        .to_table()
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert set(zip(got["doc_a"], got["doc_b"])) == set(zip(df["doc_a"], df["doc_b"]))
