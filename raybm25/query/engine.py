@@ -39,7 +39,10 @@ from ..index.manifest import load_manifest
 
 
 class TermPostings:
-    __slots__ = ("doc_ids", "tfs", "dls", "block_last", "block_max_tf", "block_min_dl", "df")
+    __slots__ = (
+        "doc_ids", "tfs", "dls", "block_last", "block_max_tf", "block_min_dl",
+        "df", "norm", "norm_avgdl",
+    )
 
     def __init__(self, doc_ids, tfs, dls, block_last, block_max_tf, block_min_dl):
         self.doc_ids = doc_ids
@@ -49,6 +52,11 @@ class TermPostings:
         self.block_max_tf = block_max_tf
         self.block_min_dl = block_min_dl
         self.df = int(doc_ids.size)
+        # per-posting BM25 tf-norm is a pure function of (tf, dl, avgdl)
+        # — computed once on first scoring, reused across queries (a
+        # term belongs to exactly one field, so one avgdl applies)
+        self.norm = None
+        self.norm_avgdl = None
 
 
 class IndexReader:
@@ -248,6 +256,14 @@ class IndexReader:
         tf = tfs.astype(np.float64)
         return tf / (tf + self.k1 * (1.0 - self.b + self.b * dls.astype(np.float64) / avgdl))
 
+    def _norm_cached(self, p: TermPostings, avgdl: float) -> np.ndarray:
+        """Per-posting tf-norm, computed once per decoded term and
+        reused across queries (bit-identical — same elementwise ops)."""
+        if p.norm is None or p.norm_avgdl != avgdl:
+            p.norm = self._norm(p.tfs, p.dls, avgdl)
+            p.norm_avgdl = avgdl
+        return p.norm
+
     @property
     def primary_field(self) -> str:
         return (self.manifest.get("text_cols") or ["text"])[0]
@@ -315,16 +331,30 @@ class IndexReader:
             p = postings.get(term)
             if p is None:
                 continue
-            contrib = qcounts[term] * self.idf(p.df) * self._norm(p.tfs, p.dls, avgdl)
+            contrib = qcounts[term] * self.idf(p.df) * self._norm_cached(p, avgdl)
             parts_ids.append(p.doc_ids)
             parts_scores.append(contrib)
         if not parts_ids:
             return []
+        if len(parts_ids) == 1:
+            ids, sc = self._rank(parts_ids[0], parts_scores[0], k)
+            return list(zip(ids.tolist(), sc.tolist()))
         all_ids = np.concatenate(parts_ids)
         all_scores = np.concatenate(parts_scores)
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, all_scores)
+        # merge-combine: each term's postings are already doc-sorted, so
+        # a STABLE argsort over the concatenated runs is near-linear and
+        # np.add.reduceat replaces the slow np.add.at scatter. Stability
+        # keeps equal ids in term order, so per-doc float summation
+        # order — and therefore every score bit — is unchanged.
+        order = np.argsort(all_ids, kind="stable")
+        sa = all_ids[order]
+        ss = all_scores[order]
+        starts = np.empty(sa.size, dtype=bool)
+        starts[0] = True
+        np.not_equal(sa[1:], sa[:-1], out=starts[1:])
+        start_idx = np.flatnonzero(starts)
+        uniq = sa[start_idx]
+        scores = np.add.reduceat(ss, start_idx)
         ids, sc = self._rank(uniq, scores, k)
         return list(zip(ids.tolist(), sc.tolist()))
 
@@ -381,9 +411,7 @@ class IndexReader:
             pos = np.searchsorted(p.doc_ids, candidates)
             pos_c = np.minimum(pos, p.df - 1)
             hit = p.doc_ids[pos_c] == candidates
-            contrib = qcounts[term] * self.idf(p.df) * self._norm(
-                p.tfs[pos_c], p.dls[pos_c], avgdl
-            )
+            contrib = qcounts[term] * self.idf(p.df) * self._norm_cached(p, avgdl)[pos_c]
             scores[hit] += contrib[hit]
         return scores
 
