@@ -342,10 +342,12 @@ class IndexReader:
         all_ids = np.concatenate(parts_ids)
         all_scores = np.concatenate(parts_scores)
         # merge-combine: each term's postings are already doc-sorted, so
-        # a STABLE argsort over the concatenated runs is near-linear and
-        # np.add.reduceat replaces the slow np.add.at scatter. Stability
-        # keeps equal ids in term order, so per-doc float summation
-        # order — and therefore every score bit — is unchanged.
+        # a STABLE argsort over the concatenated runs is near-linear,
+        # replacing np.unique + the slow np.add.at scatter. Stability
+        # keeps equal ids in term order, and the segmented sum below
+        # adds LEFT-TO-RIGHT within each group (one vectorized pass per
+        # query term — np.add.reduceat would NOT do: its reduction
+        # order differs by 1 ulp), so every score bit matches add.at.
         order = np.argsort(all_ids, kind="stable")
         sa = all_ids[order]
         ss = all_scores[order]
@@ -354,7 +356,11 @@ class IndexReader:
         np.not_equal(sa[1:], sa[:-1], out=starts[1:])
         start_idx = np.flatnonzero(starts)
         uniq = sa[start_idx]
-        scores = np.add.reduceat(ss, start_idx)
+        counts = np.diff(np.append(start_idx, sa.size))
+        scores = ss[start_idx].copy()
+        for off in range(1, int(counts.max())):
+            m = counts > off
+            scores[m] += ss[start_idx[m] + off]
         ids, sc = self._rank(uniq, scores, k)
         return list(zip(ids.tolist(), sc.tolist()))
 
