@@ -757,6 +757,80 @@ def q_orders_per_nation(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def q_lineitem_priority(sf_dir: str):
+    """Reduce-side (co-grouped shuffle) join: both sides too big to
+    broadcast at scale, so BOTH are hash-bucketed on the join key
+    (orderkey % B), unioned with a side tag, and each bucket group
+    pandas-merges + pre-aggregates locally — the only cross-node
+    traffic is the key-bucketed rows once and one tiny partial row per
+    (bucket, priority). Complements the broadcast join
+    (orders_per_nation): this is the shape for fact x fact."""
+    import ray.data
+
+    B = 32
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "__b": pa.array((k % B).astype(np.int32), pa.int32()),
+                "prio": t.column("o_orderpriority"),
+                "price": pa.nulls(t.num_rows, pa.float64()),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "__b": pa.array((k % B).astype(np.int32), pa.int32()),
+                "prio": pa.nulls(t.num_rows, pa.string()),
+                "price": t.column("l_extendedprice").cast(pa.float64()),
+            }
+        )
+
+    def join_agg(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g[g["prio"].notna()][["key", "prio"]]
+        items = g[g["prio"].isna()][["key", "price"]]
+        j = items.merge(orders, on="key")
+        out = j.groupby("prio").agg(
+            n_items=("price", "size"), max_price=("price", "max")
+        )
+        return out.reset_index()
+
+    join_agg.__name__ = "join_agg"
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    items = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice"],
+    ).map_batches(tag_lineitem, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["prio"].iloc[0]],
+                "n_items": [int(g["n_items"].sum())],
+                "max_price": [float(g["max_price"].max())],
+            }
+        )
+
+    final.__name__ = "final"
+    out = (
+        orders.union(items)
+        .groupby("__b")
+        .map_groups(join_agg, batch_format="pandas")
+        .groupby("prio")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q_bigram_top20(sf_dir: str):
     """Corpus-level top-20 token bigrams — the pre-aggregation pattern:
     each batch emits its LOCAL bigram counts (np.unique combiner), so
@@ -1054,6 +1128,12 @@ ORACLE_SQL: dict[str, str] = {
         " count(*) AS n_events, max(value) AS max_value"
         " FROM events GROUP BY user_id, window_hour ORDER BY user_id, window_hour"
     ),
+    "lineitem_priority": (
+        "SELECT o_orderpriority, count(*) AS n_items,"
+        " max(l_extendedprice) AS max_price"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
     "orders_per_nation": (
         "SELECT n_name, count(*) AS n_orders, max(o_totalprice) AS max_price"
         " FROM orders JOIN customer ON o_custkey = c_custkey"
@@ -1224,6 +1304,7 @@ QUERIES = {
     "events_hopping_window": q_events_hopping_window,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "orders_per_nation": q_orders_per_nation,
+    "lineitem_priority": q_lineitem_priority,
     "deterministic_sample": q_deterministic_sample,
     "deterministic_shuffle": q_deterministic_shuffle,
     "token_count_quantiles": q_token_count_quantiles,
