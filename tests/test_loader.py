@@ -673,3 +673,31 @@ def test_inmemory_update_lww_across_chunks(ray_session, tmp_path, monkeypatch):
     assert res["missing"] == 0 and res["skipped_no_id"] == 0
     got = IndexReader(idx).get_docs(hash64(np.array(["u5"], dtype=object)))
     assert got.column("lang").to_pylist() == ["l29"]
+
+
+def test_build_job_entrypoint(ray_session, tmp_path, capsys):
+    """examples/build_job.py (the ray-job-submit surface) runs in an
+    already-initialised Ray session and prints the metrics JSON."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    import build_job
+
+    src = tmp_path / "d.parquet"
+    pq.write_table(
+        pa.table({"url": ["a", "b"], "text": ["one two", "three four"]}), str(src)
+    )
+    rc = build_job.main(
+        [str(src), str(tmp_path / "idx"), "--key-col", "url", "--no-ts"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 2 and out["layout"] == "scan"
+    # resubmission hits the full-skip checkpoint
+    rc2 = build_job.main(
+        [str(src), str(tmp_path / "idx"), "--key-col", "url", "--no-ts"]
+    )
+    assert rc2 == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["build_phase"] == "skipped (checkpoint)"
