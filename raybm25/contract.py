@@ -831,6 +831,44 @@ def q_lineitem_priority(sf_dir: str):
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Reproducible stratified sample: 5 docs per language, chosen by
+    the deterministic id-hash order (hash-order = unbiased, stable
+    under re-partitioning). Same combiner shape as grouped top-k: each
+    batch emits only its local 5-per-lang, the final groupby re-ranks
+    combiner rows."""
+    import ray.data
+
+    def local_pick(t: pa.Table) -> pa.Table:
+        keys = _shuffle_keys(t.select(["doc_id"]))
+        df = pd.DataFrame(
+            {
+                "lang": t.column("lang").to_pylist(),
+                "doc_id": keys.column("doc_id").to_numpy(zero_copy_only=False),
+                "shufkey": keys.column("shufkey").to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df.sort_values(["lang", "shufkey", "doc_id"])
+        return pa.Table.from_pandas(df.groupby("lang").head(5), preserve_index=False)
+
+    def final_pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shufkey", "doc_id"]).head(5)
+        return g[["lang", "doc_id"]]
+
+    final_pick.__name__ = "final_pick"
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    out = (
+        ds.map_batches(local_pick, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final_pick, batch_format="pandas")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def q_bigram_top20(sf_dir: str):
     """Corpus-level top-20 token bigrams — the pre-aggregation pattern:
     each batch emits its LOCAL bigram counts (np.unique combiner), so
@@ -1159,6 +1197,16 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT row_number() OVER (ORDER BY shufkey, doc_id) AS pos, doc_id"
         " FROM k ORDER BY pos"
     ),
+    "stratified_sample": (
+        "WITH k AS (SELECT doc_id, lang,"
+        " list_reduce(list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '[0-9]'),"
+        " c -> CAST(unicode(c) AS HUGEINT)),"
+        " (h, c) -> (h * 1000003::HUGEINT + c) % 18446744073709551616::HUGEINT)"
+        " AS shufkey FROM documents),"
+        " r AS (SELECT lang, doc_id, row_number() OVER"
+        " (PARTITION BY lang ORDER BY shufkey, doc_id) AS rn FROM k)"
+        " SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id"
+    ),
     "top_tokens_per_lang": (
         f"WITH {TOKS_CTE},"
         " c AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),"
@@ -1307,6 +1355,7 @@ QUERIES = {
     "lineitem_priority": q_lineitem_priority,
     "deterministic_sample": q_deterministic_sample,
     "deterministic_shuffle": q_deterministic_shuffle,
+    "stratified_sample": q_stratified_sample,
     "token_count_quantiles": q_token_count_quantiles,
     "bigram_top20": q_bigram_top20,
     "events_sessions": q_events_sessions,
