@@ -766,8 +766,16 @@ def q_lineitem_priority(sf_dir: str):
     (bucket, priority). Complements the broadcast join
     (orders_per_nation): this is the shape for fact x fact."""
     import ray.data
+    import pyarrow.parquet as pq
 
-    B = 32
+    from .extras.dedup import scaled_group_count
+
+    n_rows = (
+        pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+        + pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    )
+    # join-bucket fanout scales with input (metadata-cheap row count)
+    B = scaled_group_count(n_rows, 100_000, lo=32)
 
     def tag_orders(t: pa.Table) -> pa.Table:
         k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
