@@ -256,6 +256,21 @@ class IndexReader:
         tf = tfs.astype(np.float64)
         return tf / (tf + self.k1 * (1.0 - self.b + self.b * dls.astype(np.float64) / avgdl))
 
+    @staticmethod
+    def _merge_unique(parts: list[np.ndarray]) -> np.ndarray:
+        """Sorted-unique union of already-sorted id arrays: stable sort
+        (radix for 8-byte ints) + boundary dedup — measurably faster
+        than np.unique's comparison sort on posting-list unions."""
+        if len(parts) == 1:
+            return parts[0]
+        allv = np.sort(np.concatenate(parts), kind="stable")
+        if allv.size == 0:
+            return allv
+        keep = np.empty(allv.size, dtype=bool)
+        keep[0] = True
+        np.not_equal(allv[1:], allv[:-1], out=keep[1:])
+        return allv[keep]
+
     def _norm_cached(self, p: TermPostings, avgdl: float) -> np.ndarray:
         """Per-posting tf-norm, computed once per decoded term and
         reused across queries (bit-identical — same elementwise ops)."""
@@ -389,7 +404,7 @@ class IndexReader:
         parts = [p.doc_ids for p in (postings.get(t) for t in sorted(qcounts)) if p]
         if not parts:
             return []
-        cand = np.unique(np.concatenate(parts))
+        cand = self._merge_unique(parts)
         # sorted-array intersection with the filter's ordinals
         pos = np.searchsorted(fp.doc_ids, cand)
         pos_c = np.minimum(pos, fp.df - 1)
@@ -475,7 +490,7 @@ class IndexReader:
                 got += e - s
                 if got >= k:
                     break
-            seed_ids = np.unique(np.concatenate(take))
+            seed_ids = self._merge_unique(take)
         seed_scores = self._score_subset(seed_ids, qcounts, postings, avgdl)
         if seed_ids.size >= k:
             idx = np.lexsort((seed_ids, -seed_scores))[:k]
@@ -512,7 +527,7 @@ class IndexReader:
                 s, e = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, p.df)
                 segs.append(p.doc_ids[s:e])
             cand_parts.append(np.concatenate(segs) if segs else np.empty(0, np.uint64))
-        candidates = np.unique(np.concatenate(cand_parts))
+        candidates = self._merge_unique(cand_parts)
         scores = self._score_subset(candidates, qcounts, postings, avgdl)
         ids, sc = self._rank(candidates, scores, k)
         return list(zip(ids.tolist(), sc.tolist()))
