@@ -55,3 +55,40 @@ def test_partitioning_invariance(ray_session, tmp_path):
     assert rs[0].avgdl == rs[1].avgdl
     for q in make_queries():
         assert rs[0].search(q["query_text"], q["k"]) == rs[1].search(q["query_text"], q["k"])
+
+
+def test_search_filtered_and_phrase_error_paths(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from raybm25.index.build import build_index
+    from raybm25.query.engine import IndexReader
+
+    src = tmp_path / "d.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "url": ["a", "b"],
+                "text": ["alpha beta gamma", "beta gamma delta"],
+                "lang": ["en", "de"],
+            }
+        ),
+        str(src),
+    )
+    idx = str(tmp_path / "i")
+    build_index(str(src), idx, key_col="url", ts_col=None,
+                keyword_cols=("lang",), sayt_cols=("text",), num_buckets=2)
+    r = IndexReader(idx)
+    # phrase via shingles, both widths
+    assert len(r.phrase_docs("text", "beta gamma")) == 2
+    assert len(r.phrase_docs("text", "alpha beta gamma")) == 1
+    assert len(r.phrase_docs("text", "gamma beta")) == 0  # order matters
+    with pytest.raises(ValueError):
+        r.phrase_docs("text", "only")  # 1 token: no shingle
+    with pytest.raises(ValueError):
+        r.phrase_docs("text", "a b c d")  # > shingle width
+    with pytest.raises(ValueError):
+        r.phrase_docs("lang", "en de")  # not a sayt field
+    # filtered search returns [] (not an error) for unknown filter value
+    assert r.search_filtered("beta", "lang", "zz", k=5) == []
