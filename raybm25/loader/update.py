@@ -494,8 +494,21 @@ def _insert_document(index_dir: str, row: dict, id_field: str) -> None:
 
         pidx = int(man.data["num_buckets"])  # fresh tail partition
         ordinal = np.uint64(pidx) << np.uint64(ORD_SHIFT)
-        template = os.path.join(docs_dir, "part=00000.parquet")
-        schema = pq.read_schema(template)
+        parts = sorted(f for f in os.listdir(docs_dir) if f.endswith(".parquet"))
+        if parts:
+            schema = pq.read_schema(os.path.join(docs_dir, parts[0]))
+        else:  # first doc of an empty index: minimal docstore schema
+            fields: list[tuple] = []
+            key_col = man.data.get("key_col", "doc_id")
+            if not id_is_int and key_col != "doc_id":
+                fields.append((key_col, pa.string()))
+            fields += [(c, pa.string()) for c in text_cols if c != key_col]
+            fields += [
+                ("doc_id", pa.uint64()),
+                ("texth", pa.uint64()),
+                ("ordinal", pa.uint64()),
+            ]
+            schema = pa.schema(fields)
         vals = dict(row)
         vals["doc_id"] = doc_id
         vals["ordinal"] = ordinal
