@@ -857,12 +857,16 @@ def label_propagation_components(
     send_messages.__name__ = "send_messages"
     min_reduce.__name__ = "min_reduce"
     for _ in range(max_iters):
+        # identical column ORDER on both union sides (don't rely on
+        # by-name alignment across heterogeneous blocks)
         combined = labels.select_columns(["node", "lab"]).map_batches(
             lambda t: t.append_column("nbr", pa.nulls(t.num_rows, pa.int64())),
             batch_format="pyarrow",
         ).union(
             edges.map_batches(
-                lambda t: t.append_column("lab", pa.nulls(t.num_rows, pa.int64())),
+                lambda t: t.append_column(
+                    "lab", pa.nulls(t.num_rows, pa.int64())
+                ).select(["node", "lab", "nbr"]),
                 batch_format="pyarrow",
             )
         )
