@@ -1,0 +1,45 @@
+"""Scale smoke: run EVERY queries() entry at a bigger scale factor
+than the driver's sf0.01 correctness gate — catches crashes and perf
+cliffs the small gate can't see (not a pytest module; run manually).
+
+Usage: python tests/scale_smoke.py [sf_dir]   (default sf0.1)
+
+Round-3 record (sf0.1, 16 CPUs): all 39 entries ok; dominant costs are
+the near-dup pipelines on the heavily-duplicated fixture corpus
+(190,925 verified pairs among 5,000 docs): minhash_lsh_pairs 56 s,
+neardup_clusters 51 s, ngram_jaccard_pairs 37 s; everything else < 7 s.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import __ray_entry__ as e
+
+    failures = 0
+    for name, fn in e.queries().items():
+        t0 = time.perf_counter()
+        try:
+            out = fn(sf_dir)
+            n = len(out) if hasattr(out, "__len__") else out.count()
+            print(f"{name}: ok rows={n} {time.perf_counter() - t0:.1f}s")
+        except Exception as ex:  # noqa: BLE001 - smoke reporting
+            failures += 1
+            print(f"{name}: FAIL {type(ex).__name__}: {ex}")
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
