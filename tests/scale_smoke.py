@@ -6,8 +6,9 @@ Usage: python tests/scale_smoke.py [sf_dir]   (default sf0.1)
 
 Round-3 record (sf0.1, 16 CPUs): all 39 entries ok; dominant costs are
 the near-dup pipelines on the heavily-duplicated fixture corpus
-(190,925 verified pairs among 5,000 docs): minhash_lsh_pairs 56 s,
-neardup_clusters 51 s, ngram_jaccard_pairs 37 s; everything else < 7 s.
+(190,925 verified pairs among 5,000 docs — a ~16x banding-duplication
+worst case). After vectorizing candidate generation (triu_indices):
+minhash_lsh_pairs 27.5 s (was 56); everything non-near-dup < 7 s.
 """
 
 from __future__ import annotations
