@@ -503,6 +503,13 @@ def _insert_document(index_dir: str, row: dict, id_field: str) -> None:
             if not id_is_int and key_col != "doc_id":
                 fields.append((key_col, pa.string()))
             fields += [(c, pa.string()) for c in text_cols if c != key_col]
+            # keyword columns must exist: the tokenize stage reads them
+            # by name from every partition
+            fields += [
+                (c, pa.string())
+                for c in man.data.get("keyword_cols", [])
+                if c != key_col and c not in text_cols
+            ]
             fields += [
                 ("doc_id", pa.uint64()),
                 ("texth", pa.uint64()),
