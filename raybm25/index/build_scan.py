@@ -67,6 +67,7 @@ from .manifest import Manifest, atomic_write_parquet, load_manifest
 
 KEYIDX_SUBDIR = "keyidx"
 DEAD_SUBDIR = "dead"
+PARTIALS_SUBDIR = "partials"
 
 
 class _ScanExtractWrite:
@@ -245,7 +246,16 @@ class _ResolveWinners:
 
 class _TokenizePart:
     """Stage 4: one docstore partition -> packed partial postings
-    (skipping dead rows), plus the partition stats sidecar."""
+    (skipping dead rows), plus the partition stats sidecar.
+
+    ``partials_dir`` (opt-in, ``checkpoint_partials=True`` on the
+    build): each partition's packed partials are also persisted to
+    ``partials/part=N.parquet`` with a content fingerprint (docstore
+    file stat + dead-list bytes), and a matching checkpoint SKIPS the
+    tokenize entirely — per-partition resume for the expensive phase.
+    Costs one extra write+read of the packed partials; intended for
+    long cluster builds where a mid-build crash would otherwise lose
+    hours of tokenize work."""
 
     def __init__(
         self,
@@ -257,6 +267,7 @@ class _TokenizePart:
         range_shift: int,
         num_shards: int,
         sayt_cols: tuple[str, ...] = (),
+        partials_dir: str | None = None,
     ):
         self.docs_dir = docs_dir
         self.dead_dir = dead_dir
@@ -266,13 +277,58 @@ class _TokenizePart:
         self.range_shift = range_shift
         self.num_shards = num_shards
         self.sayt_cols = sayt_cols
+        self.partials_dir = partials_dir
         self.findall = TOKEN_RE.findall
+
+    def _fingerprint(self, pidx: int) -> list:
+        import hashlib
+
+        st = os.stat(os.path.join(self.docs_dir, f"part={pidx:05d}.parquet"))
+        dead_path = os.path.join(self.dead_dir, f"part={pidx:05d}.json")
+        if os.path.exists(dead_path):
+            with open(dead_path, "rb") as f:
+                dead_sig = hashlib.sha256(f.read()).hexdigest()
+        else:
+            dead_sig = ""
+        return [st.st_size, st.st_mtime_ns, dead_sig]
+
+    def _checkpoint_load(self, pidx: int):
+        """Partials parquet for this partition if its fingerprint (and
+        the stats sidecar) are current, else None."""
+        if self.partials_dir is None:
+            return None
+        dest = os.path.join(self.partials_dir, f"part={pidx:05d}.parquet")
+        fp_path = dest + ".src.json"
+        spath = os.path.join(self.stats_dir, f"bucket={pidx:05d}.json")
+        if not (os.path.exists(dest) and os.path.exists(fp_path) and os.path.exists(spath)):
+            return None
+        try:
+            with open(fp_path) as f:
+                if json.load(f) != self._fingerprint(pidx):
+                    return None
+        except (OSError, json.JSONDecodeError):
+            return None
+        return pq.read_table(dest, use_threads=False)
+
+    def _checkpoint_store(self, pidx: int, tbl: pa.Table) -> None:
+        if self.partials_dir is None:
+            return
+        dest = os.path.join(self.partials_dir, f"part={pidx:05d}.parquet")
+        atomic_write_parquet(tbl, dest)
+        tmp = dest + f".src.json.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(self._fingerprint(pidx), f)
+        os.replace(tmp, dest + ".src.json")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         tables = []
         for pidx in batch.column("pidx").to_pylist():
+            got = self._checkpoint_load(pidx)
+            if got is not None:
+                tables.append(got)
+                continue
             path = os.path.join(self.docs_dir, f"part={pidx:05d}.parquet")
             cols = ["ordinal", *self.text_cols, *self.keyword_cols]
             tbl = pq.read_table(path, columns=cols, use_threads=False)
@@ -285,6 +341,7 @@ class _TokenizePart:
             # stay in Arrow end-to-end: no pandas round-trip, no Python
             # token strings (allocator contention under 32-way load)
             ordinals = tbl.column("ordinal").to_numpy(zero_copy_only=False).astype(np.uint64)
+            part_tables = []
             sums: dict[str, int] = {}
             kw_vals = {
                 c: (
@@ -302,7 +359,7 @@ class _TokenizePart:
                 )
                 tid, terms, doc_pos, dl = arrow_tokenize(texts)
                 sums[col] = int(dl.sum())
-                tables.append(
+                part_tables.append(
                     build_partials_codes(
                         ordinals,
                         dl,
@@ -334,7 +391,7 @@ class _TokenizePart:
                         for i in range(n)
                     ]
                     exdl = np.ones(len(ex), dtype=np.int32)
-                    tables.append(
+                    part_tables.append(
                         build_partials(
                             ordinals, exdl, ex, {}, self.range_shift, self.num_shards
                         )
@@ -352,6 +409,9 @@ class _TokenizePart:
             with open(tmp, "w") as f:
                 json.dump(stats, f)
             os.replace(tmp, spath)
+            part_tbl = pa.concat_tables(part_tables)
+            self._checkpoint_store(pidx, part_tbl)
+            tables.append(part_tbl)
         return pa.concat_tables(tables)
 
 
@@ -454,13 +514,18 @@ def build_index_scan(
     k1: float = BM25_K1,
     b: float = BM25_B,
     overwrite: bool = False,
+    checkpoint_partials: bool = False,
 ) -> dict:
     """Scan-layout build over a list of parquet files (or a directory).
 
     One docstore partition per input file; text never shuffles. Returns
     a metrics dict. ``range_parts``: doc-range salt granularity, in
     input-file units (hot terms split into ~n_files/range_parts
-    segments)."""
+    segments). ``checkpoint_partials``: also persist each partition's
+    packed partials with a content fingerprint so a crash in the
+    postings phase resumes without re-tokenizing finished partitions
+    (opt-in: costs one extra write+read of the packed partials —
+    worthwhile on long cluster builds, off for benchmarks)."""
     t0 = time.perf_counter()
     if isinstance(paths, str):
         if os.path.isdir(paths):
@@ -499,6 +564,12 @@ def build_index_scan(
             shutil.rmtree(d)
         os.makedirs(d, exist_ok=True)
     os.makedirs(docs_dir, exist_ok=True)
+    partials_dir = None
+    if checkpoint_partials:
+        # partials checkpoints survive across runs like docs partitions
+        # (fingerprints invalidate them when docstore/dead-lists change)
+        partials_dir = os.path.join(index_dir, PARTIALS_SUBDIR)
+        os.makedirs(partials_dir, exist_ok=True)
 
     rp_bits = max(0, (max(1, range_parts) - 1).bit_length())
     range_shift = ORD_SHIFT + rp_bits
@@ -522,6 +593,7 @@ def build_index_scan(
             "text_cols": list(text_cols),
             "keyword_cols": list(keyword_cols),
             "sayt_cols": list(sayt_cols),
+            "checkpoint_partials": bool(checkpoint_partials),
             "input_files": paths,
         },
     )
@@ -572,6 +644,7 @@ def build_index_scan(
             range_shift=range_shift,
             num_shards=postings_shards,
             sayt_cols=sayt_cols,
+            partials_dir=partials_dir,
         ),
         batch_format="pyarrow",
     )
@@ -617,6 +690,10 @@ def rebuild_postings_scan(index_dir: str) -> dict:
     text_cols = tuple(man.data.get("text_cols", ["text"]))
     keyword_cols = tuple(man.data.get("keyword_cols", []))
     sayt_cols = tuple(man.data.get("sayt_cols", []))
+    partials_dir = None
+    if man.data.get("checkpoint_partials"):
+        partials_dir = os.path.join(index_dir, PARTIALS_SUBDIR)
+        os.makedirs(partials_dir, exist_ok=True)
 
     files_ds = ray.data.from_items(
         [{"pidx": i} for i in range(n_parts)], override_num_blocks=n_parts
@@ -631,6 +708,7 @@ def rebuild_postings_scan(index_dir: str) -> dict:
             range_shift=int(man.data["range_shift"]),
             num_shards=int(man.data["num_shards"]),
             sayt_cols=sayt_cols,
+            partials_dir=partials_dir,
         ),
         batch_format="pyarrow",
     )

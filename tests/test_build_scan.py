@@ -88,6 +88,9 @@ def test_search_filtered_equals_postfilter(both_layouts):
             assert got == want, (d, q)
         assert r.search_filtered("merge", "lang", "nosuchlang", k=5) == []
         assert r.search_filtered("zzzabsent", "lang", "en", k=5) == []
+
+
+def test_sayt_identical_across_layouts(both_layouts):
     """VERDICT r2 #4: sayt expansion now runs in the scan tokenize
     stage — prefix and shingle lookups must match the hash layout."""
     hash_dir, scan_dir, _, _ = both_layouts
@@ -308,3 +311,56 @@ def test_scan_build_full_skip_checkpoint(ray_session, tmp_path):
     m3 = build_index_scan(src.as_posix(), idx, key_col="url", ts_col=None, text_cols=("text",))
     assert "build_phase" not in m3  # real rebuild
     assert m3["n_docs"] == 11  # p0 now has 1 row
+
+
+def test_partials_checkpoint_resume(ray_session, tmp_path):
+    """checkpoint_partials=True: the postings phase resumes from
+    per-partition partials — a crash after tokenize does not re-pay it,
+    and the result is identical to a non-checkpointed build."""
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from raybm25.index.build_scan import PARTIALS_SUBDIR, rebuild_postings_scan
+
+    pages = make_pages(n_rows=400, seed=11)
+    files = []
+    for i in range(4):
+        p = str(tmp_path / f"f{i}.parquet")
+        pq2.write_table(pages.slice(i * 100, 100), p)
+        files.append(p)
+    kw = dict(key_col="url", ts_col="warc_ts", extract_html=True,
+              postings_shards=16, range_parts=2, key_buckets=4)
+
+    ck = str(tmp_path / "ck")
+    build_index_scan(files, ck, checkpoint_partials=True, **kw)
+    pdir = os.path.join(ck, PARTIALS_SUBDIR)
+    pfiles = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    assert len(pfiles) == 4
+    mtimes = [os.path.getmtime(os.path.join(pdir, f)) for f in pfiles]
+
+    # simulate a crash AFTER tokenize: postings lost, partials intact
+    import shutil
+    shutil.rmtree(os.path.join(ck, "postings"))
+    rebuild_postings_scan(ck)
+    # partials were REUSED, not rewritten
+    assert [os.path.getmtime(os.path.join(pdir, f)) for f in pfiles] == mtimes
+
+    plain = str(tmp_path / "plain")
+    build_index_scan(files, plain, **kw)
+    r1, r2 = IndexReader(ck), IndexReader(plain)
+    assert (r1.n_docs, r1.avgdl) == (r2.n_docs, r2.avgdl)
+    for q in make_queries():
+        assert r1.search(q["query_text"], q["k"]) == r2.search(q["query_text"], q["k"])
+
+    # stale checkpoint: touch a docstore partition -> that partition's
+    # partials rebuild, others stay
+    part0 = os.path.join(ck, "docs", "part=00000.parquet")
+    os.utime(part0, None)
+    rebuild_postings_scan(ck)
+    newm = [os.path.getmtime(os.path.join(pdir, f)) for f in pfiles]
+    assert newm[0] != mtimes[0] and newm[1:] == mtimes[1:]
+    for q in make_queries():
+        assert r1.search(q["query_text"], q["k"]) == IndexReader(ck).search(
+            q["query_text"], q["k"]
+        )
