@@ -24,8 +24,11 @@ dedup winners) while shuffling ONLY keys:
 
 Shuffle volume: stages 2/3 move ~32 bytes/doc; stage 5 moves packed
 postings. Resume lineage is per input file (stage 1 skips parts whose
-docstore file already exists with matching fingerprint) — "resumable
-from per-partition checkpoints" in the north-rule sense.
+docstore file already exists with matching fingerprint), and with
+``checkpoint_partials=True`` stage 4 is ALSO per-partition resumable
+(packed partials persisted under partials/ with content fingerprints)
+— "resumable from per-partition checkpoints" in the north-rule sense
+for both the extract and the tokenize phases.
 
 Trade-off vs the hash layout: point lookups go through the key index
 (doc_id -> ordinal -> partition) instead of hashing straight to a
