@@ -99,14 +99,14 @@ def extract_column(col) -> pa.Array:
 
 def extract_column_hashed(col) -> tuple[pa.Array, np.ndarray]:
     """(extracted string array, texth) in one pass over the bytes.
-    pandas' siphash treats ``bytes`` identically to the utf-8 ``str``,
-    so texth matches the str-path hash bit-for-bit (build and update
-    paths stay consistent)."""
-    from .hashing import hash64
+    texth is the buffer-level polynomial hash (hashing.hash_text_column)
+    computed over the assembled Arrow array — identical values to every
+    other texth producer (scan stage 1, update paths), since all hash
+    the raw utf-8 bytes of the same content."""
+    from .hashing import hash_text_column
 
-    texts = _extract_bytes_list(col)
-    th = hash64(np.array(texts, dtype=object))
-    return pa.array(texts, pa.binary()).cast(pa.string()), th
+    arr = pa.array(_extract_bytes_list(col), pa.binary())
+    return arr.cast(pa.string()), hash_text_column(arr)
 
 
 def extract_batch(batch: pa.Table, drop_html: bool = False) -> pa.Table:

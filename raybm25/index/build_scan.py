@@ -55,7 +55,7 @@ import ray.data
 from .. import BM25_B, BM25_K1
 from ..analysis import ANALYZER_VERSION, TOKEN_RE, arrow_tokenize, sayt_expand
 from ..extract import extract_column_hashed
-from ..hashing import HASH_IMPL, hash64
+from ..hashing import HASH_IMPL, hash64, hash_text_column
 from .build import (
     build_partials_codes,
     DOCS_STATS_SUBDIR,
@@ -116,13 +116,24 @@ class _ScanExtractWrite:
                             [self.ts_col] if self.ts_col else []
                         )
                         kt = pq.read_table(dest, columns=kcols, use_threads=False)
-                        keys = kt.to_pandas().rename(columns={"texth": "__texth"})
-                        if self.ts_col:
-                            keys["ts"] = keys.pop(self.ts_col)
-                        else:
-                            keys["ts"] = np.int64(0)
+                        # pure-Arrow keys (metadata-free schema: blocks
+                        # with pandas metadata are unhashable and defeat
+                        # Ray's schema dedup in every reduce task)
                         out_keys.append(
-                            pa.Table.from_pandas(keys, preserve_index=False)
+                            pa.table(
+                                {
+                                    "doc_id": kt.column("doc_id"),
+                                    "ordinal": kt.column("ordinal"),
+                                    "__texth": kt.column("texth"),
+                                    "ts": (
+                                        kt.column(self.ts_col)
+                                        if self.ts_col
+                                        else pa.array(
+                                            np.zeros(kt.num_rows, np.int64), pa.int64()
+                                        )
+                                    ),
+                                }
+                            )
                         )
                         continue
             cols = None  # prune at the read
@@ -146,16 +157,10 @@ class _ScanExtractWrite:
                 )
                 tbl = tbl.drop_columns(drop).append_column(self.text_col, text_arr)
             else:
-                tcol = tbl.column(self.text_col)
-                if tcol.null_count:
-                    import pyarrow.compute as pc
-
-                    tcol = pc.fill_null(tcol, "")
-                # hash the utf-8 bytes (same siphash values as the str
-                # path) — skips per-row str decode
-                th = hash64(
-                    np.array(tcol.cast(pa.binary()).to_pylist(), dtype=object)
-                )
+                # buffer-level texth: no per-row Python objects at all
+                # (the to_pylist round-trip materialized every text
+                # just to hash it — VERDICT r3 #5)
+                th = hash_text_column(tbl.column(self.text_col))
             if self.id_col is not None:
                 doc_id = (
                     tbl.column(self.id_col)
@@ -199,15 +204,20 @@ class _ScanExtractWrite:
                 .append_column("texth", pa.array(th, pa.uint64()))
                 .append_column("ordinal", pa.array(ordinal, pa.uint64()))
             )
-            keys = pd.DataFrame(
-                {"doc_id": doc_id, "ordinal": ordinal, "__texth": th, "ts": ts}
+            keys_tbl = pa.table(
+                {
+                    "doc_id": pa.array(doc_id, pa.uint64()),
+                    "ordinal": pa.array(ordinal, pa.uint64()),
+                    "__texth": pa.array(th, pa.uint64()),
+                    "ts": pa.array(ts),
+                }
             )
             atomic_write_parquet(store, dest)
             tmp = fp_path + f".tmp-{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump(fp, f)
             os.replace(tmp, fp_path)
-            out_keys.append(pa.Table.from_pandas(keys, preserve_index=False))
+            out_keys.append(keys_tbl)
         return (
             pa.concat_tables(out_keys)
             if out_keys
@@ -447,7 +457,10 @@ def _write_dead_lists(losers_ds, dead_dir: str) -> int:
 
     def attach_part(t: pa.Table) -> pa.Table:
         ords = t.column("dead_ordinal").to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.append_column(
+        # metadata-free schema (pandas metadata from the upstream
+        # map_groups would make reduce-side schema dedup fall back to
+        # full unification per task)
+        return t.replace_schema_metadata(None).append_column(
             "__part",
             pa.array((ords >> np.uint64(ORD_SHIFT)).astype(np.int32), pa.int32()),
         )
