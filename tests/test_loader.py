@@ -177,6 +177,77 @@ def test_apply_updates_semantics(small_index):
     assert not any(int(d) == int(u2) for d, _ in r.search("doc2", 10))
 
 
+def test_touch_only_postings_refresh(ray_session, tmp_path):
+    """checkpoint_partials on the hash layout (VERDICT r3 #3): an update
+    that rewrites one bucket re-tokenizes exactly that bucket — every
+    other bucket's packed partials load from checkpoint (reference
+    analog: partial update reindexes only changed docs,
+    opensearch_client.py:293-299). Results match a full rebuild."""
+    import os
+
+    from raybm25.hashing import hash64
+    from raybm25.index.build import HASH_PARTIALS_SUBDIR, build_index
+    from raybm25.loader.update import apply_updates
+    from raybm25.query.engine import IndexReader
+
+    tbl = pa.table(
+        {
+            "url": [f"u{i}" for i in range(80)],
+            "text": [f"alpha beta doc{i}" for i in range(80)],
+            "lang": ["en"] * 80,
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, path)
+    idx = str(tmp_path / "index")
+    build_index(
+        path,
+        idx,
+        key_col="url",
+        ts_col=None,
+        keyword_cols=("lang",),
+        num_buckets=8,
+        checkpoint_partials=True,
+    )
+    pdir = os.path.join(idx, HASH_PARTIALS_SUBDIR)
+    parquets = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    assert parquets == [f"bucket={b:05d}.parquet" for b in range(8)]
+    before = {f: os.stat(os.path.join(pdir, f)).st_mtime_ns for f in parquets}
+
+    u3 = int(hash64(np.array(["u3"], dtype=object))[0])
+    bucket = u3 % 8
+    res = apply_updates(
+        idx, pa.table({"url": ["u3"], "text": ["gamma delta unique"]}), "url"
+    )
+    assert res["updated"] == 1
+    after = {f: os.stat(os.path.join(pdir, f)).st_mtime_ns for f in parquets}
+    changed = {f for f in parquets if before[f] != after[f]}
+    assert changed == {f"bucket={bucket:05d}.parquet"}
+
+    r = IndexReader(idx)
+    assert u3 in {int(d) for d, _ in r.search("gamma", 10)}
+    assert not any(int(d) == u3 for d, _ in r.search("doc3", 10))
+    # postings identical to a from-scratch build over the updated corpus
+    tbl2 = tbl.set_column(
+        tbl.column_names.index("text"),
+        "text",
+        pa.array(
+            ["gamma delta unique" if u == "u3" else t.as_py() for u, t in
+             zip(tbl.column("url").to_pylist(), tbl.column("text"))],
+            pa.string(),
+        ),
+    )
+    path2 = str(tmp_path / "docs2.parquet")
+    pq.write_table(tbl2, path2)
+    idx2 = str(tmp_path / "index2")
+    build_index(
+        path2, idx2, key_col="url", ts_col=None, keyword_cols=("lang",), num_buckets=8
+    )
+    r2 = IndexReader(idx2)
+    for q in ("alpha doc5", "gamma", "beta"):
+        assert r.search(q, 15) == r2.search(q, 15)
+
+
 # ---------------- runner lifecycle ----------------
 def test_loader_runner_end_to_end(ray_session, tmp_path):
     import os
