@@ -55,7 +55,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from .. import BM25_B, BM25_K1
-from ..analysis import ANALYZER_VERSION, TOKEN_RE, arrow_tokenize, sayt_expand
+from ..analysis import ANALYZER_VERSION, TOKEN_RE, arrow_tokenize
 from ..extract import extract_batch
 from ..hashing import HASH_IMPL, hash64
 from .encode import encode_posting_groups
@@ -221,6 +221,158 @@ def _keyword_partials(ordinals_sorted, kw_values_sorted, shift, num_shards):
     return pa.concat_tables(tables) if tables else None
 
 
+def sayt_partials(
+    col: str,
+    ordinals_sorted: np.ndarray,
+    tid: np.ndarray,
+    terms: np.ndarray,
+    doc_pos: np.ndarray,
+    range_shift: int,
+    num_shards: int,
+    max_shingle: int = 3,
+    max_prefix: int = 10,
+) -> pa.Table:
+    """search_as_you_type expansion partials (SURVEY.md §2.B B3):
+    per-doc DISTINCT {2,3}-gram shingles plus '#'-marked edge prefixes
+    of every stream term (root tokens AND shingles), all match-only
+    (tf=1, dl=1), namespaced ``col:``. One shared implementation for
+    all three build paths (VERDICT r3 'Next round' #7), vectorized
+    (the per-doc Python comprehension was the last Python-loop stage in
+    the build): shingles factorize on token-code pairs, strings
+    materialize once per UNIQUE shingle via Arrow element-wise join,
+    prefixes once per unique stream term via utf8_slice (tokens are
+    ASCII, so code-unit slicing == Python slicing), and per-doc dedup
+    is one np.unique over packed (code, doc) keys. Term sets per doc
+    are identical to analysis.sayt_expand (tested)."""
+    import pyarrow.compute as pc
+
+    n = int(ordinals_sorted.size)
+    if tid.size == 0 or n == 0:
+        return EMPTY_PARTIALS
+    T = int(terms.size)
+    terms_arr = pa.array(terms, pa.string())
+
+    # --- stream terms: per-width unique strings + deduped (code, doc)
+    # occurrences. Width 1 = root tokens (prefix sources only; roots
+    # themselves are indexed by the caller's main partials).
+    root_keys = np.unique(tid.astype(np.int64) * n + doc_pos)
+    stream_strs: list[pa.Array] = [terms_arr]
+    stream_occ: list[tuple[np.ndarray, np.ndarray]] = [
+        (root_keys // n, root_keys % n)
+    ]
+    shingle_occ: list[tuple[int, np.ndarray, np.ndarray]] = []  # (width_idx, code, doc)
+    codes = tid.astype(np.int64)  # shingle code at start position, current width
+    valid = np.ones(tid.size, dtype=bool)
+    uniq_prev = terms_arr
+    for w in range(2, max_shingle + 1):
+        m = tid.size - (w - 1)
+        if m <= 0:
+            break
+        v = valid[:m] & (doc_pos[:m] == doc_pos[w - 1 :])
+        idx = np.flatnonzero(v)
+        if idx.size == 0:
+            break
+        pair = codes[idx] * T + tid[idx + w - 1].astype(np.int64)
+        pcodes, puniq = pd.factorize(pair)
+        left = (puniq // T).astype(np.int64)
+        right = (puniq % T).astype(np.int64)
+        uniq_w = pc.binary_join_element_wise(
+            uniq_prev.take(pa.array(left)), terms_arr.take(pa.array(right)), " "
+        )
+        occ_keys = np.unique(pcodes.astype(np.int64) * n + doc_pos[idx])
+        wi = len(stream_strs)
+        stream_strs.append(uniq_w)
+        stream_occ.append((occ_keys // n, occ_keys % n))
+        shingle_occ.append((wi, occ_keys // n, occ_keys % n))
+        nxt_codes = np.zeros(m, dtype=np.int64)
+        nxt_codes[idx] = pcodes
+        codes, valid, uniq_prev = nxt_codes, v, uniq_w
+    # global stream ids: width-w code + offset
+    offs = np.cumsum([0] + [len(s) for s in stream_strs])
+    all_stream = pa.concat_arrays(
+        [s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s for s in stream_strs]
+    )
+    n_stream = len(all_stream)
+
+    # --- prefix vocabulary over unique stream strings ('#'-namespaced;
+    # plen 1..min(len, max_prefix) so every term is its own prefix too)
+    lens = pc.utf8_length(all_stream).to_numpy(zero_copy_only=False)
+    pref_parts, owner_parts = [], []
+    for p in range(1, max_prefix + 1):
+        sel = np.flatnonzero(lens >= p)
+        if sel.size == 0:
+            break
+        pref_parts.append(pc.utf8_slice_codeunits(all_stream.take(pa.array(sel)), 0, p))
+        owner_parts.append(sel)
+    pref_codes_raw, pref_uniq = pd.factorize(
+        np.concatenate([np.asarray(s.to_pandas(), dtype=object) for s in pref_parts])
+    )
+    owners = np.concatenate(owner_parts)
+    order = np.argsort(owners, kind="stable")
+    owners_s, pcodes_s = owners[order], pref_codes_raw[order]
+    counts = np.bincount(owners_s, minlength=n_stream)
+    csr = np.concatenate([[0], np.cumsum(counts)])
+
+    # --- expand deduped stream occurrences into (prefix_code, doc)
+    gid_occ = np.concatenate(
+        [c + offs[i] for i, (c, _) in enumerate(stream_occ)]
+    )
+    doc_occ = np.concatenate([d for _, d in stream_occ])
+    cnt = counts[gid_occ]
+    total = int(cnt.sum())
+    out_doc = np.repeat(doc_occ, cnt)
+    seg_start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    flat = np.repeat(csr[gid_occ] - seg_start, cnt) + np.arange(total, dtype=np.int64)
+    pref_pairs = np.unique(pcodes_s[flat] * n + out_doc)
+
+    # --- final vocab: decorated shingles then decorated prefixes
+    n_pref = len(pref_uniq)
+    dec: list[np.ndarray] = []
+    sh_pairs = []
+    base = 0
+    for wi, c, d in shingle_occ:
+        s = stream_strs[wi]
+        dec.append(
+            np.asarray(
+                pc.binary_join_element_wise(
+                    pa.array(np.full(len(s), f"{col}:", dtype=object), pa.string()), s, ""
+                ).to_pandas(),
+                dtype=object,
+            )
+        )
+        sh_pairs.append(((c + base) * n + d))
+        base += len(s)
+    dec.append(
+        np.asarray(
+            pc.binary_join_element_wise(
+                pa.array(np.full(n_pref, f"{col}:#", dtype=object), pa.string()),
+                pa.array(np.asarray(pref_uniq, dtype=object), pa.string()),
+                "",
+            ).to_pandas(),
+            dtype=object,
+        )
+        if n_pref
+        else np.empty(0, dtype=object)
+    )
+    vocab = np.concatenate(dec) if dec else np.empty(0, dtype=object)
+    all_pairs = np.concatenate(
+        sh_pairs + [(pref_pairs // n + base) * n + (pref_pairs % n)]
+    )
+    all_pairs.sort()
+    pv = all_pairs // n
+    pd_ = all_pairs % n
+    ones = np.ones(all_pairs.size, dtype=np.int32)
+    tbl = _pairs_to_rows(
+        vocab[pv],
+        ordinals_sorted[pd_],
+        ones,
+        ones,
+        np.uint64(range_shift),
+        num_shards,
+    )
+    return tbl if tbl is not None else EMPTY_PARTIALS
+
+
 def build_partials(
     ordinals_sorted: np.ndarray,
     dls_sorted: np.ndarray,
@@ -371,21 +523,10 @@ class _DedupTokenizeBucket:
                 )
             )
             if col in self.sayt_cols:
-                # search_as_you_type expansion (SURVEY B3): shingles +
-                # '#'-marked edge prefixes, match-only (tf=1, dl=1);
-                # reconstruct per-doc token lists from the codes
-                bounds = np.searchsorted(doc_pos, np.arange(len(g) + 1))
-                ex = [
-                    [
-                        f"{col}:{t}"
-                        for t in set(sayt_expand(list(terms[tid[bounds[i] : bounds[i + 1]]])))
-                    ]
-                    for i in range(len(g))
-                ]
-                exdl = np.ones(len(ex), dtype=np.int32)
                 partial_tables.append(
-                    build_partials(
-                        ordinals, exdl, ex, {}, self.range_shift, self.num_shards
+                    sayt_partials(
+                        col, ordinals, tid, terms, doc_pos,
+                        self.range_shift, self.num_shards,
                     )
                 )
         out["ordinal"] = ordinals
@@ -470,19 +611,10 @@ class _PartialPostings:
                 )
             )
             if col in self.sayt_cols:
-                n = len(order)
-                bounds = np.searchsorted(doc_pos, np.arange(n + 1))
-                ex = [
-                    [
-                        f"{col}:{t}"
-                        for t in set(sayt_expand(list(terms[tid[bounds[i] : bounds[i + 1]]])))
-                    ]
-                    for i in range(n)
-                ]
-                exdl = np.ones(len(ex), dtype=np.int32)
                 tables.append(
-                    build_partials(
-                        ordinals[order], exdl, ex, {}, self.range_shift, self.num_shards
+                    sayt_partials(
+                        col, ordinals[order], tid, terms, doc_pos,
+                        self.range_shift, self.num_shards,
                     )
                 )
         return pa.concat_tables(tables)

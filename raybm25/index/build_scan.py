@@ -53,11 +53,12 @@ import pyarrow.parquet as pq
 import ray.data
 
 from .. import BM25_B, BM25_K1
-from ..analysis import ANALYZER_VERSION, TOKEN_RE, arrow_tokenize, sayt_expand
+from ..analysis import ANALYZER_VERSION, TOKEN_RE, arrow_tokenize
 from ..extract import extract_column_hashed
 from ..hashing import HASH_IMPL, hash64, hash_text_column
 from .build import (
     build_partials_codes,
+    sayt_partials,
     DOCS_STATS_SUBDIR,
     DOCS_SUBDIR,
     ORD_SHIFT,
@@ -386,27 +387,14 @@ class _TokenizePart:
                     )
                 )
                 if col in self.sayt_cols:
-                    # search_as_you_type expansion (SURVEY B3), same
-                    # semantics as the hash layout's DedupTokenizeBucket:
-                    # shingles + '#'-marked edge prefixes, match-only
-                    # (tf=1, dl=1). Per-doc, so it composes with this
-                    # per-partition stage — the sayt terms join the same
+                    # search_as_you_type expansion (SURVEY B3), the one
+                    # shared vectorized implementation (build.py
+                    # sayt_partials): shingle/prefix terms join the same
                     # partials shuffle; no text moves (VERDICT r2 #4).
-                    n = tbl.num_rows
-                    bounds = np.searchsorted(doc_pos, np.arange(n + 1))
-                    ex = [
-                        [
-                            f"{col}:{t}"
-                            for t in set(
-                                sayt_expand(list(terms[tid[bounds[i] : bounds[i + 1]]]))
-                            )
-                        ]
-                        for i in range(n)
-                    ]
-                    exdl = np.ones(len(ex), dtype=np.int32)
                     part_tables.append(
-                        build_partials(
-                            ordinals, exdl, ex, {}, self.range_shift, self.num_shards
+                        sayt_partials(
+                            col, ordinals, tid, terms, doc_pos,
+                            self.range_shift, self.num_shards,
                         )
                     )
             stats = {
