@@ -155,6 +155,50 @@ def q_bm25_all_single(sf_dir: str):
     return out[["doc_id", "score"]]
 
 
+_MF_INDEX_CACHE: dict[str, str] = {}
+
+
+def docs_index_multifield(sf_dir: str) -> str:
+    """A two-text-field index (``text`` + ``source`` as a short title-
+    like field) for multi_match most_fields scoring. Separate from
+    docs_index: there ``source`` is a KEYWORD field, and a field can't
+    be both (the ``source:token`` postings would collide with different
+    dl semantics)."""
+    if sf_dir in _MF_INDEX_CACHE:
+        return _MF_INDEX_CACHE[sf_dir]
+    index_dir = os.path.join(CACHE_ROOT, f"docidx_mf_{_tag(sf_dir)}")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("text", "source"),
+        keyword_cols=(),
+        num_buckets=8,
+    )
+    _MF_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def q_bm25_multifield(sf_dir: str):
+    """multi_match most_fields over (text, source): per-field BM25
+    (per-field avgdl + df, corpus-global n_docs), per-doc sum across
+    fields (query/engine.search_multi; OpenSearch's bool-prefix
+    multi_match shape the reference's sayt mappings serve)."""
+    from .query.engine import IndexReader
+
+    r = IndexReader(docs_index_multifield(sf_dir))
+    hits = r.search_multi("merge src3 join", ["text", "source"], k=15)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array([int(np.int64(np.uint64(d))) for d, _ in hits], dtype="int64"),
+            "score": [s for _, s in hits],
+        }
+    )
+
+
 def q_keyword_lang(sf_dir: str):
     r = _reader(sf_dir)
     ids = np.sort(r.term_docs("lang", "de")).astype(np.int64)
@@ -1039,6 +1083,62 @@ def _bm25_sql(
     return "\n".join(parts)
 
 
+def _bm25_multi_sql(query: str, k: int, field_cols: list[str]) -> str:
+    """multi_match most_fields oracle: one BM25 block per field (its own
+    dl/avgdl/tf/df over that field's tokens; n_docs corpus-global),
+    per-doc scores summed with explicit left-to-right COALESCE addition
+    in (field order, sorted-term) order — the engine's exact summation
+    order (adding 0.0 for an absent contribution is float-exact)."""
+    terms = sorted(set(tokenize(query)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    parts = ["WITH n AS (SELECT count(*) AS n FROM documents),"]
+    pnames: list[str] = []
+    for fi, col in enumerate(field_cols):
+        toks = (
+            f"toks{fi} AS (SELECT doc_id, unnest(regexp_extract_all(lower({col}),"
+            f" '[a-z0-9]+')) AS term FROM documents),"
+        )
+        parts.append(toks)
+        parts.append(
+            f"dl{fi} AS (SELECT doc_id, count(*) AS dl FROM toks{fi} GROUP BY doc_id),"
+        )
+        parts.append(
+            f"av{fi} AS (SELECT (SELECT count(*) FROM toks{fi}) /"
+            " (SELECT count(*) FROM documents) AS avgdl),"
+        )
+        parts.append(
+            f"tf{fi} AS (SELECT doc_id, term, count(*) AS tf FROM toks{fi}"
+            f" WHERE term IN ({in_list}) GROUP BY doc_id, term),"
+        )
+        parts.append(
+            f"df{fi} AS (SELECT term, count(*) AS df FROM tf{fi} GROUP BY term),"
+        )
+        parts.append(
+            f"c{fi} AS (SELECT tf{fi}.doc_id, tf{fi}.term,"
+            f" 1.0 * ln(1 + (n.n - df{fi}.df + 0.5)/(df{fi}.df + 0.5)) *"
+            f" (tf{fi}.tf/(tf{fi}.tf + {BM25_K1}*(1 - {BM25_B} +"
+            f" {BM25_B}*dl{fi}.dl/av{fi}.avgdl))) AS c"
+            f" FROM tf{fi} JOIN df{fi} USING(term)"
+            f" JOIN dl{fi} ON dl{fi}.doc_id = tf{fi}.doc_id, av{fi}, n),"
+        )
+        for ti, t in enumerate(terms):
+            pnames.append(f"p{fi}_{ti}")
+            parts.append(
+                f"p{fi}_{ti} AS (SELECT doc_id, c FROM c{fi} WHERE term = '{t}'),"
+            )
+    joins = pnames[0]
+    for p in pnames[1:]:
+        joins += f" FULL JOIN {p} USING(doc_id)"
+    add = " + ".join(f"COALESCE({p}.c, 0)" for p in pnames)
+    parts.append(f"scored AS (SELECT doc_id, {add} AS score FROM {joins})")
+    parts.append(
+        "SELECT rank, doc_id, score FROM (SELECT row_number() OVER"
+        " (ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)"
+        f" ORDER BY rank LIMIT {k}"
+    )
+    return "\n".join(parts)
+
+
 def _term_stats_sql(stat: str) -> str:
     agg = "count(*)" if stat == "df" else "sum(tf)::BIGINT"
     return (
@@ -1062,6 +1162,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_multi": _bm25_sql("merge join filter", 10),
     "bm25_filtered": _bm25_sql("merge join", 15, where="lang = 'en'"),
     "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
+    "bm25_multifield": _bm25_multi_sql("merge src3 join", 15, ["text", "source"]),
     "keyword_lang": "SELECT doc_id FROM documents WHERE lang = 'de' ORDER BY doc_id",
     "dedup_lastwins_events": (
         "SELECT user_id, event_id FROM events QUALIFY"
@@ -1336,6 +1437,7 @@ QUERIES = {
     "bm25_topk_multi": q_bm25_topk_multi,
     "bm25_filtered": q_bm25_filtered,
     "bm25_all_single": q_bm25_all_single,
+    "bm25_multifield": q_bm25_multifield,
     "keyword_lang": q_keyword_lang,
     "dedup_lastwins_events": q_dedup_lastwins_events,
     "token_count": q_token_count,

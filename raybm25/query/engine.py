@@ -334,21 +334,18 @@ class IndexReader:
         postings = self.load_postings(sorted(qcounts))
         return self._exact_topk(qcounts, postings, avgdl, k)
 
-    def _exact_topk(
-        self,
-        qcounts: Counter,
-        postings: dict[str, TermPostings],
-        avgdl: float,
-        k: int,
+    def _combine_rank(
+        self, parts_ids: list[np.ndarray], parts_scores: list[np.ndarray], k: int
     ) -> list[tuple[int, float]]:
-        parts_ids, parts_scores = [], []
-        for term in sorted(qcounts):
-            p = postings.get(term)
-            if p is None:
-                continue
-            contrib = qcounts[term] * self.idf(p.df) * self._norm_cached(p, avgdl)
-            parts_ids.append(p.doc_ids)
-            parts_scores.append(contrib)
+        """Merge-combine per-term contribution runs and rank top-k.
+
+        Each part's postings are already doc-sorted, so a STABLE argsort
+        over the concatenated runs is near-linear, replacing np.unique +
+        the slow np.add.at scatter. Stability keeps equal ids in part
+        (term) order, and the segmented sum below adds LEFT-TO-RIGHT
+        within each group (one vectorized pass per part —
+        np.add.reduceat would NOT do: its reduction order differs by
+        1 ulp), so every score bit matches add.at."""
         if not parts_ids:
             return []
         if len(parts_ids) == 1:
@@ -356,13 +353,6 @@ class IndexReader:
             return list(zip(ids.tolist(), sc.tolist()))
         all_ids = np.concatenate(parts_ids)
         all_scores = np.concatenate(parts_scores)
-        # merge-combine: each term's postings are already doc-sorted, so
-        # a STABLE argsort over the concatenated runs is near-linear,
-        # replacing np.unique + the slow np.add.at scatter. Stability
-        # keeps equal ids in term order, and the segmented sum below
-        # adds LEFT-TO-RIGHT within each group (one vectorized pass per
-        # query term — np.add.reduceat would NOT do: its reduction
-        # order differs by 1 ulp), so every score bit matches add.at.
         order = np.argsort(all_ids, kind="stable")
         sa = all_ids[order]
         ss = all_scores[order]
@@ -378,6 +368,54 @@ class IndexReader:
             scores[m] += ss[start_idx[m] + off]
         ids, sc = self._rank(uniq, scores, k)
         return list(zip(ids.tolist(), sc.tolist()))
+
+    def _exact_topk(
+        self,
+        qcounts: Counter,
+        postings: dict[str, TermPostings],
+        avgdl: float,
+        k: int,
+    ) -> list[tuple[int, float]]:
+        parts_ids, parts_scores = [], []
+        for term in sorted(qcounts):
+            p = postings.get(term)
+            if p is None:
+                continue
+            contrib = qcounts[term] * self.idf(p.df) * self._norm_cached(p, avgdl)
+            parts_ids.append(p.doc_ids)
+            parts_scores.append(contrib)
+        return self._combine_rank(parts_ids, parts_scores, k)
+
+    def search_multi(
+        self, query: str, fields: list[str], k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Multi-field BM25 top-k — OpenSearch ``multi_match`` with
+        ``most_fields`` semantics, the query shape the reference's
+        sayt-heavy default mappings exist to serve
+        (/root/reference/opensearch_loader/loader.py:239-275): each
+        field is scored as its own BM25 query (per-field avgdl and
+        per-field df over that field's postings; n_docs stays
+        corpus-global in idf) and a doc's score is the SUM of its
+        per-field scores. Summation order: fields in the given order,
+        terms sorted within each field (deterministic; mirrored by the
+        SQL oracle)."""
+        per_field: list[tuple[Counter, float]] = []
+        want: list[str] = []
+        for field in fields:
+            qcounts = Counter(self.field_terms(query, field))
+            per_field.append((qcounts, self.field_avgdl(field)))
+            want.extend(qcounts)
+        postings = self.load_postings(sorted(set(want)))
+        parts_ids, parts_scores = [], []
+        for qcounts, avgdl in per_field:
+            for term in sorted(qcounts):
+                p = postings.get(term)
+                if p is None:
+                    continue
+                contrib = qcounts[term] * self.idf(p.df) * self._norm_cached(p, avgdl)
+                parts_ids.append(p.doc_ids)
+                parts_scores.append(contrib)
+        return self._combine_rank(parts_ids, parts_scores, k)
 
     def search_filtered(
         self,
