@@ -461,3 +461,38 @@ def test_lsh_parquet_sink_matches_dataframe(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert set(zip(got["doc_a"], got["doc_b"])) == set(zip(df["doc_a"], df["doc_b"]))
+
+
+def test_ivf_recall_published(ray_session):
+    """COVERAGE.md IVF recall table's pytest gate: on the (measured
+    near-isotropic) driver embeddings, recall@10 at n_centroids=8 is
+    exactly 1.0 at full probe, >= 0.7 at nprobe=4, and monotone in
+    nprobe."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raybm25.extras.similarity import ivf_build, ivf_search
+
+    p = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = pq.read_table(p)
+    ids = emb.column("vec_id").to_numpy()
+    mat = np.stack(emb.column("embedding").to_pylist()).astype(np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    import ray.data
+
+    ivf = ivf_build(ray.data.read_parquet(p), n_centroids=8)
+    rng = np.random.default_rng(0)
+    qidx = rng.choice(len(ids), size=25, replace=False)
+    recalls = {}
+    for nprobe in (1, 2, 4, 8):
+        rs = []
+        for qi in qidx:
+            q = mat[qi]
+            sims = mat_n @ (q / np.linalg.norm(q))
+            brute = set(ids[np.lexsort((ids, -sims))[:10]].tolist())
+            got = {v for v, _ in ivf_search(ivf, q, k=10, nprobe=nprobe)}
+            rs.append(len(got & brute) / 10)
+        recalls[nprobe] = sum(rs) / len(rs)
+    assert recalls[8] == 1.0
+    assert recalls[4] >= 0.7
+    assert recalls[1] <= recalls[2] <= recalls[4] <= recalls[8]
