@@ -99,14 +99,20 @@ def extract_column(col) -> pa.Array:
 
 def extract_column_hashed(col) -> tuple[pa.Array, np.ndarray]:
     """(extracted string array, texth) in one pass over the bytes.
-    texth is the buffer-level polynomial hash (hashing.hash_text_column)
-    computed over the assembled Arrow array — identical values to every
-    other texth producer (scan stage 1, update paths), since all hash
-    the raw utf-8 bytes of the same content."""
-    from .hashing import hash_text_column
+    pandas' siphash treats ``bytes`` identically to the utf-8 ``str``,
+    so texth matches the str-path hash bit-for-bit (build and update
+    paths stay consistent). A buffer-level numpy polynomial hash was
+    tried here (round 4) and REVERTED: numpy has no byte-stream hash
+    kernel, so the vectorized form costs an 8x uint64 expansion of the
+    corpus bytes plus slow gathers and a non-SIMD uint64 cumsum —
+    measured 838 ms vs siphash's 7 ms on a 14 MB stage-1 file. The
+    bytes objects are not a round-trip cost: they feed the C siphash
+    kernel directly."""
+    from .hashing import hash64
 
-    arr = pa.array(_extract_bytes_list(col), pa.binary())
-    return arr.cast(pa.string()), hash_text_column(arr)
+    texts = _extract_bytes_list(col)
+    th = hash64(np.array(texts, dtype=object))
+    return pa.array(texts, pa.binary()).cast(pa.string()), th
 
 
 def extract_batch(batch: pa.Table, drop_html: bool = False) -> pa.Table:

@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..analysis import TOKEN_RE
-from ..hashing import hash64, hash_text_column
+from ..hashing import hash64
 from ..index.build import DOCS_STATS_SUBDIR, DOCS_SUBDIR, ORD_SHIFT, rebuild_postings
 from ..index.manifest import atomic_write_parquet, load_manifest
 
@@ -519,9 +519,7 @@ def _insert_document(index_dir: str, row: dict, id_field: str) -> None:
         vals = dict(row)
         vals["doc_id"] = doc_id
         vals["ordinal"] = ordinal
-        vals["texth"] = hash_text_column(
-            pa.array([str(row.get(text_cols[0]) or "")], pa.string())
-        )[0]
+        vals["texth"] = hash64(np.array([str(row.get(text_cols[0]) or "")], object))[0]
         atomic_write_parquet(
             _one_row_table(schema, vals),
             os.path.join(docs_dir, f"part={pidx:05d}.parquet"),
@@ -649,9 +647,7 @@ class _ApplyUpdateScanPart:
                 text_changed = True
         if text_changed and self.text_cols[0] in docs.columns and "texth" in docs.columns:
             texts = docs[self.text_cols[0]].iloc[rows].astype(str).to_numpy(dtype=object)
-            docs.loc[docs.index[rows], "texth"] = hash_text_column(
-                pa.array(texts, pa.string())
-            )
+            docs.loc[docs.index[rows], "texth"] = hash64(texts)
         atomic_write_parquet(pa.Table.from_pandas(docs, preserve_index=False), path)
         fp = path + ".src.json"
         if os.path.exists(fp):

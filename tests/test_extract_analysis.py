@@ -36,12 +36,12 @@ def test_byte_level_extract_matches_str_path():
     import numpy as np
 
     from raybm25.extract import extract_column, extract_column_hashed
-    from raybm25.hashing import hash_text_column
+    from raybm25.hashing import hash64
 
     pages = make_pages(n_rows=120, seed=3)
     html = pages.column("html").combine_chunks()
     want = [extract_text(h) for h in html.to_pylist()]
-    want_th = hash_text_column(pa.array(want, pa.string()))
+    want_th = hash64(np.array(want, dtype=object))
 
     for col in (
         html,
@@ -112,38 +112,3 @@ def test_arrow_tokenize_nulls_and_empties():
     tid, terms, doc_pos, dl = arrow_tokenize(pa.array([None, "", "a b", "!!"], pa.string()))
     assert dl.tolist() == [0, 0, 2, 0]
     assert [terms[t] for t in tid] == ["a", "b"]
-
-def test_hash_text_column_buffer_walk():
-    """hash_text_column (buffer-level texth, VERDICT r3 #5): equal for
-    str/bytes of the same utf-8 content, stable across slicing/chunking
-    and offset width, matches a scalar reference implementation, and
-    treats nulls as empty strings."""
-    import numpy as np
-
-    from raybm25.hashing import _TEXTH_LEN_MIX, _TEXTH_P, _mix64, hash_text_column
-
-    def ref_one(s: str) -> int:
-        b = s.encode("utf-8")
-        h = np.uint64(0)
-        p = np.uint64(1)
-        for by in b:
-            h = h + (np.uint64(by) + np.uint64(1)) * p
-            p = p * _TEXTH_P
-        return int(_mix64(np.array([h ^ (np.uint64(len(b)) * _TEXTH_LEN_MIX)]))[0])
-
-    texts = ["", "a", "ab", "ba", "hello world", "héllo wörld", "x" * 3000, "", "zz"]
-    col = pa.array(texts, pa.string())
-    h = hash_text_column(col)
-    assert [int(v) for v in h] == [ref_one(t) for t in texts]
-    # bytes == str, large offsets, slices, chunking, nulls
-    as_bytes = pa.array([t.encode() for t in texts], pa.binary())
-    assert (hash_text_column(as_bytes) == h).all()
-    assert (hash_text_column(col.cast(pa.large_string())) == h).all()
-    assert (hash_text_column(col.slice(2, 4)) == h[2:6]).all()
-    chunked = pa.chunked_array([col.slice(0, 3), col.slice(3, 6)])
-    assert (hash_text_column(chunked) == h).all()
-    with_null = pa.array(["a", None, "b"], pa.string())
-    hn = hash_text_column(with_null)
-    assert int(hn[1]) == ref_one("")
-    # prefix/permutation sensitivity (positional weighting)
-    assert ref_one("ab") != ref_one("ba") != ref_one("a")
