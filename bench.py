@@ -344,12 +344,35 @@ def run_scaling() -> dict:
 
     for _ in range(rounds):
         do_round()
-    while (
-        len(calibs[lo]) < max_rounds
-        and results[lo]["queries"]["build"] / results[hi]["queries"]["build"]
-        < 0.8 * (hi / lo)
-    ):
-        do_round()
+
+    def eff() -> float:
+        return (
+            results[lo]["queries"]["build"]
+            / results[hi]["queries"]["build"]
+            / (hi / lo)
+        )
+
+    # Targeted retries: when the headline efficiency is under the bar
+    # AND a winning leg's calibration shows it ran under external load
+    # (probe ratio > 1.18), re-run THAT leg — one ~15-50 s leg per
+    # retry instead of a whole round — until it lands a clean window or
+    # the retry budget runs out. A real regression has clean-window
+    # legs and stays under the bar; load noise washes out.
+    retries = int(os.environ.get("BENCH_SCALE_MAX_RETRIES", "6"))
+    while retries > 0 and eff() < 0.8:
+        contended = [
+            n for n in (hi, lo) if results[n]["calib_ratio"] > 1.18
+        ]
+        if not contended:
+            if len(calibs[lo]) >= max_rounds:
+                break  # clean legs, still < 0.8: that's the real number
+            do_round()
+        else:
+            n = max(contended, key=lambda n: results[n]["calib_ratio"])
+            r = once(n)
+            if r["queries"]["build"] < results[n]["queries"]["build"]:
+                results[n] = r
+        retries -= 1
 
     def pair(a: int, b: int) -> dict:
         ra, rb = results[a], results[b]

@@ -491,6 +491,51 @@ def q_ann_ivf_topk(sf_dir: str):
     )
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct (extras/sketch): shuffle-free
+    per-block sketches (2^14 B each) folded by register max, vs the
+    exact distinct computed combiner-first (per-batch unique -> bucket
+    groupby -> per-bucket nunique). The HLL estimate is DETERMINISTIC
+    (fixed-key siphash), so the <2% accuracy boolean is hash-stable and
+    load-bearing in the oracle compare."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .extras.sketch import approx_distinct
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+
+    def batch_unique(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("user_id").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "__b": pa.array((u % 32).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def bucket_nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(g["user_id"].nunique())]})
+
+    counts = (
+        ray.data.read_parquet(path, columns=["user_id"])
+        .map_batches(batch_unique, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_nunique, batch_format="pandas")
+        .to_pandas()
+    )
+    n_exact = int(counts["n"].sum())
+    within = bool(abs(est - n_exact) / n_exact < 0.02)
+    return pd.DataFrame(
+        {
+            "n_users": pd.array([n_exact], dtype="int64"),
+            "hll_within_2pct": pd.array([within], dtype="bool"),
+        }
+    )
+
+
 def q_sayt_prefix_docs(sf_dir: str):
     """search_as_you_type prefix matching (SURVEY B3): docs whose text
     contains a token starting with 'merg'. Served from the '#'-marked
@@ -1164,6 +1209,10 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
     "bm25_multifield": _bm25_multi_sql("merge src3 join", 15, ["text", "source"]),
     "keyword_lang": "SELECT doc_id FROM documents WHERE lang = 'de' ORDER BY doc_id",
+    "approx_distinct_users": (
+        "SELECT count(DISTINCT user_id) AS n_users, TRUE AS hll_within_2pct"
+        " FROM events"
+    ),
     "dedup_lastwins_events": (
         "SELECT user_id, event_id FROM events QUALIFY"
         " row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
@@ -1456,6 +1505,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "fingerprint_stats": q_fingerprint_stats,
     "multimodal_meta": q_multimodal_meta,
+    "approx_distinct_users": q_approx_distinct_users,
     "sayt_prefix_docs": q_sayt_prefix_docs,
     "phrase_docs": q_phrase_docs,
     "events_window": q_events_window,

@@ -1,0 +1,130 @@
+"""Distributed sketches: HyperLogLog approximate distinct counting.
+
+The canonical "wide aggregation that must not shuffle" operator for a
+100 TB pipeline: counting distinct keys exactly needs a full all-to-all
+exchange of every key (or a giant hash set), while an HLL sketch is a
+fixed 2^p-byte register array with a trivially parallel merge
+(elementwise max). Shape here:
+
+    ds.map_batches(HLLBatchStage)     -> one (16 KiB) register row per
+                                         input block   [no key shuffle]
+    driver: fold rows with hll_merge  -> estimate
+
+Driver traffic is n_blocks x 2^p bytes (a few MB for a 100 TB input at
+the default p=14), independent of key cardinality — the same
+combiner-first contour as the build's partial postings. A tree-reduce
+via ``groupby(const)`` would also work but is strictly more machinery
+for rows this small.
+
+Accuracy: standard-error ~= 1.04 / sqrt(2^p) (~0.8% at p=14); the
+estimator below is the classic Flajolet et al. HLL with the small-range
+(linear counting) correction, which covers the driver-testdata regime.
+Deterministic: keys hash with the engine's fixed-key siphash
+(hashing.hash64), so the estimate is run- and partitioning-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..hashing import hash64
+
+DEFAULT_P = 14
+
+
+def hll_empty(p: int = DEFAULT_P) -> np.ndarray:
+    return np.zeros(1 << p, dtype=np.uint8)
+
+
+def hll_add_hashed(reg: np.ndarray, hashes: np.ndarray, p: int) -> None:
+    """Fold pre-hashed uint64 keys into the register array in place.
+    Vectorized: register index = top p bits, rank = leading-zero count
+    of the remaining 64-p bits + 1 (computed via bit_length on the
+    suffix), scatter-max via np.maximum.at."""
+    if hashes.size == 0:
+        return
+    h = hashes.astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    suffix = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # rank = leading zeros of the 64-bit suffix + 1, capped at 64-p+1
+    # (suffix == 0). log2-free: leading zeros = 64 - bit_length.
+    bl = np.zeros(h.size, dtype=np.int64)
+    nz = suffix != 0
+    # bit_length via float log2 is unsafe at 64 bits; peel the top byte
+    # first, then a 256-entry lookup on the leading nonzero byte
+    s = suffix[nz]
+    shift = np.zeros(s.size, dtype=np.uint64)
+    cur = s.copy()
+    for step in (np.uint64(32), np.uint64(16), np.uint64(8)):
+        big = cur >= (np.uint64(1) << step)
+        cur[big] >>= step
+        shift[big] += step
+    bl_small = _BITLEN8[cur.astype(np.int64)]
+    bl[nz] = bl_small + shift.astype(np.int64)
+    rank = np.where(nz, 64 - bl + 1, 64 - p + 1).astype(np.uint8)
+    rank = np.minimum(rank, np.uint8(64 - p + 1))
+    np.maximum.at(reg, idx, rank)
+
+
+_BITLEN8 = np.array([0] + [int(v).bit_length() for v in range(1, 256)], dtype=np.int64)
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sketch union: elementwise register max (associative+commutative,
+    the property that makes the stage shuffle-free)."""
+    return np.maximum(a, b)
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Flajolet HLL estimator with linear-counting small-range
+    correction (the regimes the testdata hits)."""
+    m = reg.size
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))
+    return float(est)
+
+
+class HLLBatchStage:
+    """map_batches stage: one batch of keys -> ONE row holding the
+    batch's HLL registers (a fixed 2^p-byte payload — the per-block
+    combiner). String keys hash with the engine siphash; integer keys
+    hash via their decimal string (stable across int dtypes)."""
+
+    def __init__(self, key_col: str, p: int = DEFAULT_P):
+        self.key_col = key_col
+        self.p = p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.key_col)
+        vals = col.to_numpy(zero_copy_only=False)
+        if vals.dtype.kind in "iu":
+            keys = vals.astype(np.int64).astype("U")
+        else:
+            keys = np.asarray(vals, dtype=object)
+        reg = hll_empty(self.p)
+        hll_add_hashed(reg, hash64(keys), self.p)
+        return pa.table(
+            {
+                "registers": pa.array([reg.tobytes()], pa.binary()),
+                "p": pa.array([self.p], pa.int32()),
+            }
+        )
+
+
+def approx_distinct(ds, key_col: str, p: int = DEFAULT_P) -> float:
+    """Approximate distinct count of ``key_col`` over a Dataset.
+    Shuffle-free: per-block sketches stream to the driver (2^p bytes
+    per block), folded with elementwise max."""
+    rows = ds.map_batches(
+        HLLBatchStage, fn_constructor_kwargs={"key_col": key_col, "p": p},
+        batch_format="pyarrow",
+    ).to_pandas()
+    reg = hll_empty(p)
+    for buf in rows["registers"]:
+        reg = hll_merge(reg, np.frombuffer(buf, dtype=np.uint8))
+    return hll_estimate(reg)
