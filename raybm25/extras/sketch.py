@@ -120,9 +120,13 @@ def approx_distinct(ds, key_col: str, p: int = DEFAULT_P) -> float:
     """Approximate distinct count of ``key_col`` over a Dataset.
     Shuffle-free: per-block sketches stream to the driver (2^p bytes
     per block), folded with elementwise max."""
+    from ..util import auto_concurrency
+
     rows = ds.map_batches(
-        HLLBatchStage, fn_constructor_kwargs={"key_col": key_col, "p": p},
+        HLLBatchStage,
+        fn_constructor_kwargs={"key_col": key_col, "p": p},
         batch_format="pyarrow",
+        concurrency=auto_concurrency(),
     ).to_pandas()
     reg = hll_empty(p)
     for buf in rows["registers"]:
