@@ -121,6 +121,26 @@ def decode_doc_ids(buf: bytes | memoryview) -> np.ndarray:
     return delta_decode(varbyte_decode(buf))
 
 
+def decode_positions(buf: bytes | memoryview, tfs: np.ndarray) -> np.ndarray:
+    """Decode one group's ``poss_enc`` back to flattened within-doc
+    token positions (``tfs[i]`` values per posting ``i``, ascending).
+
+    Inverse of the positional encoding in
+    :func:`raybm25.index.encode.encode_posting_groups`: positions are
+    delta-encoded within each posting's run (first value raw), so the
+    decode is one cumsum with a per-run base subtraction — fully
+    vectorized."""
+    d = varbyte_decode(buf).astype(np.int64)
+    if d.size == 0:
+        return d.astype(np.int32)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    c = np.cumsum(d)
+    off = np.zeros(tfs.size + 1, dtype=np.int64)
+    np.cumsum(tfs, out=off[1:])
+    base = np.concatenate(([0], c[off[1:-1] - 1]))
+    return (c - np.repeat(base, tfs)).astype(np.int32)
+
+
 def tf_norm(tfs: np.ndarray, dls: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
     """BM25 term-frequency normalization (float64).
 

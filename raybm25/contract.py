@@ -577,6 +577,35 @@ def q_phrase_docs(sf_dir: str):
     return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
 
 
+def _pos_index(sf_dir: str) -> str:
+    """A positional hash-layout index over ``documents`` (per-token
+    within-doc positions stored delta+varbyte alongside the postings)."""
+    from .index.build import build_index
+
+    idx = os.path.join(CACHE_ROOT, f"posidx_{_tag(sf_dir)}")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        idx,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("text",),
+        num_buckets=8,
+        positions=True,
+    )
+    return idx
+
+
+def q_phrase_match_long(sf_dir: str):
+    """Arbitrary-length exact phrase match via positional postings
+    (OpenSearch match_phrase; beyond the 2-3 token sayt-shingle width):
+    candidate intersection + vectorized per-term (doc, position-i) key
+    intersection over the stored position runs."""
+    r = _IndexReader()(_pos_index(sf_dir))
+    ids = np.sort(r.match_phrase("batch part column fast")).astype("int64")
+    return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
+
+
 def _IndexReader():
     from .query.engine import IndexReader
 
@@ -1319,6 +1348,17 @@ ORACLE_SQL: dict[str, str] = {
         " i -> toks[i] = 'hash' AND toks[i+1] = 'join')) > 0"
         " ORDER BY doc_id"
     ),
+    # 4-token phrase needs real positional postings (sayt shingles cap
+    # at width 3); same adjacency check, window of 4
+    "phrase_match_long": (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
+        " AS toks FROM documents)"
+        " SELECT doc_id FROM t WHERE len(toks) >= 4 AND"
+        " len(list_filter(range(1, len(toks) - 2),"
+        " i -> toks[i] = 'batch' AND toks[i+1] = 'part'"
+        " AND toks[i+2] = 'column' AND toks[i+3] = 'fast')) > 0"
+        " ORDER BY doc_id"
+    ),
     "events_window": (
         "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS window_hour,"
         " count(*) AS n_events, max(value) AS max_value"
@@ -1508,6 +1548,7 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "sayt_prefix_docs": q_sayt_prefix_docs,
     "phrase_docs": q_phrase_docs,
+    "phrase_match_long": q_phrase_match_long,
     "events_window": q_events_window,
     "events_hopping_window": q_events_hopping_window,
     "top_tokens_per_lang": q_top_tokens_per_lang,

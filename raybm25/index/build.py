@@ -115,6 +115,17 @@ EMPTY_PARTIALS = pa.table(
     }
 )
 
+# positional builds carry one extra occurrence-level list column:
+# per (term, range) row, the flattened within-doc token positions —
+# exactly tf values per posting, ascending within each posting
+EMPTY_PARTIALS_POS = EMPTY_PARTIALS.append_column(
+    "poss", pa.array([], pa.list_(pa.int32()))
+)
+
+
+def _empty_partials(positions: bool) -> pa.Table:
+    return EMPTY_PARTIALS_POS if positions else EMPTY_PARTIALS
+
 
 def _pairs_to_rows(
     pair_terms: np.ndarray,
@@ -123,9 +134,13 @@ def _pairs_to_rows(
     pair_dls: np.ndarray,
     range_shift: np.uint64,
     num_shards: int,
+    pair_poss: np.ndarray | None = None,
 ) -> pa.Table | None:
     """Pack sorted (term, doc) pairs into (term, range, shard, packed
-    lists) rows. Pairs must arrive sorted by (term, ordinal)."""
+    lists) rows. Pairs must arrive sorted by (term, ordinal).
+
+    ``pair_poss``: flattened within-doc positions, exactly
+    ``pair_tfs[i]`` values per pair ``i`` (positional builds only)."""
     if pair_terms.size == 0:
         return None
     if pair_terms.size >= (1 << 31):
@@ -140,16 +155,22 @@ def _pairs_to_rows(
     row_starts = np.flatnonzero(term_chg | rng_chg)
     offsets = np.append(row_starts, pair_terms.size).astype(np.int32)
     shard = shard_of(pair_terms[row_starts], ranges[row_starts], num_shards)
-    return pa.table(
-        {
-            "term": pa.array(pair_terms[row_starts], pa.string()),
-            "range": pa.array(ranges[row_starts], pa.int64()),
-            "shard": pa.array(shard, pa.int32()),
-            "doc_ids": pa.ListArray.from_arrays(offsets, pa.array(pair_ids, pa.uint64())),
-            "tfs": pa.ListArray.from_arrays(offsets, pa.array(pair_tfs, pa.int32())),
-            "dls": pa.ListArray.from_arrays(offsets, pa.array(pair_dls, pa.int32())),
-        }
-    )
+    cols = {
+        "term": pa.array(pair_terms[row_starts], pa.string()),
+        "range": pa.array(ranges[row_starts], pa.int64()),
+        "shard": pa.array(shard, pa.int32()),
+        "doc_ids": pa.ListArray.from_arrays(offsets, pa.array(pair_ids, pa.uint64())),
+        "tfs": pa.ListArray.from_arrays(offsets, pa.array(pair_tfs, pa.int32())),
+        "dls": pa.ListArray.from_arrays(offsets, pa.array(pair_dls, pa.int32())),
+    }
+    if pair_poss is not None:
+        occ_cum = np.zeros(pair_terms.size + 1, dtype=np.int64)
+        np.cumsum(pair_tfs, out=occ_cum[1:])
+        occ_offsets = occ_cum[np.append(row_starts, pair_terms.size)].astype(np.int32)
+        cols["poss"] = pa.ListArray.from_arrays(
+            occ_offsets, pa.array(pair_poss, pa.int32())
+        )
+    return pa.table(cols)
 
 
 def build_partials_codes(
@@ -162,11 +183,18 @@ def build_partials_codes(
     range_shift: int,
     num_shards: int,
     term_prefix: str | None = None,
+    positions: bool = False,
 ) -> pa.Table:
     """Packed partial-postings rows from dictionary-encoded tokens
     (arrow_tokenize output; docs pre-sorted by ordinal). One np.unique
     over a combined (term, doc) key does all the counting — no Python
-    token objects anywhere."""
+    token objects anywhere.
+
+    ``positions=True`` additionally records each token's within-doc
+    position (0-based index in the analyzed stream, matching
+    ``analysis.tokenize`` order): the (term, doc) grouping switches to
+    a stable argsort over the same packed key, which keeps occurrences
+    in token order so each pair's position run comes out ascending."""
     shift = np.uint64(range_shift)
     tables = []
     if tid.size:
@@ -174,7 +202,30 @@ def build_partials_codes(
             terms = np.array([f"{term_prefix}:{t}" for t in terms], dtype=object)
         n_docs = ordinals_sorted.size
         key = tid * n_docs + doc_pos
-        uk, tf = np.unique(key, return_counts=True)
+        pair_poss = None
+        if positions:
+            # within-doc token index: doc_pos is non-decreasing (tokens
+            # arrive doc by doc in stream order), so position = global
+            # token index minus the doc's first token index
+            n_tok = doc_pos.size
+            idx = np.arange(n_tok, dtype=np.int64)
+            chg = np.empty(n_tok, dtype=bool)
+            chg[0] = True
+            np.not_equal(doc_pos[1:], doc_pos[:-1], out=chg[1:])
+            run_starts = idx[chg]
+            run_lens = np.diff(np.append(run_starts, n_tok))
+            pos_in_doc = idx - np.repeat(run_starts, run_lens)
+            order2 = np.argsort(key, kind="stable")
+            ks = key[order2]
+            starts = np.empty(n_tok, dtype=bool)
+            starts[0] = True
+            np.not_equal(ks[1:], ks[:-1], out=starts[1:])
+            start_idx = np.flatnonzero(starts)
+            uk = ks[start_idx]
+            tf = np.diff(np.append(start_idx, n_tok))
+            pair_poss = pos_in_doc[order2].astype(np.int32)
+        else:
+            uk, tf = np.unique(key, return_counts=True)
         pair_tid = uk // n_docs
         pair_d = uk % n_docs
         tbl = _pairs_to_rows(
@@ -184,18 +235,21 @@ def build_partials_codes(
             dls_sorted[pair_d],
             shift,
             num_shards,
+            pair_poss=pair_poss,
         )
         if tbl is not None:
             tables.append(tbl)
-    kw_tbl = _keyword_partials(ordinals_sorted, kw_values_sorted, shift, num_shards)
+    kw_tbl = _keyword_partials(
+        ordinals_sorted, kw_values_sorted, shift, num_shards, positions=positions
+    )
     if kw_tbl is not None:
         tables.append(kw_tbl)
     if not tables:
-        return EMPTY_PARTIALS
+        return _empty_partials(positions)
     return pa.concat_tables(tables)
 
 
-def _keyword_partials(ordinals_sorted, kw_values_sorted, shift, num_shards):
+def _keyword_partials(ordinals_sorted, kw_values_sorted, shift, num_shards, positions=False):
     tables = []
     for col, vals in kw_values_sorted.items():
         kw_terms: list[str] = []
@@ -215,7 +269,12 @@ def _keyword_partials(ordinals_sorted, kw_values_sorted, shift, num_shards):
         keep[1:] = (kt[1:] != kt[:-1]) | (kp[1:] != kp[:-1])  # dedupe repeated values
         kt, kp = kt[keep], kp[keep]
         ones = np.ones(kt.size, dtype=np.int32)
-        tbl = _pairs_to_rows(kt, ordinals_sorted[kp], ones, ones, shift, num_shards)
+        # keyword terms are match-only: position 0 placeholders keep the
+        # occurrence-level alignment (tf values per pair) uniform
+        zeros = np.zeros(kt.size, dtype=np.int32) if positions else None
+        tbl = _pairs_to_rows(
+            kt, ordinals_sorted[kp], ones, ones, shift, num_shards, pair_poss=zeros
+        )
         if tbl is not None:
             tables.append(tbl)
     return pa.concat_tables(tables) if tables else None
@@ -231,6 +290,7 @@ def sayt_partials(
     num_shards: int,
     max_shingle: int = 3,
     max_prefix: int = 10,
+    positions: bool = False,
 ) -> pa.Table:
     """search_as_you_type expansion partials (SURVEY.md §2.B B3):
     per-doc DISTINCT {2,3}-gram shingles plus '#'-marked edge prefixes
@@ -248,7 +308,7 @@ def sayt_partials(
 
     n = int(ordinals_sorted.size)
     if tid.size == 0 or n == 0:
-        return EMPTY_PARTIALS
+        return _empty_partials(positions)
     T = int(terms.size)
     terms_arr = pa.array(terms, pa.string())
 
@@ -369,8 +429,11 @@ def sayt_partials(
         ones,
         np.uint64(range_shift),
         num_shards,
+        # sayt shingle/prefix terms are match-only; zero placeholders
+        # keep the positional occurrence alignment uniform
+        pair_poss=np.zeros(all_pairs.size, dtype=np.int32) if positions else None,
     )
-    return tbl if tbl is not None else EMPTY_PARTIALS
+    return tbl if tbl is not None else _empty_partials(positions)
 
 
 def build_partials(
@@ -463,8 +526,10 @@ class _DedupTokenizeBucket:
         num_shards: int,
         sayt_cols: tuple[str, ...] = (),
         partials_dir: str | None = None,
+        positions: bool = False,
     ):
         self.__name__ = "DedupTokenizeBucket"
+        self.positions = positions
         self.docs_dir = docs_dir
         self.stats_dir = stats_dir
         self.key_col = key_col
@@ -520,6 +585,7 @@ class _DedupTokenizeBucket:
                     self.range_shift,
                     self.num_shards,
                     term_prefix=None if fi == 0 else col,
+                    positions=self.positions,
                 )
             )
             if col in self.sayt_cols:
@@ -527,6 +593,7 @@ class _DedupTokenizeBucket:
                     sayt_partials(
                         col, ordinals, tid, terms, doc_pos,
                         self.range_shift, self.num_shards,
+                        positions=self.positions,
                     )
                 )
         out["ordinal"] = ordinals
@@ -548,7 +615,10 @@ class _DedupTokenizeBucket:
         os.replace(tmp, spath)
         partials = pa.concat_tables(partial_tables)
         if self.partials_dir is not None:
-            _store_bucket_partials(self.partials_dir, self.docs_dir, bucket, partials)
+            _store_bucket_partials(
+                self.partials_dir, self.docs_dir, bucket, partials,
+                positions=self.positions,
+            )
         return partials
 
 
@@ -565,6 +635,7 @@ class _PartialPostings:
         num_shards: int = 64,
         key_col: str = "ordinal",
         sayt_cols: tuple[str, ...] = (),
+        positions: bool = False,
     ):
         self.text_cols = text_cols
         self.range_shift = range_shift
@@ -572,6 +643,7 @@ class _PartialPostings:
         self.num_shards = num_shards
         self.key_col = key_col
         self.sayt_cols = sayt_cols
+        self.positions = positions
         self.findall = TOKEN_RE.findall
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -608,6 +680,7 @@ class _PartialPostings:
                     self.range_shift,
                     self.num_shards,
                     term_prefix=None if fi == 0 else col,
+                    positions=self.positions,
                 )
             )
             if col in self.sayt_cols:
@@ -615,18 +688,22 @@ class _PartialPostings:
                     sayt_partials(
                         col, ordinals[order], tid, terms, doc_pos,
                         self.range_shift, self.num_shards,
+                        positions=self.positions,
                     )
                 )
         return pa.concat_tables(tables)
 
 
-def _bucket_fingerprint(docs_dir: str, bucket: int) -> list:
+def _bucket_fingerprint(docs_dir: str, bucket: int, positions: bool = False) -> list:
     st = os.stat(os.path.join(docs_dir, f"bucket={bucket:05d}.parquet"))
-    return [st.st_size, st.st_mtime_ns]
+    # the positions flag is part of the partials' identity: toggling it
+    # must invalidate checkpoints even when the docstore is unchanged
+    return [st.st_size, st.st_mtime_ns, bool(positions)]
 
 
 def _store_bucket_partials(
-    partials_dir: str, docs_dir: str, bucket: int, partials: pa.Table
+    partials_dir: str, docs_dir: str, bucket: int, partials: pa.Table,
+    positions: bool = False,
 ) -> None:
     """Persist one bucket's packed partials with a fingerprint of its
     docstore file (hash-layout analog of the scan layout's
@@ -635,7 +712,7 @@ def _store_bucket_partials(
     atomic_write_parquet(partials, dest)
     tmp = dest + f".src.json.tmp-{os.getpid()}"
     with open(tmp, "w") as f:
-        json.dump(_bucket_fingerprint(docs_dir, bucket), f)
+        json.dump(_bucket_fingerprint(docs_dir, bucket, positions), f)
     os.replace(tmp, dest + ".src.json")
 
 
@@ -671,7 +748,7 @@ class _TokenizeBucketCheckpoint:
                 try:
                     with open(fp_path) as f:
                         current = json.load(f) == _bucket_fingerprint(
-                            self.docs_dir, bucket
+                            self.docs_dir, bucket, self.stage.positions
                         )
                 except (OSError, json.JSONDecodeError):
                     current = False
@@ -686,9 +763,12 @@ class _TokenizeBucketCheckpoint:
                 path, columns=[c for c in want if c in cols], use_threads=False
             )
             partials = self.stage(tbl)
-            _store_bucket_partials(self.partials_dir, self.docs_dir, bucket, partials)
+            _store_bucket_partials(
+                self.partials_dir, self.docs_dir, bucket, partials,
+                positions=self.stage.positions,
+            )
             tables.append(partials)
-        return pa.concat_tables(tables) if tables else EMPTY_PARTIALS
+        return pa.concat_tables(tables) if tables else _empty_partials(self.stage.positions)
 
 
 class _MergeShard:
@@ -736,11 +816,20 @@ class _MergeShard:
         ids_col = g.column("doc_ids").combine_chunks()
         row_counts = np.diff(ids_col.offsets.to_numpy())
         gid_el = np.repeat(row_gid, row_counts)
+        poss_flat = None
+        if "poss" in g.column_names:
+            # positional build: the row-ordered flattened occurrence
+            # stream lines up with the flattened element stream
+            # (exactly tfs[i] positions per element i)
+            poss_flat = (
+                g.column("poss").combine_chunks().values.to_numpy(zero_copy_only=False)
+            )
         enc = encode_posting_groups(
             gid_el,
             ids_col.values.to_numpy(zero_copy_only=False),
             g.column("tfs").combine_chunks().values.to_numpy(zero_copy_only=False),
             g.column("dls").combine_chunks().values.to_numpy(zero_copy_only=False),
+            poss=poss_flat,
         )
         grp_first_row = np.flatnonzero(row_chg)
         out_terms = terms[row_order][grp_first_row]
@@ -751,20 +840,21 @@ class _MergeShard:
         def pick(lst):
             return [lst[i] for i in out_order]
 
-        return pa.table(
-            {
-                "term": pa.array(out_terms[out_order], pa.string()),
-                "range": pa.array(out_ranges[out_order], pa.int64()),
-                "df": pa.array(enc["df"][out_order], pa.int64()),
-                "cf": pa.array(enc["cf"][out_order], pa.int64()),
-                "doc_ids_enc": pa.array(pick(enc["doc_ids_enc"]), pa.binary()),
-                "tfs_enc": pa.array(pick(enc["tfs_enc"]), pa.binary()),
-                "dls_enc": pa.array(pick(enc["dls_enc"]), pa.binary()),
-                "block_last_doc": enc["block_last_doc"].take(pa.array(out_order)),
-                "block_max_tf": enc["block_max_tf"].take(pa.array(out_order)),
-                "block_min_dl": enc["block_min_dl"].take(pa.array(out_order)),
-            }
-        )
+        cols = {
+            "term": pa.array(out_terms[out_order], pa.string()),
+            "range": pa.array(out_ranges[out_order], pa.int64()),
+            "df": pa.array(enc["df"][out_order], pa.int64()),
+            "cf": pa.array(enc["cf"][out_order], pa.int64()),
+            "doc_ids_enc": pa.array(pick(enc["doc_ids_enc"]), pa.binary()),
+            "tfs_enc": pa.array(pick(enc["tfs_enc"]), pa.binary()),
+            "dls_enc": pa.array(pick(enc["dls_enc"]), pa.binary()),
+            "block_last_doc": enc["block_last_doc"].take(pa.array(out_order)),
+            "block_max_tf": enc["block_max_tf"].take(pa.array(out_order)),
+            "block_min_dl": enc["block_min_dl"].take(pa.array(out_order)),
+        }
+        if enc["poss_enc"] is not None:
+            cols["poss_enc"] = pa.array(pick(enc["poss_enc"]), pa.binary())
+        return pa.table(cols)
 
 
 def _range_shift_for(num_buckets: int, range_buckets: int) -> int:
@@ -804,6 +894,7 @@ def build_index(
     overwrite: bool = False,
     batch_size: int = 1024,
     checkpoint_partials: bool = False,
+    positions: bool = False,
 ) -> dict:
     """Build (or resume) a full-text index at ``index_dir``.
 
@@ -816,6 +907,13 @@ def build_index(
     ``rebuild_postings`` touch-only — only buckets the update phase
     rewrote re-tokenize (the scan layout's checkpoint machinery applied
     to the hash layout; costs one extra write+read of packed partials).
+
+    ``positions``: record each token's within-doc position and write a
+    per-group ``poss_enc`` column (delta+varbyte, same codec family as
+    doc ids), enabling arbitrary-length ``match_phrase`` at query time
+    (OpenSearch ``text`` fields store positions by default —
+    /root/reference/opensearch_loader/loader.py:311-312). Costs extra
+    postings bytes (~1 varbyte per token occurrence); off by default.
     """
     t0 = time.perf_counter()
     metrics: dict = {"index_dir": index_dir}
@@ -852,6 +950,7 @@ def build_index(
             "keyword_cols": list(keyword_cols),
             "sayt_cols": list(sayt_cols),
             "checkpoint_partials": bool(checkpoint_partials),
+            "positions": bool(positions),
         }
     )
     partials_dir = None
@@ -941,6 +1040,7 @@ def build_index(
                 num_shards=postings_shards,
                 sayt_cols=sayt_cols,
                 partials_dir=partials_dir,
+                positions=positions,
             ),
             batch_format="pandas",
         )
@@ -1025,6 +1125,7 @@ def rebuild_postings(index_dir: str, batch_size: int = 1024) -> dict:
         keyword_cols=keyword_cols,
         sayt_cols=sayt_cols,
         num_shards=postings_shards,
+        positions=bool(man.data.get("positions")),
     )
     if man.data.get("checkpoint_partials"):
         # touch-only re-index: one task per bucket; buckets whose

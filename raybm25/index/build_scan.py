@@ -290,6 +290,7 @@ class _TokenizePart:
         num_shards: int,
         sayt_cols: tuple[str, ...] = (),
         partials_dir: str | None = None,
+        positions: bool = False,
     ):
         self.docs_dir = docs_dir
         self.dead_dir = dead_dir
@@ -300,6 +301,7 @@ class _TokenizePart:
         self.num_shards = num_shards
         self.sayt_cols = sayt_cols
         self.partials_dir = partials_dir
+        self.positions = positions
         self.findall = TOKEN_RE.findall
 
     def _fingerprint(self, pidx: int) -> list:
@@ -312,7 +314,9 @@ class _TokenizePart:
                 dead_sig = hashlib.sha256(f.read()).hexdigest()
         else:
             dead_sig = ""
-        return [st.st_size, st.st_mtime_ns, dead_sig]
+        # the positions flag is part of the partials' identity: toggling
+        # it must invalidate checkpoints even when the docstore is intact
+        return [st.st_size, st.st_mtime_ns, dead_sig, bool(self.positions)]
 
     def _checkpoint_load(self, pidx: int):
         """Partials parquet for this partition if its fingerprint (and
@@ -392,6 +396,7 @@ class _TokenizePart:
                         self.range_shift,
                         self.num_shards,
                         term_prefix=None if fi == 0 else col,
+                        positions=self.positions,
                     )
                 )
                 if col in self.sayt_cols:
@@ -403,6 +408,7 @@ class _TokenizePart:
                         sayt_partials(
                             col, ordinals, tid, terms, doc_pos,
                             self.range_shift, self.num_shards,
+                            positions=self.positions,
                         )
                     )
             stats = {
@@ -527,6 +533,7 @@ def build_index_scan(
     b: float = BM25_B,
     overwrite: bool = False,
     checkpoint_partials: bool = False,
+    positions: bool = False,
 ) -> dict:
     """Scan-layout build over a list of parquet files (or a directory).
 
@@ -606,6 +613,7 @@ def build_index_scan(
             "keyword_cols": list(keyword_cols),
             "sayt_cols": list(sayt_cols),
             "checkpoint_partials": bool(checkpoint_partials),
+            "positions": bool(positions),
             "input_files": paths,
         },
     )
@@ -657,6 +665,7 @@ def build_index_scan(
             num_shards=postings_shards,
             sayt_cols=sayt_cols,
             partials_dir=partials_dir,
+            positions=positions,
         ),
         batch_format="pyarrow",
     )
@@ -721,6 +730,7 @@ def rebuild_postings_scan(index_dir: str) -> dict:
             num_shards=int(man.data["num_shards"]),
             sayt_cols=sayt_cols,
             partials_dir=partials_dir,
+            positions=bool(man.data.get("positions")),
         ),
         batch_format="pyarrow",
     )

@@ -42,6 +42,7 @@ def encode_posting_groups(
     dls: np.ndarray,
     *,
     block_size: int = BLOCK_SIZE,
+    poss: np.ndarray | None = None,
 ) -> dict:
     """Encode many posting groups at once.
 
@@ -49,6 +50,12 @@ def encode_posting_groups(
     element (need not be pre-sorted). Elements are sorted here by
     (gid, doc_id). Returns per-group columns plus flattened block
     metadata with offsets suitable for ``pa.ListArray.from_arrays``.
+
+    ``poss`` (optional): flattened within-doc token positions, exactly
+    ``tfs[i]`` ascending values per element ``i`` in the INPUT element
+    order. When given, the result gains ``poss_enc``: per group, the
+    positions of its (gid, doc_id)-sorted elements, delta-encoded
+    within each element's run (first position raw) and varbyte-packed.
     """
     n = gid.size
     order = np.lexsort((doc_ids, gid))
@@ -71,6 +78,29 @@ def encode_posting_groups(
     tfs_buf, tfs_sz = varbyte_encode_with_sizes(tf.astype(np.uint64))
     dls_buf, dls_sz = varbyte_encode_with_sizes(dl.astype(np.uint64))
 
+    poss_enc = None
+    if poss is not None:
+        # re-gather each element's position run into the sorted element
+        # order (one vectorized segment gather), then delta within runs
+        tfs_orig = np.asarray(tfs, dtype=np.int64)
+        occ_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tfs_orig, out=occ_off[1:])
+        sizes = tfs_orig[order]
+        total = int(sizes.sum())
+        new_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(sizes, out=new_off[1:])
+        gather = (
+            np.repeat(occ_off[order] - new_off[:-1], sizes)
+            + np.arange(total, dtype=np.int64)
+        )
+        p_sorted = np.asarray(poss, dtype=np.int64)[gather]
+        p_delta = p_sorted.copy()
+        p_delta[1:] -= p_sorted[:-1]
+        seg_starts = new_off[:-1][sizes > 0]
+        p_delta[seg_starts] = p_sorted[seg_starts]
+        pos_buf, pos_sz = varbyte_encode_with_sizes(p_delta.astype(np.uint64))
+        poss_enc = _slice_bytes(pos_buf, pos_sz, new_off[el_starts], total)
+
     # block metadata: globally numbered blocks of `block_size` per group
     pos = np.arange(n, dtype=np.int64) - np.repeat(el_starts, counts)
     nblocks = (counts + block_size - 1) // block_size
@@ -86,6 +116,7 @@ def encode_posting_groups(
     return {
         "order": order,
         "el_starts": el_starts,
+        "poss_enc": poss_enc,
         "df": counts.astype(np.int64),
         "cf": np.add.reduceat(tf, el_starts).astype(np.int64),
         "doc_ids_enc": _slice_bytes(ids_buf, ids_sz, el_starts, n),

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 
 from ..analysis import tokenize
-from ..codec import BLOCK_SIZE, varbyte_decode, delta_decode
+from ..codec import BLOCK_SIZE, varbyte_decode, delta_decode, decode_positions
 from ..index.build import DOCS_SUBDIR, ORD_MASK, ORD_SHIFT, POSTINGS_SUBDIR
 from ..index.manifest import load_manifest
 
@@ -41,10 +41,11 @@ from ..index.manifest import load_manifest
 class TermPostings:
     __slots__ = (
         "doc_ids", "tfs", "dls", "block_last", "block_max_tf", "block_min_dl",
-        "df", "norm", "norm_avgdl",
+        "df", "norm", "norm_avgdl", "poss", "_pos_off",
     )
 
-    def __init__(self, doc_ids, tfs, dls, block_last, block_max_tf, block_min_dl):
+    def __init__(self, doc_ids, tfs, dls, block_last, block_max_tf, block_min_dl,
+                 poss=None):
         self.doc_ids = doc_ids
         self.tfs = tfs
         self.dls = dls
@@ -52,11 +53,24 @@ class TermPostings:
         self.block_max_tf = block_max_tf
         self.block_min_dl = block_min_dl
         self.df = int(doc_ids.size)
+        # positional indexes only: flattened within-doc token positions,
+        # tfs[i] ascending values per posting i (None otherwise)
+        self.poss = poss
+        self._pos_off = None
         # per-posting BM25 tf-norm is a pure function of (tf, dl, avgdl)
         # — computed once on first scoring, reused across queries (a
         # term belongs to exactly one field, so one avgdl applies)
         self.norm = None
         self.norm_avgdl = None
+
+    def pos_offsets(self) -> np.ndarray:
+        """Posting index -> offsets into the flat ``poss`` stream
+        (cumsum of tfs), computed once per decoded term."""
+        if self._pos_off is None:
+            off = np.zeros(self.tfs.size + 1, dtype=np.int64)
+            np.cumsum(self.tfs, out=off[1:])
+            self._pos_off = off
+        return self._pos_off
 
 
 class IndexReader:
@@ -208,6 +222,7 @@ class IndexReader:
         ids_enc = tbl.column("doc_ids_enc")
         tfs_enc = tbl.column("tfs_enc")
         dls_enc = tbl.column("dls_enc")
+        pos_col = tbl.column("poss_enc") if "poss_enc" in tbl.column_names else None
         bl_col = tbl.column("block_last_doc")
         btf_col = tbl.column("block_max_tf")
         bdl_col = tbl.column("block_min_dl")
@@ -222,8 +237,17 @@ class IndexReader:
             ids = np.concatenate(
                 [delta_decode(varbyte_decode(ids_enc[r].as_buffer())) for r in rows]
             )
-            tfs = np.concatenate([varbyte_decode(tfs_enc[r].as_buffer()) for r in rows])
+            tf_rows = [varbyte_decode(tfs_enc[r].as_buffer()) for r in rows]
+            tfs = np.concatenate(tf_rows)
             dls = np.concatenate([varbyte_decode(dls_enc[r].as_buffer()) for r in rows])
+            poss = None
+            if pos_col is not None:
+                poss = np.concatenate(
+                    [
+                        decode_positions(pos_col[r].as_buffer(), tf_rows[ri])
+                        for ri, r in enumerate(rows)
+                    ]
+                )
             block_last = np.concatenate(
                 [np.asarray(bl_col[r].values, dtype=np.uint64) for r in rows]
             )
@@ -233,7 +257,7 @@ class IndexReader:
             bmin_dl = np.concatenate(
                 [np.asarray(bdl_col[r].values, dtype=np.int64) for r in rows]
             )
-            tp = TermPostings(ids, tfs, dls, block_last, bmax_tf, bmin_dl)
+            tp = TermPostings(ids, tfs, dls, block_last, bmax_tf, bmin_dl, poss)
             out[term_col[i]] = tp
             self._cache_put(term_col[i], tp)
             i = j
@@ -591,6 +615,66 @@ class IndexReader:
         if field not in self.manifest.get("sayt_cols", []):
             raise ValueError(f"field {field!r} is not sayt-indexed (no shingle terms)")
         return self.term_docs(field, " ".join(toks))
+
+    def match_phrase(self, phrase: str, field: str | None = None) -> np.ndarray:
+        """Arbitrary-length exact phrase match on a positional index
+        (OpenSearch ``match_phrase``, slop=0; ``text`` fields store
+        positions by default — the reference's mappings at
+        /root/reference/opensearch_loader/loader.py:311-312 rely on it).
+
+        Fully vectorized: candidate docs are the sorted intersection of
+        the query terms' posting lists; adjacency is then verified by
+        intersecting per-term ``(candidate_idx, position - i)`` key
+        sets — a candidate matches iff at least one start position
+        survives every term. Repeated query tokens work naturally (the
+        same posting list is re-shifted per occurrence). Cost is one
+        segment-gather + one sorted intersect per query term, all over
+        the candidate subset only."""
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                "index was built without positions=True; match_phrase needs "
+                "positional postings (2-3 token phrases can use phrase_docs "
+                "on a sayt-enabled index instead)"
+            )
+        terms = self.field_terms(phrase, field)
+        empty = np.empty(0, np.uint64)
+        if not terms:
+            return empty
+        postings = self.load_postings(sorted(set(terms)))
+        if any(t not in postings for t in terms):
+            return empty
+        uniq = sorted(set(terms))
+        cand = postings[uniq[0]].doc_ids
+        for t in uniq[1:]:
+            cand = np.intersect1d(cand, postings[t].doc_ids, assume_unique=True)
+        if cand.size == 0:
+            return empty
+        # dense candidate indices key the position sets (ordinals use
+        # the high bucket bits, so ordinal<<21 would overflow uint64)
+        M = int(max(int(postings[t].poss.max()) for t in uniq)) + 2
+        keys: np.ndarray | None = None
+        for i, t in enumerate(terms):
+            tp = postings[t]
+            sel = np.searchsorted(tp.doc_ids, cand)
+            off = tp.pos_offsets()
+            sizes = tp.tfs[sel].astype(np.int64)
+            starts = off[sel]
+            total = int(sizes.sum())
+            run_off = np.zeros(cand.size + 1, dtype=np.int64)
+            np.cumsum(sizes, out=run_off[1:])
+            gather = (
+                np.repeat(starts - run_off[:-1], sizes)
+                + np.arange(total, dtype=np.int64)
+            )
+            p = tp.poss[gather].astype(np.int64) - i
+            d_idx = np.repeat(np.arange(cand.size, dtype=np.int64), sizes)
+            valid = p >= 0
+            k = d_idx[valid] * M + p[valid]  # sorted + unique by construction
+            keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+            if keys.size == 0:
+                return empty
+        hit = np.unique(keys // M)
+        return np.sort(self._map_ordinals(cand[hit]))
 
     def get_docs(self, doc_ids: np.ndarray) -> pa.Table:
         """Doc-store lookup by id (SURVEY.md B5).

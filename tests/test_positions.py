@@ -1,0 +1,166 @@
+"""Positional postings: encode/decode round-trip and arbitrary-length
+match_phrase (OpenSearch match_phrase parity — the reference's ``text``
+mappings store positions by default,
+/root/reference/opensearch_loader/loader.py:311-312)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from raybm25.analysis import tokenize
+from raybm25.codec import decode_positions
+from raybm25.fixtures import make_pages
+from raybm25.hashing import hash64
+from raybm25.index.build import build_index, rebuild_postings
+from raybm25.query.engine import IndexReader
+
+
+def test_positions_roundtrip_random():
+    rng = np.random.default_rng(7)
+    n = 500
+    gid = np.sort(rng.integers(0, 40, n)).astype(np.int64)
+    doc_ids = rng.permutation(np.arange(n, dtype=np.uint64))
+    tfs = rng.integers(1, 9, n).astype(np.int64)
+    dls = rng.integers(5, 200, n).astype(np.int64)
+    # ascending positions per posting
+    poss = np.concatenate(
+        [np.sort(rng.choice(5000, size=t, replace=False)) for t in tfs]
+    ).astype(np.int64)
+    from raybm25.index.encode import encode_posting_groups
+
+    enc = encode_posting_groups(gid, doc_ids, tfs, dls, poss=poss)
+    order = enc["order"]
+    el_starts = enc["el_starts"]
+    bounds = np.append(el_starts, n)
+    occ_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tfs, out=occ_off[1:])
+    from raybm25.codec import varbyte_decode
+
+    for g in range(len(el_starts)):
+        lo, hi = bounds[g], bounds[g + 1]
+        g_tfs = varbyte_decode(enc["tfs_enc"][g])
+        got = decode_positions(enc["poss_enc"][g], g_tfs)
+        want = np.concatenate(
+            [poss[occ_off[e] : occ_off[e] + tfs[e]] for e in order[lo:hi]]
+        )
+        assert np.array_equal(got, want.astype(np.int32))
+
+
+@pytest.fixture(scope="module")
+def pos_built(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("posidx")
+    pages_path = str(root / "pages.parquet")
+    pages = make_pages(n_rows=400, seed=11)
+    pq.write_table(pages, pages_path)
+    index_dir = str(root / "index")
+    build_index(
+        pages_path,
+        index_dir,
+        key_col="url",
+        ts_col="warc_ts",
+        extract_html=True,
+        keyword_cols=("lang",),
+        num_buckets=8,
+        range_buckets=2,  # multiple doc ranges: positions must survive segment concat
+        batch_size=64,
+        positions=True,
+    )
+    df = pages.to_pandas().sort_values(["url", "warc_ts", "text"], kind="mergesort")
+    df = df.drop_duplicates("url", keep="last")
+    df["doc_id"] = hash64(df["url"].to_numpy(dtype=object))
+    docs = dict(zip(df["doc_id"].tolist(), df["text"].tolist()))
+    return index_dir, docs
+
+
+def _brute_phrase(docs, phrase):
+    ptoks = tokenize(phrase)
+    out = []
+    for did, text in docs.items():
+        toks = tokenize(text)
+        for i in range(len(toks) - len(ptoks) + 1):
+            if toks[i : i + len(ptoks)] == ptoks:
+                out.append(did)
+                break
+    return np.sort(np.array(out, dtype=np.uint64))
+
+
+def test_match_phrase_vs_brute_force(pos_built):
+    index_dir, docs = pos_built
+    r = IndexReader(index_dir)
+    # phrases harvested from the corpus itself (guaranteed hits) at
+    # widths beyond the sayt shingle cap, plus misses and repeats
+    texts = sorted(docs.values())
+    t0 = tokenize(texts[0])
+    t1 = tokenize(texts[len(texts) // 2])
+    phrases = [
+        " ".join(t0[2:6]),        # 4-token hit
+        " ".join(t1[1:6]),        # 5-token hit
+        " ".join(t0[:3]),         # 3-token hit
+        t0[0],                    # single token
+        " ".join(t0[2:6]) + " zzzzunseen",  # one absent term
+        " ".join(reversed(t0[2:6])),        # present terms, wrong order (may hit)
+    ]
+    # a phrase with a repeated adjacent token, if the corpus has one
+    for text in texts:
+        toks = tokenize(text)
+        for i in range(len(toks) - 1):
+            if toks[i] == toks[i + 1]:
+                phrases.append(" ".join(toks[max(0, i - 1) : i + 2]))
+                break
+        else:
+            continue
+        break
+    for ph in phrases:
+        got = r.match_phrase(ph)
+        want = _brute_phrase(docs, ph)
+        assert np.array_equal(got, want), f"phrase {ph!r}: {got} != {want}"
+
+
+def test_match_phrase_requires_positions(pos_built, ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("noposidx")
+    pages_path = str(root / "pages.parquet")
+    pq.write_table(make_pages(n_rows=50, seed=3), pages_path)
+    index_dir = str(root / "index")
+    build_index(
+        pages_path, index_dir, key_col="url", ts_col="warc_ts",
+        extract_html=True, num_buckets=4, batch_size=64,
+    )
+    r = IndexReader(index_dir)
+    with pytest.raises(ValueError, match="positions"):
+        r.match_phrase("any phrase here")
+
+
+def test_match_phrase_scan_layout(pos_built, ray_session, tmp_path_factory):
+    """The scan layout threads positions through the same partials
+    helpers; match_phrase results must agree with the hash layout."""
+    from raybm25.index.build_scan import build_index_scan
+
+    index_dir, docs = pos_built
+    root = tmp_path_factory.mktemp("posscan")
+    pages_path = str(root / "pages.parquet")
+    pq.write_table(make_pages(n_rows=400, seed=11), pages_path)
+    scan_dir = str(root / "index")
+    build_index_scan(
+        pages_path, scan_dir, key_col="url", ts_col="warc_ts",
+        extract_html=True, keyword_cols=("lang",), positions=True,
+    )
+    r_hash = IndexReader(index_dir)
+    r_scan = IndexReader(scan_dir)
+    texts = sorted(docs.values())
+    for src in (texts[0], texts[7]):
+        ph = " ".join(tokenize(src)[2:6])
+        a, b = r_hash.match_phrase(ph), r_scan.match_phrase(ph)
+        assert np.array_equal(a, b)
+        assert np.array_equal(a, _brute_phrase(docs, ph))
+
+
+def test_rebuild_preserves_positions(pos_built):
+    index_dir, docs = pos_built
+    r0 = IndexReader(index_dir)
+    texts = sorted(docs.values())
+    ph = " ".join(tokenize(texts[3])[1:5])
+    before = r0.match_phrase(ph)
+    assert before.size > 0
+    rebuild_postings(index_dir)
+    r1 = IndexReader(index_dir)
+    assert np.array_equal(r1.match_phrase(ph), before)
