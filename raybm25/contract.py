@@ -596,6 +596,21 @@ def _pos_index(sf_dir: str) -> str:
     return idx
 
 
+def q_phrase_bm25_topk(sf_dir: str):
+    """BM25-scored exact-phrase top-k (Lucene PhraseQuery semantics:
+    tf = phrase occurrence count, idf = sum of the phrase terms' idfs,
+    dl/avgdl corpus stats) over positional postings."""
+    r = _IndexReader()(_pos_index(sf_dir))
+    hits = r.search_phrase("merge sort", k=10)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array([int(np.int64(np.uint64(d))) for d, _ in hits], dtype="int64"),
+            "score": [s for _, s in hits],
+        }
+    )
+
+
 def q_phrase_match_long(sf_dir: str):
     """Arbitrary-length exact phrase match via positional postings
     (OpenSearch match_phrase; beyond the 2-3 token sayt-shingle width):
@@ -1157,6 +1172,43 @@ def _bm25_sql(
     return "\n".join(parts)
 
 
+def _phrase_bm25_sql(phrase: str, k: int) -> str:
+    """Phrase-BM25 oracle (Lucene PhraseQuery with BM25Similarity):
+    tf = phrase occurrence count (adjacency windows), idf = the SUM of
+    the phrase terms' idfs in phrase order (left-to-right addition —
+    the engine's float order), dl/avgdl corpus-global."""
+    toks = tokenize(phrase)
+    W = len(toks)
+    conds = " AND ".join(
+        (f"tk[i] = '{t}'" if j == 0 else f"tk[i+{j}] = '{t}'")
+        for j, t in enumerate(toks)
+    )
+    dfs = ", ".join(
+        f"df{j} AS (SELECT count(*) AS df FROM t WHERE list_contains(tk, '{t}'))"
+        for j, t in enumerate(toks)
+    )
+    idf = " + ".join(
+        f"ln(1 + (stats.n - df{j}.df + 0.5)/(df{j}.df + 0.5))" for j in range(W)
+    )
+    df_srcs = ", ".join(f"df{j}" for j in range(W))
+    return (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk"
+        " FROM documents),"
+        " stats AS (SELECT (SELECT count(*) FROM documents) AS n,"
+        " (SELECT sum(len(tk)) FROM t) / (SELECT count(*) FROM documents) AS avgdl),"
+        f" {dfs},"
+        f" ph AS (SELECT doc_id, len(tk) AS dl,"
+        f" len(list_filter(range(1, len(tk) - {W - 2}), i -> {conds})) AS ptf"
+        f" FROM t WHERE len(tk) >= {W}),"
+        f" scored AS (SELECT doc_id, ({idf}) *"
+        f" (ptf/(ptf + {BM25_K1}*(1 - {BM25_B} + {BM25_B}*dl/stats.avgdl))) AS score"
+        f" FROM ph, stats, {df_srcs} WHERE ptf > 0)"
+        " SELECT rank, doc_id, score FROM (SELECT row_number() OVER"
+        " (ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)"
+        f" ORDER BY rank LIMIT {k}"
+    )
+
+
 def _bm25_multi_sql(query: str, k: int, field_cols: list[str]) -> str:
     """multi_match most_fields oracle: one BM25 block per field (its own
     dl/avgdl/tf/df over that field's tokens; n_docs corpus-global),
@@ -1348,6 +1400,7 @@ ORACLE_SQL: dict[str, str] = {
         " i -> toks[i] = 'hash' AND toks[i+1] = 'join')) > 0"
         " ORDER BY doc_id"
     ),
+    "phrase_bm25_topk": _phrase_bm25_sql("merge sort", 10),
     # 4-token phrase needs real positional postings (sayt shingles cap
     # at width 3); same adjacency check, window of 4
     "phrase_match_long": (
@@ -1549,6 +1602,7 @@ QUERIES = {
     "sayt_prefix_docs": q_sayt_prefix_docs,
     "phrase_docs": q_phrase_docs,
     "phrase_match_long": q_phrase_match_long,
+    "phrase_bm25_topk": q_phrase_bm25_topk,
     "events_window": q_events_window,
     "events_hopping_window": q_events_hopping_window,
     "top_tokens_per_lang": q_top_tokens_per_lang,

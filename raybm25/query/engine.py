@@ -173,7 +173,14 @@ class IndexReader:
         with no merge (the salting invariant from the build)."""
         if not terms:
             return {}
-        cached = {t: self._term_cache[t] for t in terms if t in self._term_cache}
+        cached: dict[str, TermPostings] = {}
+        for t in terms:
+            tp = self._term_cache.get(t)
+            if tp is not None:
+                # LRU touch: re-insert so dict order tracks recency
+                del self._term_cache[t]
+                self._term_cache[t] = tp
+                cached[t] = tp
         terms = [t for t in terms if t not in cached]
         if not terms:
             return cached
@@ -269,8 +276,10 @@ class IndexReader:
         if tp.df > limit:
             return
         while self._term_cache_postings + tp.df > limit and self._term_cache:
-            _, old = self._term_cache.popitem()  # LIFO-ish eviction; fine for a hot-set cache
-            self._term_cache_postings -= old.df
+            # true LRU: hits re-insert (load_postings), so the first
+            # dict key is always the least-recently-used entry
+            oldest = next(iter(self._term_cache))
+            self._term_cache_postings -= self._term_cache.pop(oldest).df
         self._term_cache[term] = tp
         self._term_cache_postings += tp.df
 
@@ -630,6 +639,17 @@ class IndexReader:
         same posting list is re-shifted per occurrence). Cost is one
         segment-gather + one sorted intersect per query term, all over
         the candidate subset only."""
+        ords, _, _, _ = self._phrase_hits(phrase, field)
+        if ords.size == 0:
+            return np.empty(0, np.uint64)
+        return np.sort(self._map_ordinals(ords))
+
+    def _phrase_hits(self, phrase: str, field: str | None):
+        """Shared phrase evaluator: returns ``(ordinals, phrase_tf,
+        dls, terms)`` for docs containing the exact phrase —
+        ``phrase_tf[i]`` is the number of phrase occurrences in doc
+        ``ordinals[i]`` (Lucene PhraseQuery's tf), ``dls`` the doc
+        lengths, ``terms`` the analyzed query terms."""
         if not self.manifest.get("positions"):
             raise ValueError(
                 "index was built without positions=True; match_phrase needs "
@@ -638,24 +658,28 @@ class IndexReader:
             )
         terms = self.field_terms(phrase, field)
         empty = np.empty(0, np.uint64)
+        none = (empty, np.empty(0, np.int64), np.empty(0, np.int64), terms)
         if not terms:
-            return empty
+            return none
         postings = self.load_postings(sorted(set(terms)))
         if any(t not in postings for t in terms):
-            return empty
+            return none
         uniq = sorted(set(terms))
         cand = postings[uniq[0]].doc_ids
         for t in uniq[1:]:
             cand = np.intersect1d(cand, postings[t].doc_ids, assume_unique=True)
         if cand.size == 0:
-            return empty
+            return none
         # dense candidate indices key the position sets (ordinals use
         # the high bucket bits, so ordinal<<21 would overflow uint64)
         M = int(max(int(postings[t].poss.max()) for t in uniq)) + 2
         keys: np.ndarray | None = None
+        cand_dls = None
         for i, t in enumerate(terms):
             tp = postings[t]
             sel = np.searchsorted(tp.doc_ids, cand)
+            if cand_dls is None:
+                cand_dls = tp.dls[sel].astype(np.int64)
             off = tp.pos_offsets()
             sizes = tp.tfs[sel].astype(np.int64)
             starts = off[sel]
@@ -672,9 +696,29 @@ class IndexReader:
             k = d_idx[valid] * M + p[valid]  # sorted + unique by construction
             keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
             if keys.size == 0:
-                return empty
-        hit = np.unique(keys // M)
-        return np.sort(self._map_ordinals(cand[hit]))
+                return none
+        d_hit, ptf = np.unique(keys // M, return_counts=True)
+        return cand[d_hit], ptf.astype(np.int64), cand_dls[d_hit], terms
+
+    def search_phrase(
+        self, phrase: str, k: int = 10, field: str | None = None
+    ) -> list[tuple[int, float]]:
+        """BM25-scored exact-phrase top-k (Lucene PhraseQuery with
+        BM25Similarity: tf = phrase occurrence count, idf = the SUM of
+        the phrase terms' idfs — repeats included — dl/avgdl from the
+        searched field). Ties: score desc, doc_id asc, as everywhere."""
+        ords, ptf, dls, terms = self._phrase_hits(phrase, field)
+        if ords.size == 0:
+            return []
+        postings = self.load_postings(sorted(set(terms)))
+        # left-to-right accumulation in phrase order (the SQL oracle
+        # adds the same way; float addition order is part of the API)
+        idf_sum = 0.0
+        for t in terms:
+            idf_sum += self.idf(postings[t].df)
+        scores = idf_sum * self._norm(ptf, dls, self.field_avgdl(field))
+        ids, sc = self._rank(ords, scores, k)
+        return list(zip(ids.tolist(), sc.tolist()))
 
     def get_docs(self, doc_ids: np.ndarray) -> pa.Table:
         """Doc-store lookup by id (SURVEY.md B5).

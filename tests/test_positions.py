@@ -154,6 +154,46 @@ def test_match_phrase_scan_layout(pos_built, ray_session, tmp_path_factory):
         assert np.array_equal(a, _brute_phrase(docs, ph))
 
 
+def test_search_phrase_hand_computed(ray_session, tmp_path_factory):
+    """Lucene PhraseQuery scoring: tf = phrase occurrences, idf = sum
+    of term idfs, verified bit-for-bit against a hand computation."""
+    import math
+    import pyarrow as pa
+
+    root = tmp_path_factory.mktemp("phrasebm25")
+    docs = {
+        "u1": "red fox red fox jumps",      # "red fox" twice, dl=5
+        "u2": "red fox sleeps here today",  # once, dl=5
+        "u3": "fox red nothing else",       # reversed only, dl=4
+        "u4": "red and fox apart words",    # both terms, no phrase, dl=5
+    }
+    tbl = pa.table({"url": list(docs), "text": list(docs.values())})
+    pages_path = str(root / "pages.parquet")
+    pq.write_table(tbl, pages_path)
+    index_dir = str(root / "index")
+    build_index(
+        pages_path, index_dir, key_col="url", ts_col=None,
+        num_buckets=2, batch_size=4, positions=True,
+    )
+    r = IndexReader(index_dir)
+    hits = r.search_phrase("red fox", k=10)
+    ids = {int(h) for h, _ in hits}
+    want_ids = {int(hash64(np.array([u], dtype=object))[0]) for u in ("u1", "u2")}
+    assert ids == {np.uint64(i) for i in want_ids} or ids == want_ids
+    n, avgdl = 4, (5 + 5 + 4 + 5) / 4
+    k1, b = r.k1, r.b
+    idf_sum = math.log(1.0 + (n - 4 + 0.5) / (4 + 0.5))   # 'red' df=4 (all docs)
+    idf_sum += math.log(1.0 + (n - 4 + 0.5) / (4 + 0.5))  # 'fox' df=4 (all docs)
+    def score(ptf, dl):
+        tf = float(ptf)
+        return idf_sum * (tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+    by_id = {int(np.uint64(np.int64(h)) if h < 0 else h): s for h, s in hits}
+    u1, u2 = (int(hash64(np.array([u], dtype=object))[0]) for u in ("u1", "u2"))
+    assert by_id[u1] == score(2, 5)
+    assert by_id[u2] == score(1, 5)
+    assert by_id[u1] > by_id[u2]
+
+
 def test_rebuild_preserves_positions(pos_built):
     index_dir, docs = pos_built
     r0 = IndexReader(index_dir)
