@@ -173,14 +173,7 @@ class IndexReader:
         with no merge (the salting invariant from the build)."""
         if not terms:
             return {}
-        cached: dict[str, TermPostings] = {}
-        for t in terms:
-            tp = self._term_cache.get(t)
-            if tp is not None:
-                # LRU touch: re-insert so dict order tracks recency
-                del self._term_cache[t]
-                self._term_cache[t] = tp
-                cached[t] = tp
+        cached = {t: self._term_cache[t] for t in terms if t in self._term_cache}
         terms = [t for t in terms if t not in cached]
         if not terms:
             return cached
@@ -276,10 +269,14 @@ class IndexReader:
         if tp.df > limit:
             return
         while self._term_cache_postings + tp.df > limit and self._term_cache:
-            # true LRU: hits re-insert (load_postings), so the first
-            # dict key is always the least-recently-used entry
-            oldest = next(iter(self._term_cache))
-            self._term_cache_postings -= self._term_cache.pop(oldest).df
+            # newest-first (MRU-style) eviction, MEASURED: true LRU
+            # (touch-on-hit + evict-oldest) thrashed a cyclic query set
+            # whose working set exceeds the cap — the classic
+            # sequential-flooding pathology — and regressed warm p50
+            # 2.1 -> 38.8 ms on the bench index; popitem keeps a stable
+            # cached subset and is optimal for looping access patterns
+            _, old = self._term_cache.popitem()
+            self._term_cache_postings -= old.df
         self._term_cache[term] = tp
         self._term_cache_postings += tp.df
 
@@ -457,14 +454,24 @@ class IndexReader:
         filter_value: str,
         k: int = 10,
         field: str | None = None,
+        pruned: bool | None = None,
     ) -> list[tuple[int, float]]:
         """Exact BM25 top-k restricted to docs whose keyword field
         matches (the OpenSearch ``bool: {must: match, filter: term}``
         shape the reference's default mappings are built for). BM25
         stats (idf, avgdl) stay corpus-global — the filter restricts
-        the candidate set, not the scoring model. Cost: the filter's
-        postings are one term lookup; candidates are intersected
-        before any scoring work."""
+        the candidate set, not the scoring model.
+
+        Two result-identical paths, auto-selected by filter
+        selectivity (``pruned=None``):
+        - selective filter (small fp.df): intersect candidates with the
+          filter first, exact-score the survivors — the filter IS the
+          pruning;
+        - broad filter (fp.df a large corpus fraction): block-max WAND
+          over the query terms with θ seeded from filter-passing docs
+          only (a θ from filtered-out docs could exceed every valid
+          score and over-prune), candidates intersected with the filter
+          before exact scoring."""
         fkey = f"{filter_field}:{filter_value}"
         fp = self.load_postings([fkey]).get(fkey)
         if fp is None:
@@ -472,18 +479,120 @@ class IndexReader:
         avgdl = self.field_avgdl(field)
         qcounts = Counter(self.field_terms(query, field))
         postings = self.load_postings(sorted(qcounts))
-        parts = [p.doc_ids for p in (postings.get(t) for t in sorted(qcounts)) if p]
-        if not parts:
+        terms = [t for t in sorted(qcounts) if t in postings]
+        if not terms:
             return []
+        if pruned is None:
+            # WAND pays off when the filter keeps most docs AND the
+            # query terms aren't all Zipf-head (same gate as
+            # search_pruned); otherwise the filter intersection already
+            # shrinks the work below the seeding overhead
+            # measured crossovers (bench index, lang:en = 41% of corpus):
+            # WAND wins on every multi-term query (48.5 -> 25 ms worst
+            # case, 14.5 -> 0.5 ms best) and loses only on single
+            # Zipf-head terms (19 -> 25 ms), where one dense posting
+            # scan is already optimal; below a quarter-corpus filter
+            # the intersection is cheaper than threshold seeding
+            pruned = fp.df > 0.25 * self.n_docs and (
+                len(terms) > 1
+                or min(postings[t].df for t in terms) <= 0.2 * self.n_docs
+            )
+        if pruned:
+            return self._filtered_wand(qcounts, postings, terms, fp, avgdl, k)
+        parts = [postings[t].doc_ids for t in terms]
         cand = self._merge_unique(parts)
-        # sorted-array intersection with the filter's ordinals
-        pos = np.searchsorted(fp.doc_ids, cand)
-        pos_c = np.minimum(pos, fp.df - 1)
-        cand = cand[fp.doc_ids[pos_c] == cand]
+        cand = self._isect_sorted(cand, fp)
         if cand.size == 0:
             return []
         scores = self._score_subset(cand, qcounts, postings, avgdl)
         ids, sc = self._rank(cand, scores, k)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    @staticmethod
+    def _isect_sorted(cand: np.ndarray, fp: TermPostings) -> np.ndarray:
+        """Keep candidates present in the filter's sorted posting list."""
+        if cand.size == 0:
+            return cand
+        pos = np.searchsorted(fp.doc_ids, cand)
+        pos_c = np.minimum(pos, fp.df - 1)
+        return cand[fp.doc_ids[pos_c] == cand]
+
+    def _filtered_wand(
+        self,
+        qcounts: Counter,
+        postings: dict[str, TermPostings],
+        terms: list[str],
+        fp: TermPostings,
+        avgdl: float,
+        k: int,
+    ) -> list[tuple[int, float]]:
+        """Block-max WAND with a keyword filter: block bounds are sound
+        for any doc subset, so the only filter-specific care is seeding
+        θ exclusively from filter-passing docs."""
+        bounds = {
+            t: self._norm(postings[t].block_max_tf, postings[t].block_min_dl, avgdl)
+            for t in terms
+        }
+        ub = {
+            t: qcounts[t] * self.idf(postings[t].df) * float(bounds[t].max())
+            for t in terms
+        }
+        # seed θ from the strongest term's best blocks, filter-passing
+        # docs only; keep taking blocks until k survivors (or exhausted)
+        seed_term = max(terms, key=lambda t: ub[t])
+        p = postings[seed_term]
+        if p.df <= k:
+            seed_ids = self._isect_sorted(p.doc_ids, fp)
+        else:
+            blk = np.argsort(bounds[seed_term])[::-1]
+            take: list[np.ndarray] = []
+            got = 0
+            for bi in blk:
+                s, e = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, p.df)
+                seg = self._isect_sorted(p.doc_ids[s:e], fp)
+                take.append(seg)
+                got += seg.size
+                if got >= k:
+                    break
+            seed_ids = self._merge_unique(take)
+        seed_scores = self._score_subset(seed_ids, qcounts, postings, avgdl)
+        if seed_ids.size >= k:
+            idx = np.lexsort((seed_ids, -seed_scores))[:k]
+            theta = float(seed_scores[idx[-1]])
+        else:
+            theta = 0.0
+
+        order = sorted(terms, key=lambda t: ub[t])
+        cum = 0.0
+        essential: list[str] = []
+        for i, t in enumerate(order):
+            if cum + ub[t] < theta:
+                cum += ub[t]
+            else:
+                essential = order[i:]
+                break
+        else:
+            essential = []
+        if not essential:
+            essential = [seed_term]
+
+        total_ub = sum(ub.values())
+        cand_parts = [seed_ids]
+        for t in essential:
+            p = postings[t]
+            other_ub = total_ub - ub[t]
+            block_bound = qcounts[t] * self.idf(p.df) * bounds[t] + other_ub
+            keep_blocks = np.flatnonzero(block_bound >= theta)
+            if keep_blocks.size == 0:
+                continue
+            segs = []
+            for bi in keep_blocks:
+                s, e = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, p.df)
+                segs.append(p.doc_ids[s:e])
+            cand_parts.append(np.concatenate(segs) if segs else np.empty(0, np.uint64))
+        candidates = self._isect_sorted(self._merge_unique(cand_parts), fp)
+        scores = self._score_subset(candidates, qcounts, postings, avgdl)
+        ids, sc = self._rank(candidates, scores, k)
         return list(zip(ids.tolist(), sc.tolist()))
 
     def _score_subset(

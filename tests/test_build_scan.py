@@ -90,6 +90,22 @@ def test_search_filtered_equals_postfilter(both_layouts):
         assert r.search_filtered("zzzabsent", "lang", "en", k=5) == []
 
 
+def test_search_filtered_wand_identical(both_layouts):
+    """The block-max WAND variant of search_filtered (theta seeded from
+    filter-passing docs only) must be result-identical to the exact
+    intersect-then-score path, for broad and narrow filters."""
+    hash_dir, scan_dir, _, _ = both_layouts
+    for d in (hash_dir, scan_dir):
+        r = IndexReader(d)
+        for lang in ("en", "de", "nosuchlang"):
+            for q in ("merge", "merge join", "merge join filter", "zzzabsent"):
+                exact = r.search_filtered(q, "lang", lang, k=5, pruned=False)
+                wand = r.search_filtered(q, "lang", lang, k=5, pruned=True)
+                auto = r.search_filtered(q, "lang", lang, k=5)
+                assert wand == exact, (d, lang, q)
+                assert auto == exact, (d, lang, q)
+
+
 def test_sayt_identical_across_layouts(both_layouts):
     """VERDICT r2 #4: sayt expansion now runs in the scan tokenize
     stage — prefix and shingle lookups must match the hash layout."""
