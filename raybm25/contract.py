@@ -155,6 +155,71 @@ def q_bm25_all_single(sf_dir: str):
     return out[["doc_id", "score"]]
 
 
+def _hits_frame(hits, start_rank: int = 1):
+    return pd.DataFrame(
+        {
+            "rank": pd.array(
+                range(start_rank, start_rank + len(hits)), dtype="int64"
+            ),
+            "doc_id": pd.array(
+                [int(np.int64(np.uint64(d))) for d, _ in hits], dtype="int64"
+            ),
+            "score": [s for _, s in hits],
+        }
+    )
+
+
+def q_bm25_bool(sf_dir: str):
+    """Full bool query (OpenSearch bool: must + should + must_not):
+    'merge' required, 'join'/'stream' optional-but-scored, docs
+    containing 'sort' excluded; score = BM25 sum over must+should
+    terms in sorted-term order (query/engine.search_bool)."""
+    r = _reader(sf_dir)
+    hits = r.search_bool(must="merge", should="join stream", must_not="sort", k=12)
+    return _hits_frame(hits)
+
+
+def q_bm25_bool_msm(sf_dir: str):
+    """Bool query with minimum_should_match=2 over three should terms
+    plus a keyword filter: a doc qualifies with >=2 distinct should
+    terms AND lang='en'; every matching should term scores."""
+    r = _reader(sf_dir)
+    hits = r.search_bool(
+        should="merge join stream",
+        minimum_should_match=2,
+        filter_term=("lang", "en"),
+        k=10,
+    )
+    return _hits_frame(hits)
+
+
+def q_bm25_search_after(sf_dir: str):
+    """Deep pagination via search_after (cursor = page 1's last hit):
+    returns ranks 11-20 of 'merge sort' — O(k) per page at any depth,
+    unlike offset pagination (query/engine.search_after)."""
+    r = _reader(sf_dir)
+    page1 = r.search("merge sort", k=10)
+    if len(page1) < 10:
+        return _hits_frame([], start_rank=11)
+    cursor = (page1[-1][1], page1[-1][0])
+    hits = r.search_after("merge sort", after=cursor, k=10)
+    return _hits_frame(hits, start_rank=11)
+
+
+def q_facet_lang(sf_dir: str):
+    """Terms aggregation (OpenSearch aggs.terms) over a match query:
+    doc counts per lang among ALL docs matching 'merge join' (match =
+    OR), count desc / value asc, top 10 (query/engine.facet_terms)."""
+    r = _reader(sf_dir)
+    facets = r.facet_terms("merge join", "lang", size=10)
+    return pd.DataFrame(
+        {
+            "value": [v for v, _ in facets],
+            "doc_count": pd.array([c for _, c in facets], dtype="int64"),
+        }
+    )
+
+
 _MF_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1123,6 +1188,7 @@ def _bm25_sql(
     k: int | None,
     cols: str = "rank, doc_id, score",
     where: str | None = None,
+    offset: int = 0,
 ) -> str:
     qcounts = Counter(tokenize(query))
     terms = sorted(qcounts)
@@ -1165,9 +1231,95 @@ def _bm25_sql(
     else:
         parts.append(scored)
     limit = f" LIMIT {k}" if k is not None else ""
+    if offset:
+        limit += f" OFFSET {offset}"
     parts.append(
         f"SELECT {cols} FROM (SELECT row_number() OVER (ORDER BY score DESC, doc_id)"
         f" AS rank, doc_id, score FROM {src}) ORDER BY rank{limit}"
+    )
+    return "\n".join(parts)
+
+
+def _bool_sql(
+    must: str,
+    should: str,
+    must_not: str,
+    msm: int,
+    k: int,
+    where: str | None = None,
+) -> str:
+    """SQL oracle for ``search_bool``: same contrib CTE and pinned
+    float association as ``_bm25_sql``; must/should membership read off
+    the per-term FULL JOIN chain (``p{i}.c IS NOT NULL``), must_not as
+    an anti-join, scores summed left-to-right in globally sorted
+    must∪should term order — the engine's exact addition order."""
+    must_terms = sorted(set(tokenize(must)))
+    should_terms = sorted(set(tokenize(should)))
+    not_terms = sorted(set(tokenize(must_not)))
+    terms = sorted(set(must_terms) | set(should_terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    parts = [
+        f"WITH {TOKS_CTE},",
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),",
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n,"
+        " (SELECT count(*) FROM toks) / (SELECT count(*) FROM documents) AS avgdl),",
+        f"tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ({in_list})"
+        " GROUP BY doc_id, term),",
+        "dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),",
+        "contrib AS (SELECT tfq.doc_id, tfq.term,"
+        f" 1.0 * ln(1 + (stats.n - dfq.df + 0.5)/(dfq.df + 0.5)) *"
+        f" (tfq.tf/(tfq.tf + {BM25_K1}*(1 - {BM25_B} + {BM25_B}*dl.dl/stats.avgdl))) AS c"
+        " FROM tfq JOIN dfq USING(term) JOIN dl ON dl.doc_id = tfq.doc_id, stats),",
+    ]
+    for i, t in enumerate(terms):
+        parts.append(f"p{i} AS (SELECT doc_id, c FROM contrib WHERE term = '{t}'),")
+    if len(terms) == 1:
+        joins = "p0"
+        add = "p0.c"
+    else:
+        joins = "p0"
+        for i in range(1, len(terms)):
+            joins += f" FULL JOIN p{i} USING(doc_id)"
+        add = " + ".join(f"COALESCE(p{i}.c, 0)" for i in range(len(terms)))
+    flags = []
+    for t in must_terms:
+        flags.append(f"p{terms.index(t)}.c IS NOT NULL")
+    must_cond = " AND ".join(flags) if flags else "TRUE"
+    if should_terms:
+        n_should = " + ".join(
+            f"(CASE WHEN p{terms.index(t)}.c IS NOT NULL THEN 1 ELSE 0 END)"
+            for t in should_terms
+        )
+    else:
+        n_should = "0"
+    parts.append(
+        f"scored AS (SELECT doc_id, {add} AS score, ({n_should}) AS n_should"
+        f" FROM {joins} WHERE {must_cond}),"
+    )
+    conds = [f"n_should >= {msm}"] if msm > 0 else []
+    if not_terms:
+        nt = ", ".join(f"'{t}'" for t in not_terms)
+        conds.append(
+            "NOT EXISTS (SELECT 1 FROM toks x WHERE x.doc_id = scored.doc_id"
+            f" AND x.term IN ({nt}))"
+        )
+    src = "scored"
+    if where:
+        parts.append(
+            "filt AS (SELECT scored.doc_id, score, n_should FROM scored"
+            f" JOIN documents USING(doc_id) WHERE {where}),"
+        )
+        src = "filt"
+        conds = [
+            c.replace("scored.doc_id", "filt.doc_id") if "scored." in c else c
+            for c in conds
+        ]
+    sel_where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    parts.append(f"sel AS (SELECT doc_id, score FROM {src}{sel_where})")
+    parts.append(
+        "SELECT rank, doc_id, score FROM"
+        " (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,"
+        f" doc_id, score FROM sel) ORDER BY rank LIMIT {k}"
     )
     return "\n".join(parts)
 
@@ -1289,6 +1441,20 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_filtered": _bm25_sql("merge join", 15, where="lang = 'en'"),
     "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
     "bm25_multifield": _bm25_multi_sql("merge src3 join", 15, ["text", "source"]),
+    "bm25_bool": _bool_sql("merge", "join stream", "sort", msm=0, k=12),
+    "bm25_bool_msm": _bool_sql(
+        "", "merge join stream", "", msm=2, k=10, where="lang = 'en'"
+    ),
+    "bm25_search_after": _bm25_sql("merge sort", 10, offset=10),
+    # terms aggregation: doc counts per lang over ALL docs matching
+    # 'merge join' (match = OR), count desc / value asc, top 10
+    "facet_lang": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('join', 'merge'))"
+        " SELECT lang AS value, count(*) AS doc_count"
+        " FROM documents JOIN m USING(doc_id)"
+        " GROUP BY lang ORDER BY doc_count DESC, value LIMIT 10"
+    ),
     "keyword_lang": "SELECT doc_id FROM documents WHERE lang = 'de' ORDER BY doc_id",
     "approx_distinct_users": (
         "SELECT count(DISTINCT user_id) AS n_users, TRUE AS hll_within_2pct"
@@ -1580,6 +1746,10 @@ QUERIES = {
     "bm25_filtered": q_bm25_filtered,
     "bm25_all_single": q_bm25_all_single,
     "bm25_multifield": q_bm25_multifield,
+    "bm25_bool": q_bm25_bool,
+    "bm25_bool_msm": q_bm25_bool_msm,
+    "bm25_search_after": q_bm25_search_after,
+    "facet_lang": q_facet_lang,
     "keyword_lang": q_keyword_lang,
     "dedup_lastwins_events": q_dedup_lastwins_events,
     "token_count": q_token_count,

@@ -101,6 +101,8 @@ class IndexReader:
         # per-bucket ordinal->doc_id arrays (docstore row order IS the
         # mapping), loaded lazily
         self._bucket_ids: dict[int, np.ndarray] = {}
+        # per-(bucket, column) docstore doc-value cache (facets etc.)
+        self._bucket_cols: dict[tuple[int, str], np.ndarray] = {}
         # decoded-postings LRU (the reference's query-serving cache
         # analog, SURVEY.md §2 ST2): hot Zipf-head terms are re-queried
         # constantly; capped by posting count, not entry count
@@ -130,6 +132,34 @@ class IndexReader:
                     .astype(np.uint64)
                 )
                 self._bucket_ids[int(b)] = arr
+            m = buckets == b
+            out[m] = arr[rows[m]]
+        return out
+
+    def _gather_column(self, ordinals: np.ndarray, column: str) -> np.ndarray:
+        """Docstore column values for a set of postings ordinals,
+        grouped into one pruned read per touched bucket file (the same
+        access pattern as ``_map_ordinals``; values cached per
+        (bucket, column)). At cluster scale this is the doc-value read:
+        each bucket file is a self-contained partition, so a facet
+        over millions of candidates fans out to per-bucket tasks."""
+        import pyarrow.parquet as pq
+
+        ordinals = np.asarray(ordinals, dtype=np.uint64)
+        buckets = (ordinals >> np.uint64(ORD_SHIFT)).astype(np.int64)
+        rows = (ordinals & np.uint64(ORD_MASK)).astype(np.int64)
+        out = np.empty(ordinals.size, dtype=object)
+        for b in np.unique(buckets):
+            key = (int(b), column)
+            arr = self._bucket_cols.get(key)
+            if arr is None:
+                path = os.path.join(
+                    self._docs_dir, f"{self.docstore_prefix}={int(b):05d}.parquet"
+                )
+                arr = pq.read_table(path, columns=[column]).column(column).to_numpy(
+                    zero_copy_only=False
+                )
+                self._bucket_cols[key] = arr
             m = buckets == b
             out[m] = arr[rows[m]]
         return out
@@ -378,9 +408,19 @@ class IndexReader:
         1 ulp), so every score bit matches add.at."""
         if not parts_ids:
             return []
+        uniq, scores = self._combine(parts_ids, parts_scores)
+        ids, sc = self._rank(uniq, scores, k)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    @staticmethod
+    def _combine(
+        parts_ids: list[np.ndarray], parts_scores: list[np.ndarray]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted-unique ordinals, combined scores) for per-term runs —
+        the merge-combine kernel shared by ranked search and cursor
+        pagination."""
         if len(parts_ids) == 1:
-            ids, sc = self._rank(parts_ids[0], parts_scores[0], k)
-            return list(zip(ids.tolist(), sc.tolist()))
+            return parts_ids[0], parts_scores[0]
         all_ids = np.concatenate(parts_ids)
         all_scores = np.concatenate(parts_scores)
         order = np.argsort(all_ids, kind="stable")
@@ -396,8 +436,7 @@ class IndexReader:
         for off in range(1, int(counts.max())):
             m = counts > off
             scores[m] += ss[start_idx[m] + off]
-        ids, sc = self._rank(uniq, scores, k)
-        return list(zip(ids.tolist(), sc.tolist()))
+        return uniq, scores
 
     def _exact_topk(
         self,
@@ -507,6 +546,174 @@ class IndexReader:
         scores = self._score_subset(cand, qcounts, postings, avgdl)
         ids, sc = self._rank(cand, scores, k)
         return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_bool(
+        self,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        filter_term: tuple[str, str] | None = None,
+        minimum_should_match: int | None = None,
+        k: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Full OpenSearch ``bool`` query: must + should + must_not +
+        filter + minimum_should_match (the reference's search surface is
+        OpenSearch bool queries over its default mappings,
+        /root/reference/opensearch_loader/loader.py:239-312).
+
+        Semantics (documented, SQL-oracle-checked):
+        - ``must``: every distinct analyzed term is required (AND) and
+          contributes BM25;
+        - ``should``: optional terms contributing BM25; a doc must match
+          at least ``minimum_should_match`` DISTINCT should terms
+          (default 1 when there are no must terms — OpenSearch's
+          default — else 0);
+        - ``must_not``: docs containing ANY of these terms are excluded
+          (no score contribution);
+        - ``filter_term``: keyword ``(field, value)`` exact-match
+          restriction, unscored;
+        - score: sum of BM25 contributions over the union of must and
+          should terms, added in globally sorted term order (the same
+          float order as ``search`` — bit-identical to the SQL oracle).
+
+        All set work happens in sorted-ordinal space with searchsorted
+        membership tests; nothing leaves the candidate subset."""
+        avgdl = self.field_avgdl(field)
+        must_q = Counter(self.field_terms(must, field))
+        should_q = Counter(self.field_terms(should, field))
+        not_terms = sorted(set(self.field_terms(must_not, field)))
+        if not must_q and not should_q:
+            return []
+        msm = minimum_should_match
+        if msm is None:
+            msm = 0 if must_q else 1
+        want = sorted(set(must_q) | set(should_q) | set(not_terms))
+        fkey = None
+        if filter_term is not None:
+            fkey = f"{filter_term[0]}:{filter_term[1]}"
+            want.append(fkey)
+        postings = self.load_postings(want)
+        if fkey is not None and fkey not in postings:
+            return []
+        # candidates: AND over must terms, else union of should terms
+        if must_q:
+            must_terms = sorted(set(must_q))
+            if any(t not in postings for t in must_terms):
+                return []
+            must_terms.sort(key=lambda t: postings[t].df)
+            cand = postings[must_terms[0]].doc_ids
+            for t in must_terms[1:]:
+                cand = self._isect_sorted(cand, postings[t])
+                if cand.size == 0:
+                    return []
+        else:
+            parts = [postings[t].doc_ids for t in sorted(should_q) if t in postings]
+            if not parts:
+                return []
+            cand = self._merge_unique(parts)
+        if msm > 0 and should_q:
+            n_should = np.zeros(cand.size, dtype=np.int64)
+            for t in sorted(set(should_q)):
+                p = postings.get(t)
+                if p is None:
+                    continue
+                pos = np.searchsorted(p.doc_ids, cand)
+                pos_c = np.minimum(pos, p.df - 1)
+                n_should += p.doc_ids[pos_c] == cand
+            cand = cand[n_should >= msm]
+        for t in not_terms:
+            p = postings.get(t)
+            if p is None or cand.size == 0:
+                continue
+            pos = np.searchsorted(p.doc_ids, cand)
+            pos_c = np.minimum(pos, p.df - 1)
+            cand = cand[p.doc_ids[pos_c] != cand]
+        if fkey is not None:
+            cand = self._isect_sorted(cand, postings[fkey])
+        if cand.size == 0:
+            return []
+        scores = self._score_subset(cand, must_q + should_q, postings, avgdl)
+        ids, sc = self._rank(cand, scores, k)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_after(
+        self,
+        query: str,
+        after: tuple[float, int],
+        k: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Cursor ("deep") pagination — OpenSearch ``search_after``:
+        the next ``k`` hits STRICTLY after the cursor ``(score,
+        doc_id)`` in (score desc, doc_id asc) order. Cursor pagination
+        is O(k) per page regardless of depth (the scalable idiom; an
+        offset-based page N re-ranks N·k docs), and pages are stable
+        under concurrent appends because the cursor is a value, not a
+        position. The cursor's score comparison is exact float
+        equality — valid because cursors come from this engine's own
+        (bit-deterministic) hits."""
+        after_score, after_doc = float(after[0]), int(after[1])
+        avgdl = self.field_avgdl(field)
+        qcounts = Counter(self.field_terms(query, field))
+        postings = self.load_postings(sorted(qcounts))
+        parts_ids, parts_scores = [], []
+        for term in sorted(qcounts):
+            p = postings.get(term)
+            if p is None:
+                continue
+            contrib = qcounts[term] * self.idf(p.df) * self._norm_cached(p, avgdl)
+            parts_ids.append(p.doc_ids)
+            parts_scores.append(contrib)
+        if not parts_ids:
+            return []
+        uniq, scores = self._combine(parts_ids, parts_scores)
+        keep = scores < after_score
+        # score ties: survive only with a larger doc_id than the cursor
+        tie = np.flatnonzero(scores == after_score)
+        if tie.size:
+            # compare in uint64 space: doc ids are unsigned hashes, and
+            # an int64 cast would wrap ids >= 2^63 negative, silently
+            # dropping tied docs (accept a signed cursor id too)
+            tie_ids = np.asarray(self._map_ordinals(uniq[tie]), dtype=np.uint64)
+            cur = np.int64(after_doc).astype(np.uint64) if after_doc < 0 \
+                else np.uint64(after_doc)
+            keep[tie[tie_ids > cur]] = True
+        uniq, scores = uniq[keep], scores[keep]
+        if uniq.size == 0:
+            return []
+        ids, sc = self._rank(uniq, scores, k)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def facet_terms(
+        self,
+        query: str,
+        facet_field: str,
+        size: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[str, int]]:
+        """Terms aggregation over a match query (OpenSearch
+        ``aggs: {terms: {field: ...}}``): doc counts per keyword value
+        among ALL docs matching the query (match = OR over analyzed
+        terms — every hit counts, not just top-k), ordered by
+        (count desc, value asc), top ``size``.
+
+        Facet values are gathered from the docstore doc-value column in
+        one pruned read per touched bucket (``_gather_column``); counts
+        are a single np.unique pass. At 100 TB the same shape fans out
+        per bucket file; an alternative for tiny candidate fractions is
+        intersecting keyword postings per value, which this engine can
+        also do via ``term_docs``."""
+        qterms = sorted(set(self.field_terms(query, field)))
+        postings = self.load_postings(qterms)
+        parts = [postings[t].doc_ids for t in qterms if t in postings]
+        if not parts:
+            return []
+        cand = self._merge_unique(parts)
+        vals = self._gather_column(cand, facet_field)
+        uniq, counts = np.unique(vals.astype(str), return_counts=True)
+        order = np.lexsort((uniq, -counts))[:size]
+        return [(str(uniq[i]), int(counts[i])) for i in order]
 
     @staticmethod
     def _isect_sorted(cand: np.ndarray, fp: TermPostings) -> np.ndarray:
