@@ -220,6 +220,39 @@ def q_facet_lang(sf_dir: str):
     )
 
 
+def _ids_frame(ids) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"doc_id": pd.array(np.asarray(ids, dtype=np.int64), dtype="int64")}
+    )
+
+
+def q_wildcard_docs(sf_dir: str):
+    """Wildcard query (OpenSearch ``wildcard``, constant-score doc
+    set): docs containing any term matching ``?a??`` — expanded on the
+    term dictionary with one Arrow regex pass, then a postings union
+    (query/engine.wildcard_docs)."""
+    r = _reader(sf_dir)
+    return _ids_frame(r.wildcard_docs("?a??"))
+
+
+def q_fuzzy_docs(sf_dir: str):
+    """Fuzzy query (OpenSearch ``fuzzy``): docs containing any term
+    within Levenshtein distance 2 of 'part' — a banded vectorized DP
+    over the whole length-filtered dictionary at once
+    (query/engine.fuzzy_docs)."""
+    r = _reader(sf_dir)
+    return _ids_frame(r.fuzzy_docs("part", max_edits=2))
+
+
+def q_prefix_docs_dict(sf_dir: str):
+    """Prefix query answered from the TERM DICTIONARY (binary-search
+    range on the sorted dictionary + postings union) — the second
+    OpenSearch prefix idiom next to the sayt edge-gram route covered by
+    ``sayt_prefix_docs`` (query/engine.dict_prefix_docs)."""
+    r = _reader(sf_dir)
+    return _ids_frame(r.dict_prefix_docs("s"))
+
+
 _MF_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1557,6 +1590,19 @@ ORACLE_SQL: dict[str, str] = {
         f"WITH {TOKS_CTE}"
         " SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'merg%' ORDER BY doc_id"
     ),
+    "wildcard_docs": (
+        f"WITH {TOKS_CTE}"
+        " SELECT DISTINCT doc_id FROM toks WHERE term LIKE '_a__' ORDER BY doc_id"
+    ),
+    "fuzzy_docs": (
+        f"WITH {TOKS_CTE}"
+        " SELECT DISTINCT doc_id FROM toks WHERE levenshtein(term, 'part') <= 2"
+        " ORDER BY doc_id"
+    ),
+    "prefix_docs_dict": (
+        f"WITH {TOKS_CTE}"
+        " SELECT DISTINCT doc_id FROM toks WHERE term LIKE 's%' ORDER BY doc_id"
+    ),
     # adjacent-token phrase: any i with toks[i]='hash' and toks[i+1]='join'
     "phrase_docs": (
         "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1770,6 +1816,9 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "approx_distinct_users": q_approx_distinct_users,
     "sayt_prefix_docs": q_sayt_prefix_docs,
+    "wildcard_docs": q_wildcard_docs,
+    "fuzzy_docs": q_fuzzy_docs,
+    "prefix_docs_dict": q_prefix_docs_dict,
     "phrase_docs": q_phrase_docs,
     "phrase_match_long": q_phrase_match_long,
     "phrase_bm25_topk": q_phrase_bm25_topk,
