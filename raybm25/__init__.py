@@ -19,7 +19,7 @@ No module in this package calls ``ray.init()``; the driver / bench /
 test fixture owns the Ray session.
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 # Lucene/OpenSearch default BM25 parameters (public documented defaults;
 # the reference never overrides similarity — see SURVEY.md §2.B B6,

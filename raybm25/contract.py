@@ -56,6 +56,9 @@ def docs_index(sf_dir: str) -> str:
         ts_col=None,
         text_cols=("text",),
         keyword_cols=("lang", "source"),
+        # n_chars is a stored doc-value (numeric aggs read it per
+        # bucket via _gather_column)
+        stored_cols=["text", "lang", "source", "n_chars"],
         num_buckets=16,
     )
     _INDEX_CACHE[sf_dir] = index_dir
@@ -218,6 +221,111 @@ def q_facet_lang(sf_dir: str):
             "doc_count": pd.array([c for _, c in facets], dtype="int64"),
         }
     )
+
+
+def q_facet_nchars_ranges(sf_dir: str):
+    """Range aggregation (OpenSearch aggs.range): doc counts per
+    [from, to) n_chars bucket among docs matching 'merge join'
+    (query/engine.facet_ranges)."""
+    r = _reader(sf_dir)
+    rows = r.facet_ranges(
+        "merge join", "n_chars", [(None, 200), (200, 400), (400, None)]
+    )
+    return pd.DataFrame(
+        {
+            "range_from": pd.array(
+                [lo for lo, _, _ in rows], dtype="float64"
+            ),
+            "range_to": pd.array([hi for _, hi, _ in rows], dtype="float64"),
+            "doc_count": pd.array([c for _, _, c in rows], dtype="int64"),
+        }
+    )
+
+
+def q_facet_nchars_histogram(sf_dir: str):
+    """Histogram aggregation (aggs.histogram, interval 250,
+    min_doc_count=1) over docs matching 'stream'
+    (query/engine.facet_histogram)."""
+    r = _reader(sf_dir)
+    rows = r.facet_histogram("stream", "n_chars", 250.0)
+    return pd.DataFrame(
+        {
+            "bucket": pd.array([b for b, _ in rows], dtype="float64"),
+            "doc_count": pd.array([c for _, c in rows], dtype="int64"),
+        }
+    )
+
+
+def q_match_stats_nchars(sf_dir: str):
+    """Stats aggregation (aggs.stats) of n_chars over docs matching
+    'merge sort': exact int64 min/max/sum, avg = sum/count in one
+    float64 division (query/engine.stats_agg)."""
+    r = _reader(sf_dir)
+    s = r.stats_agg("merge sort", "n_chars")
+    return pd.DataFrame(
+        {
+            "n_matched": pd.array([s["count"]], dtype="int64"),
+            "min_chars": pd.array([s["min"]], dtype="int64"),
+            "max_chars": pd.array([s["max"]], dtype="int64"),
+            "sum_chars": pd.array([s["sum"]], dtype="int64"),
+            "avg_chars": [s["avg"]],
+        }
+    )
+
+
+def q_delete_by_query(sf_dir: str):
+    """OpenSearch _delete_by_query: delete every doc matching 'sort'
+    from a copy of the index, rebuild, and return the surviving doc
+    ids read back from the compacted docstore — exercising bucket
+    compaction, ordinal re-densification, sidecar stats and the
+    corpus-stat recommit (loader/delete.delete_by_query)."""
+    import glob
+    import shutil
+
+    from .loader.delete import delete_by_query
+
+    src = docs_index(sf_dir)
+    work = os.path.join(CACHE_ROOT, f"delidx_{_tag(sf_dir)}")
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    shutil.copytree(src, work)
+    delete_by_query(work, "sort")
+    parts = []
+    for p in sorted(glob.glob(os.path.join(work, "docs", "*.parquet"))):
+        parts.append(
+            pa.parquet.read_table(p, columns=["doc_id"]).column("doc_id")
+        )
+    ids = np.sort(
+        np.concatenate([c.to_numpy(zero_copy_only=False) for c in parts]).astype(
+            np.uint64
+        )
+    )
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
+def q_sort_by_nchars(sf_dir: str):
+    """Field-sorted search (OpenSearch ``sort: [{n_chars: desc}]``):
+    top 15 docs matching 'merge join' by n_chars descending, doc_id
+    tiebreak (query/engine.search_sort_by)."""
+    r = _reader(sf_dir)
+    hits = r.search_sort_by("merge join", "n_chars", k=15, descending=True)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([d for d, _ in hits], dtype="int64"),
+            "n_chars": pd.array([v for _, v in hits], dtype="int64"),
+        }
+    )
+
+
+def q_cardinality_source(sf_dir: str):
+    """Cardinality aggregation (exact variant) of `source` over docs
+    matching 'stream' (query/engine.cardinality_agg; the
+    HLL-approximate flavor is covered by approx_distinct_users)."""
+    r = _reader(sf_dir)
+    n = r.cardinality_agg("stream", "source")
+    return pd.DataFrame({"n_sources": pd.array([n], dtype="int64")})
 
 
 def _ids_frame(ids) -> pd.DataFrame:
@@ -1488,6 +1596,50 @@ ORACLE_SQL: dict[str, str] = {
         " FROM documents JOIN m USING(doc_id)"
         " GROUP BY lang ORDER BY doc_count DESC, value LIMIT 10"
     ),
+    "facet_nchars_ranges": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('join', 'merge')),"
+        " v AS (SELECT n_chars FROM documents JOIN m USING(doc_id))"
+        " SELECT CAST(NULL AS DOUBLE) AS range_from, CAST(200 AS DOUBLE) AS range_to,"
+        " (SELECT count(*) FROM v WHERE n_chars < 200) AS doc_count"
+        " UNION ALL SELECT 200, 400,"
+        " (SELECT count(*) FROM v WHERE n_chars >= 200 AND n_chars < 400)"
+        " UNION ALL SELECT 400, NULL,"
+        " (SELECT count(*) FROM v WHERE n_chars >= 400)"
+    ),
+    "facet_nchars_histogram": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'stream')"
+        " SELECT floor(n_chars / 250.0) * 250 AS bucket, count(*) AS doc_count"
+        " FROM documents JOIN m USING(doc_id)"
+        " GROUP BY bucket ORDER BY bucket"
+    ),
+    "match_stats_nchars": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'sort'))"
+        " SELECT count(*) AS n_matched, min(n_chars) AS min_chars,"
+        " max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS sum_chars,"
+        " CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars"
+        " FROM documents JOIN m USING(doc_id)"
+    ),
+    "delete_by_query": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'sort')"
+        " SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM m)"
+        " ORDER BY doc_id"
+    ),
+    "sort_by_nchars": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('join', 'merge'))"
+        " SELECT doc_id, n_chars FROM documents JOIN m USING(doc_id)"
+        " ORDER BY n_chars DESC, doc_id LIMIT 15"
+    ),
+    "cardinality_source": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'stream')"
+        " SELECT count(DISTINCT source) AS n_sources"
+        " FROM documents JOIN m USING(doc_id)"
+    ),
     "keyword_lang": "SELECT doc_id FROM documents WHERE lang = 'de' ORDER BY doc_id",
     "approx_distinct_users": (
         "SELECT count(DISTINCT user_id) AS n_users, TRUE AS hll_within_2pct"
@@ -1796,6 +1948,12 @@ QUERIES = {
     "bm25_bool_msm": q_bm25_bool_msm,
     "bm25_search_after": q_bm25_search_after,
     "facet_lang": q_facet_lang,
+    "facet_nchars_ranges": q_facet_nchars_ranges,
+    "facet_nchars_histogram": q_facet_nchars_histogram,
+    "match_stats_nchars": q_match_stats_nchars,
+    "delete_by_query": q_delete_by_query,
+    "sort_by_nchars": q_sort_by_nchars,
+    "cardinality_source": q_cardinality_source,
     "keyword_lang": q_keyword_lang,
     "dedup_lastwins_events": q_dedup_lastwins_events,
     "token_count": q_token_count,

@@ -150,7 +150,7 @@ class IndexReader:
         ordinals = np.asarray(ordinals, dtype=np.uint64)
         buckets = (ordinals >> np.uint64(ORD_SHIFT)).astype(np.int64)
         rows = (ordinals & np.uint64(ORD_MASK)).astype(np.int64)
-        out = np.empty(ordinals.size, dtype=object)
+        out = None
         for b in np.unique(buckets):
             key = (int(b), column)
             arr = self._bucket_cols.get(key)
@@ -162,8 +162,15 @@ class IndexReader:
                     zero_copy_only=False
                 )
                 self._bucket_cols[key] = arr
+            if out is None:
+                # numeric doc-value columns keep their native dtype
+                # (aggs do vectorized math on the result); strings stay
+                # object
+                out = np.empty(ordinals.size, dtype=arr.dtype)
             m = buckets == b
             out[m] = arr[rows[m]]
+        if out is None:
+            out = np.empty(0, dtype=object)
         return out
 
     def _shard_paths(self, terms: list[str]) -> list[str]:
@@ -706,16 +713,142 @@ class IndexReader:
         per bucket file; an alternative for tiny candidate fractions is
         intersecting keyword postings per value, which this engine can
         also do via ``term_docs``."""
-        qterms = sorted(set(self.field_terms(query, field)))
-        postings = self.load_postings(qterms)
-        parts = [postings[t].doc_ids for t in qterms if t in postings]
-        if not parts:
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
             return []
-        cand = self._merge_unique(parts)
         vals = self._gather_column(cand, facet_field)
         uniq, counts = np.unique(vals.astype(str), return_counts=True)
         order = np.lexsort((uniq, -counts))[:size]
         return [(str(uniq[i]), int(counts[i])) for i in order]
+
+    def _match_ordinals(self, query: str, field: str | None) -> np.ndarray:
+        """Sorted ordinals of ALL docs matching a match query (OR over
+        analyzed terms) — the candidate set every aggregation runs
+        over."""
+        qterms = sorted(set(self.field_terms(query, field)))
+        postings = self.load_postings(qterms)
+        parts = [postings[t].doc_ids for t in qterms if t in postings]
+        if not parts:
+            return np.array([], dtype=np.uint64)
+        return self._merge_unique(parts)
+
+    def facet_ranges(
+        self,
+        query: str,
+        agg_field: str,
+        ranges: list[tuple[float | None, float | None]],
+        field: str | None = None,
+    ) -> list[tuple[float | None, float | None, int]]:
+        """Range aggregation (OpenSearch ``aggs.range``): doc counts
+        per half-open ``[from, to)`` bucket of a numeric doc-value
+        field among all docs matching the query; ``None`` bounds are
+        open ends. Buckets may overlap (OpenSearch allows it) — each is
+        counted independently with two vectorized comparisons."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return [(lo, hi, 0) for lo, hi in ranges]
+        vals = self._gather_column(cand, agg_field)
+        out = []
+        for lo, hi in ranges:
+            m = np.ones(vals.size, dtype=bool)
+            if lo is not None:
+                m &= vals >= lo
+            if hi is not None:
+                m &= vals < hi
+            out.append((lo, hi, int(np.count_nonzero(m))))
+        return out
+
+    def facet_histogram(
+        self,
+        query: str,
+        agg_field: str,
+        interval: float,
+        field: str | None = None,
+    ) -> list[tuple[float, int]]:
+        """Histogram aggregation (OpenSearch ``aggs.histogram``): doc
+        counts per fixed-width bucket ``floor(v / interval) *
+        interval``, ascending, empty buckets omitted (min_doc_count=1
+        semantics)."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        vals = self._gather_column(cand, agg_field).astype(np.float64)
+        keys = np.floor(vals / interval) * interval
+        uniq, counts = np.unique(keys, return_counts=True)
+        return [(float(u), int(c)) for u, c in zip(uniq, counts)]
+
+    def stats_agg(
+        self, query: str, agg_field: str, field: str | None = None
+    ) -> dict:
+        """Stats aggregation (OpenSearch ``aggs.stats``): count / min /
+        max / sum / avg of a numeric field over all matching docs.
+        Integer fields sum exactly in int64; avg is sum/count in
+        float64 (the documented float contract)."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return {"count": 0, "min": None, "max": None, "sum": 0, "avg": None}
+        vals = self._gather_column(cand, agg_field)
+        total = vals.sum()
+        return {
+            "count": int(cand.size),
+            "min": vals.min().item(),
+            "max": vals.max().item(),
+            "sum": total.item(),
+            "avg": float(total) / cand.size,
+        }
+
+    def search_sort_by(
+        self,
+        query: str,
+        sort_field: str,
+        k: int = 10,
+        descending: bool = False,
+        field: str | None = None,
+    ) -> list[tuple[int, object]]:
+        """Match query with a field ``sort`` clause instead of
+        relevance (OpenSearch ``sort: [{field: asc|desc}]``): top ``k``
+        matching docs by doc-value, ties broken by doc_id ascending
+        (OpenSearch's implicit final tiebreak). Returns ``(doc_id,
+        sort_value)``.
+
+        Same shape as ``_rank``: an argpartition pre-cut keeps only
+        candidates that can make the top ``k`` (boundary ties
+        included), so doc ids are mapped for the survivors only."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        vals = self._gather_column(cand, sort_field)
+        if vals.dtype == object:
+            raise TypeError(
+                f"sort field {sort_field!r} is not numeric; keyword sort is "
+                "not supported (use facet_terms / search for keyword access)"
+            )
+        key = -vals if descending else vals
+        if key.size > 4 * k > 0:
+            top = np.argpartition(key, k - 1)[:k]
+            cut = key[top].max()
+            keep = np.flatnonzero(key <= cut)
+            cand, vals, key = cand[keep], vals[keep], key[keep]
+        dids = self._map_ordinals(cand).astype(np.uint64)
+        order = np.lexsort((dids, key))[:k]
+        return [(int(dids[i]), vals[i].item()) for i in order]
+
+    def cardinality_agg(
+        self, query: str, agg_field: str, field: str | None = None
+    ) -> int:
+        """Cardinality aggregation, EXACT variant: distinct doc-value
+        count over matching docs (np.unique on the gathered column).
+        OpenSearch's HLL-approximate flavor exists in
+        ``raybm25.sketch`` for corpus-scale fields; doc-value
+        cardinalities after a match are typically small enough that
+        exact is the right default here."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return 0
+        vals = self._gather_column(cand, agg_field)
+        if vals.dtype == object:
+            vals = vals.astype(str)
+        return int(np.unique(vals).size)
 
     # ------------------------------------------------- term dictionary
     def term_dictionary(self, field: str | None = None) -> pa.Array:

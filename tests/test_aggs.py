@@ -1,0 +1,108 @@
+"""Aggregations over match queries (range / histogram / stats /
+cardinality) against brute force computed in-test. Reference behavior:
+OpenSearch aggs.{range,histogram,stats,cardinality}."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raybm25.index.build import build_index
+from raybm25.query.engine import IndexReader
+
+TOK = re.compile(r"[a-z0-9]+")
+
+DOCS = [
+    ("alpha beta", "en", 10),
+    ("beta gamma", "de", 250),
+    ("alpha gamma delta", "en", 250),
+    ("delta only", "fr", 400),
+    ("alpha alpha", "en", 999),
+    ("nothing here", "de", 50),
+]
+
+
+@pytest.fixture(scope="module")
+def rdr(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("aggs")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(DOCS))),
+                "text": [t for t, _, _ in DOCS],
+                "lang": [l for _, l, _ in DOCS],
+                "size": [s for _, _, s in DOCS],
+            }
+        ),
+        str(tmp / "d.parquet"),
+    )
+    idx = str(tmp / "idx")
+    build_index(str(tmp / "d.parquet"), idx, key_col="doc_id", id_col="doc_id",
+                ts_col=None, keyword_cols=("lang",),
+                stored_cols=["text", "lang", "size"], num_buckets=2)
+    return IndexReader(idx)
+
+
+def _match(query):
+    terms = set(TOK.findall(query.lower()))
+    return [i for i, (t, _, _) in enumerate(DOCS)
+            if set(TOK.findall(t.lower())) & terms]
+
+
+def test_facet_ranges(rdr):
+    got = rdr.facet_ranges("alpha gamma", "size",
+                           [(None, 100), (100, 300), (300, None), (0, 1000)])
+    sizes = [DOCS[i][2] for i in _match("alpha gamma")]
+    assert got == [
+        (None, 100, sum(s < 100 for s in sizes)),
+        (100, 300, sum(100 <= s < 300 for s in sizes)),
+        (300, None, sum(s >= 300 for s in sizes)),
+        (0, 1000, len(sizes)),  # overlapping bucket counts independently
+    ]
+
+
+def test_facet_ranges_no_match(rdr):
+    assert rdr.facet_ranges("zz", "size", [(None, 100), (100, None)]) == [
+        (None, 100, 0), (100, None, 0)
+    ]
+
+
+def test_facet_histogram(rdr):
+    got = rdr.facet_histogram("alpha gamma delta", "size", 100.0)
+    sizes = [DOCS[i][2] for i in _match("alpha gamma delta")]
+    want = {}
+    for s in sizes:
+        b = float(np.floor(s / 100.0) * 100)
+        want[b] = want.get(b, 0) + 1
+    assert dict(got) == want
+    assert [b for b, _ in got] == sorted(b for b, _ in got)
+    assert rdr.facet_histogram("zz", "size", 100.0) == []
+
+
+def test_stats_agg(rdr):
+    s = rdr.stats_agg("beta delta", "size")
+    sizes = [DOCS[i][2] for i in _match("beta delta")]
+    assert s == {
+        "count": len(sizes), "min": min(sizes), "max": max(sizes),
+        "sum": sum(sizes), "avg": float(sum(sizes)) / len(sizes),
+    }
+    empty = rdr.stats_agg("zz", "size")
+    assert empty == {"count": 0, "min": None, "max": None, "sum": 0, "avg": None}
+
+
+def test_cardinality_agg(rdr):
+    langs = {DOCS[i][1] for i in _match("alpha beta")}
+    assert rdr.cardinality_agg("alpha beta", "lang") == len(langs)
+    # numeric field cardinality
+    sizes = {DOCS[i][2] for i in _match("alpha gamma")}
+    assert rdr.cardinality_agg("alpha gamma", "size") == len(sizes)
+    assert rdr.cardinality_agg("zz", "lang") == 0
+
+
+def test_gather_column_preserves_numeric_dtype(rdr):
+    cand = rdr._match_ordinals("alpha", None)
+    vals = rdr._gather_column(cand, "size")
+    assert vals.dtype == np.int64
