@@ -273,6 +273,50 @@ def q_match_stats_nchars(sf_dir: str):
     )
 
 
+def q_export_matching(sf_dir: str):
+    """Reindex-style export (OpenSearch _reindex / sliced scroll):
+    stream docs matching 'window' to partitioned parquet (one file per
+    docstore partition, deterministic names, resumable) and read the
+    export back (loader/export.export_matching)."""
+    import shutil
+
+    from .loader.export import export_matching
+
+    out = os.path.join(CACHE_ROOT, f"export_{_tag(sf_dir)}")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    export_matching(docs_index(sf_dir), out, "window", columns=["doc_id", "lang"])
+    t = pa.parquet.read_table(out)
+    df = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
+def q_update_by_query(sf_dir: str):
+    """OpenSearch _update_by_query with a constant script: set
+    lang='xx' on every doc matching 'merge' in a COPY of the index,
+    then read every doc's (doc_id, lang) back from the updated
+    docstore (loader/export.update_by_query -> apply_updates)."""
+    import glob
+    import shutil
+
+    from .loader.export import update_by_query
+
+    src = docs_index(sf_dir)
+    work = os.path.join(CACHE_ROOT, f"ubqidx_{_tag(sf_dir)}")
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    shutil.copytree(src, work)
+    update_by_query(work, "merge", {"lang": "xx"}, "doc_id")
+    parts = [
+        pa.parquet.read_table(p, columns=["doc_id", "lang"])
+        for p in sorted(glob.glob(os.path.join(work, "docs", "*.parquet")))
+    ]
+    df = pa.concat_tables(parts).to_pandas().sort_values("doc_id")
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def q_delete_by_query(sf_dir: str):
     """OpenSearch _delete_by_query: delete every doc matching 'sort'
     from a copy of the index, rebuild, and return the surviving doc
@@ -1622,6 +1666,17 @@ ORACLE_SQL: dict[str, str] = {
         " CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars"
         " FROM documents JOIN m USING(doc_id)"
     ),
+    "export_matching": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'window')"
+        " SELECT doc_id, lang FROM documents JOIN m USING(doc_id) ORDER BY doc_id"
+    ),
+    "update_by_query": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')"
+        " SELECT doc_id, CASE WHEN doc_id IN (SELECT doc_id FROM m)"
+        " THEN 'xx' ELSE lang END AS lang FROM documents ORDER BY doc_id"
+    ),
     "delete_by_query": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'sort')"
@@ -1951,6 +2006,8 @@ QUERIES = {
     "facet_nchars_ranges": q_facet_nchars_ranges,
     "facet_nchars_histogram": q_facet_nchars_histogram,
     "match_stats_nchars": q_match_stats_nchars,
+    "export_matching": q_export_matching,
+    "update_by_query": q_update_by_query,
     "delete_by_query": q_delete_by_query,
     "sort_by_nchars": q_sort_by_nchars,
     "cardinality_source": q_cardinality_source,
