@@ -871,6 +871,19 @@ def q_phrase_match_long(sf_dir: str):
     return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
 
 
+def q_phrase_prefix_docs(sf_dir: str):
+    """match_phrase_prefix: 'merge s' = docs where a 'merge' token is
+    immediately followed by a token starting with 's' (last-token
+    prefix expanded on the term dictionary, uncapped here for oracle
+    parity; the max_expansions=50 Lucene cap is pytest-covered)
+    (query/engine.match_phrase_prefix)."""
+    r = _IndexReader()(_pos_index(sf_dir))
+    ids = np.sort(
+        r.match_phrase_prefix("merge s", max_expansions=100_000)
+    ).astype("int64")
+    return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
+
+
 def _IndexReader():
     from .query.engine import IndexReader
 
@@ -1820,6 +1833,15 @@ ORACLE_SQL: dict[str, str] = {
         " ORDER BY doc_id"
     ),
     "phrase_bm25_topk": _phrase_bm25_sql("merge sort", 10),
+    # match_phrase_prefix: adjacency on the head token + LIKE on the next
+    "phrase_prefix_docs": (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
+        " AS toks FROM documents)"
+        " SELECT doc_id FROM t WHERE len(toks) >= 2 AND"
+        " len(list_filter(range(1, len(toks)),"
+        " i -> toks[i] = 'merge' AND toks[i+1] LIKE 's%')) > 0"
+        " ORDER BY doc_id"
+    ),
     # 4-token phrase needs real positional postings (sayt shingles cap
     # at width 3); same adjacency check, window of 4
     "phrase_match_long": (
@@ -2037,6 +2059,7 @@ QUERIES = {
     "phrase_docs": q_phrase_docs,
     "phrase_match_long": q_phrase_match_long,
     "phrase_bm25_topk": q_phrase_bm25_topk,
+    "phrase_prefix_docs": q_phrase_prefix_docs,
     "events_window": q_events_window,
     "events_hopping_window": q_events_hopping_window,
     "top_tokens_per_lang": q_top_tokens_per_lang,

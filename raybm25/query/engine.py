@@ -32,7 +32,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.dataset as pads
 
-from ..analysis import tokenize
+from ..analysis import TOKEN_RE, tokenize
 from ..codec import BLOCK_SIZE, varbyte_decode, delta_decode, decode_positions
 from ..index.build import DOCS_SUBDIR, ORD_MASK, ORD_SHIFT, POSTINGS_SUBDIR
 from ..index.manifest import load_manifest
@@ -1306,6 +1306,126 @@ class IndexReader:
                 return none
         d_hit, ptf = np.unique(keys // M, return_counts=True)
         return cand[d_hit], ptf.astype(np.int64), cand_dls[d_hit], terms
+
+    def match_phrase_prefix(
+        self, phrase: str, field: str | None = None, max_expansions: int = 50
+    ) -> np.ndarray:
+        """OpenSearch ``match_phrase_prefix``: the last analyzed token
+        matches as a PREFIX (expanded on the term dictionary in
+        dictionary order, capped at ``max_expansions`` — Lucene's cap),
+        the head tokens must precede it adjacently. Returns sorted doc
+        ids.
+
+        Single-token queries reduce to a prefix query. Multi-token
+        queries evaluate like ``match_phrase`` but with the last
+        position's key set being the UNION over the expansions'
+        shifted positions — one vectorized pass, not one phrase query
+        per expansion."""
+        raw = tokenize(phrase)
+        if not raw:
+            return np.empty(0, np.uint64)
+        exps = self.expand_prefix(raw[-1], field)[:max_expansions]
+        if not exps:
+            return np.empty(0, np.uint64)
+        if len(raw) == 1:
+            return self._expanded_docs(exps, field)
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                "index was built without positions=True; match_phrase_prefix "
+                "needs positional postings"
+            )
+        head = self.field_terms(" ".join(raw[:-1]), field)
+        if field is not None and field != self.primary_field:
+            exps_t = [f"{field}:{e}" for e in exps]
+        else:
+            exps_t = list(exps)
+        postings = self.load_postings(sorted(set(head) | set(exps_t)))
+        if any(t not in postings for t in head):
+            return np.empty(0, np.uint64)
+        exps_t = [t for t in exps_t if t in postings]
+        if not exps_t:
+            return np.empty(0, np.uint64)
+        # candidates: AND over head terms, ∩ union of expansions
+        cand = postings[head[0]].doc_ids
+        for t in sorted(set(head[1:])):
+            cand = np.intersect1d(cand, postings[t].doc_ids, assume_unique=True)
+        exp_union = self._merge_unique([postings[t].doc_ids for t in exps_t])
+        cand = np.intersect1d(cand, exp_union, assume_unique=True)
+        if cand.size == 0:
+            return np.empty(0, np.uint64)
+        M = int(
+            max(int(postings[t].poss.max()) for t in set(head) | set(exps_t))
+        ) + 2
+        keys: np.ndarray | None = None
+
+        def shifted_keys(tp: TermPostings, i: int) -> np.ndarray:
+            sel = np.searchsorted(tp.doc_ids, cand)
+            in_cand = tp.doc_ids[np.minimum(sel, tp.df - 1)] == cand
+            sel = sel[in_cand]
+            d_pos = np.flatnonzero(in_cand)
+            off = tp.pos_offsets()
+            sizes = tp.tfs[sel].astype(np.int64)
+            starts = off[sel]
+            total = int(sizes.sum())
+            run_off = np.zeros(sel.size + 1, dtype=np.int64)
+            np.cumsum(sizes, out=run_off[1:])
+            gather = (
+                np.repeat(starts - run_off[:-1], sizes)
+                + np.arange(total, dtype=np.int64)
+            )
+            p = tp.poss[gather].astype(np.int64) - i
+            d_idx = np.repeat(d_pos, sizes)
+            valid = p >= 0
+            return d_idx[valid] * M + p[valid]
+
+        for i, t in enumerate(head):
+            k = shifted_keys(postings[t], i)
+            keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+            if keys.size == 0:
+                return np.empty(0, np.uint64)
+        last_i = len(raw) - 1
+        last_union = np.unique(
+            np.concatenate([shifted_keys(postings[t], last_i) for t in exps_t])
+        )
+        keys = np.intersect1d(keys, last_union, assume_unique=True)
+        if keys.size == 0:
+            return np.empty(0, np.uint64)
+        d_hit = np.unique(keys // M)
+        return np.sort(self._map_ordinals(cand[d_hit]))
+
+    def highlight(
+        self,
+        doc_id: int,
+        query: str,
+        field: str | None = None,
+        tags: tuple[str, str] = ("<em>", "</em>"),
+    ) -> str:
+        """Plain highlighter (Lucene's ``plain`` highlighter model):
+        re-analyze the STORED text of one doc and wrap every token whose
+        analyzed form is a query term. Per-doc work on an already-served
+        hit — no positional postings required, char offsets come from
+        the tokenizer's own spans, so highlights always agree with what
+        scored."""
+        col = self.primary_field if field is None else field
+        tbl = self.get_docs(np.array([doc_id], dtype=np.uint64))
+        if tbl.num_rows == 0:
+            raise KeyError(f"doc {doc_id} not found")
+        text = tbl.column(col)[0].as_py() or ""
+        terms = set(self.field_terms(query, None))  # analyzed, unprefixed
+        out: list[str] = []
+        last = 0
+        # IGNORECASE on the ORIGINAL text: lower() first could shift
+        # offsets for locale-special codepoints
+        import re as _re
+
+        rx = _re.compile(TOKEN_RE.pattern, _re.IGNORECASE)
+        for m in rx.finditer(text):
+            if m.group(0).lower() in terms:
+                out.append(text[last : m.start()])
+                out.append(tags[0] + text[m.start() : m.end()] + tags[1])
+                last = m.end()
+        out.append(text[last:])
+        return "".join(out)
 
     def search_phrase(
         self, phrase: str, k: int = 10, field: str | None = None

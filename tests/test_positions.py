@@ -204,3 +204,91 @@ def test_rebuild_preserves_positions(pos_built):
     rebuild_postings(index_dir)
     r1 = IndexReader(index_dir)
     assert np.array_equal(r1.match_phrase(ph), before)
+
+
+def _brute_phrase_prefix(docs, phrase, vocab=None):
+    ptoks = tokenize(phrase)
+    head, pref = ptoks[:-1], ptoks[-1]
+    out = []
+    for did, text in docs.items():
+        toks = tokenize(text)
+        n = len(head)
+        for i in range(len(toks) - n):
+            if toks[i : i + n] == head and toks[i + n].startswith(pref):
+                out.append(did)
+                break
+    return np.sort(np.array(out, dtype=np.uint64))
+
+
+def test_match_phrase_prefix_vs_brute_force(pos_built):
+    index_dir, docs = pos_built
+    r = IndexReader(index_dir)
+    # harvest head+prefix probes from the corpus (guaranteed non-empty)
+    probes = []
+    for text in list(docs.values())[:30]:
+        toks = tokenize(text)
+        if len(toks) >= 4:
+            probes.append(f"{toks[1]} {toks[2][:3]}")
+            probes.append(f"{toks[0]} {toks[1]} {toks[2][:2]}")
+        if len(probes) >= 8:
+            break
+    assert probes
+    for ph in probes:
+        # lift the expansion cap for exact brute-force parity (the
+        # default 50 is Lucene's truncation, exercised separately)
+        got = r.match_phrase_prefix(ph, max_expansions=100_000)
+        want = _brute_phrase_prefix(docs, ph)
+        assert np.array_equal(got, want), ph
+        assert got.size > 0  # harvested probes must hit
+
+
+def test_match_phrase_prefix_single_token(pos_built):
+    index_dir, docs = pos_built
+    r = IndexReader(index_dir)
+    some = tokenize(next(iter(docs.values())))[0][:3]
+    got = set(r.match_phrase_prefix(some).tolist())
+    want = {d for d, t in docs.items()
+            if any(tok.startswith(some) for tok in tokenize(t))}
+    assert got == want
+
+
+def test_match_phrase_prefix_max_expansions(pos_built):
+    index_dir, docs = pos_built
+    r = IndexReader(index_dir)
+    toks = tokenize(next(iter(docs.values())))
+    ph = f"{toks[0]} {toks[1][:1]}"
+    full = set(r.match_phrase_prefix(ph, max_expansions=10_000).tolist())
+    capped = set(r.match_phrase_prefix(ph, max_expansions=1).tolist())
+    assert capped <= full
+    # cap=1 keeps only the dictionary-first expansion
+    first = r.expand_prefix(toks[1][:1])[0]
+    want = _brute_phrase(docs, f"{toks[0]} {first}")
+    assert np.array_equal(np.sort(np.array(sorted(capped), dtype=np.uint64)), want)
+
+
+def test_match_phrase_prefix_no_match(pos_built):
+    index_dir, docs = pos_built
+    r = IndexReader(index_dir)
+    assert r.match_phrase_prefix("zzqq yyxx").size == 0
+
+
+def test_highlight_wraps_query_terms(pos_built):
+    index_dir, docs = pos_built
+    r = IndexReader(index_dir)
+    did, text = next(iter(docs.items()))
+    toks = tokenize(text)
+    q = f"{toks[0]} {toks[3]}"
+    hl = r.highlight(did, q)
+    # wrapped text strips back to the original
+    assert hl.replace("<em>", "").replace("</em>", "") == r.get_docs(
+        np.array([did], dtype=np.uint64)
+    ).column("text")[0].as_py()
+    # every wrapped token analyzes to a query term
+    import re as _re
+
+    wrapped = _re.findall(r"<em>(.*?)</em>", hl)
+    assert wrapped
+    assert {w.lower() for w in wrapped} <= set(tokenize(q))
+    # count matches the doc's occurrences of the query terms
+    want_n = sum(1 for t in toks if t in set(tokenize(q)))
+    assert len(wrapped) == want_n
