@@ -871,6 +871,23 @@ def q_phrase_match_long(sf_dir: str):
     return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
 
 
+def q_mlt_terms(sf_dir: str):
+    """More-like-this term selection for doc 0 (OpenSearch
+    more_like_this): terms with tf>=1 and corpus df>=2, ranked by
+    tf*idf (ties: score desc, term asc), top 25 — the deterministic
+    half of MLT; the ranked-search composition is pytest-covered
+    (query/engine.mlt_terms)."""
+    r = _reader(sf_dir)
+    rows = r.mlt_terms(0, max_query_terms=25, min_term_freq=1, min_doc_freq=2)
+    return pd.DataFrame(
+        {
+            "term": [t for t, _, _ in rows],
+            "tf": pd.array([tf for _, tf, _ in rows], dtype="int64"),
+            "df": pd.array([df for _, _, df in rows], dtype="int64"),
+        }
+    )
+
+
 def q_phrase_prefix_docs(sf_dir: str):
     """match_phrase_prefix: 'merge s' = docs where a 'merge' token is
     immediately followed by a token starting with 's' (last-token
@@ -1834,6 +1851,16 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "phrase_bm25_topk": _phrase_bm25_sql("merge sort", 10),
     # match_phrase_prefix: adjacency on the head token + LIKE on the next
+    "mlt_terms": (
+        f"WITH {TOKS_CTE},"
+        " dtf AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = 0"
+        " GROUP BY term),"
+        " dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),"
+        " nn AS (SELECT count(*) AS n FROM documents)"
+        " SELECT term, tf, df FROM dtf JOIN dfx USING(term), nn"
+        " WHERE df >= 2"
+        " ORDER BY tf * ln(1 + (nn.n - df + 0.5)/(df + 0.5)) DESC, term LIMIT 25"
+    ),
     "phrase_prefix_docs": (
         "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
         " AS toks FROM documents)"
@@ -2059,6 +2086,7 @@ QUERIES = {
     "phrase_docs": q_phrase_docs,
     "phrase_match_long": q_phrase_match_long,
     "phrase_bm25_topk": q_phrase_bm25_topk,
+    "mlt_terms": q_mlt_terms,
     "phrase_prefix_docs": q_phrase_prefix_docs,
     "events_window": q_events_window,
     "events_hopping_window": q_events_hopping_window,

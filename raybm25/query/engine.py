@@ -1447,6 +1447,66 @@ class IndexReader:
         ids, sc = self._rank(ords, scores, k)
         return list(zip(ids.tolist(), sc.tolist()))
 
+    def mlt_terms(
+        self,
+        doc_id: int,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 2,
+        field: str | None = None,
+    ) -> list[tuple[str, int, int]]:
+        """More-like-this term selection (OpenSearch ``more_like_this``
+        / Lucene MoreLikeThis): analyze the stored doc, keep terms with
+        ``tf >= min_term_freq`` and corpus ``df >= min_doc_freq``, rank
+        by tf·idf (ties: score desc, then term asc — deterministic) and
+        take the top ``max_query_terms``. Returns ``(term, tf, df)``
+        rows in selection order."""
+        col = self.primary_field if field is None else field
+        tbl = self.get_docs(np.array([doc_id], dtype=np.uint64))
+        if tbl.num_rows == 0:
+            raise KeyError(f"doc {doc_id} not found")
+        toks = tokenize(tbl.column(col)[0].as_py() or "")
+        tfs = Counter(toks)
+        cand = sorted(t for t, n in tfs.items() if n >= min_term_freq)
+        if not cand:
+            return []
+        postings = self.load_postings(cand)
+        rows = []
+        for t in cand:
+            p = postings.get(t)
+            if p is None or p.df < min_doc_freq:
+                continue
+            rows.append((float(tfs[t]) * self.idf(p.df), t, tfs[t], int(p.df)))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        return [(t, tf, df) for _, t, tf, df in rows[:max_query_terms]]
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 2,
+        field: str | None = None,
+        include_self: bool = False,
+    ) -> list[tuple[int, float]]:
+        """More-like-this search: BM25 OR-query over the selected terms
+        (each with query weight 1), the source doc excluded unless
+        ``include_self``. Identical to ``search(" ".join(terms))`` —
+        the composition is the tested invariant."""
+        sel = self.mlt_terms(
+            doc_id, max_query_terms, min_term_freq, min_doc_freq, field
+        )
+        if not sel:
+            return []
+        hits = self.search(
+            " ".join(t for t, _, _ in sel), k=k + (0 if include_self else 1),
+            field=field,
+        )
+        if not include_self:
+            hits = [h for h in hits if h[0] != int(doc_id)][:k]
+        return hits
+
     def get_docs(self, doc_ids: np.ndarray) -> pa.Table:
         """Doc-store lookup by id (SURVEY.md B5).
 
@@ -1502,12 +1562,33 @@ class BatchSearcher:
         self.k = k
         self.pruned = pruned
 
+    def _dispatch(self, qtext: str, k: int, kind: str, fval) -> list:
+        """One typed query. ``kind`` column values: "match" (default,
+        BM25 top-k, pruned), "phrase" (exact-phrase BM25), "filtered"
+        (match + keyword filter from the batch's filter_field/value)."""
+        r = self.reader
+        if kind == "phrase":
+            return r.search_phrase(qtext, k)
+        if kind == "filtered":
+            return r.search_filtered(qtext, fval[0], fval[1], k)
+        fn = r.search_pruned if self.pruned else r.search
+        return fn(qtext, k)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
-        ks = batch["k"] if "k" in batch.columns else pd.Series([self.k] * len(batch))
-        for qid, qtext, k in zip(batch["query_id"], batch["query_text"], ks):
-            fn = self.reader.search_pruned if self.pruned else self.reader.search
-            for rank, (doc_id, score) in enumerate(fn(qtext, int(k)), start=1):
+        n = len(batch)
+        ks = batch["k"] if "k" in batch.columns else pd.Series([self.k] * n)
+        kinds = (
+            batch["kind"] if "kind" in batch.columns
+            else pd.Series(["match"] * n)
+        )
+        ffield = batch.get("filter_field", pd.Series([None] * n))
+        fvalue = batch.get("filter_value", pd.Series([None] * n))
+        for qid, qtext, k, kind, ff, fv in zip(
+            batch["query_id"], batch["query_text"], ks, kinds, ffield, fvalue
+        ):
+            hits = self._dispatch(qtext, int(k), str(kind), (ff, fv))
+            for rank, (doc_id, score) in enumerate(hits, start=1):
                 out["query_id"].append(qid)
                 out["rank"].append(rank)
                 out["doc_id"].append(doc_id)
