@@ -871,6 +871,30 @@ def q_phrase_match_long(sf_dir: str):
     return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
 
 
+def q_dsl_search(sf_dir: str):
+    """OpenSearch request-body search through the DSL adapter
+    (query/dsl.run_query): a bool body with must+should+filter runs
+    against the index and the response hits are returned — the path a
+    reference user's existing _search bodies would take."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": "stream"}}],
+                    "should": [{"match": {"text": "window"}}],
+                    "filter": [{"term": {"lang": "de"}}],
+                }
+            },
+            "size": 12,
+        },
+    )
+    hits = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    return _hits_frame(hits)
+
+
 def q_mlt_terms(sf_dir: str):
     """More-like-this term selection for doc 0 (OpenSearch
     more_like_this): terms with tf>=1 and corpus df>=2, ranked by
@@ -1851,6 +1875,9 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "phrase_bm25_topk": _phrase_bm25_sql("merge sort", 10),
     # match_phrase_prefix: adjacency on the head token + LIKE on the next
+    "dsl_search": _bool_sql(
+        "stream", "window", "", msm=0, k=12, where="lang = 'de'"
+    ),
     "mlt_terms": (
         f"WITH {TOKS_CTE},"
         " dtf AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = 0"
@@ -2086,6 +2113,7 @@ QUERIES = {
     "phrase_docs": q_phrase_docs,
     "phrase_match_long": q_phrase_match_long,
     "phrase_bm25_topk": q_phrase_bm25_topk,
+    "dsl_search": q_dsl_search,
     "mlt_terms": q_mlt_terms,
     "phrase_prefix_docs": q_phrase_prefix_docs,
     "events_window": q_events_window,

@@ -1,0 +1,268 @@
+"""OpenSearch query-DSL adapter: run a request body dict against an
+``IndexReader`` and return an OpenSearch-shaped response.
+
+The reference's users talk to OpenSearch in this DSL (the loader
+configures the indexes those queries hit —
+/root/reference/opensearch_loader/loader.py:239-312); this module maps
+each supported clause onto the engine's native methods so a pipeline
+that today issues ``POST /index/_search`` bodies can run unchanged
+against this engine.
+
+Supported:
+- query: match, match_phrase, match_phrase_prefix, term, prefix,
+  wildcard, fuzzy, more_like_this, bool (must / should / must_not /
+  filter(term) / minimum_should_match), match_all
+- size / from (offset paging), search_after + deterministic sort
+  [_score, _id], sort on a numeric doc-value field
+- aggs: terms, range, histogram, stats, cardinality (each over the
+  SAME query's match set)
+
+Response shape (the subset clients actually read):
+``{"hits": {"total": {"value": n}, "hits": [{"_id", "_score"}...]},
+"aggregations": {name: ...}}``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from .engine import IndexReader
+
+
+def _one(d: dict, what: str) -> tuple[str, Any]:
+    if not isinstance(d, dict) or len(d) != 1:
+        raise ValueError(f"{what} must be a single-key dict, got {d!r}")
+    return next(iter(d.items()))
+
+
+def _field_query(spec) -> tuple[str, dict]:
+    """Normalize ``{field: "text"}`` / ``{field: {..opts}}``."""
+    field, body = _one(spec, "query clause")
+    if not isinstance(body, dict):
+        body = {"query": body}
+    return field, body
+
+
+def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
+    """Doc-id SET (sorted uint64) for an unscored clause (filter /
+    must_not contexts and the agg candidate set)."""
+    if kind == "match_all":
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from ..index.build import DOCS_SUBDIR
+
+        parts = []
+        for p in sorted(
+            glob.glob(os.path.join(r.index_dir, DOCS_SUBDIR, "*.parquet"))
+        ):
+            parts.append(
+                pq.read_table(p, columns=["doc_id"]).column("doc_id").to_numpy(
+                    zero_copy_only=False
+                )
+            )
+        return np.sort(np.concatenate(parts).astype(np.uint64))
+    field, body = _field_query(spec)
+    q = body.get("query", body.get("value", ""))
+    f = None if field == r.primary_field else field
+    if kind == "match":
+        return np.sort(r._map_ordinals(r._match_ordinals(str(q), f)).astype(np.uint64))
+    if kind == "match_phrase":
+        return r.match_phrase(str(q), f).astype(np.uint64)
+    if kind == "match_phrase_prefix":
+        return r.match_phrase_prefix(
+            str(q), f, int(body.get("max_expansions", 50))
+        ).astype(np.uint64)
+    if kind == "term":
+        return r.term_docs(field, str(q)).astype(np.uint64)
+    if kind == "prefix":
+        return r.dict_prefix_docs(str(q), f).astype(np.uint64)
+    if kind == "wildcard":
+        return r.wildcard_docs(str(q), f).astype(np.uint64)
+    if kind == "fuzzy":
+        return r.fuzzy_docs(
+            str(q),
+            max_edits=int(body.get("fuzziness", 1)),
+            prefix_length=int(body.get("prefix_length", 0)),
+            field=f,
+        ).astype(np.uint64)
+    raise ValueError(f"unsupported query kind {kind!r}")
+
+
+def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, float]]:
+    """Ranked (doc_id, score) for a scoring clause."""
+    if kind == "match_all":
+        ids = _match_docs(r, "match_all", spec)
+        return [(int(d), 1.0) for d in ids[:k]]
+    if kind == "more_like_this":
+        # spec is the options dict itself: {"like_id": ..., knobs...}
+        return r.more_like_this(
+            int(spec["like_id"]),
+            k=k,
+            max_query_terms=int(spec.get("max_query_terms", 25)),
+            min_term_freq=int(spec.get("min_term_freq", 1)),
+            min_doc_freq=int(spec.get("min_doc_freq", 2)),
+        )
+    field, body = _field_query(spec)
+    q = str(body.get("query", body.get("value", "")))
+    f = None if field == r.primary_field else field
+    if kind == "match":
+        return r.search_pruned(q, k, field=f)
+    if kind == "match_phrase":
+        return r.search_phrase(q, k, field=f)
+    # multi-term queries score constant 1.0 (OpenSearch constant-score
+    # rewrite); rank = doc_id asc for determinism
+    ids = _match_docs(r, kind, spec)
+    return [(int(d), 1.0) for d in ids[:k]]
+
+
+def _bool_hits(r: IndexReader, spec: dict, k: int) -> list[tuple[int, float]]:
+    def _texts(clauses, want_kind):
+        out = []
+        for c in clauses if isinstance(clauses, list) else [clauses]:
+            ck, cs = _one(c, "bool clause")
+            if ck != want_kind:
+                raise ValueError(
+                    f"bool supports only '{want_kind}' subclauses natively; "
+                    f"got {ck!r} (compose via filter/must_not doc sets instead)"
+                )
+            _, body = _field_query(cs)
+            out.append(str(body.get("query", body.get("value", ""))))
+        return " ".join(out)
+
+    must = _texts(spec.get("must", []), "match") if spec.get("must") else ""
+    should = _texts(spec.get("should", []), "match") if spec.get("should") else ""
+    must_not = (
+        _texts(spec.get("must_not", []), "match") if spec.get("must_not") else ""
+    )
+    filt = None
+    if spec.get("filter"):
+        fc = spec["filter"]
+        fc = fc[0] if isinstance(fc, list) else fc
+        fk, fs = _one(fc, "filter")
+        if fk != "term":
+            raise ValueError("bool.filter supports 'term' filters")
+        ffield, fbody = _field_query(fs)
+        filt = (ffield, str(fbody.get("query", fbody.get("value", ""))))
+    return r.search_bool(
+        must=must,
+        should=should,
+        must_not=must_not,
+        filter_term=filt,
+        minimum_should_match=spec.get("minimum_should_match"),
+        k=k,
+    )
+
+
+def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
+    """Each agg runs over the query's match text when the query is a
+    plain match (the engine aggs re-derive the candidate union);
+    other query kinds aggregate over their doc set via doc-value
+    gathers."""
+    out: dict[str, Any] = {}
+    if query_kind == "match":
+        field, body = _field_query(query_spec)
+        qtext = str(body.get("query", body.get("value", "")))
+        f = None if field == r.primary_field else field
+    else:
+        raise ValueError("aggs are supported over 'match' queries")
+    for name, agg in aggs.items():
+        akind, aspec = _one(agg, f"agg {name}")
+        afield = aspec["field"]
+        if akind == "terms":
+            buckets = r.facet_terms(qtext, afield, size=int(aspec.get("size", 10)), field=f)
+            out[name] = {
+                "buckets": [{"key": v, "doc_count": c} for v, c in buckets]
+            }
+        elif akind == "range":
+            ranges = [
+                (rg.get("from"), rg.get("to")) for rg in aspec["ranges"]
+            ]
+            rows = r.facet_ranges(qtext, afield, ranges, field=f)
+            out[name] = {
+                "buckets": [
+                    {"from": lo, "to": hi, "doc_count": c} for lo, hi, c in rows
+                ]
+            }
+        elif akind == "histogram":
+            rows = r.facet_histogram(
+                qtext, afield, float(aspec["interval"]), field=f
+            )
+            out[name] = {
+                "buckets": [{"key": b, "doc_count": c} for b, c in rows]
+            }
+        elif akind == "stats":
+            out[name] = r.stats_agg(qtext, afield, field=f)
+        elif akind == "cardinality":
+            out[name] = {"value": r.cardinality_agg(qtext, afield, field=f)}
+        else:
+            raise ValueError(f"unsupported agg kind {akind!r}")
+    return out
+
+
+def run_query(index_dir_or_reader, body: dict) -> dict:
+    """Execute one OpenSearch-DSL request body. See module docstring
+    for the supported subset; raises ValueError on anything outside
+    it (loud, not silently wrong)."""
+    r = (
+        index_dir_or_reader
+        if isinstance(index_dir_or_reader, IndexReader)
+        else IndexReader(index_dir_or_reader)
+    )
+    size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
+    qspec = body.get("query", {"match_all": {}})
+    kind, spec = _one(qspec, "query")
+
+    sort = body.get("sort")
+    after = body.get("search_after")
+    if sort not in (None, "_score", ["_score", "_id"]) and not after:
+        # numeric doc-value sort
+        s = sort[0] if isinstance(sort, list) else sort
+        sfield, sdir = _one(s, "sort")
+        if kind != "match":
+            raise ValueError("field sort is supported over 'match' queries")
+        field, qb = _field_query(spec)
+        hits = r.search_sort_by(
+            str(qb.get("query", "")),
+            sfield,
+            k=offset + size,
+            descending=(sdir in ("desc", {"order": "desc"})
+                        or (isinstance(sdir, dict) and sdir.get("order") == "desc")),
+            field=None if field == r.primary_field else field,
+        )[offset:]
+        hits_out = [
+            {"_id": int(d), "_score": None, "sort": [v]} for d, v in hits
+        ]
+        return {
+            "hits": {"total": {"value": len(hits_out)}, "hits": hits_out}
+        }
+
+    if after is not None:
+        if kind != "match":
+            raise ValueError("search_after is supported over 'match' queries")
+        field, qb = _field_query(spec)
+        hits = r.search_after(
+            str(qb.get("query", "")),
+            after=(float(after[0]), int(after[1])),
+            k=size,
+            field=None if field == r.primary_field else field,
+        )
+    elif kind == "bool":
+        hits = _bool_hits(r, spec, offset + size)[offset:]
+    else:
+        hits = _scored_hits(r, kind, spec, offset + size)[offset:]
+
+    resp: dict[str, Any] = {
+        "hits": {
+            "total": {"value": len(hits)},
+            "hits": [{"_id": int(d), "_score": s} for d, s in hits],
+        }
+    }
+    if body.get("aggs"):
+        resp["aggregations"] = _aggregations(r, kind, spec, body["aggs"])
+    return resp

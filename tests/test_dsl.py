@@ -1,0 +1,199 @@
+"""OpenSearch-DSL adapter: every supported body form must equal the
+direct engine call it maps to."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raybm25.index.build import build_index
+from raybm25.query.dsl import run_query
+from raybm25.query.engine import IndexReader
+
+DOCS = [
+    (0, "merge join fast", "en", 10),
+    (1, "merge sort slow", "de", 40),
+    (2, "join stream window", "en", 25),
+    (3, "sort only tokens", "fr", 5),
+    (4, "merge merge stream", "en", 60),
+    (5, "window stream join merge", "de", 30),
+]
+
+
+@pytest.fixture(scope="module")
+def rdr(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dsl")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [i for i, _, _, _ in DOCS],
+                "text": [t for _, t, _, _ in DOCS],
+                "lang": [l for _, _, l, _ in DOCS],
+                "size_b": [s for _, _, _, s in DOCS],
+            }
+        ),
+        str(tmp / "d.parquet"),
+    )
+    idx = str(tmp / "idx")
+    build_index(str(tmp / "d.parquet"), idx, key_col="doc_id", id_col="doc_id",
+                ts_col=None, keyword_cols=("lang",),
+                stored_cols=["text", "lang", "size_b"], num_buckets=2,
+                positions=True)
+    return IndexReader(idx)
+
+
+def _ids(resp):
+    return [h["_id"] for h in resp["hits"]["hits"]]
+
+
+def _pairs(resp):
+    return [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+
+
+def test_match(rdr):
+    resp = run_query(rdr, {"query": {"match": {"text": "merge stream"}}, "size": 4})
+    assert _pairs(resp) == rdr.search("merge stream", k=4)
+
+
+def test_match_with_from_offset(rdr):
+    full = rdr.search("merge stream", k=5)
+    resp = run_query(
+        rdr, {"query": {"match": {"text": "merge stream"}}, "size": 3, "from": 2}
+    )
+    assert _pairs(resp) == full[2:5]
+
+
+def test_match_phrase_and_prefix(rdr):
+    resp = run_query(rdr, {"query": {"match_phrase": {"text": "merge sort"}}})
+    assert _pairs(resp) == rdr.search_phrase("merge sort", k=10)
+    resp = run_query(
+        rdr, {"query": {"match_phrase_prefix": {"text": "stream wi"}}}
+    )
+    assert _ids(resp) == rdr.match_phrase_prefix("stream wi").tolist()
+
+
+def test_term_prefix_wildcard_fuzzy(rdr):
+    resp = run_query(rdr, {"query": {"term": {"lang": "de"}}, "size": 10})
+    assert _ids(resp) == np.asarray(rdr.term_docs("lang", "de")).tolist()
+    resp = run_query(rdr, {"query": {"prefix": {"text": "st"}}, "size": 10})
+    assert _ids(resp) == rdr.dict_prefix_docs("st").tolist()
+    resp = run_query(rdr, {"query": {"wildcard": {"text": "s??t"}}, "size": 10})
+    assert _ids(resp) == rdr.wildcard_docs("s??t").tolist()
+    resp = run_query(
+        rdr, {"query": {"fuzzy": {"text": {"value": "sprt", "fuzziness": 1}}}}
+    )
+    assert _ids(resp) == rdr.fuzzy_docs("sprt", 1).tolist()
+    # constant-score rewrite
+    assert all(h["_score"] == 1.0 for h in resp["hits"]["hits"])
+
+
+def test_bool(rdr):
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": "merge"}}],
+                "should": [{"match": {"text": "join"}}],
+                "must_not": [{"match": {"text": "sort"}}],
+                "filter": [{"term": {"lang": "en"}}],
+            }
+        },
+        "size": 10,
+    }
+    assert _pairs(run_query(rdr, body)) == rdr.search_bool(
+        must="merge", should="join", must_not="sort",
+        filter_term=("lang", "en"), k=10,
+    )
+
+
+def test_bool_msm(rdr):
+    body = {
+        "query": {
+            "bool": {
+                "should": [
+                    {"match": {"text": "merge"}},
+                    {"match": {"text": "join"}},
+                    {"match": {"text": "stream"}},
+                ],
+                "minimum_should_match": 2,
+            }
+        }
+    }
+    assert _pairs(run_query(rdr, body)) == rdr.search_bool(
+        should="merge join stream", minimum_should_match=2, k=10
+    )
+
+
+def test_search_after(rdr):
+    page1 = rdr.search("merge stream", k=2)
+    body = {
+        "query": {"match": {"text": "merge stream"}},
+        "search_after": [page1[-1][1], page1[-1][0]],
+        "size": 3,
+    }
+    assert _pairs(run_query(rdr, body)) == rdr.search_after(
+        "merge stream", after=(page1[-1][1], page1[-1][0]), k=3
+    )
+
+
+def test_sort_by_field(rdr):
+    body = {
+        "query": {"match": {"text": "merge stream"}},
+        "sort": [{"size_b": {"order": "desc"}}],
+        "size": 4,
+    }
+    resp = run_query(rdr, body)
+    want = rdr.search_sort_by("merge stream", "size_b", k=4, descending=True)
+    assert [(h["_id"], h["sort"][0]) for h in resp["hits"]["hits"]] == want
+
+
+def test_more_like_this(rdr):
+    body = {"query": {"more_like_this": {"like_id": 0}}}
+    assert _pairs(run_query(rdr, body)) == rdr.more_like_this(0, k=10)
+
+
+def test_aggs(rdr):
+    body = {
+        "query": {"match": {"text": "merge stream"}},
+        "aggs": {
+            "langs": {"terms": {"field": "lang"}},
+            "sizes": {"range": {"field": "size_b",
+                                "ranges": [{"to": 20}, {"from": 20, "to": 50},
+                                           {"from": 50}]}},
+            "hist": {"histogram": {"field": "size_b", "interval": 20}},
+            "sz": {"stats": {"field": "size_b"}},
+            "nlang": {"cardinality": {"field": "lang"}},
+        },
+    }
+    resp = run_query(rdr, body)
+    aggs = resp["aggregations"]
+    assert aggs["langs"]["buckets"] == [
+        {"key": v, "doc_count": c} for v, c in rdr.facet_terms("merge stream", "lang")
+    ]
+    assert aggs["sizes"]["buckets"] == [
+        {"from": lo, "to": hi, "doc_count": c}
+        for lo, hi, c in rdr.facet_ranges(
+            "merge stream", "size_b", [(None, 20), (20, 50), (50, None)]
+        )
+    ]
+    assert aggs["hist"]["buckets"] == [
+        {"key": b, "doc_count": c}
+        for b, c in rdr.facet_histogram("merge stream", "size_b", 20.0)
+    ]
+    assert aggs["sz"] == rdr.stats_agg("merge stream", "size_b")
+    assert aggs["nlang"]["value"] == rdr.cardinality_agg("merge stream", "lang")
+
+
+def test_match_all_and_errors(rdr):
+    resp = run_query(rdr, {"query": {"match_all": {}}, "size": 100})
+    assert sorted(_ids(resp)) == [i for i, _, _, _ in DOCS]
+    with pytest.raises(ValueError):
+        run_query(rdr, {"query": {"nope": {"text": "x"}}})
+    with pytest.raises(ValueError):
+        run_query(rdr, {"query": {"match": {"text": "x"}, "extra": {}}})
+    with pytest.raises(ValueError):
+        run_query(
+            rdr,
+            {"query": {"term": {"lang": "en"}},
+             "aggs": {"a": {"terms": {"field": "lang"}}}},
+        )
