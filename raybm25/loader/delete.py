@@ -38,7 +38,6 @@ import pyarrow.parquet as pq
 from ..index.build import (
     DOCS_STATS_SUBDIR,
     DOCS_SUBDIR,
-    ORD_MASK,
     ORD_SHIFT,
     rebuild_postings,
 )
