@@ -9,6 +9,12 @@ the near-dup pipelines on the heavily-duplicated fixture corpus
 (190,925 verified pairs among 5,000 docs — a ~16x banding-duplication
 worst case). After vectorizing candidate generation (triu_indices):
 minhash_lsh_pairs 27.5 s (was 56); everything non-near-dup < 7 s.
+
+Round-4 record (sf0.1): all 62 entries ok, including the new query
+surface (bool/msm/search_after/facets/aggs/sort/wildcard/fuzzy/
+prefix/mlt/dsl, each <= 0.1 s warm) and the maintenance entries
+(delete_by_query / update_by_query / export_matching, which copy and
+mutate a full index per call).
 """
 
 from __future__ import annotations
