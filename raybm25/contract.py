@@ -449,6 +449,27 @@ def q_bm25_multifield(sf_dir: str):
     )
 
 
+def q_bm25_dismax(sf_dir: str):
+    """multi_match best_fields (dis_max) over (text, source): per-field
+    BM25, score = best field + 0.3 x sum of the rest
+    (query/engine.search_dismax; OpenSearch's DEFAULT multi_match
+    type — the reference's multi-field mappings serve exactly this
+    query shape)."""
+    from .query.engine import IndexReader
+
+    r = IndexReader(docs_index_multifield(sf_dir))
+    hits = r.search_dismax("merge src3 join", ["text", "source"], tie_breaker=0.3, k=15)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array(
+                [int(np.int64(np.uint64(d))) for d, _ in hits], dtype="int64"
+            ),
+            "score": [s for _, s in hits],
+        }
+    )
+
+
 def q_keyword_lang(sf_dir: str):
     r = _reader(sf_dir)
     ids = np.sort(r.term_docs("lang", "de")).astype(np.int64)
@@ -1656,6 +1677,73 @@ def _bm25_multi_sql(query: str, k: int, field_cols: list[str]) -> str:
     return "\n".join(parts)
 
 
+def _bm25_dismax_sql(
+    query: str, k: int, field_cols: list[str], tie_breaker: float
+) -> str:
+    """multi_match best_fields (dis_max) oracle: the same per-field BM25
+    blocks as ``_bm25_multi_sql``, but per-doc the fields combine as
+    GREATEST(s_f) + tie_breaker * (sum(s_f) - GREATEST(s_f)). Float
+    order mirrors the engine exactly: each s_f adds its term
+    contributions left-to-right in sorted-term order, the cross-field
+    sum adds left-to-right in field order, and max is rounding-free."""
+    terms = sorted(set(tokenize(query)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    parts = ["WITH n AS (SELECT count(*) AS n FROM documents),"]
+    pnames: list[str] = []
+    for fi, col in enumerate(field_cols):
+        parts.append(
+            f"toks{fi} AS (SELECT doc_id, unnest(regexp_extract_all(lower({col}),"
+            f" '[a-z0-9]+')) AS term FROM documents),"
+        )
+        parts.append(
+            f"dl{fi} AS (SELECT doc_id, count(*) AS dl FROM toks{fi} GROUP BY doc_id),"
+        )
+        parts.append(
+            f"av{fi} AS (SELECT (SELECT count(*) FROM toks{fi}) /"
+            " (SELECT count(*) FROM documents) AS avgdl),"
+        )
+        parts.append(
+            f"tf{fi} AS (SELECT doc_id, term, count(*) AS tf FROM toks{fi}"
+            f" WHERE term IN ({in_list}) GROUP BY doc_id, term),"
+        )
+        parts.append(
+            f"df{fi} AS (SELECT term, count(*) AS df FROM tf{fi} GROUP BY term),"
+        )
+        parts.append(
+            f"c{fi} AS (SELECT tf{fi}.doc_id, tf{fi}.term,"
+            f" 1.0 * ln(1 + (n.n - df{fi}.df + 0.5)/(df{fi}.df + 0.5)) *"
+            f" (tf{fi}.tf/(tf{fi}.tf + {BM25_K1}*(1 - {BM25_B} +"
+            f" {BM25_B}*dl{fi}.dl/av{fi}.avgdl))) AS c"
+            f" FROM tf{fi} JOIN df{fi} USING(term)"
+            f" JOIN dl{fi} ON dl{fi}.doc_id = tf{fi}.doc_id, av{fi}, n),"
+        )
+        for ti, t in enumerate(terms):
+            pnames.append(f"p{fi}_{ti}")
+            parts.append(
+                f"p{fi}_{ti} AS (SELECT doc_id, c FROM c{fi} WHERE term = '{t}'),"
+            )
+    joins = pnames[0]
+    for p in pnames[1:]:
+        joins += f" FULL JOIN {p} USING(doc_id)"
+    sums = []
+    for fi in range(len(field_cols)):
+        add = " + ".join(f"COALESCE(p{fi}_{ti}.c, 0)" for ti in range(len(terms)))
+        sums.append(f"({add}) AS s{fi}")
+    parts.append(f"sums AS (SELECT doc_id, {', '.join(sums)} FROM {joins})")
+    g = "GREATEST({})".format(", ".join(f"s{fi}" for fi in range(len(field_cols))))
+    tot = " + ".join(f"s{fi}" for fi in range(len(field_cols)))
+    parts.append(
+        f", scored AS (SELECT doc_id, {g} + {tie_breaker}*(({tot}) - {g}) AS score"
+        " FROM sums)"
+    )
+    parts.append(
+        "SELECT rank, doc_id, score FROM (SELECT row_number() OVER"
+        " (ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)"
+        f" ORDER BY rank LIMIT {k}"
+    )
+    return "\n".join(parts)
+
+
 def _term_stats_sql(stat: str) -> str:
     agg = "count(*)" if stat == "df" else "sum(tf)::BIGINT"
     return (
@@ -1680,6 +1768,9 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_filtered": _bm25_sql("merge join", 15, where="lang = 'en'"),
     "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
     "bm25_multifield": _bm25_multi_sql("merge src3 join", 15, ["text", "source"]),
+    "bm25_dismax": _bm25_dismax_sql(
+        "merge src3 join", 15, ["text", "source"], tie_breaker=0.3
+    ),
     "bm25_bool": _bool_sql("merge", "join stream", "sort", msm=0, k=12),
     "bm25_bool_msm": _bool_sql(
         "", "merge join stream", "", msm=2, k=10, where="lang = 'en'"
@@ -2075,6 +2166,7 @@ QUERIES = {
     "bm25_filtered": q_bm25_filtered,
     "bm25_all_single": q_bm25_all_single,
     "bm25_multifield": q_bm25_multifield,
+    "bm25_dismax": q_bm25_dismax,
     "bm25_bool": q_bm25_bool,
     "bm25_bool_msm": q_bm25_bool_msm,
     "bm25_search_after": q_bm25_search_after,

@@ -9,9 +9,11 @@ that today issues ``POST /index/_search`` bodies can run unchanged
 against this engine.
 
 Supported:
-- query: match, match_phrase, match_phrase_prefix, term, prefix,
-  wildcard, fuzzy, more_like_this, bool (must / should / must_not /
-  filter(term) / minimum_should_match), match_all
+- query: match (with per-clause boost), match_phrase,
+  match_phrase_prefix, multi_match (best_fields incl. tie_breaker /
+  most_fields), term, prefix, wildcard, fuzzy, more_like_this, bool
+  (must / should / must_not / filter(term) / minimum_should_match),
+  match_all
 - size / from (offset paging), search_after + deterministic sort
   [_score, _id], sort on a numeric doc-value field
 - aggs: terms, range, histogram, stats, cardinality (each over the
@@ -107,13 +109,32 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
             min_term_freq=int(spec.get("min_term_freq", 1)),
             min_doc_freq=int(spec.get("min_doc_freq", 2)),
         )
+    if kind == "multi_match":
+        # best_fields (the OpenSearch default) = dis_max over per-field
+        # match queries; most_fields = per-field score sum
+        q = str(spec["query"])
+        fields = list(spec["fields"])
+        mtype = spec.get("type", "best_fields")
+        if mtype == "best_fields":
+            return r.search_dismax(
+                q, fields, tie_breaker=float(spec.get("tie_breaker", 0.0)), k=k
+            )
+        if mtype == "most_fields":
+            return r.search_multi(q, fields, k=k)
+        raise ValueError(f"unsupported multi_match type {mtype!r}")
     field, body = _field_query(spec)
     q = str(body.get("query", body.get("value", "")))
     f = None if field == r.primary_field else field
+    boost = float(body.get("boost", 1.0))
     if kind == "match":
-        return r.search_pruned(q, k, field=f)
+        hits = r.search_pruned(q, k, field=f)
+        # per-clause boost scales the clause's final score (one multiply
+        # on the already-combined sum, applied identically everywhere
+        # this clause's score is consumed)
+        return [(d, s * boost) for d, s in hits] if boost != 1.0 else hits
     if kind == "match_phrase":
-        return r.search_phrase(q, k, field=f)
+        hits = r.search_phrase(q, k, field=f)
+        return [(d, s * boost) for d, s in hits] if boost != 1.0 else hits
     # multi-term queries score constant 1.0 (OpenSearch constant-score
     # rewrite); rank = doc_id asc for determinism
     ids = _match_docs(r, kind, spec)
@@ -131,6 +152,12 @@ def _bool_hits(r: IndexReader, spec: dict, k: int) -> list[tuple[int, float]]:
                     f"got {ck!r} (compose via filter/must_not doc sets instead)"
                 )
             _, body = _field_query(cs)
+            if "boost" in body:
+                raise ValueError(
+                    "per-clause boost inside bool is not supported (bool "
+                    "clauses share one BM25 pass); boost a top-level match "
+                    "instead"
+                )
             out.append(str(body.get("query", body.get("value", ""))))
         return " ".join(out)
 

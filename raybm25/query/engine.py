@@ -495,6 +495,61 @@ class IndexReader:
                 parts_scores.append(contrib)
         return self._combine_rank(parts_ids, parts_scores, k)
 
+    def search_dismax(
+        self,
+        query: str,
+        fields: list[str],
+        tie_breaker: float = 0.0,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Multi-field BM25 top-k — OpenSearch ``multi_match`` with
+        ``best_fields`` semantics (the default multi_match type, i.e. a
+        ``dis_max`` over per-field match queries): each field is scored
+        as its own BM25 query (per-field avgdl/df, corpus-global
+        n_docs — same per-field model as ``search_multi``) and a doc's
+        score is its BEST field score plus ``tie_breaker`` times the
+        sum of the remaining field scores:
+
+            score = max_f(s_f) + tie_breaker * (sum_f(s_f) - max_f(s_f))
+
+        Float order is pinned for the SQL oracle: per-field sums add
+        terms in sorted order (the ``_combine`` order), the cross-field
+        max folds pairwise in the given field order (exact — max has no
+        rounding), and the cross-field total adds left-to-right in
+        field order."""
+        per_field: list[tuple[Counter, float]] = []
+        want: list[str] = []
+        for field in fields:
+            qcounts = Counter(self.field_terms(query, field))
+            per_field.append((qcounts, self.field_avgdl(field)))
+            want.extend(qcounts)
+        postings = self.load_postings(sorted(set(want)))
+        field_runs: list[tuple[np.ndarray, np.ndarray]] = []
+        for qcounts, avgdl in per_field:
+            parts_ids, parts_scores = [], []
+            for term in sorted(qcounts):
+                p = postings.get(term)
+                if p is None:
+                    continue
+                contrib = qcounts[term] * self.idf(p.df) * self._norm_cached(p, avgdl)
+                parts_ids.append(p.doc_ids)
+                parts_scores.append(contrib)
+            if parts_ids:
+                field_runs.append(self._combine(parts_ids, parts_scores))
+        if not field_runs:
+            return []
+        union = self._merge_unique([u for u, _ in field_runs])
+        best = np.zeros(union.size, dtype=np.float64)
+        total = np.zeros(union.size, dtype=np.float64)
+        for uniq, sc in field_runs:
+            aligned = np.zeros(union.size, dtype=np.float64)
+            aligned[np.searchsorted(union, uniq)] = sc
+            np.maximum(best, aligned, out=best)
+            total += aligned
+        scores = best + tie_breaker * (total - best)
+        ids, sc = self._rank(union, scores, k)
+        return list(zip(ids.tolist(), sc.tolist()))
+
     def search_filtered(
         self,
         query: str,
