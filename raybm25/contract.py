@@ -196,6 +196,83 @@ def q_bm25_bool_msm(sf_dir: str):
     return _hits_frame(hits)
 
 
+def q_bm25_bool_rangefilter(sf_dir: str):
+    """Bool query with a RANGE filter clause: must 'merge', should
+    'join stream' (scored), filter n_chars in [150, 320) — the filter
+    resolves to a doc-id set via engine.range_docs (statistics-pruned
+    docstore scan, OpenSearch's BKD analog) and restricts candidates
+    unscored (search_bool filter_docs)."""
+    from .query.dsl import run_query
+
+    r = _reader(sf_dir)
+    resp = run_query(
+        r,
+        {
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": "merge"}}],
+                    "should": [{"match": {"text": "join stream"}}],
+                    "filter": [{"range": {"n_chars": {"gte": 150, "lt": 320}}}],
+                }
+            },
+            "size": 12,
+        },
+    )
+    hits = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    return _hits_frame(hits)
+
+
+def q_range_query(sf_dir: str):
+    """OpenSearch ``range`` query over the n_chars doc-value column
+    (engine.range_docs: one predicate-pushdown read per docstore
+    partition, parquet row-group stats prune — the BKD-tree analog)."""
+    r = _reader(sf_dir)
+    ids = r.range_docs("n_chars", gte=150, lt=320)
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
+def q_terms_query(sf_dir: str):
+    """OpenSearch ``terms`` query: docs matching ANY keyword value —
+    one postings load for the whole value list, ordinal-space union
+    (engine.terms_docs)."""
+    r = _reader(sf_dir)
+    ids = r.terms_docs("lang", ["de", "fr"])
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
+def q_dsl_constant_score(sf_dir: str):
+    """DSL ``constant_score`` wrapper: every doc passing the inner
+    range filter scores exactly ``boost`` (query/dsl.run_query)."""
+    from .query.dsl import run_query
+
+    r = _reader(sf_dir)
+    resp = run_query(
+        r,
+        {
+            "query": {
+                "constant_score": {
+                    "filter": {"range": {"n_chars": {"gte": 400}}},
+                    "boost": 2.0,
+                }
+            },
+            "size": 30,
+        },
+    )
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(
+                [int(np.int64(np.uint64(h["_id"]))) for h in hits], dtype="int64"
+            ),
+            "score": [float(h["_score"]) for h in hits],
+        }
+    )
+
+
 def q_bm25_search_after(sf_dir: str):
     """Deep pagination via search_after (cursor = page 1's last hit):
     returns ranks 11-20 of 'merge sort' — O(k) per page at any depth,
@@ -1775,6 +1852,21 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_bool_msm": _bool_sql(
         "", "merge join stream", "", msm=2, k=10, where="lang = 'en'"
     ),
+    "bm25_bool_rangefilter": _bool_sql(
+        "merge", "join stream", "", msm=0, k=12,
+        where="n_chars >= 150 AND n_chars < 320",
+    ),
+    "range_query_nchars": (
+        "SELECT doc_id FROM documents WHERE n_chars >= 150 AND n_chars < 320"
+        " ORDER BY doc_id"
+    ),
+    "terms_query_lang": (
+        "SELECT doc_id FROM documents WHERE lang IN ('de', 'fr') ORDER BY doc_id"
+    ),
+    "dsl_constant_score": (
+        "SELECT doc_id, 2.0 AS score FROM documents WHERE n_chars >= 400"
+        " ORDER BY doc_id LIMIT 30"
+    ),
     "bm25_search_after": _bm25_sql("merge sort", 10, offset=10),
     # terms aggregation: doc counts per lang over ALL docs matching
     # 'merge join' (match = OR), count desc / value asc, top 10
@@ -2169,6 +2261,10 @@ QUERIES = {
     "bm25_dismax": q_bm25_dismax,
     "bm25_bool": q_bm25_bool,
     "bm25_bool_msm": q_bm25_bool_msm,
+    "bm25_bool_rangefilter": q_bm25_bool_rangefilter,
+    "range_query_nchars": q_range_query,
+    "terms_query_lang": q_terms_query,
+    "dsl_constant_score": q_dsl_constant_score,
     "bm25_search_after": q_bm25_search_after,
     "facet_lang": q_facet_lang,
     "facet_nchars_ranges": q_facet_nchars_ranges,

@@ -11,9 +11,10 @@ against this engine.
 Supported:
 - query: match (with per-clause boost), match_phrase,
   match_phrase_prefix, multi_match (best_fields incl. tie_breaker /
-  most_fields), term, prefix, wildcard, fuzzy, more_like_this, bool
-  (must / should / must_not / filter(term) / minimum_should_match),
-  match_all
+  most_fields), term, terms, range, exists, ids, prefix, wildcard,
+  fuzzy, more_like_this, constant_score, bool (must / should /
+  must_not / filter(term | range | terms | exists | ids, ANDed) /
+  minimum_should_match), match_all
 - size / from (offset paging), search_after + deterministic sort
   [_score, _id], sort on a numeric doc-value field
 - aggs: terms, range, histogram, stats, cardinality (each over the
@@ -68,9 +69,18 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
                 )
             )
         return np.sort(np.concatenate(parts).astype(np.uint64))
+    if kind == "exists":
+        return r.exists_docs(str(spec["field"]))
+    if kind == "ids":
+        return r.ids_docs([int(v) for v in spec["values"]])
     field, body = _field_query(spec)
     q = body.get("query", body.get("value", ""))
     f = None if field == r.primary_field else field
+    if kind == "range":
+        bounds = {kk: body[kk] for kk in ("gte", "gt", "lte", "lt") if kk in body}
+        return r.range_docs(field, **bounds)
+    if kind == "terms":
+        return r.terms_docs(field, [str(v) for v in q])
     if kind == "match":
         return np.sort(r._map_ordinals(r._match_ordinals(str(q), f)).astype(np.uint64))
     if kind == "match_phrase":
@@ -109,6 +119,12 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
             min_term_freq=int(spec.get("min_term_freq", 1)),
             min_doc_freq=int(spec.get("min_doc_freq", 2)),
         )
+    if kind == "constant_score":
+        # wrapper: every doc matching the inner filter scores `boost`
+        ik, ispec = _one(spec["filter"], "constant_score.filter")
+        boost = float(spec.get("boost", 1.0))
+        ids = _match_docs(r, ik, ispec)
+        return [(int(d), boost) for d in ids[:k]]
     if kind == "multi_match":
         # best_fields (the OpenSearch default) = dis_max over per-field
         # match queries; most_fields = per-field score sum
@@ -167,14 +183,24 @@ def _bool_hits(r: IndexReader, spec: dict, k: int) -> list[tuple[int, float]]:
         _texts(spec.get("must_not", []), "match") if spec.get("must_not") else ""
     )
     filt = None
+    fdocs = None
     if spec.get("filter"):
-        fc = spec["filter"]
-        fc = fc[0] if isinstance(fc, list) else fc
-        fk, fs = _one(fc, "filter")
-        if fk != "term":
-            raise ValueError("bool.filter supports 'term' filters")
-        ffield, fbody = _field_query(fs)
-        filt = (ffield, str(fbody.get("query", fbody.get("value", ""))))
+        fcs = spec["filter"]
+        sets = []
+        for fc in fcs if isinstance(fcs, list) else [fcs]:
+            fk, fs = _one(fc, "filter")
+            if fk == "term" and filt is None:
+                # first term filter takes the fast keyword-postings path
+                ffield, fbody = _field_query(fs)
+                filt = (ffield, str(fbody.get("query", fbody.get("value", ""))))
+            else:
+                # range / terms / exists / ids (and extra term filters):
+                # sorted doc-id sets, ANDed together
+                sets.append(_match_docs(r, fk, fs))
+        if sets:
+            fdocs = sets[0]
+            for s in sets[1:]:
+                fdocs = fdocs[np.isin(fdocs, s, assume_unique=True)]
     return r.search_bool(
         must=must,
         should=should,
@@ -182,6 +208,7 @@ def _bool_hits(r: IndexReader, spec: dict, k: int) -> list[tuple[int, float]]:
         filter_term=filt,
         minimum_should_match=spec.get("minimum_should_match"),
         k=k,
+        filter_docs=fdocs,
     )
 
 

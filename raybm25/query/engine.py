@@ -620,6 +620,7 @@ class IndexReader:
         minimum_should_match: int | None = None,
         k: int = 10,
         field: str | None = None,
+        filter_docs: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         """Full OpenSearch ``bool`` query: must + should + must_not +
         filter + minimum_should_match (the reference's search surface is
@@ -637,6 +638,9 @@ class IndexReader:
           (no score contribution);
         - ``filter_term``: keyword ``(field, value)`` exact-match
           restriction, unscored;
+        - ``filter_docs``: generic unscored restriction to a sorted
+          uint64 doc-id set (range / terms / exists / ids filters
+          resolve to one via the DSL layer);
         - score: sum of BM25 contributions over the union of must and
           should terms, added in globally sorted term order (the same
           float order as ``search`` — bit-identical to the SQL oracle).
@@ -695,6 +699,17 @@ class IndexReader:
             cand = cand[p.doc_ids[pos_c] != cand]
         if fkey is not None:
             cand = self._isect_sorted(cand, postings[fkey])
+        if filter_docs is not None and cand.size:
+            # generic unscored restriction (range / terms / exists /
+            # ids filter clauses): a sorted uint64 DOC-ID set; membership
+            # is tested on the mapped candidate ids (candidates live in
+            # ordinal space)
+            fd = np.asarray(filter_docs, dtype=np.uint64)
+            if fd.size == 0:
+                return []
+            dids = self._map_ordinals(cand)
+            pos = np.minimum(np.searchsorted(fd, dids), fd.size - 1)
+            cand = cand[fd[pos] == dids]
         if cand.size == 0:
             return []
         scores = self._score_subset(cand, must_q + should_q, postings, avgdl)
@@ -1273,6 +1288,102 @@ class IndexReader:
         if key not in p:
             return np.empty(0, np.uint64)
         return np.sort(self._map_ordinals(p[key].doc_ids))
+
+    def terms_docs(self, field: str, values: list[str]) -> np.ndarray:
+        """OpenSearch ``terms`` query: docs matching ANY of the keyword
+        values — one postings load for the whole value list, union in
+        ordinal space, ids sorted."""
+        keys = sorted({f"{field}:{v}" for v in values})
+        postings = self.load_postings(keys)
+        parts = [postings[k].doc_ids for k in keys if k in postings]
+        if not parts:
+            return np.empty(0, np.uint64)
+        return np.sort(self._map_ordinals(self._merge_unique(parts)))
+
+    # ----------------------------------------------------- doc-value queries
+    def _scan_docs(self, expr) -> np.ndarray:
+        """Doc ids whose docstore row satisfies a pyarrow.dataset
+        expression. One predicate-pushdown read per docstore partition:
+        parquet row-group statistics prune blocks whose [min, max]
+        misses the predicate (the BKD-tree analog OpenSearch uses for
+        range queries), and only ``doc_id`` (+ ``ordinal`` where a
+        tombstone sidecar exists) leaves storage. Scan-layout tombstones
+        (delete-by-query dead lists) are excluded. Each partition is an
+        independent task at cluster scale — the same per-bucket fan-out
+        as ``_gather_column``."""
+        import glob
+        import json
+
+        import pyarrow.parquet as pq
+
+        from ..index.build_scan import DEAD_SUBDIR
+
+        dead_dir = os.path.join(self.index_dir, DEAD_SUBDIR)
+        parts = []
+        for path in sorted(glob.glob(os.path.join(self._docs_dir, "*.parquet"))):
+            b = int(os.path.basename(path).split("=")[1].split(".")[0])
+            dpath = os.path.join(dead_dir, f"part={b:05d}.json")
+            has_dead = os.path.exists(dpath)
+            cols = ["doc_id", "ordinal"] if has_dead else ["doc_id"]
+            t = pq.read_table(path, columns=cols, filters=expr)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            if has_dead and ids.size:
+                with open(dpath) as fh:
+                    dead = np.unique(np.array(json.load(fh), dtype=np.uint64))
+                if dead.size:
+                    ords = (
+                        t.column("ordinal")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.uint64)
+                    )
+                    pos = np.minimum(
+                        np.searchsorted(dead, ords), dead.size - 1
+                    )
+                    ids = ids[dead[pos] != ords]
+            if ids.size:
+                parts.append(ids)
+        if not parts:
+            return np.empty(0, np.uint64)
+        return np.sort(np.concatenate(parts))
+
+    def range_docs(
+        self,
+        field: str,
+        gte=None,
+        gt=None,
+        lte=None,
+        lt=None,
+    ) -> np.ndarray:
+        """OpenSearch ``range`` query over a stored doc-value column
+        (numeric or lexicographic): sorted doc ids with
+        ``gte <= v <= lte`` (or the strict variants). Runs as a
+        statistics-pruned docstore scan (``_scan_docs``)."""
+        import pyarrow.dataset as pds
+
+        f = pds.field(field)
+        expr = None
+        for e, v in ((f >= gte, gte), (f > gt, gt), (f <= lte, lte), (f < lt, lt)):
+            if v is None:
+                continue
+            expr = e if expr is None else expr & e
+        if expr is None:
+            raise ValueError("range_docs needs at least one of gte/gt/lte/lt")
+        return self._scan_docs(expr)
+
+    def exists_docs(self, field: str) -> np.ndarray:
+        """OpenSearch ``exists`` query: docs whose stored ``field`` is
+        non-null."""
+        import pyarrow.dataset as pds
+
+        return self._scan_docs(~pds.field(field).is_null())
+
+    def ids_docs(self, values) -> np.ndarray:
+        """OpenSearch ``ids`` query: the subset of the given doc ids
+        present (and live) in the index, sorted."""
+        import pyarrow.dataset as pds
+
+        vals = np.asarray(list(values), dtype=np.uint64)
+        return self._scan_docs(pds.field("doc_id").isin(vals))
 
     def phrase_docs(self, field: str, phrase: str) -> np.ndarray:
         """Exact 2-3 token phrase match on a sayt-enabled field: the
