@@ -273,6 +273,73 @@ def q_dsl_constant_score(sf_dir: str):
     )
 
 
+def q_match_operator_and(sf_dir: str):
+    """DSL ``match`` with ``operator: and`` — every analyzed term
+    required (routes through search_bool's must evaluator; same BM25
+    sum over the AND candidate set)."""
+    from .query.dsl import run_query
+
+    r = _reader(sf_dir)
+    resp = run_query(
+        r,
+        {
+            "query": {
+                "match": {"text": {"query": "merge sort", "operator": "and"}}
+            },
+            "size": 10,
+        },
+    )
+    hits = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    return _hits_frame(hits)
+
+
+def q_regexp_docs(sf_dir: str):
+    """OpenSearch ``regexp`` query: docs containing any dictionary term
+    fully matching an RE2 pattern (engine.expand_regexp — Arrow's
+    match_substring_regex IS RE2, the same engine as DuckDB's
+    regexp_full_match, so parity is by construction)."""
+    r = _reader(sf_dir)
+    return _ids_frame(r.regexp_docs("s[a-z]{2}t"))
+
+
+def q_function_score(sf_dir: str):
+    """function_score / field_value_factor: BM25('merge sort') *
+    ln(1 + 0.1 * n_chars) — longer docs boosted
+    (engine.search_function_score; one combine + one doc-value gather +
+    one vectorized multiply)."""
+    r = _reader(sf_dir)
+    hits = r.search_function_score(
+        "merge sort", "n_chars", factor=0.1, modifier="log1p", k=10
+    )
+    return _hits_frame(hits)
+
+
+def q_agg_percentiles(sf_dir: str):
+    """Percentiles aggregation over n_chars of docs matching
+    'merge join' (exact, linear interpolation == SQL percentile_cont;
+    engine.percentiles_agg)."""
+    r = _reader(sf_dir)
+    vals = r.percentiles_agg("merge join", "n_chars", (5, 25, 50, 75, 95))
+    return pd.DataFrame(
+        {"pct": [float(p) for p in vals], "value": [vals[p] for p in vals]}
+    )
+
+
+def q_term_suggest(sf_dir: str):
+    """Term suggester ("did you mean"): dictionary terms within 2
+    edits of the misspelling 'kay', ranked by document frequency
+    descending — popular corrections first (engine.suggest_terms)."""
+    r = _reader(sf_dir)
+    out = r.suggest_terms("kay", size=5, max_edits=2, prefix_length=0)
+    opts = out[0]["options"]
+    return pd.DataFrame(
+        {
+            "suggestion": [o["text"] for o in opts],
+            "freq": pd.array([o["freq"] for o in opts], dtype="int64"),
+        }
+    )
+
+
 def q_bm25_search_after(sf_dir: str):
     """Deep pagination via search_after (cursor = page 1's last hit):
     returns ranks 11-20 of 'merge sort' — O(k) per page at any depth,
@@ -1526,6 +1593,7 @@ def _bm25_sql(
     cols: str = "rank, doc_id, score",
     where: str | None = None,
     offset: int = 0,
+    score_expr: str | None = None,
 ) -> str:
     qcounts = Counter(tokenize(query))
     terms = sorted(qcounts)
@@ -1558,15 +1626,23 @@ def _bm25_sql(
         add = " + ".join(f"COALESCE(p{i}.c, 0)" for i in range(len(terms)))
         scored = f"scored AS (SELECT doc_id, {add} AS score FROM {joins})"
     src = "scored"
+    tail = [scored]
     if where:
-        parts.append(scored + ",")
-        parts.append(
+        tail.append(
             "filt AS (SELECT scored.doc_id, score FROM scored"
             f" JOIN documents USING(doc_id) WHERE {where})"
         )
         src = "filt"
-    else:
-        parts.append(scored)
+    if score_expr:
+        # function_score: re-express the final score in terms of the
+        # BM25 `score` and the doc's stored columns (one multiply/add
+        # after the pinned BM25 chain — same float order as the engine)
+        tail.append(
+            f"fscored AS (SELECT {src}.doc_id, {score_expr} AS score"
+            f" FROM {src} JOIN documents USING(doc_id))"
+        )
+        src = "fscored"
+    parts.append(",\n".join(tail))
     limit = f" LIMIT {k}" if k is not None else ""
     if offset:
         limit += f" OFFSET {offset}"
@@ -1866,6 +1942,35 @@ ORACLE_SQL: dict[str, str] = {
     "dsl_constant_score": (
         "SELECT doc_id, 2.0 AS score FROM documents WHERE n_chars >= 400"
         " ORDER BY doc_id LIMIT 30"
+    ),
+    "match_operator_and": _bool_sql("merge sort", "", "", msm=0, k=10),
+    "regexp_docs": (
+        f"WITH {TOKS_CTE}"
+        " SELECT DISTINCT doc_id FROM toks"
+        " WHERE regexp_full_match(term, 's[a-z]{2}t') ORDER BY doc_id"
+    ),
+    "function_score_nchars": _bm25_sql(
+        "merge sort", 10, score_expr="score * ln(1 + 0.1 * n_chars)"
+    ),
+    "agg_percentiles_nchars": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks"
+        " WHERE term IN ('join', 'merge')),"
+        " v AS (SELECT n_chars FROM documents JOIN m USING(doc_id))"
+        " SELECT 5.0 AS pct, quantile_cont(n_chars, 0.05) AS value FROM v"
+        " UNION ALL SELECT 25.0, quantile_cont(n_chars, 0.25) FROM v"
+        " UNION ALL SELECT 50.0, quantile_cont(n_chars, 0.50) FROM v"
+        " UNION ALL SELECT 75.0, quantile_cont(n_chars, 0.75) FROM v"
+        " UNION ALL SELECT 95.0, quantile_cont(n_chars, 0.95) FROM v"
+        " ORDER BY pct"
+    ),
+    "term_suggest": (
+        f"WITH {TOKS_CTE},"
+        " df AS (SELECT term, count(DISTINCT doc_id) AS freq FROM toks"
+        " GROUP BY term)"
+        " SELECT term AS suggestion, freq FROM df"
+        " WHERE levenshtein(term, 'kay') <= 2 AND term <> 'kay'"
+        " ORDER BY freq DESC, term LIMIT 5"
     ),
     "bm25_search_after": _bm25_sql("merge sort", 10, offset=10),
     # terms aggregation: doc counts per lang over ALL docs matching
@@ -2265,6 +2370,11 @@ QUERIES = {
     "range_query_nchars": q_range_query,
     "terms_query_lang": q_terms_query,
     "dsl_constant_score": q_dsl_constant_score,
+    "match_operator_and": q_match_operator_and,
+    "regexp_docs": q_regexp_docs,
+    "function_score_nchars": q_function_score,
+    "agg_percentiles_nchars": q_agg_percentiles,
+    "term_suggest": q_term_suggest,
     "bm25_search_after": q_bm25_search_after,
     "facet_lang": q_facet_lang,
     "facet_nchars_ranges": q_facet_nchars_ranges,

@@ -9,16 +9,19 @@ that today issues ``POST /index/_search`` bodies can run unchanged
 against this engine.
 
 Supported:
-- query: match (with per-clause boost), match_phrase,
-  match_phrase_prefix, multi_match (best_fields incl. tie_breaker /
-  most_fields), term, terms, range, exists, ids, prefix, wildcard,
-  fuzzy, more_like_this, constant_score, bool (must / should /
-  must_not / filter(term | range | terms | exists | ids, ANDed) /
-  minimum_should_match), match_all
+- query: match (with per-clause boost, operator=and,
+  minimum_should_match), match_phrase, match_phrase_prefix,
+  multi_match (best_fields incl. tie_breaker / most_fields), term,
+  terms, range, exists, ids, prefix, wildcard, regexp, fuzzy,
+  more_like_this, constant_score, function_score (field_value_factor),
+  bool (must / should / must_not / filter(term | range | terms |
+  exists | ids, ANDed) / minimum_should_match), match_all
 - size / from (offset paging), search_after + deterministic sort
   [_score, _id], sort on a numeric doc-value field
-- aggs: terms, range, histogram, stats, cardinality (each over the
-  SAME query's match set)
+- aggs: terms, range, histogram, stats, percentiles, cardinality
+  (each over the SAME query's match set)
+- suggest: the term suggester (fuzzy dictionary candidates ranked by
+  document frequency)
 
 Response shape (the subset clients actually read):
 ``{"hits": {"total": {"value": n}, "hits": [{"_id", "_score"}...]},
@@ -95,6 +98,8 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
         return r.dict_prefix_docs(str(q), f).astype(np.uint64)
     if kind == "wildcard":
         return r.wildcard_docs(str(q), f).astype(np.uint64)
+    if kind == "regexp":
+        return r.regexp_docs(str(q), f).astype(np.uint64)
     if kind == "fuzzy":
         return r.fuzzy_docs(
             str(q),
@@ -125,6 +130,23 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
         boost = float(spec.get("boost", 1.0))
         ids = _match_docs(r, ik, ispec)
         return [(int(d), boost) for d in ids[:k]]
+    if kind == "function_score":
+        ik, ispec = _one(spec["query"], "function_score.query")
+        if ik != "match":
+            raise ValueError("function_score supports a 'match' inner query")
+        fvf = spec.get("field_value_factor")
+        if not fvf:
+            raise ValueError("function_score requires field_value_factor")
+        ifield, ibody = _field_query(ispec)
+        return r.search_function_score(
+            str(ibody.get("query", "")),
+            str(fvf["field"]),
+            factor=float(fvf.get("factor", 1.0)),
+            modifier=str(fvf.get("modifier", "log1p")),
+            boost_mode=str(spec.get("boost_mode", "multiply")),
+            k=k,
+            field=None if ifield == r.primary_field else ifield,
+        )
     if kind == "multi_match":
         # best_fields (the OpenSearch default) = dis_max over per-field
         # match queries; most_fields = per-field score sum
@@ -143,7 +165,18 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
     f = None if field == r.primary_field else field
     boost = float(body.get("boost", 1.0))
     if kind == "match":
-        hits = r.search_pruned(q, k, field=f)
+        op = str(body.get("operator", "or")).lower()
+        msm = body.get("minimum_should_match")
+        if op == "and":
+            # all analyzed terms required: the bool-must evaluator IS
+            # that semantics (same BM25 sum, candidates = AND set)
+            hits = r.search_bool(must=q, k=k, field=f)
+        elif msm is not None:
+            hits = r.search_bool(
+                should=q, minimum_should_match=int(msm), k=k, field=f
+            )
+        else:
+            hits = r.search_pruned(q, k, field=f)
         # per-clause boost scales the clause's final score (one multiply
         # on the already-combined sum, applied identically everywhere
         # this clause's score is consumed)
@@ -251,6 +284,16 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
             }
         elif akind == "stats":
             out[name] = r.stats_agg(qtext, afield, field=f)
+        elif akind == "percentiles":
+            pcts = tuple(aspec.get("percents", (1, 5, 25, 50, 75, 95, 99)))
+            out[name] = {
+                "values": {
+                    str(float(p)): v
+                    for p, v in r.percentiles_agg(
+                        qtext, afield, pcts, field=f
+                    ).items()
+                }
+            }
         elif akind == "cardinality":
             out[name] = {"value": r.cardinality_agg(qtext, afield, field=f)}
         else:
@@ -319,4 +362,19 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
     }
     if body.get("aggs"):
         resp["aggregations"] = _aggregations(r, kind, spec, body["aggs"])
+    if body.get("suggest"):
+        sugg: dict[str, Any] = {}
+        for name, s in body["suggest"].items():
+            if "term" not in s:
+                raise ValueError("only the 'term' suggester is supported")
+            t = s["term"]
+            fld = t.get("field")
+            sugg[name] = r.suggest_terms(
+                str(s["text"]),
+                size=int(t.get("size", 3)),
+                max_edits=int(t.get("max_edits", 2)),
+                prefix_length=int(t.get("prefix_length", 1)),
+                field=None if fld in (None, r.primary_field) else str(fld),
+            )
+        resp["suggest"] = sugg
     return resp

@@ -903,6 +903,78 @@ class IndexReader:
         order = np.lexsort((dids, key))[:k]
         return [(int(dids[i]), vals[i].item()) for i in order]
 
+    def percentiles_agg(
+        self,
+        query: str,
+        agg_field: str,
+        percents: tuple[float, ...] = (1, 5, 25, 50, 75, 95, 99),
+        field: str | None = None,
+    ) -> dict[float, float]:
+        """Percentiles aggregation (OpenSearch ``aggs.percentiles``),
+        EXACT variant with linear interpolation — the same estimator as
+        SQL ``percentile_cont`` / numpy's default, so it is
+        oracle-checkable (OpenSearch's t-digest is approximate; the
+        match set after a query is small enough that exact is the right
+        default, mirroring ``cardinality_agg``'s choice)."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return {float(p): None for p in percents}
+        vals = self._gather_column(cand, agg_field).astype(np.float64)
+        qs = np.percentile(vals, list(percents))
+        return {float(p): float(v) for p, v in zip(percents, qs)}
+
+    def search_function_score(
+        self,
+        query: str,
+        fs_field: str,
+        factor: float = 1.0,
+        modifier: str = "log1p",
+        boost_mode: str = "multiply",
+        k: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """``function_score`` with a ``field_value_factor`` function:
+        final score = BM25(query) <boost_mode> modifier(factor * value)
+        where ``value`` is a stored numeric doc-value of the matching
+        doc. Supported modifiers: ``log1p`` (ln(1 + f*v)), ``sqrt``,
+        ``none``; boost_mode ``multiply`` (OpenSearch default) or
+        ``sum``. Evaluation is one combine over the query's posting
+        runs, one doc-value gather for the candidates, one vectorized
+        modifier — then the standard (score desc, doc_id asc) rank."""
+        avgdl = self.field_avgdl(field)
+        qcounts = Counter(self.field_terms(query, field))
+        postings = self.load_postings(sorted(qcounts))
+        parts_ids, parts_scores = [], []
+        for term in sorted(qcounts):
+            p = postings.get(term)
+            if p is None:
+                continue
+            contrib = qcounts[term] * self.idf(p.df) * self._norm_cached(p, avgdl)
+            parts_ids.append(p.doc_ids)
+            parts_scores.append(contrib)
+        if not parts_ids:
+            return []
+        uniq, scores = self._combine(parts_ids, parts_scores)
+        vals = self._gather_column(uniq, fs_field).astype(np.float64)
+        if modifier == "log1p":
+            # ln(1 + f*v) computed as the literal chain (not np.log1p):
+            # the SQL oracle's `ln(1 + f*v)` must see identical floats
+            fv = np.log(1.0 + factor * vals)
+        elif modifier == "sqrt":
+            fv = np.sqrt(factor * vals)
+        elif modifier == "none":
+            fv = factor * vals
+        else:
+            raise ValueError(f"unsupported field_value_factor modifier {modifier!r}")
+        if boost_mode == "multiply":
+            scores = scores * fv
+        elif boost_mode == "sum":
+            scores = scores + fv
+        else:
+            raise ValueError(f"unsupported boost_mode {boost_mode!r}")
+        ids, sc = self._rank(uniq, scores, k)
+        return list(zip(ids.tolist(), sc.tolist()))
+
     def cardinality_agg(
         self, query: str, agg_field: str, field: str | None = None
     ) -> int:
@@ -1075,6 +1147,64 @@ class IndexReader:
         (the sayt route in ``term_docs`` answers the same question from
         edge-grams without a dictionary — both are OpenSearch idioms)."""
         return self._expanded_docs(self.expand_prefix(prefix, field), field)
+
+    def expand_regexp(self, pattern: str, field: str | None = None) -> list[str]:
+        """Dictionary terms fully matching an RE2 regular expression
+        (OpenSearch ``regexp`` query: anchored both ends, Lucene
+        automaton semantics). One vectorized Arrow regex pass — Arrow's
+        ``match_substring_regex`` IS RE2, the same engine DuckDB's
+        ``regexp_full_match`` uses, so oracle parity is by construction."""
+        import pyarrow.compute as pc
+
+        d = self.term_dictionary(field)
+        rx = f"^(?:{pattern})$"
+        return d.filter(pc.match_substring_regex(d, rx)).to_pylist()
+
+    def regexp_docs(self, pattern: str, field: str | None = None) -> np.ndarray:
+        """Doc ids matching a ``regexp`` query (sorted unsigned)."""
+        return self._expanded_docs(self.expand_regexp(pattern, field), field)
+
+    def suggest_terms(
+        self,
+        text: str,
+        size: int = 3,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+        field: str | None = None,
+    ) -> list[dict]:
+        """Term suggester (OpenSearch ``suggest.term``, "did you mean"):
+        for each analyzed input token, dictionary terms within
+        ``max_edits`` Levenshtein edits ranked by document frequency
+        descending (popular corrections first — Lucene's
+        DirectSpellChecker default), ties broken term-ascending. The
+        input token itself is excluded; ``size`` candidates per token.
+
+        Returns ``[{"text": tok, "options": [{"text", "freq"}...]}]``.
+        df comes from one pruned postings read of the candidate terms
+        (footer-stats shard pruning), not a corpus scan."""
+        out = []
+        for tok in tokenize(text):
+            cands = [
+                t
+                for t in self.expand_fuzzy(tok, max_edits, prefix_length, field)
+                if t != tok
+            ]
+            if field is not None and field != self.primary_field:
+                keyed = {f"{field}:{t}": t for t in cands}
+            else:
+                keyed = {t: t for t in cands}
+            postings = self.load_postings(sorted(keyed))
+            opts = sorted(
+                ((keyed[k], int(p.df)) for k, p in postings.items()),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:size]
+            out.append(
+                {
+                    "text": tok,
+                    "options": [{"text": t, "freq": f} for t, f in opts],
+                }
+            )
+        return out
 
     @staticmethod
     def _isect_sorted(cand: np.ndarray, fp: TermPostings) -> np.ndarray:
