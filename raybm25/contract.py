@@ -340,6 +340,54 @@ def q_term_suggest(sf_dir: str):
     )
 
 
+def q_intervals_ordered(sf_dir: str):
+    """OpenSearch ``intervals`` query (all_of, ordered, max_gaps=2):
+    docs where 'merge' is followed by 'sort' within two intervening
+    tokens — greedy-chain evaluation over positional postings
+    (engine.intervals_docs)."""
+    r = _IndexReader()(_pos_index(sf_dir))
+    ids = np.sort(r.intervals_docs("merge sort", max_gaps=2, ordered=True))
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
+def q_significant_terms(sf_dir: str):
+    """significant_terms aggregation (JLH): terms over-represented in
+    docs matching 'merge sort' vs the whole corpus — foreground counts
+    from one stored-text gather + batch tokenize, background df from a
+    term+df-only pruned shard read (engine.significant_terms)."""
+    r = _reader(sf_dir)
+    rows = r.significant_terms("merge sort", size=10)
+    return pd.DataFrame(
+        {
+            "term": [t for t, _, _, _ in rows],
+            "fg_count": pd.array([f for _, f, _, _ in rows], dtype="int64"),
+            "bg_count": pd.array([b for _, _, b, _ in rows], dtype="int64"),
+            "score": [s for _, _, _, s in rows],
+        }
+    )
+
+
+def q_agg_top_hits(sf_dir: str):
+    """terms agg + top_hits sub-agg: the 2 best-scoring docs per lang
+    bucket for 'merge join' — one combine + one doc-value gather + one
+    lexsort, no per-bucket re-query (engine.facet_top_hits)."""
+    r = _reader(sf_dir)
+    rows = r.facet_top_hits("merge join", "lang", per_group_k=2)
+    return pd.DataFrame(
+        {
+            "lang": [g for g, _, _, _ in rows],
+            "rank_in": pd.array([k for _, k, _, _ in rows], dtype="int64"),
+            "doc_id": pd.array(
+                [int(np.int64(np.uint64(d))) for _, _, d, _ in rows],
+                dtype="int64",
+            ),
+            "score": [s for _, _, _, s in rows],
+        }
+    )
+
+
 def q_bm25_search_after(sf_dir: str):
     """Deep pagination via search_after (cursor = page 1's last hit):
     returns ranks 11-20 of 'merge sort' — O(k) per page at any depth,
@@ -1972,6 +2020,43 @@ ORACLE_SQL: dict[str, str] = {
         " WHERE levenshtein(term, 'kay') <= 2 AND term <> 'kay'"
         " ORDER BY freq DESC, term LIMIT 5"
     ),
+    # intervals all_of(ordered, max_gaps=2): exists i<j with
+    # toks[i]='merge', toks[j]='sort', j-i-1 <= 2
+    "intervals_ordered": (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
+        " AS toks FROM documents)"
+        " SELECT doc_id FROM t WHERE len(list_filter(range(1, len(toks)+1),"
+        " i -> toks[i] = 'merge' AND len(list_filter("
+        "range(i+1, least(i+4, len(toks)+1)), j -> toks[j] = 'sort')) > 0)) > 0"
+        " ORDER BY doc_id"
+    ),
+    "significant_terms": (
+        f"WITH {TOKS_CTE},"
+        " fg AS (SELECT DISTINCT doc_id FROM toks"
+        " WHERE term IN ('merge', 'sort')),"
+        " fsz AS (SELECT count(*) AS n FROM fg),"
+        " bsz AS (SELECT count(*) AS n FROM documents),"
+        " fgc AS (SELECT term, count(DISTINCT toks.doc_id) AS fg_count"
+        " FROM toks JOIN fg USING(doc_id) GROUP BY term),"
+        " bgc AS (SELECT term, count(DISTINCT doc_id) AS bg_count FROM toks"
+        " GROUP BY term),"
+        " s AS (SELECT fgc.term, fg_count, bg_count,"
+        " (fg_count/fsz.n - bg_count/bsz.n) *"
+        " ((fg_count/fsz.n) / (bg_count/bsz.n)) AS score"
+        " FROM fgc JOIN bgc USING(term), fsz, bsz"
+        " WHERE fg_count >= 3 AND fg_count/fsz.n > bg_count/bsz.n)"
+        " SELECT term, fg_count, bg_count, score FROM s"
+        " ORDER BY score DESC, term LIMIT 10"
+    ),
+    "agg_top_hits": (
+        "SELECT lang, rank_in, doc_id, score FROM ("
+        " SELECT d.lang, s.doc_id, s.score,"
+        " row_number() OVER (PARTITION BY d.lang"
+        " ORDER BY s.score DESC, s.doc_id) AS rank_in"
+        f" FROM ({_bm25_sql('merge join', None, cols='doc_id, score')}) s"
+        " JOIN documents d USING(doc_id))"
+        " WHERE rank_in <= 2 ORDER BY lang, rank_in"
+    ),
     "bm25_search_after": _bm25_sql("merge sort", 10, offset=10),
     # terms aggregation: doc counts per lang over ALL docs matching
     # 'merge join' (match = OR), count desc / value asc, top 10
@@ -2375,6 +2460,9 @@ QUERIES = {
     "function_score_nchars": q_function_score,
     "agg_percentiles_nchars": q_agg_percentiles,
     "term_suggest": q_term_suggest,
+    "intervals_ordered": q_intervals_ordered,
+    "significant_terms": q_significant_terms,
+    "agg_top_hits": q_agg_top_hits,
     "bm25_search_after": q_bm25_search_after,
     "facet_lang": q_facet_lang,
     "facet_nchars_ranges": q_facet_nchars_ranges,

@@ -14,12 +14,14 @@ Supported:
   multi_match (best_fields incl. tie_breaker / most_fields), term,
   terms, range, exists, ids, prefix, wildcard, regexp, fuzzy,
   more_like_this, constant_score, function_score (field_value_factor),
-  bool (must / should / must_not / filter(term | range | terms |
-  exists | ids, ANDed) / minimum_should_match), match_all
+  intervals (all_of: ordered / max_gaps), bool (must / should /
+  must_not / filter(term | range | terms | exists | ids, ANDed) /
+  minimum_should_match), match_all
 - size / from (offset paging), search_after + deterministic sort
   [_score, _id], sort on a numeric doc-value field
-- aggs: terms, range, histogram, stats, percentiles, cardinality
-  (each over the SAME query's match set)
+- aggs: terms, range, histogram, stats, percentiles, cardinality,
+  significant_terms (JLH), terms + top_hits sub-agg (each over the
+  SAME query's match set)
 - suggest: the term suggester (fuzzy dictionary candidates ranked by
   document frequency)
 
@@ -79,6 +81,23 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
     field, body = _field_query(spec)
     q = body.get("query", body.get("value", ""))
     f = None if field == r.primary_field else field
+    if kind == "intervals":
+        ao = body.get("all_of")
+        if not ao:
+            raise ValueError("intervals supports the 'all_of' source")
+        if "query" in ao:
+            text = str(ao["query"])
+        else:
+            text = " ".join(
+                str(_one(iv, "interval source")[1]["query"])
+                for iv in ao["intervals"]
+            )
+        return r.intervals_docs(
+            text,
+            max_gaps=int(ao.get("max_gaps", -1)),
+            ordered=bool(ao.get("ordered", False)),
+            field=f,
+        )
     if kind == "range":
         bounds = {kk: body[kk] for kk in ("gte", "gt", "lte", "lt") if kk in body}
         return r.range_docs(field, **bounds)
@@ -258,6 +277,25 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
     else:
         raise ValueError("aggs are supported over 'match' queries")
     for name, agg in aggs.items():
+        if isinstance(agg, dict) and "terms" in agg and "aggs" in agg:
+            # terms bucket agg with a top_hits sub-agg
+            sub_name, sub = _one(agg["aggs"], f"agg {name}.aggs")
+            if "top_hits" not in sub:
+                raise ValueError("nested sub-aggs support 'top_hits' only")
+            rows = r.facet_top_hits(
+                qtext,
+                agg["terms"]["field"],
+                per_group_k=int(sub["top_hits"].get("size", 3)),
+                field=f,
+            )
+            buckets: dict[str, dict] = {}
+            for g, rank, did, score in rows:
+                b = buckets.setdefault(
+                    str(g), {"key": g, sub_name: {"hits": {"hits": []}}}
+                )
+                b[sub_name]["hits"]["hits"].append({"_id": did, "_score": score})
+            out[name] = {"buckets": list(buckets.values())}
+            continue
         akind, aspec = _one(agg, f"agg {name}")
         afield = aspec["field"]
         if akind == "terms":
@@ -296,6 +334,28 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
             }
         elif akind == "cardinality":
             out[name] = {"value": r.cardinality_agg(qtext, afield, field=f)}
+        elif akind == "significant_terms":
+            if afield not in (r.primary_field, field):
+                raise ValueError(
+                    "significant_terms runs over the query's text field"
+                )
+            rows = r.significant_terms(
+                qtext,
+                size=int(aspec.get("size", 10)),
+                field=f,
+                min_doc_count=int(aspec.get("min_doc_count", 3)),
+            )
+            out[name] = {
+                "buckets": [
+                    {
+                        "key": t,
+                        "doc_count": fg,
+                        "bg_count": bg,
+                        "score": sc,
+                    }
+                    for t, fg, bg, sc in rows
+                ]
+            }
         else:
             raise ValueError(f"unsupported agg kind {akind!r}")
     return out

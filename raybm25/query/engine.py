@@ -903,6 +903,158 @@ class IndexReader:
         order = np.lexsort((dids, key))[:k]
         return [(int(dids[i]), vals[i].item()) for i in order]
 
+    def _df_only(self, terms: list[str]) -> dict[str, int]:
+        """Document frequency for a set of terms WITHOUT decoding
+        postings: a term+df column read of the pruned shard row-groups
+        (the same footer-stats pruning as ``load_postings``), summed
+        over a term's range segments. Backs stats-only consumers
+        (significant_terms' background counts) at a fraction of a full
+        postings load."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        out: dict[str, int] = {}
+        if not terms:
+            return out
+        for p in self._shard_paths(terms):
+            entry = self._shard_pf.get(p)
+            if entry is None:
+                pf = pq.ParquetFile(p)
+                md = pf.metadata
+                term_idx = pf.schema_arrow.get_field_index("term")
+                mins, maxs = [], []
+                for gi in range(md.num_row_groups):
+                    st = md.row_group(gi).column(term_idx).statistics
+                    mins.append(st.min if st else "")
+                    maxs.append(st.max if st else "\U0010ffff")
+                entry = self._shard_pf[p] = (pf, mins, maxs)
+            pf, mins, maxs = entry
+            groups = [
+                gi
+                for gi in range(len(mins))
+                if any(mins[gi] <= t <= maxs[gi] for t in terms)
+            ]
+            if not groups:
+                continue
+            t = pf.read_row_groups(groups, columns=["term", "df"])
+            mask = pc.is_in(t.column("term"), value_set=pa.array(terms, pa.string()))
+            t = t.filter(mask)
+            for term, df in zip(
+                t.column("term").to_pylist(), t.column("df").to_pylist()
+            ):
+                out[term] = out.get(term, 0) + int(df)
+        return out
+
+    def significant_terms(
+        self,
+        query: str,
+        size: int = 10,
+        field: str | None = None,
+        min_doc_count: int = 3,
+    ) -> list[tuple[str, int, int, float]]:
+        """significant_terms aggregation (JLH heuristic, OpenSearch's
+        default): terms over-represented in the query's match set
+        (foreground) vs the whole corpus (background). score =
+        (fgPct - bgPct) * (fgPct / bgPct) for terms with fgPct > bgPct
+        and at least ``min_doc_count`` foreground docs; top ``size`` by
+        (score desc, term asc). Returns (term, fg_count, bg_count,
+        score).
+
+        Foreground counts come from re-tokenizing the match set's
+        STORED text (one doc-value gather + one C-speed batch tokenize
+        — the match set is query-sized, not corpus-sized); background
+        df comes from a term+df-only pruned shard read (``_df_only``),
+        so no posting list is decoded at all."""
+        from ..analysis import arrow_tokenize
+
+        cand = self._match_ordinals(query, field)
+        n_fg = int(cand.size)
+        if n_fg == 0:
+            return []
+        col = self.primary_field if field is None else field
+        texts = self._gather_column(cand, col)
+        tid, terms, doc_pos, _ = arrow_tokenize(
+            pa.array([t if t is not None else "" for t in texts], pa.string())
+        )
+        if tid.size == 0:
+            return []
+        ukeys = np.unique(tid * np.int64(n_fg) + doc_pos)
+        fg_counts = np.bincount(ukeys // n_fg, minlength=len(terms))
+        keep = np.flatnonzero(fg_counts >= min_doc_count)
+        if keep.size == 0:
+            return []
+        cand_terms = [str(terms[i]) for i in keep]
+        if field is not None and field != self.primary_field:
+            bg_map = self._df_only(sorted(f"{field}:{t}" for t in cand_terms))
+            bg = np.array(
+                [bg_map.get(f"{field}:{t}", 0) for t in cand_terms], dtype=np.int64
+            )
+        else:
+            bg_map = self._df_only(sorted(cand_terms))
+            bg = np.array([bg_map.get(t, 0) for t in cand_terms], dtype=np.int64)
+        fg = fg_counts[keep].astype(np.int64)
+        n_bg = int(self.manifest["corpus"]["n_docs"])
+        # float chain pinned to the SQL oracle: BIGINT/BIGINT division
+        # is float64 in DuckDB, so divide first, THEN compare/combine
+        fg_pct = fg / np.float64(n_fg)
+        bg_pct = bg / np.float64(n_bg)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        ok = np.flatnonzero((fg_pct > bg_pct) & (bg > 0))
+        rows = sorted(
+            (
+                (cand_terms[i], int(fg[i]), int(bg[i]), float(score[i]))
+                for i in ok
+            ),
+            key=lambda r: (-r[3], r[0]),
+        )
+        return rows[:size]
+
+    def facet_top_hits(
+        self,
+        query: str,
+        group_field: str,
+        per_group_k: int = 3,
+        field: str | None = None,
+    ) -> list[tuple[object, int, int, float]]:
+        """terms aggregation with a ``top_hits`` sub-aggregation: the
+        best-scoring docs per keyword bucket. One combine over the
+        query's posting runs, one doc-value gather for the bucket keys,
+        then a single lexsort (group asc, score desc, doc_id asc) and a
+        vectorized per-group rank cut — no per-bucket re-query. Returns
+        (group_value, rank_in_group, doc_id, score) sorted by (group,
+        rank)."""
+        avgdl = self.field_avgdl(field)
+        qcounts = Counter(self.field_terms(query, field))
+        postings = self.load_postings(sorted(qcounts))
+        parts_ids, parts_scores = [], []
+        for term in sorted(qcounts):
+            p = postings.get(term)
+            if p is None:
+                continue
+            contrib = qcounts[term] * self.idf(p.df) * self._norm_cached(p, avgdl)
+            parts_ids.append(p.doc_ids)
+            parts_scores.append(contrib)
+        if not parts_ids:
+            return []
+        uniq, scores = self._combine(parts_ids, parts_scores)
+        gvals = self._gather_column(uniq, group_field)
+        gu, gcodes = np.unique(gvals.astype(str), return_inverse=True)
+        dids = self._map_ordinals(uniq)
+        order = np.lexsort((dids, -scores, gcodes))
+        gc_sorted = gcodes[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], gc_sorted[1:] != gc_sorted[:-1]))
+        )
+        group_start = starts[np.searchsorted(starts, np.arange(order.size), "right") - 1]
+        rank_in = np.arange(order.size) - group_start
+        keep = rank_in < per_group_k
+        sel = order[keep]
+        return [
+            (gu[gcodes[i]], int(rank_in[keep][j]) + 1, int(dids[i]), float(scores[i]))
+            for j, i in enumerate(sel)
+        ]
+
     def percentiles_agg(
         self,
         query: str,
@@ -1602,6 +1754,93 @@ class IndexReader:
                 return none
         d_hit, ptf = np.unique(keys // M, return_counts=True)
         return cand[d_hit], ptf.astype(np.int64), cand_dls[d_hit], terms
+
+    def intervals_docs(
+        self,
+        query: str,
+        max_gaps: int = 0,
+        ordered: bool = True,
+        field: str | None = None,
+    ) -> np.ndarray:
+        """OpenSearch ``intervals`` query, ``all_of`` source: docs where
+        all analyzed terms occur within a span whose internal gap total
+        is at most ``max_gaps`` (``span_end - span_start - (n-1) <=
+        max_gaps``); ``ordered=True`` additionally requires the terms to
+        appear in query order. ``ordered=True, max_gaps=0`` degenerates
+        to exact phrase.
+
+        Fully vectorized greedy-chain evaluation: candidates are the
+        AND of the terms' posting lists; term 1's occurrences seed
+        ``(doc, pos)`` keys, then each subsequent term advances every
+        chain to its EARLIEST strictly-later occurrence in the same doc
+        (one ``searchsorted`` per term). The greedy chain minimizes the
+        end position for each start, so the final span test is exact.
+        ``ordered=False`` is supported for two terms (both orders,
+        union); k>2 unordered would need a k-list minimal-window sweep
+        and raises loudly."""
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                "index was built without positions=True; intervals needs "
+                "positional postings"
+            )
+        terms = self.field_terms(query, field)
+        if not terms:
+            return np.empty(0, np.uint64)
+        if not ordered:
+            if len(terms) == 1:
+                ordered = True
+            elif len(terms) == 2:
+                a = self.intervals_docs(query, max_gaps, True, field)
+                rev = " ".join(reversed(query.split()))
+                b = self.intervals_docs(rev, max_gaps, True, field)
+                return np.union1d(a, b)
+            else:
+                raise ValueError(
+                    "unordered intervals are supported for <= 2 terms"
+                )
+        postings = self.load_postings(sorted(set(terms)))
+        if any(t not in postings for t in terms):
+            return np.empty(0, np.uint64)
+        uniq = sorted(set(terms))
+        cand = postings[uniq[0]].doc_ids
+        for t in uniq[1:]:
+            cand = np.intersect1d(cand, postings[t].doc_ids, assume_unique=True)
+        if cand.size == 0:
+            return np.empty(0, np.uint64)
+        M = int(max(int(postings[t].poss.max()) for t in uniq)) + 2
+
+        def keys_of(tp: TermPostings) -> np.ndarray:
+            sel = np.searchsorted(tp.doc_ids, cand)
+            off = tp.pos_offsets()
+            sizes = tp.tfs[sel].astype(np.int64)
+            starts = off[sel]
+            total = int(sizes.sum())
+            run_off = np.zeros(cand.size + 1, dtype=np.int64)
+            np.cumsum(sizes, out=run_off[1:])
+            gather = (
+                np.repeat(starts - run_off[:-1], sizes)
+                + np.arange(total, dtype=np.int64)
+            )
+            d_idx = np.repeat(np.arange(cand.size, dtype=np.int64), sizes)
+            return d_idx * M + tp.poss[gather].astype(np.int64)
+
+        cur = keys_of(postings[terms[0]])
+        start = cur.copy()
+        for t in terms[1:]:
+            nxt = keys_of(postings[t])
+            idx = np.searchsorted(nxt, cur, side="right")
+            ok = idx < nxt.size
+            idx = np.minimum(idx, nxt.size - 1)
+            stepped = nxt[idx]
+            ok &= (stepped // M) == (cur // M)
+            cur, start = stepped[ok], start[ok]
+            if cur.size == 0:
+                return np.empty(0, np.uint64)
+        span_gap = (cur % M) - (start % M) - (len(terms) - 1)
+        if max_gaps < 0:  # OpenSearch max_gaps=-1: unlimited
+            max_gaps = np.iinfo(np.int64).max // 2
+        hit = np.unique(start[span_gap <= max_gaps] // M)
+        return np.sort(self._map_ordinals(cand[hit]))
 
     def match_phrase_prefix(
         self, phrase: str, field: str | None = None, max_expansions: int = 50
