@@ -304,12 +304,15 @@ def q_regexp_docs(sf_dir: str):
 
 def q_function_score(sf_dir: str):
     """function_score / field_value_factor: BM25('merge sort') *
-    ln(1 + 0.1 * n_chars) — longer docs boosted
+    sqrt(0.1 * n_chars) — longer docs boosted
     (engine.search_function_score; one combine + one doc-value gather +
-    one vectorized multiply)."""
+    one vectorized multiply). sqrt, not log1p, for the oracle-checked
+    entry: IEEE sqrt is correctly rounded in both numpy and DuckDB,
+    while their libm ln implementations differ by 1 ulp on some inputs
+    (log1p is pytest-covered instead)."""
     r = _reader(sf_dir)
     hits = r.search_function_score(
-        "merge sort", "n_chars", factor=0.1, modifier="log1p", k=10
+        "merge sort", "n_chars", factor=0.1, modifier="sqrt", k=10
     )
     return _hits_frame(hits)
 
@@ -386,6 +389,50 @@ def q_agg_top_hits(sf_dir: str):
             "score": [s for _, _, _, s in rows],
         }
     )
+
+
+def q_collapse_by_lang(sf_dir: str):
+    """Field collapsing: the hit list for 'merge sort' keeps only the
+    best-scoring doc per lang, ranked (score desc, doc_id asc)
+    (engine.search_collapse — one combine + gather + lexsort)."""
+    r = _reader(sf_dir)
+    rows = r.search_collapse("merge sort", "lang", k=8)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(rows) + 1), dtype="int64"),
+            "doc_id": pd.array(
+                [int(np.int64(np.uint64(d))) for d, _, _ in rows], dtype="int64"
+            ),
+            "score": [s for _, s, _ in rows],
+            "lang": [str(g) for _, _, g in rows],
+        }
+    )
+
+
+def q_rescore_phrase(sf_dir: str):
+    """Rescore: re-rank the top-30 'merge sort' window by 1.0*base +
+    2.0*phrase_bm25('merge sort') — exact-phrase hits float to the top
+    of the window (engine.rescore over the positional index)."""
+    r = _IndexReader()(_pos_index(sf_dir))
+    hits = r.rescore(
+        "merge sort",
+        "merge sort",
+        window_size=30,
+        query_weight=1.0,
+        rescore_weight=2.0,
+        k=10,
+    )
+    return _hits_frame(hits)
+
+
+def q_count_match(sf_dir: str):
+    """_count endpoint: total docs matching 'merge join' (match = OR),
+    no scoring (query/dsl.run_count)."""
+    from .query.dsl import run_count
+
+    r = _reader(sf_dir)
+    out = run_count(r, {"query": {"match": {"text": "merge join"}}})
+    return pd.DataFrame({"count": pd.array([out["count"]], dtype="int64")})
 
 
 def q_bm25_search_after(sf_dir: str):
@@ -1998,7 +2045,11 @@ ORACLE_SQL: dict[str, str] = {
         " WHERE regexp_full_match(term, 's[a-z]{2}t') ORDER BY doc_id"
     ),
     "function_score_nchars": _bm25_sql(
-        "merge sort", 10, score_expr="score * ln(1 + 0.1 * n_chars)"
+        # CAST: DuckDB parses a bare 0.1 as DECIMAL(2,1); sqrt (not
+        # ln): IEEE sqrt is correctly rounded in both numpy and DuckDB
+        # libm, ln differs by 1 ulp on some inputs
+        "merge sort", 10,
+        score_expr="score * sqrt(CAST(0.1 AS DOUBLE) * n_chars)",
     ),
     "agg_percentiles_nchars": (
         f"WITH {TOKS_CTE},"
@@ -2056,6 +2107,35 @@ ORACLE_SQL: dict[str, str] = {
         f" FROM ({_bm25_sql('merge join', None, cols='doc_id, score')}) s"
         " JOIN documents d USING(doc_id))"
         " WHERE rank_in <= 2 ORDER BY lang, rank_in"
+    ),
+    "collapse_by_lang": (
+        "SELECT rank, doc_id, score, lang FROM ("
+        " SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,"
+        " doc_id, score, lang FROM ("
+        " SELECT d.lang, s.doc_id, s.score,"
+        " row_number() OVER (PARTITION BY d.lang"
+        " ORDER BY s.score DESC, s.doc_id) AS rn"
+        f" FROM ({_bm25_sql('merge sort', None, cols='doc_id, score')}) s"
+        " JOIN documents d USING(doc_id)) WHERE rn = 1)"
+        " ORDER BY rank LIMIT 8"
+    ),
+    "rescore_phrase": (
+        "WITH base AS (SELECT doc_id, score FROM"
+        f" ({_bm25_sql('merge sort', 30, cols='doc_id, score')})),"
+        " ph AS (SELECT doc_id, score AS ps FROM"
+        f" ({_phrase_bm25_sql('merge sort', 10**9)}))"
+        " SELECT rank, doc_id, score FROM ("
+        " SELECT row_number() OVER (ORDER BY s DESC, doc_id) AS rank,"
+        " doc_id, s AS score FROM ("
+        " SELECT base.doc_id, CAST(1.0 AS DOUBLE) * base.score +"
+        " CAST(2.0 AS DOUBLE) * COALESCE(ph.ps, CAST(0.0 AS DOUBLE)) AS s"
+        " FROM base LEFT JOIN ph USING(doc_id)))"
+        " ORDER BY rank LIMIT 10"
+    ),
+    "count_match": (
+        f"WITH {TOKS_CTE}"
+        " SELECT count(DISTINCT doc_id) AS count FROM toks"
+        " WHERE term IN ('join', 'merge')"
     ),
     "bm25_search_after": _bm25_sql("merge sort", 10, offset=10),
     # terms aggregation: doc counts per lang over ALL docs matching
@@ -2460,6 +2540,9 @@ QUERIES = {
     "function_score_nchars": q_function_score,
     "agg_percentiles_nchars": q_agg_percentiles,
     "term_suggest": q_term_suggest,
+    "collapse_by_lang": q_collapse_by_lang,
+    "rescore_phrase": q_rescore_phrase,
+    "count_match": q_count_match,
     "intervals_ordered": q_intervals_ordered,
     "significant_terms": q_significant_terms,
     "agg_top_hits": q_agg_top_hits,

@@ -18,7 +18,9 @@ Supported:
   must_not / filter(term | range | terms | exists | ids, ANDed) /
   minimum_should_match), match_all
 - size / from (offset paging), search_after + deterministic sort
-  [_score, _id], sort on a numeric doc-value field
+  [_score, _id], sort on a numeric doc-value field, collapse (field
+  collapsing), rescore (match_phrase window re-ranking), and
+  ``run_count`` for the ``_count`` endpoint
 - aggs: terms, range, histogram, stats, percentiles, cardinality,
   significant_terms (JLH), terms + top_hits sub-agg (each over the
   SAME query's match set)
@@ -361,6 +363,22 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
     return out
 
 
+def run_count(index_dir_or_reader, body: dict) -> dict:
+    """OpenSearch ``_count``: total docs matching the query, no
+    scoring, no hits. Supports every unscored clause ``_match_docs``
+    knows plus ``bool`` (candidate-set size)."""
+    r = (
+        index_dir_or_reader
+        if isinstance(index_dir_or_reader, IndexReader)
+        else IndexReader(index_dir_or_reader)
+    )
+    kind, spec = _one(body.get("query", {"match_all": {}}), "query")
+    if kind == "bool":
+        hits = _bool_hits(r, spec, k=r.n_docs)
+        return {"count": len(hits)}
+    return {"count": int(_match_docs(r, kind, spec).size)}
+
+
 def run_query(index_dir_or_reader, body: dict) -> dict:
     """Execute one OpenSearch-DSL request body. See module docstring
     for the supported subset; raises ValueError on anything outside
@@ -411,6 +429,38 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
         )
     elif kind == "bool":
         hits = _bool_hits(r, spec, offset + size)[offset:]
+    elif body.get("collapse") is not None:
+        if kind != "match":
+            raise ValueError("collapse is supported over 'match' queries")
+        field, qb = _field_query(spec)
+        rows = r.search_collapse(
+            str(qb.get("query", "")),
+            str(body["collapse"]["field"]),
+            k=offset + size,
+            field=None if field == r.primary_field else field,
+        )[offset:]
+        hits = [(d, s) for d, s, _ in rows]
+    elif body.get("rescore") is not None:
+        if kind != "match":
+            raise ValueError("rescore is supported over 'match' queries")
+        rs = body["rescore"]
+        rq = rs["query"]["rescore_query"]
+        rk, rspec = _one(rq, "rescore_query")
+        if rk != "match_phrase":
+            raise ValueError("rescore supports a match_phrase rescore query")
+        field, qb = _field_query(spec)
+        rfield, rb = _field_query(rspec)
+        if rfield != field:
+            raise ValueError("rescore query must target the same field")
+        hits = r.rescore(
+            str(qb.get("query", "")),
+            str(rb.get("query", "")),
+            window_size=int(rs.get("window_size", 10)),
+            query_weight=float(rs["query"].get("query_weight", 1.0)),
+            rescore_weight=float(rs["query"].get("rescore_query_weight", 1.0)),
+            k=offset + size,
+            field=None if field == r.primary_field else field,
+        )[offset:]
     else:
         hits = _scored_hits(r, kind, spec, offset + size)[offset:]
 

@@ -1055,6 +1055,123 @@ class IndexReader:
             for j, i in enumerate(sel)
         ]
 
+    def search_collapse(
+        self,
+        query: str,
+        collapse_field: str,
+        k: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[int, float, object]]:
+        """Field collapsing (OpenSearch ``collapse``): the hit list
+        keeps only the best-scoring doc per ``collapse_field`` value,
+        ranked globally by (score desc, doc_id asc). Returns
+        (doc_id, score, collapse_value). Same one-pass shape as
+        ``facet_top_hits`` with per_group_k=1, but ordered like a hit
+        list rather than by bucket."""
+        avgdl = self.field_avgdl(field)
+        qcounts = Counter(self.field_terms(query, field))
+        postings = self.load_postings(sorted(qcounts))
+        parts_ids, parts_scores = [], []
+        for term in sorted(qcounts):
+            p = postings.get(term)
+            if p is None:
+                continue
+            contrib = qcounts[term] * self.idf(p.df) * self._norm_cached(p, avgdl)
+            parts_ids.append(p.doc_ids)
+            parts_scores.append(contrib)
+        if not parts_ids:
+            return []
+        uniq, scores = self._combine(parts_ids, parts_scores)
+        gvals = self._gather_column(uniq, collapse_field)
+        gu, gcodes = np.unique(gvals.astype(str), return_inverse=True)
+        dids = self._map_ordinals(uniq)
+        order = np.lexsort((dids, -scores, gcodes))
+        gc_sorted = gcodes[order]
+        first = np.concatenate(([True], gc_sorted[1:] != gc_sorted[:-1]))
+        best = order[first]  # one winner per group
+        rank = np.lexsort((dids[best], -scores[best]))[:k]
+        sel = best[rank]
+        return [
+            (int(dids[i]), float(scores[i]), gvals[i]) for i in sel
+        ]
+
+    def explain(
+        self, query: str, doc_id: int, field: str | None = None
+    ) -> dict:
+        """Score explanation (OpenSearch ``_explain``): the BM25
+        breakdown for one (query, doc) pair — per-term idf, tf, dl and
+        contribution, plus the total (identical floats to ``search``:
+        contributions are added in sorted-term order)."""
+        avgdl = self.field_avgdl(field)
+        qcounts = Counter(self.field_terms(query, field))
+        postings = self.load_postings(sorted(qcounts))
+        want = np.uint64(doc_id)
+        parts = []
+        total = 0.0
+        for term in sorted(qcounts):
+            p = postings.get(term)
+            if p is None:
+                continue
+            dids = self._map_ordinals(p.doc_ids)
+            hit = np.flatnonzero(dids == want)
+            if hit.size == 0:
+                continue
+            i = int(hit[0])
+            contrib = float(
+                qcounts[term]
+                * self.idf(p.df)
+                * self._norm_cached(p, avgdl)[i]
+            )
+            parts.append(
+                {
+                    "term": term,
+                    "boost": qcounts[term],
+                    "idf": self.idf(p.df),
+                    "df": int(p.df),
+                    "tf": int(p.tfs[i]),
+                    "dl": int(p.dls[i]),
+                    "avgdl": avgdl,
+                    "contribution": contrib,
+                }
+            )
+            total += contrib
+        return {
+            "matched": bool(parts),
+            "value": total,
+            "description": f"sum of BM25 contributions for {sorted(qcounts)}",
+            "details": parts,
+        }
+
+    def rescore(
+        self,
+        query: str,
+        rescore_phrase: str,
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        k: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Rescore (OpenSearch ``rescore`` with a ``match_phrase``
+        rescore query): re-rank the base query's top ``window_size``
+        hits by ``query_weight * base + rescore_weight * phrase_score``
+        (phrase_score 0 where the phrase is absent — the additive
+        ``total`` score_mode default). Docs outside the window keep
+        their base ranking below the window."""
+        base = self.search(query, k=window_size, field=field)
+        if not base:
+            return []
+        # phrase scores via the same evaluator as search_phrase
+        # (identical floats), fetched for the whole corpus once — the
+        # window lookup is a dict probe
+        ph = dict(self.search_phrase(rescore_phrase, k=self.n_docs, field=field))
+        rescored = [
+            (d, query_weight * s + rescore_weight * ph.get(int(d), 0.0))
+            for d, s in base
+        ]
+        rescored.sort(key=lambda ds: (-ds[1], ds[0]))
+        return rescored[:k]
+
     def percentiles_agg(
         self,
         query: str,
