@@ -391,6 +391,46 @@ def q_agg_top_hits(sf_dir: str):
     )
 
 
+_EVT_INDEX_CACHE: dict[str, str] = {}
+
+
+def _events_index(sf_dir: str) -> str:
+    """An index over ``events`` (text = event_type, ts stored as a
+    timestamp doc-value) for time-bucketed aggregations."""
+    if sf_dir in _EVT_INDEX_CACHE:
+        return _EVT_INDEX_CACHE[sf_dir]
+    from .index.build import build_index
+
+    idx = os.path.join(CACHE_ROOT, f"evtidx_{_tag(sf_dir)}")
+    build_index(
+        os.path.join(sf_dir, "events.parquet"),
+        idx,
+        key_col="event_id",
+        id_col="event_id",
+        ts_col=None,
+        text_cols=("event_type",),
+        stored_cols=["event_type", "ts", "value"],
+        num_buckets=8,
+    )
+    _EVT_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_date_histogram(sf_dir: str):
+    """date_histogram aggregation (fixed_interval = 1 day) over the
+    timestamps of events matching 'error' — bucket key = epoch ms
+    floored to the interval, all-integer arithmetic
+    (engine.facet_date_histogram)."""
+    r = _IndexReader()(_events_index(sf_dir))
+    rows = r.facet_date_histogram("error", "ts", 86400000)
+    return pd.DataFrame(
+        {
+            "bucket_ms": pd.array([b for b, _ in rows], dtype="int64"),
+            "doc_count": pd.array([c for _, c in rows], dtype="int64"),
+        }
+    )
+
+
 def q_collapse_by_lang(sf_dir: str):
     """Field collapsing: the hit list for 'merge sort' keeps only the
     best-scoring doc per lang, ranked (score desc, doc_id asc)
@@ -2108,6 +2148,14 @@ ORACLE_SQL: dict[str, str] = {
         " JOIN documents d USING(doc_id))"
         " WHERE rank_in <= 2 ORDER BY lang, rank_in"
     ),
+    # match 'error' on tokenized event_type == token membership
+    "date_histogram_errors": (
+        "WITH t AS (SELECT event_id, ts,"
+        " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk FROM events)"
+        " SELECT (epoch_ms(ts) // 86400000) * 86400000 AS bucket_ms,"
+        " count(*) AS doc_count FROM t WHERE list_contains(tk, 'error')"
+        " GROUP BY bucket_ms ORDER BY bucket_ms"
+    ),
     "collapse_by_lang": (
         "SELECT rank, doc_id, score, lang FROM ("
         " SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,"
@@ -2540,6 +2588,7 @@ QUERIES = {
     "function_score_nchars": q_function_score,
     "agg_percentiles_nchars": q_agg_percentiles,
     "term_suggest": q_term_suggest,
+    "date_histogram_errors": q_date_histogram,
     "collapse_by_lang": q_collapse_by_lang,
     "rescore_phrase": q_rescore_phrase,
     "count_match": q_count_match,

@@ -324,6 +324,21 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
             }
         elif akind == "stats":
             out[name] = r.stats_agg(qtext, afield, field=f)
+        elif akind == "date_histogram":
+            iv = aspec.get("fixed_interval_ms")
+            if iv is None:
+                iv = {"day": 86400000, "hour": 3600000, "minute": 60000}.get(
+                    str(aspec.get("calendar_interval", ""))
+                )
+            if iv is None:
+                raise ValueError(
+                    "date_histogram needs fixed_interval_ms or a "
+                    "calendar_interval of day/hour/minute"
+                )
+            rows = r.facet_date_histogram(qtext, afield, int(iv), field=f)
+            out[name] = {
+                "buckets": [{"key": b, "doc_count": c} for b, c in rows]
+            }
         elif akind == "percentiles":
             pcts = tuple(aspec.get("percents", (1, 5, 25, 50, 75, 95, 99)))
             out[name] = {

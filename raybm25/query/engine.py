@@ -1172,6 +1172,30 @@ class IndexReader:
         rescored.sort(key=lambda ds: (-ds[1], ds[0]))
         return rescored[:k]
 
+    def facet_date_histogram(
+        self,
+        query: str,
+        ts_field: str,
+        interval_ms: int,
+        field: str | None = None,
+    ) -> list[tuple[int, int]]:
+        """date_histogram aggregation (OpenSearch ``fixed_interval``
+        flavor): doc counts per time bucket over the matching docs'
+        stored timestamp doc-value. Bucket key = epoch milliseconds
+        floored to the interval (OpenSearch's ``key``) — all-integer
+        arithmetic, so bucketing is exactly reproducible everywhere.
+        Returns (bucket_ms, doc_count) sorted by bucket."""
+        if interval_ms <= 0:
+            raise ValueError("interval_ms must be positive")
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        vals = self._gather_column(cand, ts_field)
+        ms = vals.astype("datetime64[ms]").astype(np.int64)
+        keys = (ms // interval_ms) * interval_ms
+        u, c = np.unique(keys, return_counts=True)
+        return list(zip(u.tolist(), c.tolist()))
+
     def percentiles_agg(
         self,
         query: str,

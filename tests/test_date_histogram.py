@@ -1,0 +1,90 @@
+"""date_histogram aggregation vs brute force over a stored
+timestamp doc-value."""
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raybm25.index.build import build_index
+from raybm25.query.dsl import run_query
+from raybm25.query.engine import IndexReader
+
+TS = [
+    dt.datetime(2024, 1, 1, 5, 0),
+    dt.datetime(2024, 1, 1, 23, 59),
+    dt.datetime(2024, 1, 2, 0, 0),
+    dt.datetime(2024, 1, 2, 12, 30),
+    dt.datetime(2024, 1, 5, 8, 0),
+    dt.datetime(2024, 1, 5, 9, 0),
+]
+TYPES = ["error", "error", "error", "signup", "error", "error"]
+DAY = 86400000
+
+
+@pytest.fixture(scope="module")
+def rdr(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dh")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": list(range(len(TS))),
+                "event_type": TYPES,
+                "ts": pa.array(TS, pa.timestamp("us")),
+            }
+        ),
+        str(tmp / "e.parquet"),
+    )
+    idx = str(tmp / "idx")
+    build_index(
+        str(tmp / "e.parquet"),
+        idx,
+        key_col="event_id",
+        id_col="event_id",
+        ts_col=None,
+        text_cols=("event_type",),
+        stored_cols=["event_type", "ts"],
+        num_buckets=2,
+    )
+    return IndexReader(idx)
+
+
+def test_date_histogram_vs_brute(rdr):
+    rows = rdr.facet_date_histogram("error", "ts", DAY)
+    want: dict[int, int] = {}
+    for t, ty in zip(TS, TYPES):
+        if ty != "error":
+            continue
+        ms = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+        want[(ms // DAY) * DAY] = want.get((ms // DAY) * DAY, 0) + 1
+    assert rows == sorted(want.items())
+    assert sum(c for _, c in rows) == TYPES.count("error")
+
+
+def test_date_histogram_hourly_and_empty(rdr):
+    hourly = rdr.facet_date_histogram("error", "ts", 3600000)
+    assert sum(c for _, c in hourly) == TYPES.count("error")
+    assert len(hourly) >= len(rdr.facet_date_histogram("error", "ts", DAY))
+    assert rdr.facet_date_histogram("nomatch", "ts", DAY) == []
+
+
+def test_date_histogram_dsl(rdr):
+    resp = run_query(
+        rdr,
+        {
+            "query": {"match": {"event_type": "error"}},
+            "aggs": {
+                "per_day": {
+                    "date_histogram": {
+                        "field": "ts", "calendar_interval": "day"
+                    }
+                }
+            },
+        },
+    )
+    native = rdr.facet_date_histogram("error", "ts", DAY)
+    assert [(b["key"], b["doc_count"]) for b in
+            resp["aggregations"]["per_day"]["buckets"]] == native
