@@ -2241,12 +2241,26 @@ class BatchSearcher:
     def _dispatch(self, qtext: str, k: int, kind: str, fval) -> list:
         """One typed query. ``kind`` column values: "match" (default,
         BM25 top-k, pruned), "phrase" (exact-phrase BM25), "filtered"
-        (match + keyword filter from the batch's filter_field/value)."""
+        (match + keyword filter from the batch's filter_field/value),
+        "dsl" (query_text is a JSON OpenSearch request body — the
+        whole DSL surface served from the actor pool)."""
         r = self.reader
         if kind == "phrase":
             return r.search_phrase(qtext, k)
         if kind == "filtered":
             return r.search_filtered(qtext, fval[0], fval[1], k)
+        if kind == "dsl":
+            import json
+
+            from .dsl import run_query
+
+            body = json.loads(qtext)
+            body.setdefault("size", k)
+            resp = run_query(r, body)
+            return [
+                (h["_id"], h["_score"] if h["_score"] is not None else 0.0)
+                for h in resp["hits"]["hits"]
+            ]
         fn = r.search_pruned if self.pruned else r.search
         return fn(qtext, k)
 

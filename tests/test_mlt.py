@@ -109,3 +109,30 @@ def test_batch_searcher_typed_dispatch(rdr):
     assert list(zip(f["doc_id"].astype("int64"), f["score"])) == [
         (np.int64(d), s) for d, s in r.search_filtered("merge stream", "lang", "en", k=5)
     ]
+
+
+def test_batch_searcher_dsl_dispatch(rdr):
+    import json
+
+    r, idx = rdr
+    bs = BatchSearcher(idx, k=5)
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": "merge stream"}}],
+                "filter": [{"term": {"lang": "en"}}],
+            }
+        }
+    }
+    batch = pd.DataFrame(
+        {
+            "query_id": [7],
+            "query_text": [json.dumps(body)],
+            "kind": ["dsl"],
+        }
+    )
+    out = bs(batch)
+    want = r.search_bool(must="merge stream", filter_term=("lang", "en"), k=5)
+    assert list(zip(out["doc_id"].astype("int64"), out["score"])) == [
+        (np.int64(d), s) for d, s in want
+    ]
