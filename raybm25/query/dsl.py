@@ -485,6 +485,39 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
             "hits": [{"_id": int(d), "_score": s} for d, s in hits],
         }
     }
+    src = body.get("_source")
+    if src and hits:
+        # stored-field retrieval: one batched docstore gather for the
+        # whole page (get_docs groups by bucket file), not per hit
+        cols = list(src) if isinstance(src, (list, tuple)) else None
+        ids = np.array([d for d, _ in hits], dtype=np.uint64)
+        tbl = r.get_docs(ids)
+        if cols:
+            keep = [c for c in cols if c in tbl.column_names]
+            tbl = tbl.select(["doc_id", *keep])
+        by_id = {
+            int(row["doc_id"]): {
+                k: v for k, v in row.items() if k not in ("doc_id", "ordinal")
+            }
+            for row in tbl.to_pylist()
+        }
+        for h in resp["hits"]["hits"]:
+            h["_source"] = by_id.get(h["_id"], {})
+    hl = body.get("highlight")
+    if hl and hits:
+        if kind != "match":
+            raise ValueError("highlight is supported over 'match' queries")
+        hfield, hbody = _field_query(spec)
+        qtext_h = str(hbody.get("query", ""))
+        tags = (
+            str(hl.get("pre_tags", ["<em>"])[0]),
+            str(hl.get("post_tags", ["</em>"])[0]),
+        )
+        for fld in hl.get("fields", {hfield: {}}):
+            for h in resp["hits"]["hits"]:
+                h.setdefault("highlight", {})[fld] = [
+                    r.highlight(h["_id"], qtext_h, field=fld, tags=tags)
+                ]
     if body.get("aggs"):
         resp["aggregations"] = _aggregations(r, kind, spec, body["aggs"])
     if body.get("suggest"):

@@ -173,3 +173,35 @@ def test_count_endpoints(rdr):
         if "merge" in TOK.findall(d.lower()) and LANGS[i] == "en"
     )
     assert b["count"] == want_b
+
+
+def test_source_and_highlight(rdr):
+    resp = run_query(
+        rdr,
+        {
+            "query": {"match": {"text": "merge sort"}},
+            "size": 3,
+            "_source": ["text", "lang"],
+            "highlight": {"fields": {"text": {}}},
+        },
+    )
+    for h in resp["hits"]["hits"]:
+        d = h["_id"]
+        assert h["_source"]["text"] == DOCS[d]
+        assert h["_source"]["lang"] == LANGS[d]
+        hl = h["highlight"]["text"][0]
+        # every query term occurrence is wrapped; stripping tags
+        # restores the stored text
+        assert hl.replace("<em>", "").replace("</em>", "") == DOCS[d]
+        for t in ("merge", "sort"):
+            if t in TOK.findall(DOCS[d].lower()):
+                assert f"<em>{t}</em>" in hl
+
+
+def test_source_all_columns(rdr):
+    resp = run_query(
+        rdr,
+        {"query": {"match": {"text": "merge"}}, "size": 1, "_source": True},
+    )
+    src = resp["hits"]["hits"][0]["_source"]
+    assert {"text", "lang"} <= set(src)
