@@ -431,6 +431,42 @@ def q_date_histogram(sf_dir: str):
     )
 
 
+def q_composite_after(sf_dir: str):
+    """Composite aggregation (terms source, after-key pagination):
+    page 2 of the lang buckets for 'merge join', key order
+    (engine.facet_composite) — the export idiom for high-cardinality
+    fields."""
+    r = _reader(sf_dir)
+    page1 = r.facet_composite("merge join", "lang", size=2)
+    page2 = r.facet_composite("merge join", "lang", size=10, after=page1[-1][0])
+    rows = page1 + page2
+    return pd.DataFrame(
+        {
+            "lang": [k for k, _ in rows],
+            "doc_count": pd.array([c for _, c in rows], dtype="int64"),
+        }
+    )
+
+
+def q_terms_stats(sf_dir: str):
+    """terms agg + stats sub-agg: per-lang count/min/max/sum/avg of
+    n_chars over docs matching 'merge join'
+    (engine.facet_terms_stats — one gather + segment reduceat per
+    stat, no per-bucket re-query)."""
+    r = _reader(sf_dir)
+    rows = r.facet_terms_stats("merge join", "lang", "n_chars")
+    return pd.DataFrame(
+        {
+            "lang": [row[0] for row in rows],
+            "n": pd.array([row[1] for row in rows], dtype="int64"),
+            "min_v": pd.array([row[2] for row in rows], dtype="int64"),
+            "max_v": pd.array([row[3] for row in rows], dtype="int64"),
+            "sum_v": pd.array([row[4] for row in rows], dtype="int64"),
+            "avg_v": [row[5] for row in rows],
+        }
+    )
+
+
 def q_collapse_by_lang(sf_dir: str):
     """Field collapsing: the hit list for 'merge sort' keeps only the
     best-scoring doc per lang, ranked (score desc, doc_id asc)
@@ -2148,6 +2184,23 @@ ORACLE_SQL: dict[str, str] = {
         " JOIN documents d USING(doc_id))"
         " WHERE rank_in <= 2 ORDER BY lang, rank_in"
     ),
+    # composite pages concatenated = all lang buckets in key order
+    "composite_lang_after": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks"
+        " WHERE term IN ('join', 'merge'))"
+        " SELECT lang, count(*) AS doc_count FROM documents JOIN m USING(doc_id)"
+        " GROUP BY lang ORDER BY lang"
+    ),
+    "terms_stats_lang": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks"
+        " WHERE term IN ('join', 'merge'))"
+        " SELECT lang, count(*) AS n, min(n_chars) AS min_v,"
+        " max(n_chars) AS max_v, sum(n_chars) AS sum_v,"
+        " CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_v"
+        " FROM documents JOIN m USING(doc_id) GROUP BY lang ORDER BY lang"
+    ),
     # match 'error' on tokenized event_type == token membership
     "date_histogram_errors": (
         "WITH t AS (SELECT event_id, ts,"
@@ -2588,6 +2641,8 @@ QUERIES = {
     "function_score_nchars": q_function_score,
     "agg_percentiles_nchars": q_agg_percentiles,
     "term_suggest": q_term_suggest,
+    "composite_lang_after": q_composite_after,
+    "terms_stats_lang": q_terms_stats,
     "date_histogram_errors": q_date_histogram,
     "collapse_by_lang": q_collapse_by_lang,
     "rescore_phrase": q_rescore_phrase,

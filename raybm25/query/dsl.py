@@ -21,9 +21,10 @@ Supported:
   [_score, _id], sort on a numeric doc-value field, collapse (field
   collapsing), rescore (match_phrase window re-ranking), and
   ``run_count`` for the ``_count`` endpoint
-- aggs: terms, range, histogram, stats, percentiles, cardinality,
-  significant_terms (JLH), terms + top_hits sub-agg (each over the
-  SAME query's match set)
+- aggs: terms, range, histogram, date_histogram, stats, percentiles,
+  cardinality, significant_terms (JLH), terms + top_hits/stats
+  sub-aggs, composite (after-key pagination) — each over the SAME
+  query's match set
 - suggest: the term suggester (fuzzy dictionary candidates ranked by
   document frequency)
 
@@ -280,23 +281,70 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
         raise ValueError("aggs are supported over 'match' queries")
     for name, agg in aggs.items():
         if isinstance(agg, dict) and "terms" in agg and "aggs" in agg:
-            # terms bucket agg with a top_hits sub-agg
+            # terms bucket agg with a top_hits or stats sub-agg
             sub_name, sub = _one(agg["aggs"], f"agg {name}.aggs")
-            if "top_hits" not in sub:
-                raise ValueError("nested sub-aggs support 'top_hits' only")
-            rows = r.facet_top_hits(
+            if "top_hits" in sub:
+                rows = r.facet_top_hits(
+                    qtext,
+                    agg["terms"]["field"],
+                    per_group_k=int(sub["top_hits"].get("size", 3)),
+                    field=f,
+                )
+                buckets: dict[str, dict] = {}
+                for g, rank, did, score in rows:
+                    b = buckets.setdefault(
+                        str(g), {"key": g, sub_name: {"hits": {"hits": []}}}
+                    )
+                    b[sub_name]["hits"]["hits"].append(
+                        {"_id": did, "_score": score}
+                    )
+                out[name] = {"buckets": list(buckets.values())}
+            elif "stats" in sub:
+                srows = r.facet_terms_stats(
+                    qtext,
+                    agg["terms"]["field"],
+                    sub["stats"]["field"],
+                    field=f,
+                )
+                out[name] = {
+                    "buckets": [
+                        {
+                            "key": key,
+                            "doc_count": n,
+                            sub_name: {
+                                "count": n, "min": mn, "max": mx,
+                                "sum": sm, "avg": av,
+                            },
+                        }
+                        for key, n, mn, mx, sm, av in srows
+                    ]
+                }
+            else:
+                raise ValueError(
+                    "nested sub-aggs support 'top_hits' and 'stats'"
+                )
+            continue
+        if isinstance(agg, dict) and "composite" in agg:
+            comp = agg["composite"]
+            srcs = comp.get("sources", [])
+            if len(srcs) != 1:
+                raise ValueError("composite supports exactly one source")
+            _, sspec = _one(srcs[0], "composite source")
+            skind, sbody = _one(sspec, "composite source body")
+            if skind != "terms":
+                raise ValueError("composite supports a terms source")
+            after = comp.get("after")
+            rows = r.facet_composite(
                 qtext,
-                agg["terms"]["field"],
-                per_group_k=int(sub["top_hits"].get("size", 3)),
+                sbody["field"],
+                size=int(comp.get("size", 10)),
+                after=None if after is None else str(next(iter(after.values()))),
                 field=f,
             )
-            buckets: dict[str, dict] = {}
-            for g, rank, did, score in rows:
-                b = buckets.setdefault(
-                    str(g), {"key": g, sub_name: {"hits": {"hits": []}}}
-                )
-                b[sub_name]["hits"]["hits"].append({"_id": did, "_score": score})
-            out[name] = {"buckets": list(buckets.values())}
+            out[name] = {
+                "buckets": [{"key": k, "doc_count": c} for k, c in rows],
+                "after_key": {sbody["field"]: rows[-1][0]} if rows else None,
+            }
             continue
         akind, aspec = _one(agg, f"agg {name}")
         afield = aspec["field"]

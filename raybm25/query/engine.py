@@ -1196,6 +1196,69 @@ class IndexReader:
         u, c = np.unique(keys, return_counts=True)
         return list(zip(u.tolist(), c.tolist()))
 
+    def facet_composite(
+        self,
+        query: str,
+        agg_field: str,
+        size: int = 10,
+        after: str | None = None,
+        field: str | None = None,
+    ) -> list[tuple[str, int]]:
+        """Composite aggregation over one keyword source: buckets in
+        KEY order (not count order) with ``after``-key cursor
+        pagination — the OpenSearch idiom for exporting all buckets of
+        a high-cardinality field without deep paging. Returns
+        (key, doc_count) for up to ``size`` buckets with key > after."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        vals = self._gather_column(cand, agg_field).astype(str)
+        u, c = np.unique(vals, return_counts=True)
+        if after is not None:
+            cut = int(np.searchsorted(u, after, side="right"))
+            u, c = u[cut:], c[cut:]
+        return [(str(k), int(n)) for k, n in zip(u[:size], c[:size])]
+
+    def facet_terms_stats(
+        self,
+        query: str,
+        group_field: str,
+        stat_field: str,
+        field: str | None = None,
+    ) -> list[tuple[str, int, object, object, object, float]]:
+        """terms aggregation with a ``stats`` sub-aggregation: per
+        keyword bucket, count / min / max / sum / avg of a numeric
+        doc-value over the matching docs. One gather per column, then
+        vectorized per-group reductions (sorted-group segment
+        reduceat) — no per-bucket re-query. Returns (key, count, min,
+        max, sum, avg) sorted by key ascending."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        gvals = self._gather_column(cand, group_field).astype(str)
+        svals = self._gather_column(cand, stat_field)
+        if svals.dtype == object:
+            raise TypeError(f"stats field {stat_field!r} is not numeric")
+        order = np.argsort(gvals, kind="stable")
+        g = gvals[order]
+        v = svals[order]
+        starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+        counts = np.diff(np.append(starts, g.size))
+        sums = np.add.reduceat(v, starts)
+        mins = np.minimum.reduceat(v, starts)
+        maxs = np.maximum.reduceat(v, starts)
+        return [
+            (
+                str(g[s]),
+                int(n),
+                mn.item(),
+                mx.item(),
+                sm.item(),
+                float(sm) / int(n),
+            )
+            for s, n, mn, mx, sm in zip(starts, counts, mins, maxs, sums)
+        ]
+
     def percentiles_agg(
         self,
         query: str,

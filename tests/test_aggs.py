@@ -106,3 +106,34 @@ def test_gather_column_preserves_numeric_dtype(rdr):
     cand = rdr._match_ordinals("alpha", None)
     vals = rdr._gather_column(cand, "size")
     assert vals.dtype == np.int64
+
+
+def test_composite_pagination(rdr):
+    r = rdr
+    full = r.facet_composite("alpha", "lang", size=100)
+    # paging through with after reproduces the full key-ordered list
+    paged, after = [], None
+    while True:
+        page = r.facet_composite("alpha", "lang", size=1, after=after)
+        if not page:
+            break
+        paged.extend(page)
+        after = page[-1][0]
+    assert paged == full
+    assert [k for k, _ in full] == sorted(k for k, _ in full)
+
+
+def test_terms_stats_vs_brute(rdr):
+    r = rdr
+    rows = r.facet_terms_stats("alpha", "lang", "size")
+    import numpy as _np
+
+    cand = r._match_ordinals("alpha", None)
+    langs = r._gather_column(cand, "lang").astype(str)
+    vals = r._gather_column(cand, "size")
+    for key, n, mn, mx, sm, av in rows:
+        sel = vals[langs == key]
+        assert n == sel.size
+        assert mn == sel.min() and mx == sel.max() and sm == sel.sum()
+        assert av == float(sel.sum()) / sel.size
+    assert [row[0] for row in rows] == sorted(set(langs))
