@@ -14,6 +14,8 @@ Supported:
   multi_match (best_fields incl. tie_breaker / most_fields), term,
   terms, range, exists, ids, prefix, wildcard, regexp, fuzzy,
   more_like_this, constant_score, function_score (field_value_factor),
+  dis_max (arbitrary scoring sub-clauses, tie_breaker), boosting
+  (positive / negative / negative_boost),
   intervals (all_of: ordered / max_gaps), bool (must / should /
   must_not / filter(term | range | terms | exists | ids, ANDed) /
   minimum_should_match), match_all
@@ -169,6 +171,35 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
             k=k,
             field=None if ifield == r.primary_field else ifield,
         )
+    if kind == "dis_max":
+        # generic compound: per-doc score = best sub-clause score +
+        # tie_breaker * (sum of the others). Sub-clauses are evaluated
+        # over their FULL match sets (k = n_docs) so combining never
+        # misses a doc one clause ranks low — same contract as the
+        # engine's field-level search_dismax.
+        tb = float(spec.get("tie_breaker", 0.0))
+        best: dict[int, float] = {}
+        tot: dict[int, float] = {}
+        for sub in spec["queries"]:
+            sk, sspec = _one(sub, "dis_max.queries")
+            for d, s in _scored_hits(r, sk, sspec, r.n_docs):
+                if s > best.get(d, float("-inf")):
+                    best[d] = s
+                tot[d] = tot.get(d, 0.0) + s
+        scored = [(d, best[d] + tb * (tot[d] - best[d])) for d in best]
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        return scored[:k]
+    if kind == "boosting":
+        # demote-not-exclude: positive hits keep their score unless the
+        # doc also matches the negative clause, then score *= negative_boost
+        pk, pspec = _one(spec["positive"], "boosting.positive")
+        nk, nspec = _one(spec["negative"], "boosting.negative")
+        nb = float(spec.get("negative_boost", 0.5))
+        pos = _scored_hits(r, pk, pspec, r.n_docs)
+        neg = {int(d) for d in _match_docs(r, nk, nspec)}
+        hits = [(d, s * nb if d in neg else s) for d, s in pos]
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        return hits[:k]
     if kind == "multi_match":
         # best_fields (the OpenSearch default) = dis_max over per-field
         # match queries; most_fields = per-field score sum

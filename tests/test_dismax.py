@@ -177,3 +177,67 @@ def test_dsl_boost_in_bool_rejected(rdr):
                 "size": 6,
             },
         )
+
+
+def test_dsl_dis_max_generic_compound(rdr):
+    """Explicit dis_max over arbitrary scoring clauses equals a hand
+    combine of the sub-clause scores (max + tie_breaker * rest)."""
+    tb = 0.3
+    resp = run_query(
+        rdr,
+        {
+            "size": 6,
+            "query": {
+                "dis_max": {
+                    "tie_breaker": tb,
+                    "queries": [
+                        {"match": {"text": "merge stream"}},
+                        {"match": {"title": {"query": "join stream", "boost": 2.0}}},
+                    ],
+                }
+            },
+        },
+    )
+    a = dict(rdr.search_pruned("merge stream", k=len(DOCS)))
+    b = {
+        d: 2.0 * s
+        for d, s in rdr.search_pruned("join stream", k=len(DOCS), field="title")
+    }
+    want = {}
+    for d in set(a) | set(b):
+        ss = [s for s in (a.get(d), b.get(d)) if s is not None]
+        want[d] = max(ss) + tb * (sum(ss) - max(ss))
+    got = {h["_id"]: h["_score"] for h in resp["hits"]["hits"]}
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+    scores = [h["_score"] for h in resp["hits"]["hits"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dsl_boosting_demotes_negative_matches(rdr):
+    """boosting: positive scores kept, docs matching the negative
+    clause scaled by negative_boost (demoted, not excluded)."""
+    nb = 0.25
+    resp = run_query(
+        rdr,
+        {
+            "size": 6,
+            "query": {
+                "boosting": {
+                    "positive": {"match": {"text": "merge stream"}},
+                    "negative": {"match": {"text": "sort"}},
+                    "negative_boost": nb,
+                }
+            },
+        },
+    )
+    pos = dict(rdr.search_pruned("merge stream", k=len(DOCS)))
+    neg = {1, 3}  # docs whose text contains "sort"
+    got = {h["_id"]: h["_score"] for h in resp["hits"]["hits"]}
+    assert set(got) == set(pos)
+    for d, s in pos.items():
+        want = s * nb if d in neg else s
+        assert got[d] == pytest.approx(want, rel=1e-9)
+    # the demoted doc actually moved down past an undemoted one
+    assert 1 in pos and got[1] < pos[1]
