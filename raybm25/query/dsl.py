@@ -23,7 +23,8 @@ Supported:
   [_score, _id], sort on a numeric doc-value field, collapse (field
   collapsing), rescore (match_phrase window re-ranking), and
   ``run_count`` for the ``_count`` endpoint
-- aggs: terms, range, histogram, date_histogram, stats, percentiles,
+- aggs: terms, range, histogram, date_histogram, stats (and the
+  single-metric min / max / avg / sum / value_count), percentiles,
   cardinality, significant_terms (JLH), terms + top_hits/stats
   sub-aggs, composite (after-key pagination) — each over the SAME
   query's match set
@@ -403,6 +404,12 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
             }
         elif akind == "stats":
             out[name] = r.stats_agg(qtext, afield, field=f)
+        elif akind in ("min", "max", "avg", "sum", "value_count"):
+            # single-metric aggs are the stats agg projected to one key
+            st = r.stats_agg(qtext, afield, field=f)
+            out[name] = {
+                "value": st["count" if akind == "value_count" else akind]
+            }
         elif akind == "date_histogram":
             iv = aspec.get("fixed_interval_ms")
             if iv is None:

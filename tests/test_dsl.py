@@ -197,3 +197,24 @@ def test_match_all_and_errors(rdr):
             {"query": {"term": {"lang": "en"}},
              "aggs": {"a": {"terms": {"field": "lang"}}}},
         )
+
+
+def test_single_metric_aggs(rdr):
+    """min/max/avg/sum/value_count = the stats agg projected to one key."""
+    body = {
+        "query": {"match": {"text": "merge stream"}},
+        "aggs": {
+            "lo": {"min": {"field": "size_b"}},
+            "hi": {"max": {"field": "size_b"}},
+            "mean": {"avg": {"field": "size_b"}},
+            "tot": {"sum": {"field": "size_b"}},
+            "n": {"value_count": {"field": "size_b"}},
+        },
+    }
+    aggs = run_query(rdr, body)["aggregations"]
+    st = rdr.stats_agg("merge stream", "size_b")
+    assert aggs["lo"]["value"] == st["min"]
+    assert aggs["hi"]["value"] == st["max"]
+    assert aggs["mean"]["value"] == st["avg"]
+    assert aggs["tot"]["value"] == st["sum"]
+    assert aggs["n"]["value"] == st["count"] > 0
