@@ -24,7 +24,8 @@ Supported:
   collapsing), rescore (match_phrase window re-ranking), and
   ``run_count`` for the ``_count`` endpoint
 - aggs: terms, range, histogram, date_histogram, stats (and the
-  single-metric min / max / avg / sum / value_count), percentiles,
+  single-metric min / max / avg / sum / value_count), filters (named
+  buckets), percentiles,
   cardinality, significant_terms (JLH), terms + top_hits/stats
   sub-aggs, composite (after-key pagination) — each over the SAME
   query's match set
@@ -379,6 +380,25 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
             }
             continue
         akind, aspec = _one(agg, f"agg {name}")
+        if akind == "filters":
+            # named filter buckets: each named clause's doc set
+            # intersected with the query's own match set
+            qdocs = _match_docs(r, query_kind, query_spec)
+            out[name] = {
+                "buckets": {
+                    fname: {
+                        "doc_count": int(
+                            np.intersect1d(
+                                qdocs,
+                                _match_docs(r, *_one(fc, f"filters.{fname}")),
+                                assume_unique=True,
+                            ).size
+                        )
+                    }
+                    for fname, fc in aspec["filters"].items()
+                }
+            }
+            continue
         afield = aspec["field"]
         if akind == "terms":
             buckets = r.facet_terms(qtext, afield, size=int(aspec.get("size", 10)), field=f)

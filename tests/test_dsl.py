@@ -218,3 +218,29 @@ def test_single_metric_aggs(rdr):
     assert aggs["mean"]["value"] == st["avg"]
     assert aggs["tot"]["value"] == st["sum"]
     assert aggs["n"]["value"] == st["count"] > 0
+
+
+def test_filters_agg(rdr):
+    """filters agg: named buckets = each clause's doc set intersected
+    with the query's match set."""
+    import numpy as np
+
+    body = {
+        "query": {"match": {"text": "merge stream"}},
+        "aggs": {"by": {"filters": {"filters": {
+            "english": {"term": {"lang": "en"}},
+            "big": {"range": {"size_b": {"gte": 20}}},
+            "none": {"term": {"lang": "xx"}},
+        }}}},
+    }
+    buckets = run_query(rdr, body)["aggregations"]["by"]["buckets"]
+    from raybm25.query.dsl import _match_docs
+
+    qdocs = _match_docs(rdr, "match", {"text": "merge stream"})
+    want_en = np.intersect1d(qdocs, _match_docs(rdr, "term", {"lang": "en"})).size
+    want_big = np.intersect1d(
+        qdocs, _match_docs(rdr, "range", {"size_b": {"gte": 20}})
+    ).size
+    assert buckets["english"]["doc_count"] == want_en
+    assert buckets["big"]["doc_count"] == want_big > 0
+    assert buckets["none"]["doc_count"] == 0
