@@ -500,6 +500,35 @@ def run_count(index_dir_or_reader, body: dict) -> dict:
     return {"count": int(_match_docs(r, kind, spec).size)}
 
 
+def run_explain(index_dir_or_reader, doc_id: int, body: dict) -> dict:
+    """OpenSearch ``_explain``: the BM25 score breakdown for one
+    (query, doc) pair, in the endpoint's response shape. Supports a
+    'match' query (the clause _explain is defined over)."""
+    r = (
+        index_dir_or_reader
+        if isinstance(index_dir_or_reader, IndexReader)
+        else IndexReader(index_dir_or_reader)
+    )
+    kind, spec = _one(body.get("query", {}), "query")
+    if kind != "match":
+        raise ValueError("_explain supports a 'match' query")
+    field, qb = _field_query(spec)
+    ex = r.explain(
+        str(qb.get("query", "")),
+        int(doc_id),
+        field=None if field == r.primary_field else field,
+    )
+    return {
+        "_id": int(doc_id),
+        "matched": ex["matched"],
+        "explanation": {
+            "value": ex["value"],
+            "description": ex["description"],
+            "details": ex["details"],
+        },
+    }
+
+
 def run_query(index_dir_or_reader, body: dict) -> dict:
     """Execute one OpenSearch-DSL request body. See module docstring
     for the supported subset; raises ValueError on anything outside

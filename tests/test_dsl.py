@@ -244,3 +244,22 @@ def test_filters_agg(rdr):
     assert buckets["english"]["doc_count"] == want_en
     assert buckets["big"]["doc_count"] == want_big > 0
     assert buckets["none"]["doc_count"] == 0
+
+
+def test_run_explain_endpoint(rdr):
+    """_explain response wraps engine.explain; value == the doc's
+    search score, bit-exact."""
+    from raybm25.query.dsl import run_explain
+
+    hits = rdr.search("merge stream", k=1)
+    d, score = hits[0]
+    resp = run_explain(rdr, d, {"query": {"match": {"text": "merge stream"}}})
+    assert resp["_id"] == d and resp["matched"]
+    assert resp["explanation"]["value"] == score
+    assert sum(
+        p["contribution"] for p in resp["explanation"]["details"]
+    ) == pytest.approx(score, rel=1e-12)
+    miss = run_explain(rdr, d, {"query": {"match": {"text": "zzzzz"}}})
+    assert not miss["matched"] and miss["explanation"]["value"] == 0.0
+    with pytest.raises(ValueError):
+        run_explain(rdr, d, {"query": {"term": {"lang": "en"}}})
