@@ -1757,6 +1757,100 @@ def _lang_id_sql() -> str:
     )
 
 
+
+def q_boosting(sf_dir: str):
+    """boosting query (DSL): BM25('merge sort') hits kept, but docs
+    whose lang keyword is 'en' demoted by negative_boost=0.25 —
+    demote-not-exclude (query/dsl run_query 'boosting'; one CASE
+    multiply after the pinned BM25 chain, re-ranked)."""
+    from .query.dsl import run_query
+
+    r = _reader(sf_dir)
+    resp = run_query(
+        r,
+        {
+            "size": 12,
+            "query": {
+                "boosting": {
+                    "positive": {"match": {"text": "merge sort"}},
+                    "negative": {"term": {"lang": "en"}},
+                    "negative_boost": 0.25,
+                }
+            },
+        },
+    )
+    return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
+
+
+def q_agg_filters(sf_dir: str):
+    """filters aggregation: named buckets (lang=de / lang=en /
+    n_chars>=300) over docs matching 'merge join' — each named
+    clause's doc set intersected with the query match set
+    (query/dsl filters agg)."""
+    from .query.dsl import run_query
+
+    r = _reader(sf_dir)
+    resp = run_query(
+        r,
+        {
+            "query": {"match": {"text": "merge join"}},
+            "aggs": {
+                "by": {
+                    "filters": {
+                        "filters": {
+                            "de": {"term": {"lang": "de"}},
+                            "en": {"term": {"lang": "en"}},
+                            "long": {"range": {"n_chars": {"gte": 300}}},
+                        }
+                    }
+                }
+            },
+        },
+    )
+    b = resp["aggregations"]["by"]["buckets"]
+    names = sorted(b)
+    return pd.DataFrame(
+        {
+            "bucket": names,
+            "doc_count": pd.array(
+                [b[n]["doc_count"] for n in names], dtype="int64"
+            ),
+        }
+    )
+
+
+def q_agg_metrics(sf_dir: str):
+    """Single-metric aggregations (min / max / avg / sum /
+    value_count) of n_chars over docs matching 'merge join' — each the
+    stats agg projected to one key (query/dsl metric aggs; avg =
+    double(int64 sum) / count, the engine's exact float chain)."""
+    from .query.dsl import run_query
+
+    r = _reader(sf_dir)
+    aggs = run_query(
+        r,
+        {
+            "query": {"match": {"text": "merge join"}},
+            "aggs": {
+                "lo": {"min": {"field": "n_chars"}},
+                "hi": {"max": {"field": "n_chars"}},
+                "mean": {"avg": {"field": "n_chars"}},
+                "tot": {"sum": {"field": "n_chars"}},
+                "n": {"value_count": {"field": "n_chars"}},
+            },
+        },
+    )["aggregations"]
+    return pd.DataFrame(
+        {
+            "min_v": pd.array([aggs["lo"]["value"]], dtype="int64"),
+            "max_v": pd.array([aggs["hi"]["value"]], dtype="int64"),
+            "avg_v": [aggs["mean"]["value"]],
+            "sum_v": pd.array([aggs["tot"]["value"]], dtype="int64"),
+            "n": pd.array([aggs["n"]["value"]], dtype="int64"),
+        }
+    )
+
+
 # --------------------------------------------------------------- oracle SQL
 def _bm25_sql(
     query: str,
@@ -2239,6 +2333,29 @@ ORACLE_SQL: dict[str, str] = {
         " WHERE term IN ('join', 'merge')"
     ),
     "bm25_search_after": _bm25_sql("merge sort", 10, offset=10),
+    "boosting_demote": _bm25_sql(
+        "merge sort", 12,
+        score_expr="CASE WHEN lang = 'en'"
+        " THEN score * CAST(0.25 AS DOUBLE) ELSE score END",
+    ),
+    "agg_filters_lang": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('join', 'merge')),"
+        " j AS (SELECT lang, n_chars FROM documents JOIN m USING(doc_id))"
+        " SELECT 'de' AS bucket, count(*) AS doc_count FROM j WHERE lang = 'de'"
+        " UNION ALL SELECT 'en', count(*) FROM j WHERE lang = 'en'"
+        " UNION ALL SELECT 'long', count(*) FROM j WHERE n_chars >= 300"
+        " ORDER BY bucket"
+    ),
+    "agg_metrics_nchars": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('join', 'merge')),"
+        " v AS (SELECT n_chars FROM documents JOIN m USING(doc_id))"
+        " SELECT CAST(min(n_chars) AS BIGINT) AS min_v,"
+        " CAST(max(n_chars) AS BIGINT) AS max_v,"
+        " CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*) AS avg_v,"
+        " CAST(sum(n_chars) AS BIGINT) AS sum_v, count(*) AS n FROM v"
+    ),
     # terms aggregation: doc counts per lang over ALL docs matching
     # 'merge join' (match = OR), count desc / value asc, top 10
     "facet_lang": (
@@ -2647,6 +2764,9 @@ QUERIES = {
     "collapse_by_lang": q_collapse_by_lang,
     "rescore_phrase": q_rescore_phrase,
     "count_match": q_count_match,
+    "boosting_demote": q_boosting,
+    "agg_filters_lang": q_agg_filters,
+    "agg_metrics_nchars": q_agg_metrics,
     "intervals_ordered": q_intervals_ordered,
     "significant_terms": q_significant_terms,
     "agg_top_hits": q_agg_top_hits,
