@@ -1851,6 +1851,33 @@ def q_agg_metrics(sf_dir: str):
     )
 
 
+
+def q_dismax_generic(sf_dir: str):
+    """Generic dis_max compound (DSL): two match clauses over the same
+    text field combined per doc as best + tie_breaker * (sum - best),
+    each clause evaluated over its FULL match set
+    (query/dsl._scored_hits 'dis_max')."""
+    from .query.dsl import run_query
+
+    r = _reader(sf_dir)
+    resp = run_query(
+        r,
+        {
+            "size": 15,
+            "query": {
+                "dis_max": {
+                    "tie_breaker": 0.25,
+                    "queries": [
+                        {"match": {"text": "merge sort"}},
+                        {"match": {"text": "hash join"}},
+                    ],
+                }
+            },
+        },
+    )
+    return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
+
+
 # --------------------------------------------------------------- oracle SQL
 def _bm25_sql(
     query: str,
@@ -2037,6 +2064,78 @@ def _phrase_bm25_sql(phrase: str, k: int) -> str:
         " (ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)"
         f" ORDER BY rank LIMIT {k}"
     )
+
+
+
+def _bm25_dismax_generic_sql(q1: str, q2: str, tb: float, k: int) -> str:
+    """Generic dis_max oracle: one full pinned BM25 chain per clause
+    over the SAME field's toks/dl/avgdl, combined per doc as
+    GREATEST + tb * (sum - GREATEST) with COALESCE(_, 0) for absent
+    contributions (float-exact: BM25 scores are strictly positive and
+    adding 0.0 is the identity, so max/sum over the coalesced pair
+    equals the engine's max/sum over present clauses)."""
+    parts = [
+        f"WITH {TOKS_CTE},",
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),",
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n,"
+        " (SELECT count(*) FROM toks) / (SELECT count(*) FROM documents) AS avgdl),",
+    ]
+    snames = []
+    for tag, query in (("a", q1), ("b", q2)):
+        terms = sorted(set(tokenize(query)))
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        parts.append(
+            f"tfq{tag} AS (SELECT doc_id, term, count(*) AS tf FROM toks"
+            f" WHERE term IN ({in_list}) GROUP BY doc_id, term),"
+        )
+        parts.append(
+            f"dfq{tag} AS (SELECT term, count(*) AS df FROM tfq{tag} GROUP BY term),"
+        )
+        parts.append(
+            f"contrib{tag} AS (SELECT tfq{tag}.doc_id, tfq{tag}.term,"
+            f" 1.0 * ln(1 + (stats.n - dfq{tag}.df + 0.5)/(dfq{tag}.df + 0.5)) *"
+            f" (tfq{tag}.tf/(tfq{tag}.tf + {BM25_K1}*(1 - {BM25_B} +"
+            f" {BM25_B}*dl.dl/stats.avgdl))) AS c"
+            f" FROM tfq{tag} JOIN dfq{tag} USING(term)"
+            f" JOIN dl ON dl.doc_id = tfq{tag}.doc_id, stats),"
+        )
+        # explicit left-to-right addition in sorted-term order (the
+        # engine's summation order), one CTE per term
+        for i, t in enumerate(terms):
+            parts.append(
+                f"p{tag}{i} AS (SELECT doc_id, c FROM contrib{tag}"
+                f" WHERE term = '{t}'),"
+            )
+        if len(terms) == 1:
+            parts.append(
+                f"scored{tag} AS (SELECT doc_id, c AS s{tag} FROM p{tag}0),"
+            )
+        else:
+            joins = f"p{tag}0"
+            for i in range(1, len(terms)):
+                joins += f" FULL JOIN p{tag}{i} USING(doc_id)"
+            add = " + ".join(
+                f"COALESCE(p{tag}{i}.c, 0)" for i in range(len(terms))
+            )
+            parts.append(
+                f"scored{tag} AS (SELECT doc_id, {add} AS s{tag} FROM {joins}),"
+            )
+        snames.append(f"s{tag}")
+    sa, sb = snames
+    parts.append(
+        "final AS (SELECT doc_id,"
+        f" GREATEST(COALESCE({sa}, 0), COALESCE({sb}, 0)) +"
+        f" CAST({tb!r} AS DOUBLE) * ((COALESCE({sa}, 0) + COALESCE({sb}, 0))"
+        f" - GREATEST(COALESCE({sa}, 0), COALESCE({sb}, 0))) AS score"
+        " FROM scoreda FULL JOIN scoredb USING(doc_id))"
+    )
+    parts.append(
+        "SELECT rank, doc_id, score FROM"
+        " (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,"
+        f" doc_id, score FROM final) LIMIT {k}"
+    )
+    return "\n".join(parts)
+
 
 
 def _bm25_multi_sql(query: str, k: int, field_cols: list[str]) -> str:
@@ -2333,6 +2432,9 @@ ORACLE_SQL: dict[str, str] = {
         " WHERE term IN ('join', 'merge')"
     ),
     "bm25_search_after": _bm25_sql("merge sort", 10, offset=10),
+    "dismax_generic": _bm25_dismax_generic_sql(
+        "merge sort", "hash join", 0.25, 15
+    ),
     "boosting_demote": _bm25_sql(
         "merge sort", 12,
         score_expr="CASE WHEN lang = 'en'"
@@ -2764,6 +2866,7 @@ QUERIES = {
     "collapse_by_lang": q_collapse_by_lang,
     "rescore_phrase": q_rescore_phrase,
     "count_match": q_count_match,
+    "dismax_generic": q_dismax_generic,
     "boosting_demote": q_boosting,
     "agg_filters_lang": q_agg_filters,
     "agg_metrics_nchars": q_agg_metrics,
