@@ -1878,6 +1878,25 @@ def q_dismax_generic(sf_dir: str):
     return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
 
 
+
+def q_simple_query_string(sf_dir: str):
+    """simple_query_string (DSL): 'merge sort -hash' in or-mode —
+    BM25 over the positive terms, docs containing any negated term
+    excluded, scores unchanged (query/dsl 'simple_query_string';
+    unsupported syntax raises rather than being dropped)."""
+    from .query.dsl import run_query
+
+    r = _reader(sf_dir)
+    resp = run_query(
+        r,
+        {
+            "size": 12,
+            "query": {"simple_query_string": {"query": "merge sort -hash"}},
+        },
+    )
+    return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
+
+
 # --------------------------------------------------------------- oracle SQL
 def _bm25_sql(
     query: str,
@@ -2432,6 +2451,11 @@ ORACLE_SQL: dict[str, str] = {
         " WHERE term IN ('join', 'merge')"
     ),
     "bm25_search_after": _bm25_sql("merge sort", 10, offset=10),
+    "simple_query_string": _bm25_sql(
+        "merge sort", 12,
+        where="scored.doc_id NOT IN"
+        " (SELECT DISTINCT doc_id FROM toks WHERE term = 'hash')",
+    ),
     "dismax_generic": _bm25_dismax_generic_sql(
         "merge sort", "hash join", 0.25, 15
     ),
@@ -2866,6 +2890,7 @@ QUERIES = {
     "collapse_by_lang": q_collapse_by_lang,
     "rescore_phrase": q_rescore_phrase,
     "count_match": q_count_match,
+    "simple_query_string": q_simple_query_string,
     "dismax_generic": q_dismax_generic,
     "boosting_demote": q_boosting,
     "agg_filters_lang": q_agg_filters,

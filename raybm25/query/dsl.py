@@ -15,7 +15,9 @@ Supported:
   terms, range, exists, ids, prefix, wildcard, regexp, fuzzy,
   more_like_this, constant_score, function_score (field_value_factor),
   dis_max (arbitrary scoring sub-clauses, tie_breaker), boosting
-  (positive / negative / negative_boost),
+  (positive / negative / negative_boost), simple_query_string (terms,
+  -negation, "quoted phrases", default_operator — unsupported syntax
+  raises instead of being silently dropped),
   intervals (all_of: ordered / max_gaps), bool (must / should /
   must_not / filter(term | range | terms | exists | ids, ANDed) /
   minimum_should_match), match_all
@@ -202,6 +204,74 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
         hits = [(d, s * nb if d in neg else s) for d, s in pos]
         hits.sort(key=lambda t: (-t[1], t[0]))
         return hits[:k]
+    if kind == "simple_query_string":
+        # supported syntax subset: bare terms, -negation, "quoted
+        # phrases", default_operator and|or. The grouping / boolean /
+        # wildcard / fuzzy operators raise loudly rather than being
+        # silently dropped (OpenSearch would *ignore* invalid syntax;
+        # we refuse instead). Score = sum of clause scores over the
+        # combined doc set (union for or, intersection for and) —
+        # OpenSearch's sum-of-subscores semantics.
+        import re as _re
+
+        q = str(spec["query"])
+        default_op = str(spec.get("default_operator", "or")).lower()
+        flds = spec.get("fields")
+        if flds is not None and len(flds) != 1:
+            raise ValueError("simple_query_string supports exactly one field")
+        fld = flds[0] if flds else r.primary_field
+        f = None if fld == r.primary_field else fld
+        for ch in "(|)*~+":
+            if ch in q:
+                raise ValueError(
+                    f"unsupported simple_query_string operator {ch!r}"
+                )
+        phrases: list[str] = []
+        terms: list[str] = []
+        neg_terms: list[str] = []
+        for tok in _re.findall(r'-?"[^"]*"|\S+', q):
+            negated = tok.startswith("-")
+            body_t = tok[1:] if negated else tok
+            if body_t.startswith('"') and body_t.endswith('"') and len(body_t) >= 2:
+                if negated:
+                    raise ValueError("negated phrases are not supported")
+                phrases.append(body_t[1:-1])
+            elif negated:
+                neg_terms.append(body_t)
+            else:
+                terms.append(body_t)
+        clause_hits: list[dict[int, float]] = []
+        if terms:
+            text = " ".join(terms)
+            hits = (
+                r.search_bool(must=text, k=r.n_docs, field=f)
+                if default_op == "and"
+                else r.search_pruned(text, r.n_docs, field=f)
+            )
+            clause_hits.append(dict(hits))
+        for ph in phrases:
+            clause_hits.append(dict(r.search_phrase(ph, r.n_docs, field=f)))
+        if not clause_hits:
+            raise ValueError(
+                "simple_query_string needs at least one positive clause"
+            )
+        docs = set(clause_hits[0])
+        for extra in clause_hits[1:]:
+            docs = docs & set(extra) if default_op == "and" else docs | set(extra)
+        if neg_terms:
+            nd = {
+                int(d)
+                for d in _match_docs(r, "match", {fld: " ".join(neg_terms)})
+            }
+            docs -= nd
+        out = []
+        for d in docs:
+            sc = clause_hits[0].get(d, 0.0)
+            for extra in clause_hits[1:]:
+                sc += extra.get(d, 0.0)
+            out.append((d, sc))
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out[:k]
     if kind == "multi_match":
         # best_fields (the OpenSearch default) = dis_max over per-field
         # match queries; most_fields = per-field score sum

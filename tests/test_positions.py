@@ -292,3 +292,50 @@ def test_highlight_wraps_query_terms(pos_built):
     # count matches the doc's occurrences of the query terms
     want_n = sum(1 for t in toks if t in set(tokenize(q)))
     assert len(wrapped) == want_n
+
+
+def test_simple_query_string(pos_built):
+    """simple_query_string subset: terms + -negation + quoted phrase,
+    or/and operators, vs hand-composed engine calls."""
+    from raybm25.query.dsl import run_query, _match_docs
+
+    index_dir, docs = pos_built
+    r = IndexReader(index_dir)
+
+    # or-mode with negation: union of term hits minus negated docs
+    resp = run_query(
+        r, {"size": 1000, "query": {"simple_query_string": {
+            "query": "quick fox -lazy"}}}
+    )
+    got = {h["_id"]: h["_score"] for h in resp["hits"]["hits"]}
+    base = dict(r.search_pruned("quick fox", r.n_docs))
+    nd = {int(d) for d in _match_docs(r, "match", {"text": "lazy"})}
+    want = {d: s for d, s in base.items() if d not in nd}
+    assert got == want
+    assert nd & set(base), "negation never fired; weak fixture"
+
+    # and-mode: all terms required
+    resp2 = run_query(
+        r, {"size": 1000, "query": {"simple_query_string": {
+            "query": "quick fox", "default_operator": "and"}}}
+    )
+    got2 = {h["_id"]: h["_score"] for h in resp2["hits"]["hits"]}
+    assert got2 == dict(r.search_bool(must="quick fox", k=r.n_docs))
+
+    # quoted phrase clause: phrase score added, or-mode union
+    resp3 = run_query(
+        r, {"size": 1000, "query": {"simple_query_string": {
+            "query": 'quick "lazy dog"'}}}
+    )
+    got3 = {h["_id"]: h["_score"] for h in resp3["hits"]["hits"]}
+    a = dict(r.search_pruned("quick", r.n_docs))
+    b = dict(r.search_phrase("lazy dog", r.n_docs))
+    want3 = {d: a.get(d, 0.0) + b.get(d, 0.0) for d in set(a) | set(b)}
+    assert set(got3) == set(want3)
+    for d in got3:
+        assert got3[d] == pytest.approx(want3[d], rel=1e-12)
+
+    # unsupported syntax is loud, not silently dropped
+    for badq in ["a | b", "(a b)", "pre*", "fuzz~2"]:
+        with pytest.raises(ValueError):
+            run_query(r, {"query": {"simple_query_string": {"query": badq}}})
