@@ -1897,6 +1897,25 @@ def q_simple_query_string(sf_dir: str):
     return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
 
 
+
+def q_analyze_tokens(sf_dir: str):
+    """_analyze endpoint: positioned token stream for a fixed text
+    through the engine's analyzer chain (query/dsl.run_analyze —
+    identical to the chain every indexed field goes through,
+    analysis.ANALYZER_VERSION)."""
+    from .query.dsl import run_analyze
+
+    toks = run_analyze(
+        {"text": "The QUICK-brown Fox: 42 jumps, twice; 42!"}
+    )["tokens"]
+    return pd.DataFrame(
+        {
+            "position": pd.array([t["position"] for t in toks], dtype="int64"),
+            "token": [t["token"] for t in toks],
+        }
+    )
+
+
 # --------------------------------------------------------------- oracle SQL
 def _bm25_sql(
     query: str,
@@ -2451,6 +2470,13 @@ ORACLE_SQL: dict[str, str] = {
         " WHERE term IN ('join', 'merge')"
     ),
     "bm25_search_after": _bm25_sql("merge sort", 10, offset=10),
+    "analyze_tokens": (
+        "WITH l AS (SELECT regexp_extract_all("
+        "lower('The QUICK-brown Fox: 42 jumps, twice; 42!'),"
+        " '[a-z0-9]+') AS toks)"
+        " SELECT CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS position,"
+        " unnest(toks) AS token FROM l"
+    ),
     "simple_query_string": _bm25_sql(
         "merge sort", 12,
         where="scored.doc_id NOT IN"
@@ -2890,6 +2916,7 @@ QUERIES = {
     "collapse_by_lang": q_collapse_by_lang,
     "rescore_phrase": q_rescore_phrase,
     "count_match": q_count_match,
+    "analyze_tokens": q_analyze_tokens,
     "simple_query_string": q_simple_query_string,
     "dismax_generic": q_dismax_generic,
     "boosting_demote": q_boosting,

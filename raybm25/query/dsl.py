@@ -570,6 +570,61 @@ def run_count(index_dir_or_reader, body: dict) -> dict:
     return {"count": int(_match_docs(r, kind, spec).size)}
 
 
+def run_analyze(body: dict) -> dict:
+    """OpenSearch ``_analyze``: tokenize a text with the engine's
+    analyzer (the same chain every indexed field goes through) and
+    return positioned tokens. ``analyzer``: 'standard' (default) or
+    'sayt' (adds the search_as_you_type shingle/prefix expansion,
+    positionless — expansion terms are index-side artifacts)."""
+    from ..analysis import sayt_expand, tokenize
+
+    text = str(body["text"])
+    analyzer = str(body.get("analyzer", "standard"))
+    toks = tokenize(text)
+    out = [
+        {"token": t, "position": i, "type": "word"}
+        for i, t in enumerate(toks)
+    ]
+    if analyzer == "sayt":
+        seen = set(toks)
+        for t in sayt_expand(toks):
+            if t not in seen:
+                seen.add(t)
+                out.append({"token": t, "position": -1, "type": "shingle"})
+    elif analyzer != "standard":
+        raise ValueError(f"unsupported analyzer {analyzer!r}")
+    return {"tokens": out}
+
+
+def run_stats(index_dir_or_reader) -> dict:
+    """OpenSearch ``_stats`` (the subset clients read): doc count,
+    store size in bytes (docstore + postings + dictionaries on disk),
+    and corpus token totals — all from the committed manifest plus one
+    directory walk, no data reads."""
+    import os as _os
+
+    r = (
+        index_dir_or_reader
+        if isinstance(index_dir_or_reader, IndexReader)
+        else IndexReader(index_dir_or_reader)
+    )
+    corpus = r.manifest["corpus"]
+    size = 0
+    for root, _dirs, files in _os.walk(r.index_dir):
+        for fn in files:
+            size += _os.path.getsize(_os.path.join(root, fn))
+    return {
+        "docs": {"count": int(corpus["n_docs"]), "deleted": 0},
+        "store": {"size_in_bytes": int(size)},
+        "corpus": {
+            "sum_dl": int(corpus["sum_dl"]),
+            "avgdl": corpus["sum_dl"] / corpus["n_docs"]
+            if corpus["n_docs"]
+            else 0.0,
+        },
+    }
+
+
 def run_explain(index_dir_or_reader, doc_id: int, body: dict) -> dict:
     """OpenSearch ``_explain``: the BM25 score breakdown for one
     (query, doc) pair, in the endpoint's response shape. Supports a

@@ -263,3 +263,28 @@ def test_run_explain_endpoint(rdr):
     assert not miss["matched"] and miss["explanation"]["value"] == 0.0
     with pytest.raises(ValueError):
         run_explain(rdr, d, {"query": {"term": {"lang": "en"}}})
+
+
+def test_run_analyze_and_stats(rdr, tmp_path):
+    """_analyze returns the engine's own token chain; _stats reports
+    manifest doc count and a real on-disk size."""
+    from raybm25.analysis import sayt_expand, tokenize
+    from raybm25.query.dsl import run_analyze, run_stats
+
+    text = "The Quick-Brown fox 42 jumps!"
+    toks = run_analyze({"text": text})["tokens"]
+    assert [t["token"] for t in toks] == tokenize(text)
+    assert [t["position"] for t in toks] == list(range(len(toks)))
+
+    sayt = run_analyze({"text": "ab cd", "analyzer": "sayt"})["tokens"]
+    base = tokenize("ab cd")
+    want_extra = sorted(set(sayt_expand(base)) - set(base))
+    assert sorted(t["token"] for t in sayt if t["type"] == "shingle") == want_extra
+
+    with pytest.raises(ValueError):
+        run_analyze({"text": "x", "analyzer": "nope"})
+
+    st = run_stats(rdr)
+    assert st["docs"]["count"] == rdr.n_docs
+    assert st["store"]["size_in_bytes"] > 0
+    assert st["corpus"]["avgdl"] == pytest.approx(rdr.avgdl)
