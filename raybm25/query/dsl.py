@@ -16,8 +16,9 @@ Supported:
   more_like_this, constant_score, function_score (field_value_factor),
   dis_max (arbitrary scoring sub-clauses, tie_breaker), boosting
   (positive / negative / negative_boost), simple_query_string (terms,
-  -negation, "quoted phrases", default_operator — unsupported syntax
-  raises instead of being silently dropped),
+  -negation, "quoted phrases", default_operator, multi-field
+  most_fields sum — unsupported syntax raises instead of being
+  silently dropped),
   intervals (all_of: ordered / max_gaps), bool (must / should /
   must_not / filter(term | range | terms | exists | ids, ANDed) /
   minimum_should_match), match_all
@@ -216,10 +217,8 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
 
         q = str(spec["query"])
         default_op = str(spec.get("default_operator", "or")).lower()
-        flds = spec.get("fields")
-        if flds is not None and len(flds) != 1:
-            raise ValueError("simple_query_string supports exactly one field")
-        fld = flds[0] if flds else r.primary_field
+        flds = list(spec.get("fields") or [r.primary_field])
+        fld = flds[0]
         f = None if fld == r.primary_field else fld
         for ch in "(|)*~+":
             if ch in q:
@@ -240,14 +239,22 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
                 neg_terms.append(body_t)
             else:
                 terms.append(body_t)
+        if len(flds) > 1 and (phrases or default_op == "and"):
+            raise ValueError(
+                "multi-field simple_query_string supports or-mode bare "
+                "terms (most_fields sum); phrases and and-mode are "
+                "single-field"
+            )
         clause_hits: list[dict[int, float]] = []
         if terms:
             text = " ".join(terms)
-            hits = (
-                r.search_bool(must=text, k=r.n_docs, field=f)
-                if default_op == "and"
-                else r.search_pruned(text, r.n_docs, field=f)
-            )
+            if len(flds) > 1:
+                # cross-field = most_fields: per-field BM25 summed
+                hits = r.search_multi(text, flds, k=r.n_docs)
+            elif default_op == "and":
+                hits = r.search_bool(must=text, k=r.n_docs, field=f)
+            else:
+                hits = r.search_pruned(text, r.n_docs, field=f)
             clause_hits.append(dict(hits))
         for ph in phrases:
             clause_hits.append(dict(r.search_phrase(ph, r.n_docs, field=f)))
@@ -259,10 +266,12 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
         for extra in clause_hits[1:]:
             docs = docs & set(extra) if default_op == "and" else docs | set(extra)
         if neg_terms:
-            nd = {
-                int(d)
-                for d in _match_docs(r, "match", {fld: " ".join(neg_terms)})
-            }
+            nd: set[int] = set()
+            for nf in flds:
+                nd |= {
+                    int(d)
+                    for d in _match_docs(r, "match", {nf: " ".join(neg_terms)})
+                }
             docs -= nd
         out = []
         for d in docs:

@@ -241,3 +241,23 @@ def test_dsl_boosting_demotes_negative_matches(rdr):
         assert got[d] == pytest.approx(want, rel=1e-9)
     # the demoted doc actually moved down past an undemoted one
     assert 1 in pos and got[1] < pos[1]
+
+
+def test_simple_query_string_multifield(rdr):
+    """Multi-field simple_query_string = most_fields sum over bare
+    terms; phrases / and-mode across fields raise."""
+    resp = run_query(
+        rdr,
+        {"size": 10, "query": {"simple_query_string": {
+            "query": "merge stream", "fields": ["text", "title"]}}},
+    )
+    got = {h["_id"]: h["_score"] for h in resp["hits"]["hits"]}
+    want = dict(rdr.search_multi("merge stream", ["text", "title"], k=len(DOCS)))
+    assert got == want and got
+    with pytest.raises(ValueError):
+        run_query(rdr, {"query": {"simple_query_string": {
+            "query": "merge stream", "fields": ["text", "title"],
+            "default_operator": "and"}}})
+    with pytest.raises(ValueError):
+        run_query(rdr, {"query": {"simple_query_string": {
+            "query": '"merge stream"', "fields": ["text", "title"]}}})
