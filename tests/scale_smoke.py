@@ -15,6 +15,13 @@ surface (bool/msm/search_after/facets/aggs/sort/wildcard/fuzzy/
 prefix/mlt/dsl, each <= 0.1 s warm) and the maintenance entries
 (delete_by_query / update_by_query / export_matching, which copy and
 mutate a full index per call).
+
+Round-4 final record (sf0.1): all 86 entries ok (85 queries + the
+flagship), including the late additions (dismax_generic /
+boosting_demote / simple_query_string / filters + metric aggs /
+analyze_tokens, each <= 0.1 s warm); slowest remain the
+index-mutating maintenance entries (update_merge 5.5 s) and the
+near-dup pipelines.
 """
 
 from __future__ import annotations
