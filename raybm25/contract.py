@@ -431,6 +431,116 @@ def q_date_histogram(sf_dir: str):
     )
 
 
+def q_pipeline_cumsum(sf_dir: str):
+    """Parent pipeline aggregations (cumulative_sum + derivative under
+    a date_histogram) over events matching 'error' — driver-side
+    post-processing of the already-small bucket list
+    (dsl._apply_parent_pipelines)."""
+    from .query.dsl import run_query
+
+    body = {
+        "query": {"match": {"event_type": {"query": "error"}}},
+        "size": 0,
+        "aggs": {
+            "daily": {
+                "date_histogram": {"field": "ts", "fixed_interval_ms": 86400000},
+                "aggs": {
+                    "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+                    "deriv": {"derivative": {"buckets_path": "_count"}},
+                },
+            }
+        },
+    }
+    buckets = run_query(_events_index(sf_dir), body)["aggregations"]["daily"][
+        "buckets"
+    ]
+    return pd.DataFrame(
+        {
+            "bucket_ms": pd.array([b["key"] for b in buckets], dtype="int64"),
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+            "cum": [b["cum"]["value"] for b in buckets],
+            "deriv": [
+                b["deriv"]["value"] if "deriv" in b else None for b in buckets
+            ],
+        }
+    )
+
+
+def q_bucket_sort_busiest(sf_dir: str):
+    """bucket_sort pipeline (top-2 daily buckets by doc_count desc,
+    stable on bucket key for ties) + max_bucket sibling over the full
+    histogram — both from one DSL request."""
+    from .query.dsl import run_query
+
+    body = {
+        "query": {"match": {"event_type": {"query": "error"}}},
+        "size": 0,
+        "aggs": {
+            "daily": {
+                "date_histogram": {"field": "ts", "fixed_interval_ms": 86400000},
+                "aggs": {
+                    "top2": {
+                        "bucket_sort": {
+                            "sort": [{"_count": {"order": "desc"}}],
+                            "size": 2,
+                        }
+                    }
+                },
+            },
+            "busiest": {"max_bucket": {"buckets_path": "daily>_count"}},
+        },
+    }
+    aggs = run_query(_events_index(sf_dir), body)["aggregations"]
+    buckets = aggs["daily"]["buckets"]
+    return pd.DataFrame(
+        {
+            "bucket_ms": pd.array([b["key"] for b in buckets], dtype="int64"),
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+            "max_count": [aggs["busiest"]["value"]] * len(buckets),
+        }
+    )
+
+
+def q_extended_stats(sf_dir: str):
+    """extended_stats agg of n_chars over docs matching 'merge join':
+    stats + sum_of_squares / population variance / std_deviation
+    (engine.extended_stats_agg). All moments are exact in float64
+    (n_chars^2 sums stay below 2^53), so the SQL oracle mirroring the
+    same variance formula is bit-identical."""
+    r = _reader(sf_dir)
+    st = r.extended_stats_agg("merge join", "n_chars")
+    return pd.DataFrame(
+        {
+            "n": pd.array([st["count"]], dtype="int64"),
+            "min_v": pd.array([st["min"]], dtype="int64"),
+            "max_v": pd.array([st["max"]], dtype="int64"),
+            "sum_v": pd.array([st["sum"]], dtype="int64"),
+            "avg_v": [st["avg"]],
+            "sum_sq": [st["sum_of_squares"]],
+            "variance": [st["variance"]],
+            "std_dev": [st["std_deviation"]],
+        }
+    )
+
+
+def q_rare_terms(sf_dir: str):
+    """rare_terms agg: sources appearing in <= 2 docs matching 'dup'
+    (the long-tail complement of the terms agg;
+    engine.rare_terms_agg)."""
+    r = _reader(sf_dir)
+    rows = r.rare_terms_agg("dup", "source", max_doc_count=2)
+    return pd.DataFrame(
+        {
+            "source": [v for v, _ in rows],
+            "doc_count": pd.array([c for _, c in rows], dtype="int64"),
+        }
+    )
+
+
 def q_composite_after(sf_dir: str):
     """Composite aggregation (terms source, after-key pagination):
     page 2 of the lang buckets for 'merge join', key order
@@ -2440,6 +2550,53 @@ ORACLE_SQL: dict[str, str] = {
         " count(*) AS doc_count FROM t WHERE list_contains(tk, 'error')"
         " GROUP BY bucket_ms ORDER BY bucket_ms"
     ),
+    "pipeline_cumsum_daily": (
+        "WITH t AS (SELECT event_id, ts,"
+        " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk FROM events),"
+        " b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS bucket_ms,"
+        " count(*) AS doc_count FROM t WHERE list_contains(tk, 'error')"
+        " GROUP BY bucket_ms)"
+        " SELECT bucket_ms, doc_count,"
+        " CAST(sum(doc_count) OVER (ORDER BY bucket_ms) AS DOUBLE) AS cum,"
+        " CAST(doc_count - lag(doc_count) OVER (ORDER BY bucket_ms)"
+        " AS DOUBLE) AS deriv"
+        " FROM b ORDER BY bucket_ms"
+    ),
+    "bucket_sort_busiest": (
+        "WITH t AS (SELECT event_id, ts,"
+        " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk FROM events),"
+        " b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS bucket_ms,"
+        " count(*) AS doc_count FROM t WHERE list_contains(tk, 'error')"
+        " GROUP BY bucket_ms)"
+        " SELECT bucket_ms, doc_count,"
+        " CAST((SELECT max(doc_count) FROM b) AS DOUBLE) AS max_count"
+        " FROM b ORDER BY doc_count DESC, bucket_ms LIMIT 2"
+    ),
+    "extended_stats_chars": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks"
+        " WHERE term IN ('join', 'merge')),"
+        " s AS (SELECT count(*) AS n, min(n_chars) AS min_v,"
+        " max(n_chars) AS max_v, sum(n_chars) AS sum_v,"
+        " sum(n_chars * n_chars) AS ss"
+        " FROM documents JOIN m USING(doc_id))"
+        " SELECT n, min_v, max_v, sum_v,"
+        " CAST(sum_v AS DOUBLE) / n AS avg_v,"
+        " CAST(ss AS DOUBLE) AS sum_sq,"
+        " CAST(ss AS DOUBLE) / n"
+        " - (CAST(sum_v AS DOUBLE) / n) * (CAST(sum_v AS DOUBLE) / n)"
+        " AS variance,"
+        " sqrt(CAST(ss AS DOUBLE) / n"
+        " - (CAST(sum_v AS DOUBLE) / n) * (CAST(sum_v AS DOUBLE) / n))"
+        " AS std_dev FROM s"
+    ),
+    "rare_terms_source": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup')"
+        " SELECT source, count(*) AS doc_count"
+        " FROM documents JOIN m USING(doc_id)"
+        " GROUP BY source HAVING count(*) <= 2 ORDER BY doc_count, source"
+    ),
     "collapse_by_lang": (
         "SELECT rank, doc_id, score, lang FROM ("
         " SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,"
@@ -2913,6 +3070,10 @@ QUERIES = {
     "composite_lang_after": q_composite_after,
     "terms_stats_lang": q_terms_stats,
     "date_histogram_errors": q_date_histogram,
+    "pipeline_cumsum_daily": q_pipeline_cumsum,
+    "bucket_sort_busiest": q_bucket_sort_busiest,
+    "extended_stats_chars": q_extended_stats,
+    "rare_terms_source": q_rare_terms,
     "collapse_by_lang": q_collapse_by_lang,
     "rescore_phrase": q_rescore_phrase,
     "count_match": q_count_match,

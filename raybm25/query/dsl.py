@@ -379,6 +379,86 @@ def _bool_hits(r: IndexReader, spec: dict, k: int) -> list[tuple[int, float]]:
     )
 
 
+_SIBLING_PIPELINE = ("max_bucket", "min_bucket", "sum_bucket", "avg_bucket")
+
+
+def _bucket_metric(bucket: dict, path: str) -> float:
+    """Resolve a pipeline ``buckets_path`` inside one bucket:
+    ``_count`` = doc_count, otherwise a dotted walk into sub-agg
+    results (a sub-agg dict resolves to its ``value``)."""
+    if path in ("_count", "doc_count", ""):
+        return float(bucket["doc_count"])
+    cur: Any = bucket
+    for part in path.replace(">", ".").split("."):
+        cur = cur[part]
+    return float(cur["value"] if isinstance(cur, dict) else cur)
+
+
+def _apply_parent_pipelines(result: dict, sub_aggs: dict) -> None:
+    """Parent pipeline aggregations (OpenSearch ``cumulative_sum`` /
+    ``derivative`` / ``bucket_sort`` declared under a histogram-family
+    parent's ``aggs``): pure post-processing over the parent's bucket
+    list, evaluated in declaration order. Driver-side by design — the
+    bucket list is already the small aggregated result."""
+    buckets = result.get("buckets")
+    if not isinstance(buckets, list):
+        raise ValueError("pipeline sub-aggs need a bucket-list parent")
+    for sname, sub in sub_aggs.items():
+        skind, sspec = _one(sub, f"sub-agg {sname}")
+        path = str(sspec.get("buckets_path", "_count"))
+        if skind == "cumulative_sum":
+            total = 0.0
+            for b in buckets:
+                total += _bucket_metric(b, path)
+                b[sname] = {"value": total}
+        elif skind == "derivative":
+            prev: float | None = None
+            for b in buckets:
+                v = _bucket_metric(b, path)
+                if prev is not None:
+                    b[sname] = {"value": v - prev}
+                prev = v
+        elif skind == "bucket_sort":
+            sorts = sspec.get("sort", [])
+            for s in reversed(sorts):  # stable sort per key, last wins least
+                sk, sv = _one(s, "bucket_sort.sort")
+                desc = str(sv.get("order", "asc")) == "desc"
+                buckets.sort(key=lambda b: _bucket_metric(b, sk), reverse=desc)
+            frm = int(sspec.get("from", 0))
+            size = sspec.get("size")
+            end = None if size is None else frm + int(size)
+            result["buckets"] = buckets = buckets[frm:end]
+        else:
+            raise ValueError(
+                f"unsupported parent pipeline agg {skind!r} (supported: "
+                "cumulative_sum, derivative, bucket_sort)"
+            )
+
+
+def _sibling_pipeline(out: dict, name: str, akind: str, aspec: dict) -> None:
+    """Sibling pipeline aggregations (``max_bucket`` family): reduce a
+    previously-computed bucket agg referenced by ``buckets_path``
+    (``parent>metric``)."""
+    parent, _, metric = str(aspec["buckets_path"]).partition(">")
+    if parent not in out:
+        raise ValueError(f"buckets_path references unknown agg {parent!r}")
+    buckets = out[parent]["buckets"]
+    vals = [_bucket_metric(b, metric) for b in buckets]
+    if akind == "sum_bucket":
+        out[name] = {"value": float(sum(vals))}
+    elif akind == "avg_bucket":
+        out[name] = {"value": (float(sum(vals)) / len(vals)) if vals else None}
+    else:
+        if not vals:
+            out[name] = {"value": None, "keys": []}
+            return
+        best = max(vals) if akind == "max_bucket" else min(vals)
+        out[name] = {
+            "value": float(best),
+            "keys": [str(b.get("key")) for b, v in zip(buckets, vals) if v == best],
+        }
+
+
 def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
     """Each agg runs over the query's match text when the query is a
     plain match (the engine aggs re-derive the candidate union);
@@ -391,7 +471,26 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
         f = None if field == r.primary_field else field
     else:
         raise ValueError("aggs are supported over 'match' queries")
+    deferred: list[tuple[str, str, dict]] = []
     for name, agg in aggs.items():
+        sub_aggs = None
+        if (
+            isinstance(agg, dict)
+            and "aggs" in agg
+            and "terms" not in agg
+            and "composite" not in agg
+        ):
+            # histogram-family parent with pipeline sub-aggs
+            agg = {k: v for k, v in agg.items() if k != "aggs"}
+            sub_aggs = aggs[name]["aggs"]
+        if (
+            isinstance(agg, dict)
+            and len(agg) == 1
+            and next(iter(agg)) in _SIBLING_PIPELINE
+        ):
+            kind = next(iter(agg))
+            deferred.append((name, kind, agg[kind]))
+            continue
         if isinstance(agg, dict) and "terms" in agg and "aggs" in agg:
             # terms bucket agg with a top_hits or stats sub-agg
             sub_name, sub = _one(agg["aggs"], f"agg {name}.aggs")
@@ -503,6 +602,19 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
             }
         elif akind == "stats":
             out[name] = r.stats_agg(qtext, afield, field=f)
+        elif akind == "extended_stats":
+            out[name] = r.extended_stats_agg(qtext, afield, field=f)
+        elif akind == "rare_terms":
+            rows = r.rare_terms_agg(
+                qtext, afield,
+                max_doc_count=int(aspec.get("max_doc_count", 1)),
+                field=f,
+            )
+            out[name] = {
+                "buckets": [{"key": v, "doc_count": c} for v, c in rows]
+            }
+        elif akind == "missing":
+            out[name] = {"doc_count": r.missing_agg(qtext, afield, field=f)}
         elif akind in ("min", "max", "avg", "sum", "value_count"):
             # single-metric aggs are the stats agg projected to one key
             st = r.stats_agg(qtext, afield, field=f)
@@ -560,6 +672,10 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
             }
         else:
             raise ValueError(f"unsupported agg kind {akind!r}")
+        if sub_aggs is not None:
+            _apply_parent_pipelines(out[name], sub_aggs)
+    for name, kind, spec in deferred:
+        _sibling_pipeline(out, name, kind, spec)
     return out
 
 

@@ -867,6 +867,72 @@ class IndexReader:
             "avg": float(total) / cand.size,
         }
 
+    def extended_stats_agg(
+        self, query: str, agg_field: str, field: str | None = None
+    ) -> dict:
+        """Extended-stats aggregation (OpenSearch ``extended_stats``):
+        the stats keys plus sum_of_squares, population variance and
+        std_deviation (OpenSearch's documented definitions:
+        ``variance = sum_sq/n - avg^2``, population flavor). All the
+        moment math runs in float64 on the gathered doc-value vector —
+        at cluster scale the same three moments (n, sum, sum_sq) are
+        per-block partials merged by addition."""
+        st = self.stats_agg(query, agg_field, field)
+        if st["count"] == 0:
+            return {**st, "sum_of_squares": None, "variance": None,
+                    "std_deviation": None}
+        cand = self._match_ordinals(query, field)
+        vals = self._gather_column(cand, agg_field).astype(np.float64)
+        sum_sq = float((vals * vals).sum())
+        avg = float(st["avg"])
+        variance = max(sum_sq / st["count"] - avg * avg, 0.0)
+        return {
+            **st,
+            "sum_of_squares": sum_sq,
+            "variance": variance,
+            "std_deviation": math.sqrt(variance),
+        }
+
+    def rare_terms_agg(
+        self,
+        query: str,
+        facet_field: str,
+        max_doc_count: int = 1,
+        field: str | None = None,
+    ) -> list[tuple[str, int]]:
+        """Rare-terms aggregation (OpenSearch ``rare_terms``): the
+        long-tail complement of ``terms`` — keyword values whose doc
+        count among the matching docs is <= ``max_doc_count``, ordered
+        (count asc, value asc). Same one-pass np.unique shape as
+        ``facet_terms``; OpenSearch approximates with a CuckooFilter at
+        scale, this engine's per-bucket exact counts merge exactly."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        vals = self._gather_column(cand, facet_field)
+        uniq, counts = np.unique(vals.astype(str), return_counts=True)
+        keep = counts <= max_doc_count
+        uniq, counts = uniq[keep], counts[keep]
+        order = np.lexsort((uniq, counts))
+        return [(str(uniq[i]), int(counts[i])) for i in order]
+
+    def missing_agg(
+        self, query: str, agg_field: str, field: str | None = None
+    ) -> int:
+        """Missing aggregation (OpenSearch ``missing``): how many
+        matching docs lack a value for the field (null doc-value).
+        Nulls surface as NaN (numeric) or None (object) from the
+        docstore gather."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return 0
+        vals = self._gather_column(cand, agg_field)
+        if vals.dtype == object:
+            return int(sum(v is None for v in vals))
+        if np.issubdtype(vals.dtype, np.floating):
+            return int(np.isnan(vals).sum())
+        return 0  # non-nullable integer storage: nothing missing
+
     def search_sort_by(
         self,
         query: str,
@@ -1686,6 +1752,8 @@ class IndexReader:
            because each bound subsumes the others' full UB.
         4. Exact-score surviving candidates (+ the θ seeds).
         """
+        if k <= 0:  # size:0 agg-only searches reach here via the DSL
+            return []
         avgdl = self.field_avgdl(field)
         qcounts = Counter(self.field_terms(query, field))
         postings = self.load_postings(sorted(qcounts))
