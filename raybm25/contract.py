@@ -1317,6 +1317,30 @@ def q_phrase_match_long(sf_dir: str):
     return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
 
 
+def q_query_string(sf_dir: str):
+    """Lucene query_string syntax through the DSL adapter
+    (query/querystring): grouped OR, a range clause contributing its
+    constant score, and a NOT exclusion — the classic
+    ``GET _search?q=...`` surface. Clause scores sum left-to-right, so
+    the SQL oracle mirrors the float association exactly."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {
+                "query_string": {
+                    "query": "(merge OR sort) AND n_chars:[200 TO 2000]"
+                    " AND NOT python"
+                }
+            },
+            "size": 10,
+        },
+    )
+    hits = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    return _hits_frame(hits)
+
+
 def q_dsl_search(sf_dir: str):
     """OpenSearch request-body search through the DSL adapter
     (query/dsl.run_query): a bool body with must+should+filter runs
@@ -2855,6 +2879,17 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "phrase_bm25_topk": _phrase_bm25_sql("merge sort", 10),
     # match_phrase_prefix: adjacency on the head token + LIKE on the next
+    # (merge OR sort) scores = pinned two-term BM25 sum; the range
+    # clause adds its constant 1.0; NOT python is an anti-join
+    "query_string_search": _bm25_sql(
+        "merge sort",
+        10,
+        where=(
+            "n_chars >= 200 AND n_chars <= 2000 AND NOT list_contains("
+            "regexp_extract_all(lower(text), '[a-z0-9]+'), 'python')"
+        ),
+        score_expr="score + 1.0",
+    ),
     "dsl_search": _bool_sql(
         "stream", "window", "", msm=0, k=12, where="lang = 'de'"
     ),
@@ -3122,6 +3157,7 @@ QUERIES = {
     "phrase_docs": q_phrase_docs,
     "phrase_match_long": q_phrase_match_long,
     "phrase_bm25_topk": q_phrase_bm25_topk,
+    "query_string_search": q_query_string,
     "dsl_search": q_dsl_search,
     "mlt_terms": q_mlt_terms,
     "phrase_prefix_docs": q_phrase_prefix_docs,

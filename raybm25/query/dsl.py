@@ -86,6 +86,10 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
         return np.sort(np.concatenate(parts).astype(np.uint64))
     if kind == "exists":
         return r.exists_docs(str(spec["field"]))
+    if kind == "query_string":
+        from .querystring import query_string_docs
+
+        return query_string_docs(r, spec)
     if kind == "ids":
         return r.ids_docs([int(v) for v in spec["values"]])
     field, body = _field_query(spec)
@@ -205,6 +209,10 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
         hits = [(d, s * nb if d in neg else s) for d, s in pos]
         hits.sort(key=lambda t: (-t[1], t[0]))
         return hits[:k]
+    if kind == "query_string":
+        from .querystring import query_string_hits
+
+        return query_string_hits(r, spec, k)
     if kind == "simple_query_string":
         # supported syntax subset: bare terms, -negation, "quoted
         # phrases", default_operator and|or. The grouping / boolean /
