@@ -355,6 +355,47 @@ def q_intervals_ordered(sf_dir: str):
     )
 
 
+def q_span_near(sf_dir: str):
+    """Lucene ``span_near`` (two span_terms, slop=2, in_order) through
+    the DSL adapter — maps onto the intervals greedy-chain evaluator
+    (dsl._match_docs 'span_near' -> engine.intervals_docs)."""
+    from .query.dsl import _match_docs
+
+    r = _IndexReader()(_pos_index(sf_dir))
+    ids = _match_docs(
+        r,
+        "span_near",
+        {
+            "clauses": [
+                {"span_term": {"text": "merge"}},
+                {"span_term": {"text": "sort"}},
+            ],
+            "slop": 2,
+            "in_order": True,
+        },
+    )
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
+def q_span_first(sf_dir: str):
+    """Lucene ``span_first``: docs whose first 'merge' occurrence ends
+    at or before position 3 — one gather at each posting's position
+    offset (engine.span_first_docs)."""
+    from .query.dsl import _match_docs
+
+    r = _IndexReader()(_pos_index(sf_dir))
+    ids = _match_docs(
+        r,
+        "span_first",
+        {"match": {"span_term": {"text": "merge"}}, "end": 3},
+    )
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
 def q_significant_terms(sf_dir: str):
     """significant_terms aggregation (JLH): terms over-represented in
     docs matching 'merge sort' vs the whole corpus — foreground counts
@@ -2522,6 +2563,23 @@ ORACLE_SQL: dict[str, str] = {
         "range(i+1, least(i+4, len(toks)+1)), j -> toks[j] = 'sort')) > 0)) > 0"
         " ORDER BY doc_id"
     ),
+    # span_near slop=2 in_order == intervals max_gaps=2 (same window)
+    "span_near_docs": (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
+        " AS toks FROM documents)"
+        " SELECT doc_id FROM t WHERE len(list_filter(range(1, len(toks)+1),"
+        " i -> toks[i] = 'merge' AND len(list_filter("
+        "range(i+1, least(i+4, len(toks)+1)), j -> toks[j] = 'sort')) > 0)) > 0"
+        " ORDER BY doc_id"
+    ),
+    # first occurrence of 'merge' within the first 3 positions
+    "span_first_docs": (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
+        " AS toks FROM documents)"
+        " SELECT doc_id FROM t WHERE len(list_filter("
+        "range(1, least(4, len(toks)+1)), i -> toks[i] = 'merge')) > 0"
+        " ORDER BY doc_id"
+    ),
     "significant_terms": (
         f"WITH {TOKS_CTE},"
         " fg AS (SELECT DISTINCT doc_id FROM toks"
@@ -3119,6 +3177,8 @@ QUERIES = {
     "agg_filters_lang": q_agg_filters,
     "agg_metrics_nchars": q_agg_metrics,
     "intervals_ordered": q_intervals_ordered,
+    "span_near_docs": q_span_near,
+    "span_first_docs": q_span_first,
     "significant_terms": q_significant_terms,
     "agg_top_hits": q_agg_top_hits,
     "bm25_search_after": q_bm25_search_after,

@@ -90,6 +90,38 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
         from .querystring import query_string_docs
 
         return query_string_docs(r, spec)
+    if kind == "span_near":
+        # Lucene span_near(slop, in_order) == intervals all_of with
+        # max_gaps=slop: both accept a window whose internal gap total
+        # is <= slop (matchLength - clauses <= slop). Clauses must be
+        # span_terms on one field.
+        texts = []
+        sfield = None
+        for c in spec["clauses"]:
+            ck, cs = _one(c, "span_near clause")
+            if ck != "span_term":
+                raise ValueError("span_near supports span_term clauses")
+            cf, cb = _field_query(cs)
+            if sfield is not None and cf != sfield:
+                raise ValueError("span_near clauses must share one field")
+            sfield = cf
+            texts.append(str(cb.get("query", cb.get("value", ""))))
+        return r.intervals_docs(
+            " ".join(texts),
+            max_gaps=int(spec.get("slop", 0)),
+            ordered=bool(spec.get("in_order", True)),
+            field=None if sfield == r.primary_field else sfield,
+        ).astype(np.uint64)
+    if kind == "span_first":
+        mk, ms = _one(spec["match"], "span_first match")
+        if mk != "span_term":
+            raise ValueError("span_first supports a span_term match")
+        mf, mb = _field_query(ms)
+        return r.span_first_docs(
+            str(mb.get("query", mb.get("value", ""))),
+            end=int(spec["end"]),
+            field=None if mf == r.primary_field else mf,
+        ).astype(np.uint64)
     if kind == "ids":
         return r.ids_docs([int(v) for v in spec["values"]])
     field, body = _field_query(spec)
@@ -112,6 +144,11 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
             ordered=bool(ao.get("ordered", False)),
             field=f,
         )
+    if kind == "span_term":
+        # single-term span: presence (same doc set as `term` on a text
+        # field); positional filtering happens in the enclosing span op
+        docs = r.intervals_docs(str(q), max_gaps=0, ordered=True, field=f)
+        return docs.astype(np.uint64)
     if kind == "range":
         bounds = {kk: body[kk] for kk in ("gte", "gt", "lte", "lt") if kk in body}
         return r.range_docs(field, **bounds)
@@ -302,6 +339,11 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
         if mtype == "most_fields":
             return r.search_multi(q, fields, k=k)
         raise ValueError(f"unsupported multi_match type {mtype!r}")
+    if kind in ("span_near", "span_first"):
+        # span queries: constant-score rewrite (multi-key specs never
+        # reach _field_query)
+        ids = _match_docs(r, kind, spec)
+        return [(int(d), 1.0) for d in ids[:k]]
     field, body = _field_query(spec)
     q = str(body.get("query", body.get("value", "")))
     f = None if field == r.primary_field else field

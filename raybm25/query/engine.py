@@ -2114,6 +2114,33 @@ class IndexReader:
         hit = np.unique(start[span_gap <= max_gaps] // M)
         return np.sort(self._map_ordinals(cand[hit]))
 
+    def span_first_docs(
+        self, term_text: str, end: int, field: str | None = None
+    ) -> np.ndarray:
+        """Lucene ``span_first``: docs where the term's span ends at or
+        before position ``end`` — for a single-term span that is
+        first_position + 1 <= end. Positions are ascending per posting,
+        so the earliest occurrence is one gather at each posting's
+        offset (no per-doc scan). Returns sorted doc ids."""
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                "index was built without positions=True; span queries "
+                "need positional postings"
+            )
+        terms = self.field_terms(term_text, field)
+        if len(terms) != 1:
+            raise ValueError(
+                f"span_first matches a single-term span; {term_text!r} "
+                f"analyzed to {len(terms)} terms"
+            )
+        postings = self.load_postings(terms)
+        if terms[0] not in postings:
+            return np.empty(0, np.uint64)
+        tp = postings[terms[0]]
+        first = tp.poss[tp.pos_offsets()[:-1]]
+        hit = tp.doc_ids[first + 1 <= end]
+        return np.sort(self._map_ordinals(hit))
+
     def match_phrase_prefix(
         self, phrase: str, field: str | None = None, max_expansions: int = 50
     ) -> np.ndarray:
