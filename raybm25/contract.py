@@ -355,6 +355,34 @@ def q_intervals_ordered(sf_dir: str):
     )
 
 
+def q_suggest_completion(sf_dir: str):
+    """Completion suggester: dictionary terms extending prefix 's'
+    ranked by document frequency (engine.suggest_completion — binary-
+    search prefix range + one pruned postings read for the weights)."""
+    r = _reader(sf_dir)
+    opts = r.suggest_completion("s", size=5)
+    return pd.DataFrame(
+        {
+            "suggestion": [o["text"] for o in opts],
+            "freq": pd.array([o["freq"] for o in opts], dtype="int64"),
+        }
+    )
+
+
+def q_suggest_phrase(sf_dir: str):
+    """Phrase suggester for the misspelled input 'mergi sor': per-token
+    fuzzy candidates, whole phrases ranked by adjacent-phrase document
+    frequency (engine.suggest_phrase over positional postings)."""
+    r = _IndexReader()(_pos_index(sf_dir))
+    opts = r.suggest_phrase("mergi sor", size=3, max_edits=1)
+    return pd.DataFrame(
+        {
+            "suggestion": [o["text"] for o in opts],
+            "freq": pd.array([o["freq"] for o in opts], dtype="int64"),
+        }
+    )
+
+
 def q_span_near(sf_dir: str):
     """Lucene ``span_near`` (two span_terms, slop=2, in_order) through
     the DSL adapter — maps onto the intervals greedy-chain evaluator
@@ -2563,6 +2591,36 @@ ORACLE_SQL: dict[str, str] = {
         "range(i+1, least(i+4, len(toks)+1)), j -> toks[j] = 'sort')) > 0)) > 0"
         " ORDER BY doc_id"
     ),
+    "suggest_completion": (
+        f"WITH {TOKS_CTE},"
+        " df AS (SELECT term, count(DISTINCT doc_id) AS freq FROM toks"
+        " WHERE term LIKE 's%' GROUP BY term)"
+        " SELECT term AS suggestion, freq FROM df"
+        " ORDER BY freq DESC, term LIMIT 5"
+    ),
+    # per-token fuzzy candidates (levenshtein<=1, 1-char shared head,
+    # top-5 by df) crossed into phrases, ranked by adjacent-bigram df
+    "suggest_phrase": (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),"
+        " '[a-z0-9]+') AS toks FROM documents),"
+        " tk AS (SELECT doc_id, unnest(toks) AS term FROM t),"
+        " df AS (SELECT term, count(DISTINCT doc_id) AS freq FROM tk"
+        " GROUP BY term),"
+        " c1 AS (SELECT term FROM df WHERE levenshtein(term, 'mergi') <= 1"
+        " AND term LIKE 'm%' ORDER BY freq DESC, term LIMIT 5),"
+        " c2 AS (SELECT term FROM df WHERE levenshtein(term, 'sor') <= 1"
+        " AND term LIKE 's%' ORDER BY freq DESC, term LIMIT 5),"
+        " ph AS (SELECT c1.term AS a, c2.term AS b FROM c1, c2"
+        " WHERE NOT (c1.term = 'mergi' AND c2.term = 'sor')),"
+        " bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2"
+        " THEN []::VARCHAR[] ELSE list_transform(range(1, len(toks)),"
+        " i -> toks[i] || ' ' || toks[i+1]) END) AS bigram FROM t),"
+        " bf AS (SELECT bigram, count(DISTINCT doc_id) AS freq FROM bg"
+        " GROUP BY bigram)"
+        " SELECT bigram AS suggestion, freq FROM ph"
+        " JOIN bf ON bf.bigram = ph.a || ' ' || ph.b"
+        " ORDER BY freq DESC, suggestion LIMIT 3"
+    ),
     # span_near slop=2 in_order == intervals max_gaps=2 (same window)
     "span_near_docs": (
         "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -3178,6 +3236,8 @@ QUERIES = {
     "agg_metrics_nchars": q_agg_metrics,
     "intervals_ordered": q_intervals_ordered,
     "span_near_docs": q_span_near,
+    "suggest_completion": q_suggest_completion,
+    "suggest_phrase": q_suggest_phrase,
     "span_first_docs": q_span_first,
     "significant_terms": q_significant_terms,
     "agg_top_hits": q_agg_top_hits,

@@ -958,16 +958,64 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
     if body.get("suggest"):
         sugg: dict[str, Any] = {}
         for name, s in body["suggest"].items():
-            if "term" not in s:
-                raise ValueError("only the 'term' suggester is supported")
-            t = s["term"]
-            fld = t.get("field")
-            sugg[name] = r.suggest_terms(
-                str(s["text"]),
-                size=int(t.get("size", 3)),
-                max_edits=int(t.get("max_edits", 2)),
-                prefix_length=int(t.get("prefix_length", 1)),
-                field=None if fld in (None, r.primary_field) else str(fld),
-            )
+            if "term" in s:
+                t = s["term"]
+                fld = t.get("field")
+                sugg[name] = r.suggest_terms(
+                    str(s["text"]),
+                    size=int(t.get("size", 3)),
+                    max_edits=int(t.get("max_edits", 2)),
+                    prefix_length=int(t.get("prefix_length", 1)),
+                    field=None if fld in (None, r.primary_field) else str(fld),
+                )
+            elif "phrase" in s:
+                t = s["phrase"]
+                fld = t.get("field")
+                sugg[name] = r.suggest_phrase(
+                    str(s["text"]),
+                    size=int(t.get("size", 3)),
+                    max_edits=int(t.get("max_edits", 1)),
+                    prefix_length=int(t.get("prefix_length", 1)),
+                    max_candidates=int(t.get("max_candidates", 5)),
+                    field=None if fld in (None, r.primary_field) else str(fld),
+                )
+            elif "completion" in s:
+                t = s["completion"]
+                fld = t.get("field")
+                sugg[name] = r.suggest_completion(
+                    str(s.get("prefix", s.get("text", ""))),
+                    size=int(t.get("size", 5)),
+                    field=None if fld in (None, r.primary_field) else str(fld),
+                )
+            else:
+                raise ValueError(
+                    "supported suggesters: term, phrase, completion"
+                )
         resp["suggest"] = sugg
     return resp
+
+
+def run_msearch(index_dir_or_reader, bodies: list[dict]) -> dict:
+    """OpenSearch ``_msearch``: execute several request bodies against
+    one index and return ``{"responses": [...]}`` in request order. A
+    body that raises surfaces as ``{"error": {...}}`` in its slot with
+    status 400 — the multi-search contract (one bad request does not
+    fail the batch). The reader (and its postings/doc-value caches) is
+    shared across the batch, so repeated terms decode once; on the
+    serving path the BatchSearcher actor pool gives the same sharing
+    per actor."""
+    r = (
+        index_dir_or_reader
+        if isinstance(index_dir_or_reader, IndexReader)
+        else IndexReader(index_dir_or_reader)
+    )
+    responses: list[dict] = []
+    for body in bodies:
+        try:
+            responses.append(run_query(r, body))
+        except (ValueError, KeyError) as e:
+            responses.append(
+                {"error": {"type": type(e).__name__, "reason": str(e)},
+                 "status": 400}
+            )
+    return {"responses": responses}

@@ -1628,6 +1628,82 @@ class IndexReader:
             )
         return out
 
+    def suggest_completion(
+        self, prefix: str, size: int = 5, field: str | None = None
+    ) -> list[dict]:
+        """Completion suggester (OpenSearch ``suggest.completion``):
+        dictionary terms extending ``prefix``, ranked by document
+        frequency desc (term asc ties), top ``size``. OpenSearch backs
+        this with a dedicated FST over explicit per-doc weights; this
+        engine serves the same API from the term dictionary with df as
+        the weight — corpus-derived instead of author-supplied
+        (documented deviation). The prefix range is a binary search on
+        the sorted dictionary; df comes from one pruned postings read
+        of just the candidate terms."""
+        cands = self.expand_prefix(prefix, field)
+        if field is not None and field != self.primary_field:
+            keyed = {f"{field}:{t}": t for t in cands}
+        else:
+            keyed = {t: t for t in cands}
+        postings = self.load_postings(sorted(keyed))
+        opts = sorted(
+            ((keyed[k], int(p.df)) for k, p in postings.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:size]
+        return [{"text": t, "freq": f} for t, f in opts]
+
+    def suggest_phrase(
+        self,
+        text: str,
+        size: int = 3,
+        max_edits: int = 1,
+        prefix_length: int = 1,
+        max_candidates: int = 5,
+        field: str | None = None,
+    ) -> list[dict]:
+        """Phrase suggester (OpenSearch ``suggest.phrase``): per-token
+        candidates are dictionary terms within ``max_edits`` Levenshtein
+        edits sharing a ``prefix_length``-char head (the token itself
+        included when in-vocabulary), pruned to the ``max_candidates``
+        most frequent; whole-phrase candidates are every cross-product
+        combination, scored by their exact adjacent-phrase document
+        frequency and ranked (freq desc, phrase asc), the uncorrected
+        input excluded and zero-frequency phrases dropped. OpenSearch
+        ranks with a Laplace-smoothed bigram LM over a shingle subfield;
+        adjacency document frequency is this engine's deterministic
+        analog (same candidate generation, simpler LM — documented
+        deviation). Needs positional postings for the adjacency test.
+
+        Returns ``[{"text": phrase, "freq": n}]``."""
+        import itertools
+
+        toks = tokenize(text)
+        if not toks:
+            return []
+        per_tok: list[list[str]] = []
+        for tok in toks:
+            cands = self.expand_fuzzy(tok, max_edits, prefix_length, field)
+            if field is not None and field != self.primary_field:
+                keyed = {f"{field}:{t}": t for t in cands}
+            else:
+                keyed = {t: t for t in cands}
+            postings = self.load_postings(sorted(keyed))
+            ranked = sorted(
+                ((keyed[k], int(p.df)) for k, p in postings.items()),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:max_candidates]
+            per_tok.append([t for t, _ in ranked])
+        scored: list[tuple[str, int]] = []
+        for combo in itertools.product(*per_tok):
+            if list(combo) == toks:
+                continue
+            phrase = " ".join(combo)
+            freq = int(self.match_phrase(phrase, field).size)
+            if freq > 0:
+                scored.append((phrase, freq))
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        return [{"text": p, "freq": f} for p, f in scored[:size]]
+
     @staticmethod
     def _isect_sorted(cand: np.ndarray, fp: TermPostings) -> np.ndarray:
         """Keep candidates present in the filter's sorted posting list."""
