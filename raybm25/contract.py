@@ -355,6 +355,81 @@ def q_intervals_ordered(sf_dir: str):
     )
 
 
+def q_termvectors(sf_dir: str):
+    """_termvectors of the lowest-id document with term_statistics:
+    per-term term_freq re-derived from the stored text, doc_freq/ttf
+    joined from one pruned postings read (engine.termvectors)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .query.dsl import run_termvectors
+
+    did = pc.min(
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).column("doc_id")
+    ).as_py()
+    r = _reader(sf_dir)
+    tv = run_termvectors(
+        r,
+        did,
+        {"term_statistics": True, "positions": False, "field_statistics": False},
+    )
+    terms = tv["term_vectors"]["text"]["terms"]
+    keys = sorted(terms)
+    return pd.DataFrame(
+        {
+            "term": keys,
+            "term_freq": pd.array(
+                [terms[t]["term_freq"] for t in keys], dtype="int64"
+            ),
+            "doc_freq": pd.array(
+                [terms[t]["doc_freq"] for t in keys], dtype="int64"
+            ),
+            "ttf": pd.array([terms[t]["ttf"] for t in keys], dtype="int64"),
+        }
+    )
+
+
+def q_field_stats(sf_dir: str):
+    """Lucene field statistics (sum_doc_freq / doc_count / sum_ttf)
+    from a (term, df, cf)-only columnar scan of the postings shards
+    (engine.field_statistics)."""
+    st = _reader(sf_dir).field_statistics()
+    return pd.DataFrame(
+        {
+            "sum_doc_freq": pd.array([st["sum_doc_freq"]], dtype="int64"),
+            "doc_count": pd.array([st["doc_count"]], dtype="int64"),
+            "sum_ttf": pd.array([st["sum_ttf"]], dtype="int64"),
+        }
+    )
+
+
+def q_mget(sf_dir: str):
+    """_mget of the lowest and highest doc ids plus an absent id (-1):
+    request-order fetch, absent ids found=False (dsl.run_mget — one
+    grouped docstore read)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .query.dsl import run_mget
+
+    col = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).column("doc_id")
+    lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
+    out = run_mget(_reader(sf_dir), {"ids": [lo, hi, -1]})
+    return pd.DataFrame(
+        {
+            "req_id": pd.array([lo, hi, -1], dtype="int64"),
+            "found": [d["found"] for d in out["docs"]],
+            "lang": [
+                d.get("_source", {}).get("lang") for d in out["docs"]
+            ],
+        }
+    )
+
+
 def q_suggest_completion(sf_dir: str):
     """Completion suggester: dictionary terms extending prefix 's'
     ranked by document frequency (engine.suggest_completion — binary-
@@ -2591,6 +2666,30 @@ ORACLE_SQL: dict[str, str] = {
         "range(i+1, least(i+4, len(toks)+1)), j -> toks[j] = 'sort')) > 0)) > 0"
         " ORDER BY doc_id"
     ),
+    "termvectors_doc": (
+        f"WITH {TOKS_CTE},"
+        " mind AS (SELECT min(doc_id) AS d FROM documents),"
+        " tf AS (SELECT term, count(*) AS term_freq FROM toks, mind"
+        " WHERE doc_id = mind.d GROUP BY term),"
+        " stats AS (SELECT term, count(DISTINCT doc_id) AS doc_freq,"
+        " count(*) AS ttf FROM toks GROUP BY term)"
+        " SELECT tf.term, term_freq, doc_freq, ttf"
+        " FROM tf JOIN stats USING(term) ORDER BY term"
+    ),
+    "field_stats": (
+        f"WITH {TOKS_CTE}"
+        " SELECT (SELECT count(*) FROM"
+        " (SELECT DISTINCT doc_id, term FROM toks)) AS sum_doc_freq,"
+        " (SELECT count(*) FROM documents) AS doc_count,"
+        " (SELECT count(*) FROM toks) AS sum_ttf"
+    ),
+    "mget_docs": (
+        "WITH req AS (SELECT min(doc_id) AS rid FROM documents"
+        " UNION ALL SELECT max(doc_id) FROM documents"
+        " UNION ALL SELECT -1)"
+        " SELECT rid AS req_id, (doc_id IS NOT NULL) AS found, lang"
+        " FROM req LEFT JOIN documents ON doc_id = rid"
+    ),
     "suggest_completion": (
         f"WITH {TOKS_CTE},"
         " df AS (SELECT term, count(DISTINCT doc_id) AS freq FROM toks"
@@ -3237,6 +3336,9 @@ QUERIES = {
     "intervals_ordered": q_intervals_ordered,
     "span_near_docs": q_span_near,
     "suggest_completion": q_suggest_completion,
+    "termvectors_doc": q_termvectors,
+    "field_stats": q_field_stats,
+    "mget_docs": q_mget,
     "suggest_phrase": q_suggest_phrase,
     "span_first_docs": q_span_first,
     "significant_terms": q_significant_terms,

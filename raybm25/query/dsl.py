@@ -1019,3 +1019,54 @@ def run_msearch(index_dir_or_reader, bodies: list[dict]) -> dict:
                  "status": 400}
             )
     return {"responses": responses}
+
+
+def run_mget(index_dir_or_reader, body: dict) -> dict:
+    """OpenSearch ``_mget``: fetch several stored documents by id in
+    request order; absent ids come back ``found: False`` (never an
+    error). One grouped docstore read serves the whole batch
+    (get_docs touches only the buckets the ids hash to)."""
+    r = (
+        index_dir_or_reader
+        if isinstance(index_dir_or_reader, IndexReader)
+        else IndexReader(index_dir_or_reader)
+    )
+    ids = [int(v) for v in body["ids"]]
+    tbl = r.get_docs(np.array(ids, dtype=np.uint64))
+    by_id = {}
+    cols = [c for c in tbl.column_names if c != "doc_id"]
+    did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    for i in range(tbl.num_rows):
+        by_id[int(did[i])] = {c: tbl.column(c)[i].as_py() for c in cols}
+    docs = []
+    for v in ids:
+        src = by_id.get(int(np.uint64(v)))
+        if src is None:
+            docs.append({"_id": v, "found": False})
+        else:
+            docs.append({"_id": v, "found": True, "_source": src})
+    return {"docs": docs}
+
+
+def run_termvectors(index_dir_or_reader, doc_id: int, body: dict | None = None) -> dict:
+    """OpenSearch ``_termvectors`` endpoint (see
+    IndexReader.termvectors)."""
+    r = (
+        index_dir_or_reader
+        if isinstance(index_dir_or_reader, IndexReader)
+        else IndexReader(index_dir_or_reader)
+    )
+    body = body or {}
+    fields = body.get("fields")
+    field = None
+    if fields:
+        if len(fields) != 1:
+            raise ValueError("termvectors supports one field per call")
+        field = None if fields[0] == r.primary_field else str(fields[0])
+    return r.termvectors(
+        int(doc_id),
+        field=field,
+        positions=bool(body.get("positions", True)),
+        term_statistics=bool(body.get("term_statistics", False)),
+        field_statistics=bool(body.get("field_statistics", True)),
+    )

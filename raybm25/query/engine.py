@@ -105,6 +105,7 @@ class IndexReader:
         self._bucket_cols: dict[tuple[int, str], np.ndarray] = {}
         # term dictionary cache: "" = raw all-fields array, else per field
         self._term_dicts: dict[str, pa.Array] = {}
+        self._field_stats: dict[str, dict] = {}
         # decoded-postings LRU (the reference's query-serving cache
         # analog, SURVEY.md §2 ST2): hot Zipf-head terms are re-queried
         # constantly; capped by posting count, not entry count
@@ -2014,6 +2015,90 @@ class IndexReader:
 
         vals = np.asarray(list(values), dtype=np.uint64)
         return self._scan_docs(pds.field("doc_id").isin(vals))
+
+    def field_statistics(self, field: str | None = None) -> dict:
+        """Lucene field statistics for ``_termvectors``:
+        ``sum_doc_freq`` (Σ df over the field's terms), ``doc_count``
+        and ``sum_ttf`` (Σ total term freq = total tokens). One
+        columnar (term, df, cf)-only scan of the postings shards —
+        vocabulary-row-sized, a tiny fraction of index bytes; salted
+        hot-term rows partition docs so their dfs sum correctly.
+        Cached per field; at cluster scale the scan fans out per shard
+        file."""
+        import glob
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        want = self.primary_field if field is None else field
+        cached = self._field_stats.get(want)
+        if cached is not None:
+            return cached
+        sum_df = 0
+        sum_ttf = 0
+        for p in sorted(glob.glob(os.path.join(self._postings_dir, "*.parquet"))):
+            t = pq.read_table(p, columns=["term", "df", "cf"])
+            terms = t.column("term")
+            if want == self.primary_field:
+                mask = pc.invert(pc.match_substring(terms, ":"))
+            else:
+                mask = pc.starts_with(terms, pattern=f"{want}:")
+            sum_df += pc.sum(t.column("df").filter(mask)).as_py() or 0
+            sum_ttf += pc.sum(t.column("cf").filter(mask)).as_py() or 0
+        out = {
+            "sum_doc_freq": int(sum_df),
+            "doc_count": int(self.n_docs),
+            "sum_ttf": int(sum_ttf),
+        }
+        self._field_stats[want] = out
+        return out
+
+    def termvectors(
+        self,
+        doc_id: int,
+        field: str | None = None,
+        positions: bool = True,
+        term_statistics: bool = False,
+        field_statistics: bool = True,
+    ) -> dict:
+        """OpenSearch ``_termvectors``: per-term stats of one stored
+        document — term_freq and token positions re-derived by
+        analyzing the stored text (the reference's OpenSearch does the
+        same for docs indexed without explicit vectors), df/ttf joined
+        from one pruned postings read when ``term_statistics`` is
+        requested."""
+        col = self.primary_field if field is None else field
+        tbl = self.get_docs(np.array([doc_id], dtype=np.uint64))
+        if tbl.num_rows == 0:
+            return {"_id": int(doc_id), "found": False}
+        toks = tokenize(str(tbl.column(col)[0].as_py()))
+        tf = Counter(toks)
+        terms: dict[str, dict] = {}
+        for t in sorted(tf):
+            terms[t] = {"term_freq": int(tf[t])}
+        if positions:
+            for pos, t in enumerate(toks):
+                terms[t].setdefault("tokens", []).append({"position": pos})
+        if term_statistics:
+            keyed = (
+                {f"{col}:{t}": t for t in tf}
+                if col != self.primary_field
+                else {t: t for t in tf}
+            )
+            postings = self.load_postings(sorted(keyed))
+            for key, p in postings.items():
+                terms[keyed[key]]["doc_freq"] = int(p.df)
+                terms[keyed[key]]["ttf"] = int(p.tfs.sum())
+        fstats = (
+            {"field_statistics": self.field_statistics(field)}
+            if field_statistics
+            else {}
+        )
+        return {
+            "_id": int(doc_id),
+            "found": True,
+            "term_vectors": {col: {**fstats, "terms": terms}},
+        }
 
     def phrase_docs(self, field: str, phrase: str) -> np.ndarray:
         """Exact 2-3 token phrase match on a sayt-enabled field: the
