@@ -3,6 +3,10 @@ from .dsl import (  # noqa: F401
     run_analyze,
     run_count,
     run_explain,
+    run_mget,
+    run_msearch,
     run_query,
     run_stats,
+    run_termvectors,
 )
+from .querystring import parse_query_string, query_string_hits  # noqa: F401

@@ -19,21 +19,28 @@ Supported:
   -negation, "quoted phrases", default_operator, multi-field
   most_fields sum — unsupported syntax raises instead of being
   silently dropped),
-  intervals (all_of: ordered / max_gaps), bool (must / should /
+  intervals (all_of: ordered / max_gaps), query_string (full Lucene
+  syntax — see query/querystring.py), span_term / span_near /
+  span_first, bool (must / should /
   must_not / filter(term | range | terms | exists | ids, ANDed) /
   minimum_should_match), match_all
 - size / from (offset paging), search_after + deterministic sort
   [_score, _id], sort on a numeric doc-value field, collapse (field
-  collapsing), rescore (match_phrase window re-ranking), and
-  ``run_count`` for the ``_count`` endpoint
-- aggs: terms, range, histogram, date_histogram, stats (and the
+  collapsing), rescore (match_phrase window re-ranking), and the
+  ``run_count`` / ``run_msearch`` / ``run_mget`` / ``run_termvectors``
+  endpoints
+- aggs: terms, range, histogram, date_histogram, stats /
+  extended_stats / rare_terms / missing (and the
   single-metric min / max / avg / sum / value_count), filters (named
   buckets), percentiles,
   cardinality, significant_terms (JLH), terms + top_hits/stats
   sub-aggs, composite (after-key pagination) — each over the SAME
-  query's match set
-- suggest: the term suggester (fuzzy dictionary candidates ranked by
-  document frequency)
+  query's match set; pipeline aggs: cumulative_sum / derivative /
+  bucket_sort under a histogram parent, sibling
+  max/min/sum/avg_bucket via buckets_path
+- suggest: term (fuzzy candidates by df), phrase (fuzzy candidates
+  crossed and ranked by adjacent-phrase df), completion (prefix range
+  over the term dictionary, df-weighted)
 
 Response shape (the subset clients actually read):
 ``{"hits": {"total": {"value": n}, "hits": [{"_id", "_score"}...]},
