@@ -649,6 +649,85 @@ def q_bucket_sort_busiest(sf_dir: str):
     )
 
 
+def q_adjacency_matrix(sf_dir: str):
+    """adjacency_matrix agg: named filter doc sets (keyword term,
+    numeric range, text match) and their pairwise intersections, all
+    within the 'merge join' match set; zero-count buckets omitted
+    (dsl._aggregations 'adjacency_matrix')."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge join"}}},
+            "size": 0,
+            "aggs": {
+                "adj": {
+                    "adjacency_matrix": {
+                        "filters": {
+                            "en": {"term": {"lang": "en"}},
+                            "short": {"range": {"n_chars": {"lt": 400}}},
+                        }
+                    }
+                }
+            },
+        },
+    )
+    buckets = resp["aggregations"]["adj"]["buckets"]
+    return pd.DataFrame(
+        {
+            "key": [b["key"] for b in buckets],
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+        }
+    )
+
+
+def q_date_range_agg(sf_dir: str):
+    """date_range agg over the 'error' events: three epoch-ms windows
+    (open start, a middle fortnight, open end) counted with one ts
+    doc-value gather (engine.facet_date_ranges)."""
+    from .query.dsl import run_query
+
+    mid_lo, mid_hi = 1704758400000, 1705968000000
+    resp = run_query(
+        _events_index(sf_dir),
+        {
+            "query": {"match": {"event_type": {"query": "error"}}},
+            "size": 0,
+            "aggs": {
+                "windows": {
+                    "date_range": {
+                        "field": "ts",
+                        "ranges": [
+                            {"to": mid_lo},
+                            {"from": mid_lo, "to": mid_hi},
+                            {"from": mid_hi},
+                        ],
+                    }
+                }
+            },
+        },
+    )
+    buckets = resp["aggregations"]["windows"]["buckets"]
+    return pd.DataFrame(
+        {
+            "lo": pd.array(
+                [b["from"] if b["from"] is not None else -1 for b in buckets],
+                dtype="int64",
+            ),
+            "hi": pd.array(
+                [b["to"] if b["to"] is not None else -1 for b in buckets],
+                dtype="int64",
+            ),
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+        }
+    )
+
+
 def q_extended_stats(sf_dir: str):
     """extended_stats agg of n_chars over docs matching 'merge join':
     stats + sum_of_squares / population variance / std_deviation
@@ -2811,6 +2890,33 @@ ORACLE_SQL: dict[str, str] = {
         " CAST((SELECT max(doc_count) FROM b) AS DOUBLE) AS max_count"
         " FROM b ORDER BY doc_count DESC, bucket_ms LIMIT 2"
     ),
+    "adjacency_matrix": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks"
+        " WHERE term IN ('join', 'merge')),"
+        " a AS (SELECT doc_id FROM documents JOIN m USING(doc_id)"
+        " WHERE lang = 'en'),"
+        " b AS (SELECT doc_id FROM documents JOIN m USING(doc_id)"
+        " WHERE n_chars < 400),"
+        " k AS (SELECT 'en' AS key, (SELECT count(*) FROM a) AS doc_count"
+        " UNION ALL SELECT 'en&short', (SELECT count(*) FROM a"
+        " JOIN b USING(doc_id))"
+        " UNION ALL SELECT 'short', (SELECT count(*) FROM b))"
+        " SELECT key, doc_count FROM k WHERE doc_count > 0"
+    ),
+    "date_range_agg": (
+        "WITH t AS (SELECT event_id, epoch_ms(ts) AS ms,"
+        " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk"
+        " FROM events),"
+        " m AS (SELECT ms FROM t WHERE list_contains(tk, 'error'))"
+        " SELECT -1 AS lo, 1704758400000 AS hi,"
+        " (SELECT count(*) FROM m WHERE ms < 1704758400000) AS doc_count"
+        " UNION ALL SELECT 1704758400000, 1705968000000,"
+        " (SELECT count(*) FROM m WHERE ms >= 1704758400000"
+        " AND ms < 1705968000000)"
+        " UNION ALL SELECT 1705968000000, -1,"
+        " (SELECT count(*) FROM m WHERE ms >= 1705968000000)"
+    ),
     "extended_stats_chars": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks"
@@ -3323,6 +3429,8 @@ QUERIES = {
     "pipeline_cumsum_daily": q_pipeline_cumsum,
     "bucket_sort_busiest": q_bucket_sort_busiest,
     "extended_stats_chars": q_extended_stats,
+    "adjacency_matrix": q_adjacency_matrix,
+    "date_range_agg": q_date_range_agg,
     "rare_terms_source": q_rare_terms,
     "collapse_by_lang": q_collapse_by_lang,
     "rescore_phrase": q_rescore_phrase,

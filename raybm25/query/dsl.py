@@ -615,6 +615,53 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
             }
             continue
         akind, aspec = _one(agg, f"agg {name}")
+        if akind == "adjacency_matrix":
+            # named filter doc sets; buckets for each filter AND each
+            # intersecting pair "a&b" (a < b), zero-count buckets
+            # omitted — OpenSearch semantics. Set algebra over sorted
+            # id arrays, all intersected with the query's match set.
+            qdocs = _match_docs(r, query_kind, query_spec)
+            sets = {
+                fname: np.intersect1d(
+                    qdocs,
+                    _match_docs(r, *_one(fc, f"adjacency.{fname}")),
+                    assume_unique=True,
+                )
+                for fname, fc in aspec["filters"].items()
+            }
+            buckets = []
+            for fname in sorted(sets):
+                if sets[fname].size:
+                    buckets.append(
+                        {"key": fname, "doc_count": int(sets[fname].size)}
+                    )
+            names_sorted = sorted(sets)
+            for i, a in enumerate(names_sorted):
+                for b in names_sorted[i + 1:]:
+                    inter = np.intersect1d(
+                        sets[a], sets[b], assume_unique=True
+                    ).size
+                    if inter:
+                        buckets.append(
+                            {"key": f"{a}&{b}", "doc_count": int(inter)}
+                        )
+            out[name] = {"buckets": buckets}
+            continue
+        if akind == "date_range":
+            # like `range` but bounds are epoch-ms over a timestamp
+            # doc-value (half-open [from, to), open ends allowed)
+            vals_field = aspec["field"]
+            ranges = [
+                (rg.get("from"), rg.get("to")) for rg in aspec["ranges"]
+            ]
+            rows = r.facet_date_ranges(qtext, vals_field, ranges, field=f)
+            out[name] = {
+                "buckets": [
+                    {"from": lo, "to": hi, "doc_count": c}
+                    for lo, hi, c in rows
+                ]
+            }
+            continue
         if akind == "filters":
             # named filter buckets: each named clause's doc set
             # intersected with the query's own match set

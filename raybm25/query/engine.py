@@ -1263,6 +1263,36 @@ class IndexReader:
         u, c = np.unique(keys, return_counts=True)
         return list(zip(u.tolist(), c.tolist()))
 
+    def facet_date_ranges(
+        self,
+        query: str,
+        ts_field: str,
+        ranges: list[tuple[int | None, int | None]],
+        field: str | None = None,
+    ) -> list[tuple[int | None, int | None, int]]:
+        """date_range aggregation (OpenSearch ``aggs.date_range``):
+        doc counts per half-open ``[from, to)`` epoch-ms window of a
+        stored timestamp doc-value, ``None`` bounds open. Same
+        vectorized two-comparison shape as ``facet_ranges`` after an
+        integer ms conversion."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return [(lo, hi, 0) for lo, hi in ranges]
+        ms = (
+            self._gather_column(cand, ts_field)
+            .astype("datetime64[ms]")
+            .astype(np.int64)
+        )
+        out = []
+        for lo, hi in ranges:
+            m = np.ones(ms.size, dtype=bool)
+            if lo is not None:
+                m &= ms >= int(lo)
+            if hi is not None:
+                m &= ms < int(hi)
+            out.append((lo, hi, int(np.count_nonzero(m))))
+        return out
+
     def facet_composite(
         self,
         query: str,
