@@ -106,6 +106,7 @@ class IndexReader:
         # term dictionary cache: "" = raw all-fields array, else per field
         self._term_dicts: dict[str, pa.Array] = {}
         self._field_stats: dict[str, dict] = {}
+        self._scan_memo: dict[str, np.ndarray] = {}
         # decoded-postings LRU (the reference's query-serving cache
         # analog, SURVEY.md §2 ST2): hot Zipf-head terms are re-queried
         # constantly; capped by posting count, not entry count
@@ -1979,6 +1980,15 @@ class IndexReader:
 
         from ..index.build_scan import DEAD_SUBDIR
 
+        # serving-path memo: repeated identical filters (the common hot
+        # pattern behind range/exists/ids clauses) skip the re-decode;
+        # distinct filters still take the statistics-pruned cold scan.
+        # Like every reader cache, invalidated by re-opening the reader
+        # after index mutations.
+        key = str(expr)
+        memo = self._scan_memo.get(key)
+        if memo is not None:
+            return memo
         dead_dir = os.path.join(self.index_dir, DEAD_SUBDIR)
         parts = []
         for path in sorted(glob.glob(os.path.join(self._docs_dir, "*.parquet"))):
@@ -2003,9 +2013,15 @@ class IndexReader:
                     ids = ids[dead[pos] != ords]
             if ids.size:
                 parts.append(ids)
-        if not parts:
-            return np.empty(0, np.uint64)
-        return np.sort(np.concatenate(parts))
+        out = (
+            np.empty(0, np.uint64)
+            if not parts
+            else np.sort(np.concatenate(parts))
+        )
+        if len(self._scan_memo) >= 128:
+            self._scan_memo.pop(next(iter(self._scan_memo)))
+        self._scan_memo[key] = out
+        return out
 
     def range_docs(
         self,

@@ -245,22 +245,57 @@ def parse_query_string(q: str, default_operator: str = "or") -> tuple:
 
 
 # --------------------------------------------------------------- evaluation
+# Every node evaluates to (ids, scores): REAL doc ids sorted ascending
+# (uint64) and their aligned float64 scores. Boolean combines are
+# sorted-array set algebra (intersect/union/setdiff) and score
+# accumulation is one searchsorted gather per clause — no per-doc
+# Python. Per-doc additions still happen in WRITTEN clause order, so
+# float association is identical to summing clause-by-clause.
+_EMPTY = (np.empty(0, np.uint64), np.empty(0, np.float64))
+
+
+def _ids_only(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(ids, dtype=np.uint64)
+    return ids, np.ones(ids.size, dtype=np.float64)
+
+
+def _from_hits(hits: list[tuple[int, float]]) -> tuple[np.ndarray, np.ndarray]:
+    if not hits:
+        return _EMPTY
+    ids = np.array([d for d, _ in hits], dtype=np.uint64)
+    sc = np.array([s for _, s in hits], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], sc[order]
+
+
 def _eval_leaf(
     r: IndexReader, kind: str, field: str | None, payload, default_field: str | None
-) -> dict[int, float]:
+) -> tuple[np.ndarray, np.ndarray]:
     if field is None:
         field = default_field
     text_cols = list(r.manifest.get("text_cols") or [r.primary_field])
     f = None if field in (None, r.primary_field) else field
     if kind == "match":
-        if field is None or field in text_cols:
-            return dict(r.search_pruned(str(payload), r.n_docs, field=f))
-        # keyword field: constant-score term query
-        return {int(d): 1.0 for d in r.term_docs(field, str(payload))}
+        if field is not None and field not in text_cols:
+            # keyword field: constant-score term query
+            return _ids_only(r.term_docs(field, str(payload)))
+        terms = r.field_terms(str(payload), f)
+        if len(terms) != 1:
+            # a token that analyzes to several terms (e.g. "a.b"):
+            # the engine's own multi-term combine
+            return _from_hits(r.search_pruned(str(payload), r.n_docs, field=f))
+        postings = r.load_postings(terms)
+        p = postings.get(terms[0])
+        if p is None:
+            return _EMPTY
+        contrib = r.idf(p.df) * r._norm_cached(p, r.field_avgdl(f))
+        real = r._map_ordinals(p.doc_ids)
+        order = np.argsort(real, kind="stable")
+        return real[order].astype(np.uint64), contrib[order].astype(np.float64)
     if kind == "phrase":
         if field is not None and field not in text_cols:
             raise ValueError(f"query_string: phrase needs a text field, got {field!r}")
-        return dict(r.search_phrase(str(payload), r.n_docs, field=f))
+        return _from_hits(r.search_phrase(str(payload), r.n_docs, field=f))
     if kind in ("wildcard", "fuzzy"):
         if field is not None and field not in text_cols:
             raise ValueError(
@@ -268,56 +303,57 @@ def _eval_leaf(
                 f"text field, got {field!r}"
             )
         if kind == "wildcard":
-            docs = r.wildcard_docs(str(payload), f)
-        else:
-            text, edits = payload
-            docs = r.fuzzy_docs(str(text), max_edits=int(edits), field=f)
-        return {int(d): 1.0 for d in docs}
+            return _ids_only(r.wildcard_docs(str(payload), f))
+        text, edits = payload
+        return _ids_only(r.fuzzy_docs(str(text), max_edits=int(edits), field=f))
     if kind == "range":
-        return {int(d): 1.0 for d in r.range_docs(field, **payload)}
+        return _ids_only(r.range_docs(field, **payload))
     if kind == "exists":
-        return {int(d): 1.0 for d in r.exists_docs(str(payload))}
+        return _ids_only(r.exists_docs(str(payload)))
     raise ValueError(f"query_string: unknown leaf kind {kind!r}")
 
 
-def _eval(r: IndexReader, node: tuple, default_field: str | None) -> dict[int, float]:
+def _eval(
+    r: IndexReader, node: tuple, default_field: str | None
+) -> tuple[np.ndarray, np.ndarray]:
     tag = node[0]
     if tag == "leaf":
         return _eval_leaf(r, node[1], node[2], node[3], default_field)
     if tag == "boost":
-        factor = node[1]
-        return {d: s * factor for d, s in _eval(r, node[2], default_field).items()}
+        ids, sc = _eval(r, node[2], default_field)
+        return ids, sc * node[1]
     if tag == "group":
-        clauses = node[1]
         evaled = [
-            (occur, _eval(r, child, default_field)) for occur, child in clauses
+            (occur, _eval(r, child, default_field)) for occur, child in node[1]
         ]
-        musts = [h for occur, h in evaled if occur == "must"]
-        shoulds = [h for occur, h in evaled if occur == "should"]
-        nots = [h for occur, h in evaled if occur == "must_not"]
+        musts = [ids for occur, (ids, _) in evaled if occur == "must"]
+        shoulds = [ids for occur, (ids, _) in evaled if occur == "should"]
+        nots = [ids for occur, (ids, _) in evaled if occur == "must_not"]
         if musts:
-            docs = set(musts[0])
-            for h in musts[1:]:
-                docs &= set(h)
+            docs = musts[0]
+            for ids in musts[1:]:
+                docs = np.intersect1d(docs, ids, assume_unique=True)
         elif shoulds:
-            docs = set()
-            for h in shoulds:
-                docs |= set(h)
+            docs = shoulds[0]
+            for ids in shoulds[1:]:
+                docs = np.union1d(docs, ids)
         else:
             raise ValueError(
                 "query_string: a group needs at least one positive clause"
             )
-        for h in nots:
-            docs -= set(h)
-        # scores summed in WRITTEN clause order (pinned float association)
-        out: dict[int, float] = {}
-        for d in docs:
-            s = 0.0
-            for occur, h in evaled:
-                if occur != "must_not":
-                    s += h.get(d, 0.0)
-            out[d] = s
-        return out
+        for ids in nots:
+            docs = np.setdiff1d(docs, ids, assume_unique=True)
+        scores = np.zeros(docs.size, dtype=np.float64)
+        if docs.size:
+            for occur, (ids, sc) in evaled:
+                if occur == "must_not" or ids.size == 0:
+                    continue
+                pos = np.minimum(
+                    np.searchsorted(ids, docs), ids.size - 1
+                )
+                m = ids[pos] == docs
+                scores[m] += sc[pos[m]]
+        return docs, scores
     raise ValueError(f"query_string: unknown node {tag!r}")
 
 
@@ -327,18 +363,18 @@ def query_string_hits(
     """Scored hits for a ``query_string`` spec: parse, evaluate, rank by
     (score desc, doc_id asc).
 
-    Scale note: each leaf is one engine primitive (a vectorized BM25
-    pass or a doc-value/term-dictionary set); the boolean combine is
-    dict algebra over the match sets, which for selective queries is
-    tiny. A 100-TB serving deployment runs this inside the BatchSearcher
-    actor pool exactly like every other DSL kind — no driver-side data.
-    """
+    Scale note: each leaf is one engine primitive (a decoded posting
+    list with its cached BM25 tf-norms, or a doc-value /
+    term-dictionary set); combines are vectorized sorted-array algebra,
+    never per-doc Python. A 100-TB serving deployment runs this inside
+    the BatchSearcher actor pool exactly like every other DSL kind — no
+    driver-side data."""
     node = parse_query_string(
         str(spec["query"]), str(spec.get("default_operator", "or"))
     )
-    hits = _eval(r, node, spec.get("default_field"))
-    out = sorted(hits.items(), key=lambda t: (-t[1], t[0]))
-    return [(int(d), float(s)) for d, s in out[:k]]
+    ids, scores = _eval(r, node, spec.get("default_field"))
+    idx = np.lexsort((ids, -scores))[:k]
+    return [(int(ids[i]), float(scores[i])) for i in idx]
 
 
 def query_string_docs(r: IndexReader, spec: dict) -> np.ndarray:
@@ -346,5 +382,5 @@ def query_string_docs(r: IndexReader, spec: dict) -> np.ndarray:
     node = parse_query_string(
         str(spec["query"]), str(spec.get("default_operator", "or"))
     )
-    hits = _eval(r, node, spec.get("default_field"))
-    return np.sort(np.array(sorted(hits), dtype=np.uint64))
+    ids, _ = _eval(r, node, spec.get("default_field"))
+    return ids
