@@ -649,6 +649,43 @@ def q_bucket_sort_busiest(sf_dir: str):
     )
 
 
+def q_global_agg(sf_dir: str):
+    """global agg: a terms sub-agg over EVERY live doc while the query
+    matches only 'merge join' docs — proves the bucket ignores the
+    query (dsl 'global' -> engine._all_ordinals, metadata-only row
+    counts)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge join"}}},
+            "size": 0,
+            "aggs": {
+                "all": {
+                    "global": {},
+                    "aggs": {
+                        "langs": {"terms": {"field": "lang", "size": 10}}
+                    },
+                }
+            },
+        },
+    )
+    g = resp["aggregations"]["all"]
+    buckets = g["langs"]["buckets"]
+    return pd.DataFrame(
+        {
+            "lang": [b["key"] for b in buckets],
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+            "total_docs": pd.array(
+                [g["doc_count"]] * len(buckets), dtype="int64"
+            ),
+        }
+    )
+
+
 def q_adjacency_matrix(sf_dir: str):
     """adjacency_matrix agg: named filter doc sets (keyword term,
     numeric range, text match) and their pairwise intersections, all
@@ -2890,6 +2927,12 @@ ORACLE_SQL: dict[str, str] = {
         " CAST((SELECT max(doc_count) FROM b) AS DOUBLE) AS max_count"
         " FROM b ORDER BY doc_count DESC, bucket_ms LIMIT 2"
     ),
+    "global_agg": (
+        "SELECT lang, count(*) AS doc_count,"
+        " (SELECT count(*) FROM documents) AS total_docs"
+        " FROM documents GROUP BY lang"
+        " ORDER BY doc_count DESC, lang LIMIT 10"
+    ),
     "adjacency_matrix": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks"
@@ -3429,6 +3472,7 @@ QUERIES = {
     "pipeline_cumsum_daily": q_pipeline_cumsum,
     "bucket_sort_busiest": q_bucket_sort_busiest,
     "extended_stats_chars": q_extended_stats,
+    "global_agg": q_global_agg,
     "adjacency_matrix": q_adjacency_matrix,
     "date_range_agg": q_date_range_agg,
     "rare_terms_source": q_rare_terms,

@@ -526,6 +526,9 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
         field, body = _field_query(query_spec)
         qtext = str(body.get("query", body.get("value", "")))
         f = None if field == r.primary_field else field
+    elif query_kind == "_global":
+        # the `global` agg context: every live doc, query ignored
+        qtext, f = None, None
     else:
         raise ValueError("aggs are supported over 'match' queries")
     deferred: list[tuple[str, str, dict]] = []
@@ -615,6 +618,14 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
             }
             continue
         akind, aspec = _one(agg, f"agg {name}")
+        if akind == "global":
+            # bucket over EVERY live doc regardless of the query;
+            # sub-aggs re-run in the all-docs context
+            out[name] = {
+                "doc_count": int(r._all_ordinals().size),
+                **_aggregations(r, "_global", None, sub_aggs or {}),
+            }
+            continue
         if akind == "adjacency_matrix":
             # named filter doc sets; buckets for each filter AND each
             # intersecting pair "a&b" (a < b), zero-count buckets

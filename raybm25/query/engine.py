@@ -793,10 +793,49 @@ class IndexReader:
         order = np.lexsort((uniq, -counts))[:size]
         return [(str(uniq[i]), int(counts[i])) for i in order]
 
-    def _match_ordinals(self, query: str, field: str | None) -> np.ndarray:
+    def _all_ordinals(self) -> np.ndarray:
+        """Sorted ordinals of every live doc — the candidate set of a
+        ``global`` aggregation. Row counts come from parquet METADATA
+        only (no column bytes); scan-layout tombstone ordinals are
+        excluded. Cached per reader."""
+        import glob
+        import json
+
+        import pyarrow.parquet as pq
+
+        from ..index.build_scan import DEAD_SUBDIR
+
+        cached = getattr(self, "_all_ords", None)
+        if cached is not None:
+            return cached
+        dead_dir = os.path.join(self.index_dir, DEAD_SUBDIR)
+        parts = []
+        for path in sorted(glob.glob(os.path.join(self._docs_dir, "*.parquet"))):
+            b = int(os.path.basename(path).split("=")[1].split(".")[0])
+            n = pq.read_metadata(path).num_rows
+            ords = (np.uint64(b) << np.uint64(ORD_SHIFT)) | np.arange(
+                n, dtype=np.uint64
+            )
+            dpath = os.path.join(dead_dir, f"part={b:05d}.json")
+            if os.path.exists(dpath):
+                with open(dpath) as fh:
+                    dead = np.unique(np.array(json.load(fh), dtype=np.uint64))
+                if dead.size:
+                    ords = np.setdiff1d(ords, dead, assume_unique=True)
+            parts.append(ords)
+        out = (
+            np.concatenate(parts) if parts else np.empty(0, np.uint64)
+        )  # buckets ascend, rows ascend within -> already sorted
+        self._all_ords = out
+        return out
+
+    def _match_ordinals(self, query: str | None, field: str | None) -> np.ndarray:
         """Sorted ordinals of ALL docs matching a match query (OR over
         analyzed terms) — the candidate set every aggregation runs
-        over."""
+        over. ``query=None`` means every live doc (the ``global`` agg
+        context)."""
+        if query is None:
+            return self._all_ordinals()
         qterms = sorted(set(self.field_terms(query, field)))
         postings = self.load_postings(qterms)
         parts = [postings[t].doc_ids for t in qterms if t in postings]

@@ -167,3 +167,17 @@ def test_unknown_pipeline_raises(built):
                 "aggs": {"bad": {"moving_avg": {"buckets_path": "_count"}}},
             }},
         })
+
+
+def test_global_agg(built):
+    idx, rdr = built
+    resp = run_query(idx, {
+        "query": {"match": {"text": {"query": "nothing"}}},
+        "size": 0,
+        "aggs": {"all": {"global": {}, "aggs": {
+            "st": {"stats": {"field": "size"}}}}},
+    })
+    g = resp["aggregations"]["all"]
+    # the global bucket covers every live doc, not the 1-doc match set
+    assert g["doc_count"] == len(DOCS)
+    assert g["st"]["count"] == len(DOCS)
