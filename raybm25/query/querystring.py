@@ -142,6 +142,8 @@ class _Parser:
         return self.toks[self.i][1] if self.i < len(self.toks) else ""
 
     def _next(self) -> tuple[str, str]:
+        if self.i >= len(self.toks):
+            raise ValueError("query_string: unexpected end of input")
         t = self.toks[self.i]
         self.i += 1
         return t

@@ -192,3 +192,38 @@ def test_pure_negative_raises(built):
     _, r = built
     with pytest.raises(ValueError, match="positive clause"):
         query_string_hits(r, {"query": "-fox"}, k=10)
+
+
+# ------------------------------------------------------------- robustness
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.sampled_from('ab ()"+-^:[]{}*?~!&|125.TO'), max_size=40))
+def test_parser_total(q):
+    """The parser is TOTAL over arbitrary input: it returns an AST or
+    raises ValueError — never an unhandled exception."""
+    try:
+        parse_query_string(q)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(["alpha", "dog", "fox", "zzz"]),
+                min_size=1, max_size=4),
+       st.sampled_from(["or", "and"]))
+def test_bare_terms_match_engine(built, terms, op):
+    """Bare-term query_strings score identically to the engine's own
+    match evaluation for both default operators."""
+    _, r = built
+    q = " ".join(terms)
+    got = query_string_hits(r, {"query": q, "default_operator": op}, k=10)
+    if op == "and":
+        want = r.search_bool(must=q, k=10)
+    else:
+        want = r.search(q, k=10)
+    assert [(d, round(s, 9)) for d, s in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
