@@ -22,6 +22,11 @@ boosting_demote / simple_query_string / filters + metric aggs /
 analyze_tokens, each <= 0.1 s warm); slowest remain the
 index-mutating maintenance entries (update_merge 5.5 s) and the
 near-dup pipelines.
+
+Round-4 continuation record (sf0.1): all entries ok (100 at run time;
+101 with global_agg added after), exit 0 — the new query_string /
+span / suggester / pipeline-agg / termvectors / mget entries each
+<= 0.2 s warm; events_sessions 1.9 s closes the run.
 """
 
 from __future__ import annotations
