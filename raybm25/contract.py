@@ -1155,6 +1155,26 @@ def q_bm25_dismax(sf_dir: str):
     )
 
 
+def q_match_bool_prefix(sf_dir: str):
+    """match_bool_prefix through the whole-body DSL adapter — the
+    search-as-you-type query shape the reference's sayt-heavy default
+    mappings exist to serve (/root/reference/opensearch_loader/
+    loader.py:239-275): head tokens BM25-scored, the trailing token a
+    constant-score-1.0 prefix clause (query/engine.match_bool_prefix)."""
+    from .query.dsl import run_query
+
+    r = _reader(sf_dir)
+    resp = run_query(
+        r,
+        {
+            "size": 15,
+            "query": {"match_bool_prefix": {"text": {"query": "merge sor"}}},
+        },
+    )
+    hits = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    return _hits_frame(hits)
+
+
 def q_keyword_lang(sf_dir: str):
     r = _reader(sf_dir)
     ids = np.sort(r.term_docs("lang", "de")).astype(np.int64)
@@ -2377,6 +2397,52 @@ def _bm25_sql(
     return "\n".join(parts)
 
 
+def _match_bool_prefix_sql(query: str, k: int) -> str:
+    """SQL oracle for ``match_bool_prefix``: the standard pinned BM25
+    contrib chain over the head tokens (sorted-term FULL JOIN order),
+    plus a constant-1.0 prefix clause for docs holding ANY token that
+    starts with the trailing token — added LAST, exactly the engine's
+    summation order (one float add, exact in any association)."""
+    toks_q = tokenize(query)
+    head = sorted(set(toks_q[:-1]))
+    prefix = toks_q[-1]
+    in_list = ", ".join(f"'{t}'" for t in head)
+    parts = [f"WITH {TOKS_CTE},"]
+    pnames: list[str] = []
+    if head:
+        parts += [
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),",
+            "stats AS (SELECT (SELECT count(*) FROM documents) AS n,"
+            " (SELECT count(*) FROM toks) / (SELECT count(*) FROM documents) AS avgdl),",
+            f"tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks"
+            f" WHERE term IN ({in_list}) GROUP BY doc_id, term),",
+            "dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),",
+            "contrib AS (SELECT tfq.doc_id, tfq.term,"
+            f" 1.0 * ln(1 + (stats.n - dfq.df + 0.5)/(dfq.df + 0.5)) *"
+            f" (tfq.tf/(tfq.tf + {BM25_K1}*(1 - {BM25_B} + {BM25_B}*dl.dl/stats.avgdl))) AS c"
+            " FROM tfq JOIN dfq USING(term) JOIN dl ON dl.doc_id = tfq.doc_id, stats),",
+        ]
+        for i, t in enumerate(head):
+            pnames.append(f"p{i}")
+            parts.append(f"p{i} AS (SELECT doc_id, c FROM contrib WHERE term = '{t}'),")
+    pnames.append("pp")
+    parts.append(
+        "pp AS (SELECT DISTINCT doc_id, 1.0 AS c FROM toks"
+        f" WHERE term LIKE '{prefix}%'),"
+    )
+    joins = pnames[0]
+    for p in pnames[1:]:
+        joins += f" FULL JOIN {p} USING(doc_id)"
+    add = " + ".join(f"COALESCE({p}.c, 0)" for p in pnames)
+    parts.append(f"scored AS (SELECT doc_id, {add} AS score FROM {joins})")
+    parts.append(
+        "SELECT rank, doc_id, score FROM (SELECT row_number() OVER"
+        " (ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)"
+        f" ORDER BY rank LIMIT {k}"
+    )
+    return "\n".join(parts)
+
+
 def _bool_sql(
     must: str,
     should: str,
@@ -2717,6 +2783,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_filtered": _bm25_sql("merge join", 15, where="lang = 'en'"),
     "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
     "bm25_multifield": _bm25_multi_sql("merge src3 join", 15, ["text", "source"]),
+    "match_bool_prefix": _match_bool_prefix_sql("merge sor", 15),
     "bm25_dismax": _bm25_dismax_sql(
         "merge src3 join", 15, ["text", "source"], tie_breaker=0.3
     ),
@@ -3454,6 +3521,7 @@ QUERIES = {
     "bm25_filtered": q_bm25_filtered,
     "bm25_all_single": q_bm25_all_single,
     "bm25_multifield": q_bm25_multifield,
+    "match_bool_prefix": q_match_bool_prefix,
     "bm25_dismax": q_bm25_dismax,
     "bm25_bool": q_bm25_bool,
     "bm25_bool_msm": q_bm25_bool_msm,

@@ -169,6 +169,8 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
         return r.match_phrase_prefix(
             str(q), f, int(body.get("max_expansions", 50))
         ).astype(np.uint64)
+    if kind == "match_bool_prefix":
+        return r.match_bool_prefix_docs(str(q), f)
     if kind == "term":
         return r.term_docs(field, str(q)).astype(np.uint64)
     if kind == "prefix":
@@ -345,6 +347,10 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
             )
         if mtype == "most_fields":
             return r.search_multi(q, fields, k=k)
+        if mtype == "bool_prefix":
+            # the search-as-you-type query shape: match_bool_prefix per
+            # field, per-field scores summed
+            return r.search_bool_prefix_multi(q, fields, k=k)
         raise ValueError(f"unsupported multi_match type {mtype!r}")
     if kind in ("span_near", "span_first"):
         # span queries: constant-score rewrite (multi-key specs never
@@ -374,6 +380,9 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
         return [(d, s * boost) for d, s in hits] if boost != 1.0 else hits
     if kind == "match_phrase":
         hits = r.search_phrase(q, k, field=f)
+        return [(d, s * boost) for d, s in hits] if boost != 1.0 else hits
+    if kind == "match_bool_prefix":
+        hits = r.match_bool_prefix(q, k, field=f)
         return [(d, s * boost) for d, s in hits] if boost != 1.0 else hits
     # multi-term queries score constant 1.0 (OpenSearch constant-score
     # rewrite); rank = doc_id asc for determinism

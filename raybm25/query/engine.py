@@ -552,6 +552,87 @@ class IndexReader:
         ids, sc = self._rank(union, scores, k)
         return list(zip(ids.tolist(), sc.tolist()))
 
+    def _bool_prefix_parts(
+        self, query: str, field: str | None
+    ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+        """(parts_ids, parts_scores) for one field's match_bool_prefix:
+        every analyzed token but the last as a BM25-scored term clause
+        (sorted-term order), the last token as a constant-score-1.0
+        prefix clause appended after them (Lucene's multi-term
+        constant-score rewrite — same convention as ``wildcard`` /
+        ``prefix`` here)."""
+        raw = tokenize(query)
+        if not raw:
+            return [], []
+        terms = self.field_terms(query, field)
+        qcounts = Counter(terms[:-1])
+        postings = self.load_postings(sorted(qcounts))
+        avgdl = self.field_avgdl(field)
+        parts_ids: list[np.ndarray] = []
+        parts_scores: list[np.ndarray] = []
+        for term in sorted(qcounts):
+            p = postings.get(term)
+            if p is None:
+                continue
+            contrib = qcounts[term] * self.idf(p.df) * self._norm_cached(p, avgdl)
+            parts_ids.append(p.doc_ids)
+            parts_scores.append(contrib)
+        exp = self.expand_prefix(raw[-1], field)
+        if field is not None and field != self.primary_field:
+            exp = [f"{field}:{t}" for t in exp]
+        pexp = self.load_postings(sorted(exp))
+        pparts = [pexp[t].doc_ids for t in sorted(pexp)]
+        if pparts:
+            pords = self._merge_unique(pparts)
+            parts_ids.append(pords)
+            parts_scores.append(np.ones(pords.size, dtype=np.float64))
+        return parts_ids, parts_scores
+
+    def match_bool_prefix(
+        self, query: str, k: int = 10, field: str | None = None
+    ) -> list[tuple[int, float]]:
+        """OpenSearch ``match_bool_prefix`` — the query shape behind
+        search-as-you-type: the analyzed input's last token becomes a
+        ``prefix`` clause (term-dictionary expansion, constant score
+        1.0), every earlier token a BM25-scored ``term`` clause, all
+        OR'd as a bool ``should``. The reference's sayt-heavy default
+        mappings (/root/reference/opensearch_loader/loader.py:239-275)
+        exist to serve exactly this query family. Summation order is
+        pinned for the SQL oracle: scored terms in sorted order, the
+        prefix clause's single 1.0 added last (one float add — exact
+        in any association)."""
+        parts_ids, parts_scores = self._bool_prefix_parts(query, field)
+        return self._combine_rank(parts_ids, parts_scores, k)
+
+    def search_bool_prefix_multi(
+        self, query: str, fields: list[str], k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Multi-field ``multi_match`` with ``type: bool_prefix``: a
+        ``match_bool_prefix`` per field with the per-field score sum
+        combination (OpenSearch combines bool_prefix field scores the
+        most_fields way). Summation order: fields in the given order,
+        each field's clauses as in ``match_bool_prefix``."""
+        parts_ids: list[np.ndarray] = []
+        parts_scores: list[np.ndarray] = []
+        for field in fields:
+            pi, ps = self._bool_prefix_parts(query, field)
+            parts_ids.extend(pi)
+            parts_scores.extend(ps)
+        return self._combine_rank(parts_ids, parts_scores, k)
+
+    def match_bool_prefix_docs(
+        self, query: str, field: str | None = None
+    ) -> np.ndarray:
+        """Unscored doc-id set for ``match_bool_prefix`` (filter /
+        must_not contexts): union of the head terms' postings and the
+        last token's prefix expansion."""
+        parts_ids, _ = self._bool_prefix_parts(query, field)
+        if not parts_ids:
+            return np.array([], dtype=np.uint64)
+        return np.sort(
+            self._map_ordinals(self._merge_unique(parts_ids)).astype(np.uint64)
+        )
+
     def search_filtered(
         self,
         query: str,
