@@ -1175,6 +1175,98 @@ def q_match_bool_prefix(sf_dir: str):
     return _hits_frame(hits)
 
 
+_KNN_INDEX_CACHE: dict[str, str] = {}
+
+
+def docs_index_knn(sf_dir: str) -> str:
+    """An index whose docstore carries an ``embedding`` vector column
+    (the OpenSearch ``knn_vector`` field analog): documents joined with
+    the embeddings table on doc_id = vec_id, embedding declared in
+    ``stored_cols``."""
+    if sf_dir in _KNN_INDEX_CACHE:
+        return _KNN_INDEX_CACHE[sf_dir]
+    import pyarrow.parquet as pq
+
+    index_dir = os.path.join(CACHE_ROOT, f"docidx_knn_{_tag(sf_dir)}")
+    joined_path = os.path.join(CACHE_ROOT, f"docs_knn_{_tag(sf_dir)}.parquet")
+    if not os.path.exists(joined_path):
+        os.makedirs(CACHE_ROOT, exist_ok=True)
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).sort_by(
+            "doc_id"
+        )
+        emb = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        # Acero joins reject list payload columns — align by sorted-key
+        # searchsorted + take instead (equivalent inner join on
+        # doc_id = vec_id)
+        vid = emb.column("vec_id").to_numpy()
+        order = np.argsort(vid, kind="stable")
+        did = docs.column("doc_id").to_numpy()
+        pos = np.searchsorted(vid[order], did)
+        pos_c = np.minimum(pos, max(vid.size - 1, 0))
+        valid = vid.size > 0
+        mask = (vid[order[pos_c]] == did) if valid else np.zeros(did.size, bool)
+        joined = docs.filter(pa.array(mask)).append_column(
+            "embedding", emb.column("embedding").take(order[pos_c[mask]])
+        )
+        tmp = joined_path + ".tmp"
+        pq.write_table(joined, tmp)
+        os.replace(tmp, joined_path)
+    build_index(
+        joined_path,
+        index_dir,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("text",),
+        keyword_cols=("lang",),
+        stored_cols=["lang", "embedding"],
+        num_buckets=8,
+    )
+    _KNN_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def q_knn_dsl(sf_dir: str):
+    """Filtered exact k-NN through the DSL: cosine top-20 over the
+    stored embedding column among lang='en' docs, query vector =
+    embedding of vec_id 7 (query/engine.knn_search; OpenSearch ``knn``
+    query with a filter clause). Scores are float64 numpy vs the
+    oracle's list_cosine_similarity — rank/id columns compared only
+    (same convention as embedding_cosine_topk)."""
+    import pyarrow.parquet as pq
+
+    from .query.dsl import run_query
+    from .query.engine import IndexReader
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = emb.filter(pc_eq(emb.column("vec_id"), 7)).column("embedding").to_pylist()[0]
+    r = IndexReader(docs_index_knn(sf_dir))
+    resp = run_query(
+        r,
+        {
+            "size": 20,
+            "query": {
+                "knn": {
+                    "embedding": {
+                        "vector": qv,
+                        "k": 20,
+                        "filter": {"term": {"lang": "en"}},
+                    }
+                }
+            },
+        },
+    )
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array([int(h["_id"]) for h in hits], dtype="int64"),
+        }
+    )
+
+
 def q_keyword_lang(sf_dir: str):
     r = _reader(sf_dir)
     ids = np.sort(r.term_docs("lang", "de")).astype(np.int64)
@@ -2784,6 +2876,16 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
     "bm25_multifield": _bm25_multi_sql("merge src3 join", 15, ["text", "source"]),
     "match_bool_prefix": _match_bool_prefix_sql("merge sor", 15),
+    "knn_dsl": (
+        "WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),\n"
+        "scored AS (SELECT d.doc_id,"
+        " list_cosine_similarity(e.embedding, (SELECT v FROM qv)) AS s\n"
+        " FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id\n"
+        " WHERE d.lang = 'en')\n"
+        "SELECT rank, doc_id FROM (SELECT row_number() OVER"
+        " (ORDER BY s DESC, doc_id) AS rank, doc_id FROM scored)"
+        " ORDER BY rank LIMIT 20"
+    ),
     "bm25_dismax": _bm25_dismax_sql(
         "merge src3 join", 15, ["text", "source"], tie_breaker=0.3
     ),
@@ -3522,6 +3624,7 @@ QUERIES = {
     "bm25_all_single": q_bm25_all_single,
     "bm25_multifield": q_bm25_multifield,
     "match_bool_prefix": q_match_bool_prefix,
+    "knn_dsl": q_knn_dsl,
     "bm25_dismax": q_bm25_dismax,
     "bm25_bool": q_bm25_bool,
     "bm25_bool_msm": q_bm25_bool_msm,

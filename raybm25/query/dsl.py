@@ -203,6 +203,18 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
             min_term_freq=int(spec.get("min_term_freq", 1)),
             min_doc_freq=int(spec.get("min_doc_freq", 2)),
         )
+    if kind == "knn":
+        # OpenSearch k-NN: {"knn": {"<field>": {"vector": [...], "k": n,
+        # "filter": {...}}}} — exact cosine top-k over the stored vector
+        # column; an optional filter clause restricts candidates before
+        # the cut (filtered exact search)
+        fname, body = _one(spec, "knn field")
+        kk = int(body.get("k", k))
+        filt = None
+        if "filter" in body:
+            fk, fs = _one(body["filter"], "knn.filter")
+            filt = _match_docs(r, fk, fs)
+        return r.knn_search(fname, body["vector"], k=min(k, kk), filter_docs=filt)
     if kind == "constant_score":
         # wrapper: every doc matching the inner filter scores `boost`
         ik, ispec = _one(spec["filter"], "constant_score.filter")

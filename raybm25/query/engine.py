@@ -633,6 +633,90 @@ class IndexReader:
             self._map_ordinals(self._merge_unique(parts_ids)).astype(np.uint64)
         )
 
+    def knn_vectors(self, column: str) -> tuple[np.ndarray, np.ndarray]:
+        """(live ordinals, row-normalized float64 matrix) for a stored
+        vector doc-value column — the OpenSearch ``knn_vector`` field
+        analog (a ``list<float>`` docstore column declared via
+        ``stored_cols``). Loaded once per reader and cached: one pruned
+        per-bucket parquet read, rows restricted to live (untombstoned)
+        docs. This in-memory matrix is the single-node brute-force
+        baseline; the 100-TB path is ``extras.similarity.ivf_build`` /
+        ``ivf_search`` (per-centroid parquet buckets, probed reads)."""
+        cached = getattr(self, "_knn_cache", {}).get(column)
+        if cached is not None:
+            return cached
+        import glob
+
+        import pyarrow.parquet as pq
+
+        ords_parts: list[np.ndarray] = []
+        mats: list[np.ndarray] = []
+        for path in sorted(
+            glob.glob(os.path.join(self._docs_dir, f"{self.docstore_prefix}=*.parquet"))
+        ):
+            b = int(os.path.basename(path).split("=")[1].split(".")[0])
+            col = pq.read_table(path, columns=[column]).column(column)
+            lists = col.to_pylist()
+            if not lists:
+                continue
+            mats.append(np.asarray(lists, dtype=np.float64))
+            ords_parts.append(
+                (np.uint64(b) << np.uint64(ORD_SHIFT))
+                + np.arange(len(lists), dtype=np.uint64)
+            )
+        if not mats:
+            out = (np.empty(0, np.uint64), np.empty((0, 0), np.float64))
+        else:
+            ords = np.concatenate(ords_parts)
+            mat = np.vstack(mats)
+            live = self._all_ordinals()
+            if live.size:
+                pos = np.minimum(np.searchsorted(live, ords), live.size - 1)
+                keep = live[pos] == ords
+                ords, mat = ords[keep], mat[keep]
+            else:
+                ords, mat = ords[:0], mat[:0]
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            out = (ords, mat / norms[:, None])
+        if not hasattr(self, "_knn_cache"):
+            self._knn_cache = {}
+        self._knn_cache[column] = out
+        return out
+
+    def knn_search(
+        self,
+        column: str,
+        query_vec,
+        k: int = 10,
+        filter_docs: np.ndarray | None = None,
+    ) -> list[tuple[int, float]]:
+        """Exact k-NN by cosine similarity over a stored vector column
+        (the OpenSearch ``knn`` query with the cosinesimil space;
+        ``score`` IS the cosine, ties broken doc_id asc). One float64
+        matvec over the cached normalized matrix; ``filter_docs`` (a
+        sorted doc-id set from any filter clause) restricts candidates
+        BEFORE the top-k cut — OpenSearch 2.x filtered/post-filter
+        exact search semantics."""
+        ords, mat = self.knn_vectors(column)
+        if ords.size == 0:
+            return []
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        if qn == 0:
+            return []
+        scores = mat @ (q / qn)
+        dids = self._map_ordinals(ords)
+        if filter_docs is not None:
+            fd = np.asarray(filter_docs, dtype=np.uint64)
+            pos = np.searchsorted(fd, dids)
+            m = (pos < fd.size) & (fd[np.minimum(pos, max(fd.size - 1, 0))] == dids)
+            dids, scores = dids[m], scores[m]
+            if dids.size == 0:
+                return []
+        order = np.lexsort((dids, -scores))[:k]
+        return list(zip(dids[order].tolist(), scores[order].tolist()))
+
     def search_filtered(
         self,
         query: str,

@@ -1,0 +1,144 @@
+"""Exact k-NN over a stored vector column (the OpenSearch ``knn``
+query / knn_vector field analog) against brute force computed in-test.
+Covers the engine method, the DSL wiring, filtered search, and
+tombstone exclusion after delete."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raybm25.index.build import build_index
+from raybm25.query.dsl import run_query
+from raybm25.query.engine import IndexReader
+
+N, D = 40, 8
+
+
+def _vectors():
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((N, D)).astype(np.float32)
+
+
+def _texts():
+    return [f"doc number {i} about topic{i % 5}" for i in range(N)]
+
+
+def _langs():
+    return ["en" if i % 3 else "de" for i in range(N)]
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("knn")
+    import pyarrow.parquet as pq
+
+    vecs = _vectors()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(N)),
+                "text": _texts(),
+                "lang": _langs(),
+                "embedding": [v.tolist() for v in vecs],
+            }
+        ),
+        str(tmp / "d.parquet"),
+    )
+    out = str(tmp / "idx")
+    build_index(
+        str(tmp / "d.parquet"),
+        out,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        keyword_cols=("lang",),
+        # text stored too: the hash-layout delete path re-tokenizes
+        # surviving docs from the stored text
+        stored_cols=["text", "lang", "embedding"],
+        num_buckets=4,
+    )
+    return out
+
+
+def _brute(vecs, q, k, keep=None):
+    m = vecs.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1)[:, None]
+    qq = np.asarray(q, np.float64)
+    scores = m @ (qq / np.linalg.norm(qq))
+    ids = np.arange(len(vecs))
+    if keep is not None:
+        mask = np.isin(ids, keep)
+        ids, scores = ids[mask], scores[mask]
+    order = np.lexsort((ids, -scores))[:k]
+    return list(zip(ids[order].tolist(), scores[order].tolist()))
+
+
+def test_knn_matches_brute_force(idx):
+    r = IndexReader(idx)
+    vecs = _vectors()
+    q = vecs[3]
+    hits = r.knn_search("embedding", q, k=10)
+    exp = _brute(vecs, q, 10)
+    assert [d for d, _ in hits] == [d for d, _ in exp]
+    for (_, s), (_, e) in zip(hits, exp):
+        assert s == pytest.approx(e, rel=1e-6)  # float32 storage in parquet
+    # top hit is the query's own vector, cosine 1.0
+    assert hits[0][0] == 3
+    assert hits[0][1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_knn_filtered(idx):
+    r = IndexReader(idx)
+    vecs = _vectors()
+    q = vecs[0]
+    en = np.array([i for i in range(N) if _langs()[i] == "en"])
+    filt = r.term_docs("lang", "en")
+    hits = r.knn_search("embedding", q, k=5, filter_docs=filt)
+    exp = _brute(vecs, q, 5, keep=en)
+    assert [d for d, _ in hits] == [d for d, _ in exp]
+
+
+def test_knn_dsl_with_filter(idx):
+    r = IndexReader(idx)
+    vecs = _vectors()
+    resp = run_query(
+        r,
+        {
+            "size": 5,
+            "query": {
+                "knn": {
+                    "embedding": {
+                        "vector": vecs[0].tolist(),
+                        "k": 5,
+                        "filter": {"term": {"lang": "en"}},
+                    }
+                }
+            },
+        },
+    )
+    en = np.array([i for i in range(N) if _langs()[i] == "en"])
+    exp = _brute(vecs, vecs[0], 5, keep=en)
+    assert [h["_id"] for h in resp["hits"]["hits"]] == [d for d, _ in exp]
+
+
+def test_knn_excludes_deleted(idx, tmp_path):
+    import shutil
+
+    from raybm25.loader.delete import delete_docs
+
+    work = str(tmp_path / "idx_del")
+    shutil.copytree(idx, work)
+    vecs = _vectors()
+    q = vecs[3]
+    top_before = IndexReader(work).knn_search("embedding", q, k=1)[0][0]
+    assert top_before == 3
+    delete_docs(work, [3])
+    hits = IndexReader(work).knn_search("embedding", q, k=5)
+    assert 3 not in [d for d, _ in hits]
+    exp = _brute(vecs, q, 5, keep=np.array([i for i in range(N) if i != 3]))
+    assert [d for d, _ in hits] == [d for d, _ in exp]
+
+
+def test_knn_zero_query_vector(idx):
+    r = IndexReader(idx)
+    assert r.knn_search("embedding", np.zeros(D), k=5) == []
