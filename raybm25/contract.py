@@ -1267,6 +1267,21 @@ def q_knn_dsl(sf_dir: str):
     )
 
 
+def q_scroll_pages(sf_dir: str):
+    """Scroll (stateless continuation token, search_after fast path)
+    through a match query in 5-hit pages; the concatenation of the
+    first 3 pages must equal the straight top-15 (query/dsl.run_scroll)."""
+    from .query.dsl import run_scroll
+
+    r = _reader(sf_dir)
+    hits: list[tuple[int, float]] = []
+    resp = run_scroll(r, body={"query": {"match": {"text": {"query": "merge join"}}}, "size": 5})
+    for _ in range(3):
+        hits.extend((h["_id"], h["_score"]) for h in resp["hits"]["hits"])
+        resp = run_scroll(r, scroll_id=resp["_scroll_id"])
+    return _hits_frame(hits)
+
+
 def q_keyword_lang(sf_dir: str):
     r = _reader(sf_dir)
     ids = np.sort(r.term_docs("lang", "de")).astype(np.int64)
@@ -2876,6 +2891,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
     "bm25_multifield": _bm25_multi_sql("merge src3 join", 15, ["text", "source"]),
     "match_bool_prefix": _match_bool_prefix_sql("merge sor", 15),
+    "scroll_pages": _bm25_sql("merge join", 15),
     "knn_dsl": (
         "WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),\n"
         "scored AS (SELECT d.doc_id,"
@@ -3625,6 +3641,7 @@ QUERIES = {
     "bm25_multifield": q_bm25_multifield,
     "match_bool_prefix": q_match_bool_prefix,
     "knn_dsl": q_knn_dsl,
+    "scroll_pages": q_scroll_pages,
     "bm25_dismax": q_bm25_dismax,
     "bm25_bool": q_bm25_bool,
     "bm25_bool_msm": q_bm25_bool_msm,

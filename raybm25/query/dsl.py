@@ -11,7 +11,9 @@ against this engine.
 Supported:
 - query: match (with per-clause boost, operator=and,
   minimum_should_match), match_phrase, match_phrase_prefix,
-  multi_match (best_fields incl. tie_breaker / most_fields), term,
+  match_bool_prefix, multi_match (best_fields incl. tie_breaker /
+  most_fields / bool_prefix), knn (exact cosine over a stored vector
+  column, optional filter), term,
   terms, range, exists, ids, prefix, wildcard, regexp, fuzzy,
   more_like_this, constant_score, function_score (field_value_factor),
   dis_max (arbitrary scoring sub-clauses, tie_breaker), boosting
@@ -26,9 +28,10 @@ Supported:
   minimum_should_match), match_all
 - size / from (offset paging), search_after + deterministic sort
   [_score, _id], sort on a numeric doc-value field, collapse (field
-  collapsing), rescore (match_phrase window re-ranking), and the
+  collapsing), rescore (match_phrase window re-ranking), the
   ``run_count`` / ``run_msearch`` / ``run_mget`` / ``run_termvectors``
-  endpoints
+  endpoints, and ``run_scroll`` (stateless scroll continuation —
+  search_after fast path on plain match queries)
 - aggs: terms, range, histogram, date_histogram, stats /
   extended_stats / rare_terms / missing (and the
   single-metric min / max / avg / sum / value_count), filters (named
@@ -1156,3 +1159,95 @@ def run_termvectors(index_dir_or_reader, doc_id: int, body: dict | None = None) 
         term_statistics=bool(body.get("term_statistics", False)),
         field_statistics=bool(body.get("field_statistics", True)),
     )
+
+
+def run_scroll(
+    index_dir_or_reader, body: dict | None = None, scroll_id: str | None = None
+) -> dict:
+    """OpenSearch scroll idiom as a STATELESS continuation token — the
+    modern point-in-time + search_after construction (no server-side
+    scroll context to create or expire; the index's committed manifest
+    IS the point-in-time). First call: pass the request ``body``; each
+    response carries ``_scroll_id``; pass that back to continue. An
+    empty ``hits`` page means the scroll is exhausted.
+
+    Fast path: a plain single-field ``match`` query (no sort / aggs /
+    extra match options) continues via ``engine.search_after`` on the
+    last hit's (score, doc_id) cursor — O(page) work at ANY depth, no
+    deep-offset re-scoring. Every other run_query-supported body
+    continues by offset re-evaluation (fine for shallow pagination;
+    for full-corpus streaming use ``loader.export.export_matching``,
+    the sliced-scroll export idiom).
+    """
+    import base64
+    import json as _json
+
+    r = (
+        index_dir_or_reader
+        if isinstance(index_dir_or_reader, IndexReader)
+        else IndexReader(index_dir_or_reader)
+    )
+    if (body is None) == (scroll_id is None):
+        raise ValueError("pass exactly one of body / scroll_id")
+    if scroll_id is not None:
+        st = _json.loads(base64.urlsafe_b64decode(scroll_id.encode()).decode())
+        body = st["b"]
+        size = int(st["n"])
+        if st.get("done"):
+            resp: dict = {"hits": {"total": {"value": 0}, "hits": []}}
+            resp["_scroll_id"] = scroll_id
+            return resp
+    else:
+        st = None
+        size = int(body.get("size", 10))
+
+    def _simple_match(b: dict):
+        """(query_text, engine_field) when the body is a bare
+        single-field match query, else None."""
+        if set(b) - {"query", "size"}:
+            return None
+        q = b.get("query", {})
+        if set(q) != {"match"}:
+            return None
+        field, mb = _field_query(q["match"])
+        if isinstance(mb, dict) and set(mb) - {"query"}:
+            return None
+        return str(mb.get("query", "")), (None if field == r.primary_field else field)
+
+    sm = _simple_match(body)
+    if st is None:
+        resp = run_query(r, {**body, "size": size})
+        hits = resp["hits"]["hits"]
+        next_st: dict = {"b": body, "n": size}
+        if len(hits) < size:
+            next_st["done"] = True
+        elif sm is not None:
+            next_st["a"] = [hits[-1]["_score"], hits[-1]["_id"]]
+        else:
+            next_st["o"] = size
+    else:
+        if sm is not None and "a" in st:
+            q, f = sm
+            page = r.search_after(
+                q, after=(float(st["a"][0]), int(st["a"][1])), k=size, field=f
+            )
+            hits = [{"_id": int(d), "_score": s} for d, s in page]
+            resp = {"hits": {"total": {"value": len(hits)}, "hits": hits}}
+            next_st = {"b": body, "n": size}
+            if len(hits) < size:
+                next_st["done"] = True
+            else:
+                next_st["a"] = [hits[-1]["_score"], hits[-1]["_id"]]
+        else:
+            offset = int(st.get("o", size))
+            resp = run_query(r, {**body, "size": size, "from": offset})
+            hits = resp["hits"]["hits"]
+            next_st = {"b": body, "n": size}
+            if len(hits) < size:
+                next_st["done"] = True
+            else:
+                next_st["o"] = offset + size
+    resp["_scroll_id"] = base64.urlsafe_b64encode(
+        _json.dumps(next_st, sort_keys=True).encode()
+    ).decode()
+    return resp
