@@ -1704,6 +1704,24 @@ def q_phrase_match_long(sf_dir: str):
     return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
 
 
+def q_phrase_sloppy(sf_dir: str):
+    """Sloppy match_phrase (slop=2) through the DSL over positional
+    postings: ordered greedy-chain matching, tf = accepted first-term
+    occurrences, phrase-BM25 scoring (query/engine._sloppy_phrase_hits;
+    documented deviations from Lucene's SloppyPhraseScorer: ordered-only
+    moves, every match weighs 1)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _pos_index(sf_dir),
+        {
+            "size": 12,
+            "query": {"match_phrase": {"text": {"query": "merge sort", "slop": 2}}},
+        },
+    )
+    return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
+
+
 def q_query_string(sf_dir: str):
     """Lucene query_string syntax through the DSL adapter
     (query/querystring): grouped OR, a range clause contributing its
@@ -2672,6 +2690,37 @@ def _phrase_bm25_sql(phrase: str, k: int) -> str:
 
 
 
+def _sloppy_phrase_sql(t1: str, t2: str, slop: int, k: int) -> str:
+    """Sloppy-phrase oracle for a TWO-term ordered phrase: for two
+    terms the engine's greedy chain (earliest strictly-later
+    occurrence) accepts occurrence i of t1 iff ANY t2 occurrence lies
+    in (i, i+slop+1] — an exists-in-window test SQL can state directly.
+    tf = count of accepted t1 occurrences; scoring chain identical to
+    ``_phrase_bm25_sql`` (idf sum in phrase order, pinned tf-norm)."""
+    w = slop + 2  # window end offset: j in [i+1, i+slop+2)
+    return (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk"
+        " FROM documents),"
+        " stats AS (SELECT (SELECT count(*) FROM documents) AS n,"
+        " (SELECT sum(len(tk)) FROM t) / (SELECT count(*) FROM documents) AS avgdl),"
+        f" df0 AS (SELECT count(*) AS df FROM t WHERE list_contains(tk, '{t1}')),"
+        f" df1 AS (SELECT count(*) AS df FROM t WHERE list_contains(tk, '{t2}')),"
+        " ph AS (SELECT doc_id, len(tk) AS dl,"
+        " len(list_filter(range(1, len(tk) + 1), i ->"
+        f" tk[i] = '{t1}' AND len(list_filter("
+        f"range(i + 1, least(i + {w}, len(tk) + 1)), j -> tk[j] = '{t2}')) > 0"
+        ")) AS ptf FROM t),"
+        " scored AS (SELECT doc_id,"
+        " (ln(1 + (stats.n - df0.df + 0.5)/(df0.df + 0.5))"
+        " + ln(1 + (stats.n - df1.df + 0.5)/(df1.df + 0.5))) *"
+        f" (ptf/(ptf + {BM25_K1}*(1 - {BM25_B} + {BM25_B}*dl/stats.avgdl))) AS score"
+        " FROM ph, stats, df0, df1 WHERE ptf > 0)"
+        " SELECT rank, doc_id, score FROM (SELECT row_number() OVER"
+        " (ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM scored)"
+        f" ORDER BY rank LIMIT {k}"
+    )
+
+
 def _bm25_dismax_generic_sql(q1: str, q2: str, tb: float, k: int) -> str:
     """Generic dis_max oracle: one full pinned BM25 chain per clause
     over the SAME field's toks/dl/avgdl, combined per doc as
@@ -2892,6 +2941,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_multifield": _bm25_multi_sql("merge src3 join", 15, ["text", "source"]),
     "match_bool_prefix": _match_bool_prefix_sql("merge sor", 15),
     "scroll_pages": _bm25_sql("merge join", 15),
+    "phrase_sloppy": _sloppy_phrase_sql("merge", "sort", 2, 12),
     "knn_dsl": (
         "WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),\n"
         "scored AS (SELECT d.doc_id,"
@@ -3642,6 +3692,7 @@ QUERIES = {
     "match_bool_prefix": q_match_bool_prefix,
     "knn_dsl": q_knn_dsl,
     "scroll_pages": q_scroll_pages,
+    "phrase_sloppy": q_phrase_sloppy,
     "bm25_dismax": q_bm25_dismax,
     "bm25_bool": q_bm25_bool,
     "bm25_bool_msm": q_bm25_bool_msm,

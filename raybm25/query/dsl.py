@@ -10,10 +10,11 @@ against this engine.
 
 Supported:
 - query: match (with per-clause boost, operator=and,
-  minimum_should_match), match_phrase, match_phrase_prefix,
+  minimum_should_match), match_phrase (incl. slop — ordered greedy
+  chains), match_phrase_prefix,
   match_bool_prefix, multi_match (best_fields incl. tie_breaker /
-  most_fields / bool_prefix), knn (exact cosine over a stored vector
-  column, optional filter), term,
+  most_fields / bool_prefix / phrase incl. slop / phrase_prefix),
+  knn (exact cosine over a stored vector column, optional filter), term,
   terms, range, exists, ids, prefix, wildcard, regexp, fuzzy,
   more_like_this, constant_score, function_score (field_value_factor),
   dis_max (arbitrary scoring sub-clauses, tie_breaker), boosting
@@ -167,7 +168,9 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
     if kind == "match":
         return np.sort(r._map_ordinals(r._match_ordinals(str(q), f)).astype(np.uint64))
     if kind == "match_phrase":
-        return r.match_phrase(str(q), f).astype(np.uint64)
+        return r.match_phrase(str(q), f, slop=int(body.get("slop", 0))).astype(
+            np.uint64
+        )
     if kind == "match_phrase_prefix":
         return r.match_phrase_prefix(
             str(q), f, int(body.get("max_expansions", 50))
@@ -366,6 +369,19 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
             # the search-as-you-type query shape: match_bool_prefix per
             # field, per-field scores summed
             return r.search_bool_prefix_multi(q, fields, k=k)
+        if mtype in ("phrase", "phrase_prefix"):
+            # OpenSearch: a match_phrase(_prefix) per field combined
+            # best_fields — compose through the existing dis_max
+            # evaluator (full match sets per clause)
+            inner = "match_phrase" if mtype == "phrase" else "match_phrase_prefix"
+            sub = {
+                "queries": [{inner: {fl: {"query": q}}} for fl in fields],
+                "tie_breaker": float(spec.get("tie_breaker", 0.0)),
+            }
+            if mtype == "phrase" and "slop" in spec:
+                for c in sub["queries"]:
+                    c[inner][next(iter(c[inner]))]["slop"] = int(spec["slop"])
+            return _scored_hits(r, "dis_max", sub, k)
         raise ValueError(f"unsupported multi_match type {mtype!r}")
     if kind in ("span_near", "span_first"):
         # span queries: constant-score rewrite (multi-key specs never
@@ -394,7 +410,7 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
         # this clause's score is consumed)
         return [(d, s * boost) for d, s in hits] if boost != 1.0 else hits
     if kind == "match_phrase":
-        hits = r.search_phrase(q, k, field=f)
+        hits = r.search_phrase(q, k, field=f, slop=int(body.get("slop", 0)))
         return [(d, s * boost) for d, s in hits] if boost != 1.0 else hits
     if kind == "match_bool_prefix":
         hits = r.match_bool_prefix(q, k, field=f)

@@ -2363,11 +2363,15 @@ class IndexReader:
             raise ValueError(f"field {field!r} is not sayt-indexed (no shingle terms)")
         return self.term_docs(field, " ".join(toks))
 
-    def match_phrase(self, phrase: str, field: str | None = None) -> np.ndarray:
-        """Arbitrary-length exact phrase match on a positional index
-        (OpenSearch ``match_phrase``, slop=0; ``text`` fields store
+    def match_phrase(
+        self, phrase: str, field: str | None = None, slop: int = 0
+    ) -> np.ndarray:
+        """Arbitrary-length phrase match on a positional index
+        (OpenSearch ``match_phrase``; ``text`` fields store
         positions by default — the reference's mappings at
         /root/reference/opensearch_loader/loader.py:311-312 rely on it).
+        ``slop > 0`` accepts ordered sloppy matches
+        (``_sloppy_phrase_hits``).
 
         Fully vectorized: candidate docs are the sorted intersection of
         the query terms' posting lists; adjacency is then verified by
@@ -2377,7 +2381,7 @@ class IndexReader:
         same posting list is re-shifted per occurrence). Cost is one
         segment-gather + one sorted intersect per query term, all over
         the candidate subset only."""
-        ords, _, _, _ = self._phrase_hits(phrase, field)
+        ords, _, _, _ = self._sloppy_phrase_hits(phrase, slop, field)
         if ords.size == 0:
             return np.empty(0, np.uint64)
         return np.sort(self._map_ordinals(ords))
@@ -2437,6 +2441,76 @@ class IndexReader:
                 return none
         d_hit, ptf = np.unique(keys // M, return_counts=True)
         return cand[d_hit], ptf.astype(np.int64), cand_dls[d_hit], terms
+
+    def _sloppy_phrase_hits(self, phrase: str, slop: int, field: str | None):
+        """(ordinals, sloppy_tf, dls, terms) for an ORDERED sloppy
+        phrase (OpenSearch ``match_phrase`` with ``slop > 0``): greedy
+        chains — each occurrence of the first term advances through
+        every later term's EARLIEST strictly-later occurrence in the
+        same doc (the intervals_docs chain) — whose internal gap total
+        is ≤ ``slop``; tf = the number of seed occurrences whose chain
+        survives. Documented deviations from Lucene's
+        SloppyPhraseScorer: matching is ordered-only (no
+        transposition moves), and every match weighs 1 rather than
+        1/(distance+1). ``slop=0`` routes to the exact evaluator."""
+        if slop <= 0:
+            return self._phrase_hits(phrase, field)
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                "index was built without positions=True; sloppy "
+                "match_phrase needs positional postings"
+            )
+        terms = self.field_terms(phrase, field)
+        empty = np.empty(0, np.uint64)
+        none = (empty, np.empty(0, np.int64), np.empty(0, np.int64), terms)
+        if not terms:
+            return none
+        postings = self.load_postings(sorted(set(terms)))
+        if any(t not in postings for t in terms):
+            return none
+        uniq = sorted(set(terms))
+        cand = postings[uniq[0]].doc_ids
+        for t in uniq[1:]:
+            cand = np.intersect1d(cand, postings[t].doc_ids, assume_unique=True)
+        if cand.size == 0:
+            return none
+        tp0 = postings[uniq[0]]
+        cand_dls = tp0.dls[np.searchsorted(tp0.doc_ids, cand)].astype(np.int64)
+        M = int(max(int(postings[t].poss.max()) for t in uniq)) + 2
+
+        def keys_of(tp: TermPostings) -> np.ndarray:
+            sel = np.searchsorted(tp.doc_ids, cand)
+            off = tp.pos_offsets()
+            sizes = tp.tfs[sel].astype(np.int64)
+            starts = off[sel]
+            total = int(sizes.sum())
+            run_off = np.zeros(cand.size + 1, dtype=np.int64)
+            np.cumsum(sizes, out=run_off[1:])
+            gather = (
+                np.repeat(starts - run_off[:-1], sizes)
+                + np.arange(total, dtype=np.int64)
+            )
+            d_idx = np.repeat(np.arange(cand.size, dtype=np.int64), sizes)
+            return d_idx * M + tp.poss[gather].astype(np.int64)
+
+        cur = keys_of(postings[terms[0]])
+        start = cur.copy()
+        for t in terms[1:]:
+            nxt = keys_of(postings[t])
+            idx = np.searchsorted(nxt, cur, side="right")
+            ok = idx < nxt.size
+            idx = np.minimum(idx, nxt.size - 1)
+            stepped = nxt[idx]
+            ok &= (stepped // M) == (cur // M)
+            cur, start = stepped[ok], start[ok]
+            if cur.size == 0:
+                return none
+        span_gap = (cur % M) - (start % M) - (len(terms) - 1)
+        good = start[span_gap <= slop]
+        if good.size == 0:
+            return none
+        d_idx, tf = np.unique(good // M, return_counts=True)
+        return cand[d_idx], tf.astype(np.int64), cand_dls[d_idx], terms
 
     def intervals_docs(
         self,
@@ -2673,13 +2747,15 @@ class IndexReader:
         return "".join(out)
 
     def search_phrase(
-        self, phrase: str, k: int = 10, field: str | None = None
+        self, phrase: str, k: int = 10, field: str | None = None, slop: int = 0
     ) -> list[tuple[int, float]]:
-        """BM25-scored exact-phrase top-k (Lucene PhraseQuery with
+        """BM25-scored phrase top-k (Lucene PhraseQuery with
         BM25Similarity: tf = phrase occurrence count, idf = the SUM of
         the phrase terms' idfs — repeats included — dl/avgdl from the
-        searched field). Ties: score desc, doc_id asc, as everywhere."""
-        ords, ptf, dls, terms = self._phrase_hits(phrase, field)
+        searched field). ``slop > 0`` scores ordered sloppy matches
+        (``_sloppy_phrase_hits`` — greedy chains with gap total ≤ slop,
+        each weighing 1). Ties: score desc, doc_id asc, as everywhere."""
+        ords, ptf, dls, terms = self._sloppy_phrase_hits(phrase, slop, field)
         if ords.size == 0:
             return []
         postings = self.load_postings(sorted(set(terms)))
