@@ -1025,6 +1025,16 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
             "hits": [{"_id": int(d), "_score": s} for d, s in hits],
         }
     }
+    if body.get("track_total_hits"):
+        # exact total across the whole match set (OpenSearch
+        # track_total_hits: true) — one unscored count via the _count
+        # evaluator; the default stays the page length (documented)
+        resp["hits"]["total"] = {
+            "value": run_count(r, {"query": body.get("query", {"match_all": {}})})[
+                "count"
+            ],
+            "relation": "eq",
+        }
     src = body.get("_source")
     if src and hits:
         # stored-field retrieval: one batched docstore gather for the

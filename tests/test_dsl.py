@@ -288,3 +288,32 @@ def test_run_analyze_and_stats(rdr, tmp_path):
     assert st["docs"]["count"] == rdr.n_docs
     assert st["store"]["size_in_bytes"] > 0
     assert st["corpus"]["avgdl"] == pytest.approx(rdr.avgdl)
+
+
+def test_track_total_hits_exact(rdr):
+    # default: total is the page length
+    body = {"query": {"match": {"text": "merge stream"}}, "size": 2}
+    resp = run_query(rdr, body)
+    assert resp["hits"]["total"]["value"] == len(resp["hits"]["hits"]) == 2
+    # track_total_hits: exact whole-match-set count, page unchanged
+    full = rdr.search("merge stream", k=1000)
+    resp2 = run_query(rdr, {**body, "track_total_hits": True})
+    assert resp2["hits"]["total"] == {"value": len(full), "relation": "eq"}
+    assert resp2["hits"]["hits"] == resp["hits"]["hits"]
+
+
+def test_track_total_hits_bool(rdr):
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": "merge"}}],
+                "filter": [{"term": {"lang": "en"}}],
+            }
+        },
+        "size": 1,
+        "track_total_hits": True,
+    }
+    resp = run_query(rdr, body)
+    from raybm25.query.dsl import run_count
+
+    assert resp["hits"]["total"]["value"] == run_count(rdr, {"query": body["query"]})["count"]
