@@ -1,5 +1,6 @@
 from .spec import IndexSpec, parse_mapping, parse_spec  # noqa: F401
 from .runner import Loader  # noqa: F401
-from .update import apply_updates  # noqa: F401
+from .update import apply_updates, merge_document  # noqa: F401
+from .bulk import run_bulk  # noqa: F401
 from .delete import delete_by_query, delete_docs  # noqa: F401
 from .export import export_matching, update_by_query  # noqa: F401

@@ -549,11 +549,17 @@ def _insert_document(index_dir: str, row: dict, id_field: str) -> None:
             vals["dl" if fi == 0 else f"dl_{col}"] = dls[col]
         if os.path.exists(path):
             docs = pq.read_table(path, use_threads=False)
-            ordmax = docs.column("ordinal").to_numpy(zero_copy_only=False).astype(np.uint64).max()
-            vals["ordinal"] = ordmax + np.uint64(1)
-            docs = pa.concat_tables(
-                [docs, _one_row_table(docs.schema, vals)], promote_options="default"
-            )
+            if docs.num_rows:
+                ordmax = docs.column("ordinal").to_numpy(zero_copy_only=False).astype(np.uint64).max()
+                vals["ordinal"] = ordmax + np.uint64(1)
+                docs = pa.concat_tables(
+                    [docs, _one_row_table(docs.schema, vals)], promote_options="default"
+                )
+            else:
+                # bucket compacted down to zero rows by deletes: seed
+                # the ordinal space afresh from its own schema
+                vals["ordinal"] = np.uint64(bucket) << np.uint64(ORD_SHIFT)
+                docs = _one_row_table(docs.schema, vals)
         else:
             # bucket never materialized during the build: seed from a
             # sibling's schema

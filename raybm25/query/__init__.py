@@ -6,6 +6,7 @@ from .dsl import (  # noqa: F401
     run_mget,
     run_msearch,
     run_query,
+    run_scroll,
     run_stats,
     run_termvectors,
 )
