@@ -1722,6 +1722,47 @@ def q_phrase_sloppy(sf_dir: str):
     return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
 
 
+def q_rank_feature(sf_dir: str):
+    """rank_feature (saturation) through the DSL: every doc scored
+    boost * v/(v + pivot) on the n_chars doc-value (pivot explicit —
+    OpenSearch's stats-derived default pivot would be
+    non-deterministic; query/engine.rank_feature)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _reader(sf_dir),
+        {
+            "size": 20,
+            "query": {
+                "rank_feature": {"field": "n_chars", "saturation": {"pivot": 200.0}}
+            },
+        },
+    )
+    return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
+
+
+def q_distance_feature(sf_dir: str):
+    """distance_feature through the DSL: score = boost * pivot /
+    (pivot + |v - origin|) over the n_chars doc-value — docs closest
+    to origin rank first (query/engine.distance_feature)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _reader(sf_dir),
+        {
+            "size": 20,
+            "query": {
+                "distance_feature": {
+                    "field": "n_chars",
+                    "origin": 250.0,
+                    "pivot": 100.0,
+                }
+            },
+        },
+    )
+    return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
+
+
 def q_query_string(sf_dir: str):
     """Lucene query_string syntax through the DSL adapter
     (query/querystring): grouped OR, a range clause contributing its
@@ -2942,6 +2983,18 @@ ORACLE_SQL: dict[str, str] = {
     "match_bool_prefix": _match_bool_prefix_sql("merge sor", 15),
     "scroll_pages": _bm25_sql("merge join", 15),
     "phrase_sloppy": _sloppy_phrase_sql("merge", "sort", 2, 12),
+    "rank_feature_nchars": (
+        "SELECT rank, doc_id, score FROM (SELECT row_number() OVER"
+        " (ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM"
+        " (SELECT doc_id, n_chars/(n_chars + 200.0) AS score FROM documents))"
+        " ORDER BY rank LIMIT 20"
+    ),
+    "distance_feature_nchars": (
+        "SELECT rank, doc_id, score FROM (SELECT row_number() OVER"
+        " (ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM"
+        " (SELECT doc_id, 100.0/(100.0 + abs(n_chars - 250.0)) AS score"
+        " FROM documents)) ORDER BY rank LIMIT 20"
+    ),
     "knn_dsl": (
         "WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),\n"
         "scored AS (SELECT d.doc_id,"
@@ -3693,6 +3746,8 @@ QUERIES = {
     "knn_dsl": q_knn_dsl,
     "scroll_pages": q_scroll_pages,
     "phrase_sloppy": q_phrase_sloppy,
+    "rank_feature_nchars": q_rank_feature,
+    "distance_feature_nchars": q_distance_feature,
     "bm25_dismax": q_bm25_dismax,
     "bm25_bool": q_bm25_bool,
     "bm25_bool_msm": q_bm25_bool_msm,

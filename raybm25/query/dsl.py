@@ -221,6 +221,34 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
             fk, fs = _one(body["filter"], "knn.filter")
             filt = _match_docs(r, fk, fs)
         return r.knn_search(fname, body["vector"], k=min(k, kk), filter_docs=filt)
+    if kind == "rank_feature":
+        # {"rank_feature": {"field": f, "saturation": {"pivot": p},
+        #  "boost": b}} (or "log" / "sigmoid" function bodies)
+        fname = str(spec["field"])
+        boost = float(spec.get("boost", 1.0))
+        if "log" in spec:
+            return r.rank_feature(
+                fname, boost=boost, function="log",
+                scaling_factor=float(spec["log"]["scaling_factor"]), k=k,
+            )
+        if "sigmoid" in spec:
+            return r.rank_feature(
+                fname, boost=boost, function="sigmoid",
+                pivot=float(spec["sigmoid"]["pivot"]),
+                exponent=float(spec["sigmoid"]["exponent"]), k=k,
+            )
+        sat = spec.get("saturation", {})
+        return r.rank_feature(
+            fname, pivot=float(sat["pivot"]), boost=boost, k=k
+        )
+    if kind == "distance_feature":
+        return r.distance_feature(
+            str(spec["field"]),
+            origin=float(spec["origin"]),
+            pivot=float(spec["pivot"]),
+            boost=float(spec.get("boost", 1.0)),
+            k=k,
+        )
     if kind == "constant_score":
         # wrapper: every doc matching the inner filter scores `boost`
         ik, ispec = _one(spec["filter"], "constant_score.filter")

@@ -1581,6 +1581,83 @@ class IndexReader:
         qs = np.percentile(vals, list(percents))
         return {float(p): float(v) for p, v in zip(percents, qs)}
 
+    def _feature_candidates(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        """(ordinals, float64 values) of live docs with a non-null
+        value for a numeric doc-value field — the candidate set of the
+        feature queries (rank_feature / distance_feature score every
+        doc carrying the field)."""
+        ords = self._all_ordinals()
+        if ords.size == 0:
+            return ords, np.empty(0, np.float64)
+        vals = self._gather_column(ords, field)
+        if vals.dtype == object:
+            mask = np.array([v is not None for v in vals])
+            return ords[mask], vals[mask].astype(np.float64)
+        vals = vals.astype(np.float64)
+        mask = ~np.isnan(vals)
+        return ords[mask], vals[mask]
+
+    def rank_feature(
+        self,
+        field: str,
+        pivot: float | None = None,
+        boost: float = 1.0,
+        function: str = "saturation",
+        scaling_factor: float | None = None,
+        exponent: float | None = None,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """OpenSearch ``rank_feature`` query over a stored numeric
+        doc-value (the rank_feature field analog): score every doc
+        carrying the field by
+        ``saturation``  boost * v / (v + pivot)   (pivot REQUIRED —
+        OpenSearch derives a default from index stats; requiring it
+        keeps results deterministic and oracle-checkable),
+        ``log``        boost * ln(scaling_factor + v),
+        ``sigmoid``    boost * v^exp / (v^exp + pivot^exp).
+        One doc-value gather + one vectorized formula; ties doc_id asc."""
+        ords, vals = self._feature_candidates(field)
+        if ords.size == 0:
+            return []
+        if function == "saturation":
+            if pivot is None:
+                raise ValueError("rank_feature saturation requires an explicit pivot")
+            scores = boost * (vals / (vals + pivot))
+        elif function == "log":
+            if scaling_factor is None:
+                raise ValueError("rank_feature log requires scaling_factor")
+            scores = boost * np.log(scaling_factor + vals)
+        elif function == "sigmoid":
+            if pivot is None or exponent is None:
+                raise ValueError("rank_feature sigmoid requires pivot and exponent")
+            ve = vals**exponent
+            scores = boost * (ve / (ve + pivot**exponent))
+        else:
+            raise ValueError(f"unsupported rank_feature function {function!r}")
+        ids, sc = self._rank(ords, scores, k)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def distance_feature(
+        self,
+        field: str,
+        origin: float,
+        pivot: float,
+        boost: float = 1.0,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """OpenSearch ``distance_feature`` over a numeric/date
+        doc-value: score = boost * pivot / (pivot + |v - origin|) —
+        docs closer to ``origin`` score higher, halving at distance
+        ``pivot``. Dates use epoch numbers (the stored doc-value
+        representation); geo fields are out of scope (no geo data in
+        the reference's domain)."""
+        ords, vals = self._feature_candidates(field)
+        if ords.size == 0:
+            return []
+        scores = boost * (pivot / (pivot + np.abs(vals - origin)))
+        ids, sc = self._rank(ords, scores, k)
+        return list(zip(ids.tolist(), sc.tolist()))
+
     def search_function_score(
         self,
         query: str,
