@@ -1722,6 +1722,64 @@ def q_phrase_sloppy(sf_dir: str):
     return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
 
 
+def q_weighted_avg(sf_dir: str):
+    """weighted_avg aggregation through the DSL: Σ(n_chars·dl)/Σ(dl)
+    over docs matching 'merge' — integer products/sums exact in int64,
+    one final float64 division (query/engine.weighted_avg_agg)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _reader(sf_dir),
+        {
+            "size": 0,
+            "query": {"match": {"text": {"query": "merge"}}},
+            "aggs": {
+                "w": {
+                    "weighted_avg": {
+                        "value": {"field": "n_chars"},
+                        "weight": {"field": "dl"},
+                    }
+                }
+            },
+        },
+    )
+    return pd.DataFrame({"wavg": [resp["aggregations"]["w"]["value"]]})
+
+
+def q_top_metrics(sf_dir: str):
+    """top_metrics aggregation: n_chars of the 5 longest (by dl)
+    docs matching 'merge', ties doc_id asc
+    (query/engine.top_metrics_agg)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _reader(sf_dir),
+        {
+            "size": 0,
+            "query": {"match": {"text": {"query": "merge"}}},
+            "aggs": {
+                "t": {
+                    "top_metrics": {
+                        "metrics": {"field": "n_chars"},
+                        "sort": {"dl": "desc"},
+                        "size": 5,
+                    }
+                }
+            },
+        },
+    )
+    rows = resp["aggregations"]["t"]["top"]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(rows) + 1), dtype="int64"),
+            "sort_dl": pd.array([int(x["sort"][0]) for x in rows], dtype="int64"),
+            "n_chars": pd.array(
+                [int(x["metrics"]["n_chars"]) for x in rows], dtype="int64"
+            ),
+        }
+    )
+
+
 def q_rank_feature(sf_dir: str):
     """rank_feature (saturation) through the DSL: every doc scored
     boost * v/(v + pivot) on the n_chars doc-value (pivot explicit —
@@ -2983,6 +3041,24 @@ ORACLE_SQL: dict[str, str] = {
     "match_bool_prefix": _match_bool_prefix_sql("merge sor", 15),
     "scroll_pages": _bm25_sql("merge join", 15),
     "phrase_sloppy": _sloppy_phrase_sql("merge", "sort", 2, 12),
+    "weighted_avg_agg": (
+        f"WITH {TOKS_CTE},\n"
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),\n"
+        "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')\n"
+        "SELECT CAST(sum(d.n_chars * dl.dl) AS DOUBLE) /"
+        " CAST(sum(dl.dl) AS DOUBLE) AS wavg\n"
+        "FROM documents d JOIN dl ON dl.doc_id = d.doc_id"
+        " JOIN m ON m.doc_id = d.doc_id"
+    ),
+    "top_metrics_agg": (
+        f"WITH {TOKS_CTE},\n"
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),\n"
+        "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')\n"
+        "SELECT rank, sort_dl, n_chars FROM (SELECT row_number() OVER"
+        " (ORDER BY dl.dl DESC, d.doc_id) AS rank, dl.dl AS sort_dl, d.n_chars\n"
+        " FROM documents d JOIN dl ON dl.doc_id = d.doc_id"
+        " JOIN m ON m.doc_id = d.doc_id) ORDER BY rank LIMIT 5"
+    ),
     "rank_feature_nchars": (
         "SELECT rank, doc_id, score FROM (SELECT row_number() OVER"
         " (ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM"
@@ -3746,6 +3822,8 @@ QUERIES = {
     "knn_dsl": q_knn_dsl,
     "scroll_pages": q_scroll_pages,
     "phrase_sloppy": q_phrase_sloppy,
+    "weighted_avg_agg": q_weighted_avg,
+    "top_metrics_agg": q_top_metrics,
     "rank_feature_nchars": q_rank_feature,
     "distance_feature_nchars": q_distance_feature,
     "bm25_dismax": q_bm25_dismax,

@@ -760,6 +760,34 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
                 }
             }
             continue
+        if akind == "weighted_avg":
+            out[name] = {
+                "value": r.weighted_avg_agg(
+                    qtext,
+                    str(aspec["value"]["field"]),
+                    str(aspec["weight"]["field"]),
+                    field=f,
+                )
+            }
+            continue
+        if akind == "top_metrics":
+            metrics = aspec["metrics"]
+            if isinstance(metrics, list):
+                if len(metrics) != 1:
+                    raise ValueError("top_metrics supports one metric field")
+                metrics = metrics[0]
+            sfield, sdir = _one(aspec["sort"], "top_metrics.sort")
+            out[name] = {
+                "top": r.top_metrics_agg(
+                    qtext,
+                    str(metrics["field"]),
+                    str(sfield),
+                    descending=(sdir == "desc"),
+                    size=int(aspec.get("size", 1)),
+                    field=f,
+                )
+            }
+            continue
         afield = aspec["field"]
         if akind == "terms":
             buckets = r.facet_terms(qtext, afield, size=int(aspec.get("size", 10)), field=f)

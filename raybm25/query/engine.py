@@ -1099,6 +1099,65 @@ class IndexReader:
             "std_deviation": math.sqrt(variance),
         }
 
+    def weighted_avg_agg(
+        self,
+        query: str,
+        value_field: str,
+        weight_field: str,
+        field: str | None = None,
+    ) -> float | None:
+        """Weighted-average aggregation (OpenSearch ``weighted_avg``):
+        Σ(v·w) / Σ(w) over matching docs. Integer doc-values multiply
+        and sum EXACTLY in int64 (products < 2^63, sums < 2^53 at
+        contract scale), so the single final float64 division is the
+        only rounding — the SQL oracle is bit-identical by
+        construction (the extended_stats trick). Null values or
+        weights drop the row (OpenSearch's default missing handling)."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return None
+        v = self._gather_column(cand, value_field)
+        w = self._gather_column(cand, weight_field)
+        if np.issubdtype(v.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
+            keep = ~(np.isnan(v.astype(np.float64)) | np.isnan(w.astype(np.float64)))
+            v, w = v[keep], w[keep]
+        if v.size == 0:
+            return None
+        num = (v.astype(np.int64) * w.astype(np.int64)).sum() if (
+            np.issubdtype(v.dtype, np.integer) and np.issubdtype(w.dtype, np.integer)
+        ) else float((v.astype(np.float64) * w.astype(np.float64)).sum())
+        den = w.astype(np.int64).sum() if np.issubdtype(w.dtype, np.integer) else float(
+            w.astype(np.float64).sum()
+        )
+        if den == 0:
+            return None
+        return float(num) / float(den)
+
+    def top_metrics_agg(
+        self,
+        query: str,
+        metric_field: str,
+        sort_field: str,
+        descending: bool = True,
+        size: int = 1,
+        field: str | None = None,
+    ) -> list[dict]:
+        """Top-metrics aggregation (OpenSearch ``top_metrics``): the
+        metric field's values of the ``size`` docs ranking first by the
+        sort field among the query's matches (ties doc_id asc —
+        deterministic). One gather + one lexsort cut."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        sv = self._gather_column(cand, sort_field).astype(np.float64)
+        dids = self._map_ordinals(cand)
+        order = np.lexsort((dids, -sv if descending else sv))[:size]
+        mv = self._gather_column(cand[order], metric_field)
+        return [
+            {"sort": [sv[i].item()], "metrics": {metric_field: mv[j].item()}}
+            for j, i in enumerate(order)
+        ]
+
     def rare_terms_agg(
         self,
         query: str,

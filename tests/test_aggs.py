@@ -137,3 +137,53 @@ def test_terms_stats_vs_brute(rdr):
         assert mn == sel.min() and mx == sel.max() and sm == sel.sum()
         assert av == float(sel.sum()) / sel.size
     assert [row[0] for row in rows] == sorted(set(langs))
+
+
+def test_weighted_avg_agg(rdr):
+    # value = size, weight = dl (token count); docs matching "alpha"
+    matched = [(i, s, len(TOK.findall(t.lower()))) for i, (t, _, s) in enumerate(DOCS)
+               if "alpha" in TOK.findall(t.lower())]
+    exp = sum(s * d for _, s, d in matched) / sum(d for _, _, d in matched)
+    got = rdr.weighted_avg_agg("alpha", "size", "dl")
+    assert got == pytest.approx(exp, rel=1e-12)
+    # empty match -> None
+    assert rdr.weighted_avg_agg("zzz", "size", "dl") is None
+
+
+def test_top_metrics_agg(rdr):
+    rows = rdr.top_metrics_agg("alpha", "size", "size", descending=True, size=2)
+    sizes = sorted(
+        (s for i, (t, _, s) in enumerate(DOCS) if "alpha" in TOK.findall(t.lower())),
+        reverse=True,
+    )
+    assert [x["metrics"]["size"] for x in rows] == sizes[:2]
+    assert [x["sort"][0] for x in rows] == [float(v) for v in sizes[:2]]
+    # ascending, size beyond match count returns all matches
+    rows = rdr.top_metrics_agg("alpha", "size", "size", descending=False, size=10)
+    assert [x["metrics"]["size"] for x in rows] == sorted(sizes)
+
+
+def test_top_metrics_tie_breaks_doc_id(rdr):
+    # docs 1 and 2 both have size 250 and match "gamma"
+    rows = rdr.top_metrics_agg("gamma", "size", "size", descending=True, size=2)
+    assert [x["metrics"]["size"] for x in rows] == [250, 250]
+
+
+def test_weighted_avg_dsl_body(rdr):
+    from raybm25.query.dsl import run_query
+
+    resp = run_query(
+        rdr,
+        {
+            "size": 0,
+            "query": {"match": {"text": "alpha"}},
+            "aggs": {
+                "w": {"weighted_avg": {"value": {"field": "size"},
+                                       "weight": {"field": "dl"}}},
+                "t": {"top_metrics": {"metrics": {"field": "size"},
+                                      "sort": {"size": "desc"}, "size": 1}},
+            },
+        },
+    )
+    assert resp["aggregations"]["w"]["value"] == rdr.weighted_avg_agg("alpha", "size", "dl")
+    assert resp["aggregations"]["t"]["top"][0]["metrics"]["size"] == 999
