@@ -33,6 +33,10 @@ VALID_TYPES = {
     "boolean",
     "date",
     "object",
+    # beyond the reference's list: the OpenSearch k-NN plugin field —
+    # a list<float> column stored in the docstore and served by
+    # query/engine.knn_search / the DSL "knn" clause
+    "knn_vector",
 }
 
 STORED_NUMERIC_TYPES = {"long", "integer", "double", "float", "boolean", "date"}
@@ -94,6 +98,7 @@ def mapping_field_kinds(properties: dict) -> dict[str, list[str]]:
         "keyword": [],
         "search_as_you_type": [],
         "stored": [],
+        "vector": [],
     }
     for name, node in properties.items():
         t = node.get("type")
@@ -107,6 +112,12 @@ def mapping_field_kinds(properties: dict) -> dict[str, list[str]]:
                     kinds["stored"].append(full)
         elif t in ("text", "keyword", "search_as_you_type"):
             kinds[t].append(name)
+        elif t == "knn_vector":
+            # stored doc-value (the default build stores every source
+            # column) that the knn query path reads; tracked separately
+            # so callers can see the vector surface
+            kinds["vector"].append(name)
+            kinds["stored"].append(name)
         else:
             kinds["stored"].append(name)
     return kinds

@@ -142,3 +142,49 @@ def test_knn_excludes_deleted(idx, tmp_path):
 def test_knn_zero_query_vector(idx):
     r = IndexReader(idx)
     assert r.knn_search("embedding", np.zeros(D), k=5) == []
+
+
+def test_loader_spec_knn_vector_field(ray_session, tmp_path):
+    """A YAML index spec declaring a knn_vector field builds an index
+    whose vector column is stored and knn-searchable (loader wiring:
+    spec.VALID_TYPES / mapping_field_kinds 'vector' kind)."""
+    import pyarrow.parquet as pq
+
+    from raybm25.loader import Loader
+    from raybm25.loader.spec import mapping_field_kinds, parse_mapping
+
+    vecs = _vectors()
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(N)),
+                "text": _texts(),
+                "embedding": [v.tolist() for v in vecs],
+            }
+        ),
+        src,
+    )
+    props = parse_mapping({"text": ["text"], "knn_vector": ["embedding"]})
+    kinds = mapping_field_kinds(props)
+    assert kinds["vector"] == ["embedding"]
+    assert "embedding" in kinds["stored"]
+
+    spec = {
+        "indices": [
+            {
+                "index_name": "vecidx",
+                "id_field": "doc_id",
+                "mapping": {"text": ["text"], "knn_vector": ["embedding"]},
+                "source": {"type": "parquet", "path": src},
+            }
+        ]
+    }
+    loader = Loader(spec, str(tmp_path / "root"))
+    summary = loader.load()
+    stats = {s["index"]: s for s in summary["indices"]}
+    assert stats["vecidx"]["docs"] == N, stats
+
+    r = IndexReader(str(tmp_path / "root" / "vecidx"))
+    hits = r.knn_search("embedding", vecs[5], k=3)
+    assert hits[0][0] == 5 and hits[0][1] == pytest.approx(1.0, abs=1e-6)

@@ -64,6 +64,7 @@ def test_field_kinds():
         "keyword": ["lang"],
         "search_as_you_type": ["title"],
         "stored": ["n"],
+        "vector": [],
     }
 
 
