@@ -2612,6 +2612,30 @@ class IndexReader:
             return none
         tp0 = postings[uniq[0]]
         cand_dls = tp0.dls[np.searchsorted(tp0.doc_ids, cand)].astype(np.int64)
+        spans = self._greedy_chains(terms, postings, cand)
+        if spans is None:
+            return none
+        start, cur, M = spans
+        span_gap = (cur % M) - (start % M) - (len(terms) - 1)
+        good = start[span_gap <= slop]
+        if good.size == 0:
+            return none
+        d_idx, tf = np.unique(good // M, return_counts=True)
+        return cand[d_idx], tf.astype(np.int64), cand_dls[d_idx], terms
+
+    @staticmethod
+    def _greedy_chains(
+        terms: list[str], postings: dict, cand: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, int] | None:
+        """Greedy ordered position chains over candidate docs — the
+        shared kernel of ``intervals_docs`` and ``_sloppy_phrase_hits``.
+        Each occurrence of ``terms[0]`` advances through every later
+        term's EARLIEST strictly-later occurrence in the same doc (one
+        searchsorted per term; the greedy step minimizes each chain's
+        end, so downstream span-gap tests are exact). Returns
+        ``(start_keys, end_keys, M)`` in ``doc_idx * M + position`` key
+        space, or ``None`` if no chain survives."""
+        uniq = sorted(set(terms))
         M = int(max(int(postings[t].poss.max()) for t in uniq)) + 2
 
         def keys_of(tp: TermPostings) -> np.ndarray:
@@ -2640,13 +2664,8 @@ class IndexReader:
             ok &= (stepped // M) == (cur // M)
             cur, start = stepped[ok], start[ok]
             if cur.size == 0:
-                return none
-        span_gap = (cur % M) - (start % M) - (len(terms) - 1)
-        good = start[span_gap <= slop]
-        if good.size == 0:
-            return none
-        d_idx, tf = np.unique(good // M, return_counts=True)
-        return cand[d_idx], tf.astype(np.int64), cand_dls[d_idx], terms
+                return None
+        return start, cur, M
 
     def intervals_docs(
         self,
@@ -2700,35 +2719,10 @@ class IndexReader:
             cand = np.intersect1d(cand, postings[t].doc_ids, assume_unique=True)
         if cand.size == 0:
             return np.empty(0, np.uint64)
-        M = int(max(int(postings[t].poss.max()) for t in uniq)) + 2
-
-        def keys_of(tp: TermPostings) -> np.ndarray:
-            sel = np.searchsorted(tp.doc_ids, cand)
-            off = tp.pos_offsets()
-            sizes = tp.tfs[sel].astype(np.int64)
-            starts = off[sel]
-            total = int(sizes.sum())
-            run_off = np.zeros(cand.size + 1, dtype=np.int64)
-            np.cumsum(sizes, out=run_off[1:])
-            gather = (
-                np.repeat(starts - run_off[:-1], sizes)
-                + np.arange(total, dtype=np.int64)
-            )
-            d_idx = np.repeat(np.arange(cand.size, dtype=np.int64), sizes)
-            return d_idx * M + tp.poss[gather].astype(np.int64)
-
-        cur = keys_of(postings[terms[0]])
-        start = cur.copy()
-        for t in terms[1:]:
-            nxt = keys_of(postings[t])
-            idx = np.searchsorted(nxt, cur, side="right")
-            ok = idx < nxt.size
-            idx = np.minimum(idx, nxt.size - 1)
-            stepped = nxt[idx]
-            ok &= (stepped // M) == (cur // M)
-            cur, start = stepped[ok], start[ok]
-            if cur.size == 0:
-                return np.empty(0, np.uint64)
+        spans = self._greedy_chains(terms, postings, cand)
+        if spans is None:
+            return np.empty(0, np.uint64)
+        start, cur, M = spans
         span_gap = (cur % M) - (start % M) - (len(terms) - 1)
         if max_gaps < 0:  # OpenSearch max_gaps=-1: unlimited
             max_gaps = np.iinfo(np.int64).max // 2
