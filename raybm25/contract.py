@@ -1780,6 +1780,58 @@ def q_top_metrics(sf_dir: str):
     )
 
 
+def q_scrub_text(sf_dir: str):
+    """PII-style scrub stage (extras/textstats.scrub_batch): emails /
+    URLs / long digit runs replaced by typed placeholders, one RE2 pass
+    per pattern per batch (Arrow replace_substring_regex == DuckDB
+    regexp_replace 'g' — same engine, bit-identical). The synthetic
+    corpus carries no PII, so the entry deterministically augments each
+    doc with one email + URL + long number (the SAME string expression
+    on both sides) to exercise every pattern."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .extras.textstats import scrub_batch
+
+    def augment(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column("doc_id"), pa.string())
+        aug = pc.binary_join_element_wise(
+            b.column("text"),
+            " contact user",
+            ids,
+            "@example.com or https://site",
+            ids,
+            ".example/x 123456789",
+            "",
+        )
+        return b.set_column(b.schema.get_field_index("text"), "text", aug)
+
+    ds = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(augment, batch_format="pyarrow")
+        .map_batches(scrub_batch, batch_format="pyarrow")
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_chunk_tokens(sf_dir: str):
+    """Token-window chunking (extras/textstats.chunk_batch): each doc's
+    token stream split into 64-token chunks, one output row per chunk —
+    the flat-map that turns a corpus into training sequences."""
+    import ray.data
+
+    from .extras.textstats import chunk_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(chunk_batch, batch_format="pyarrow")
+    return (
+        ds.to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    )
+
+
 def q_rank_feature(sf_dir: str):
     """rank_feature (saturation) through the DSL: every doc scored
     boost * v/(v + pivot) on the n_chars doc-value (pivot explicit —
@@ -3041,6 +3093,34 @@ ORACLE_SQL: dict[str, str] = {
     "match_bool_prefix": _match_bool_prefix_sql("merge sor", 15),
     "scroll_pages": _bm25_sql("merge join", 15),
     "phrase_sloppy": _sloppy_phrase_sql("merge", "sort", 2, 12),
+    "scrub_text": (
+        "WITH a AS (SELECT doc_id, text || ' contact user' ||"
+        " CAST(doc_id AS VARCHAR) || '@example.com or https://site' ||"
+        " CAST(doc_id AS VARCHAR) || '.example/x 123456789' AS t FROM documents),\n"
+        "s1 AS (SELECT doc_id,"
+        " len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1,"
+        " regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t"
+        " FROM a),\n"
+        "s2 AS (SELECT doc_id, c1,"
+        " len(regexp_extract_all(t, 'https?://[^\\s]+')) AS c2,"
+        " regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g') AS t FROM s1),\n"
+        "s3 AS (SELECT doc_id, c1, c2,"
+        " len(regexp_extract_all(t, '\\b[0-9]{9,}\\b')) AS c3,"
+        " regexp_replace(t, '\\b[0-9]{9,}\\b', '<NUM>', 'g') AS t FROM s2)\n"
+        "SELECT doc_id, t AS text_scrubbed,"
+        " CAST(c1 + c2 + c3 AS BIGINT) AS n_scrubbed FROM s3 ORDER BY doc_id"
+    ),
+    "chunk_tokens": (
+        "WITH t AS (SELECT doc_id,"
+        " len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl FROM documents),\n"
+        "c AS (SELECT doc_id, dl,"
+        " CAST(ceil(dl/64.0) AS BIGINT) AS nc FROM t WHERE dl > 0),\n"
+        "x AS (SELECT doc_id, dl, nc,"
+        " unnest(generate_series(0, nc - 1)) AS chunk_id FROM c)\n"
+        "SELECT doc_id, chunk_id,"
+        " CAST(CASE WHEN chunk_id = nc - 1 THEN dl - (nc - 1) * 64"
+        " ELSE 64 END AS BIGINT) AS n_tokens FROM x ORDER BY doc_id, chunk_id"
+    ),
     "weighted_avg_agg": (
         f"WITH {TOKS_CTE},\n"
         "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),\n"
@@ -3822,6 +3902,8 @@ QUERIES = {
     "knn_dsl": q_knn_dsl,
     "scroll_pages": q_scroll_pages,
     "phrase_sloppy": q_phrase_sloppy,
+    "scrub_text": q_scrub_text,
+    "chunk_tokens": q_chunk_tokens,
     "weighted_avg_agg": q_weighted_avg,
     "top_metrics_agg": q_top_metrics,
     "rank_feature_nchars": q_rank_feature,

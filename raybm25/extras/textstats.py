@@ -133,3 +133,70 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = FP_
     return out.append_column(
         "fingerprints", pa.ListArray.from_arrays(offsets, pa.array(values, pa.uint64()))
     )
+
+
+SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    # (name, RE2 pattern, replacement) — applied IN ORDER. Arrow's
+    # replace_substring_regex IS RE2, the same engine as DuckDB's
+    # regexp_replace(..., 'g'), so the SQL oracle is bit-identical by
+    # construction.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("number_long", r"\b[0-9]{9,}\b", "<NUM>"),
+)
+
+
+def scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """PII-style scrubbing stage for training-data pipelines: replace
+    emails, URLs and long digit runs with typed placeholders, fully
+    vectorized (one RE2 pass per pattern over the whole batch column —
+    no Python per row). Emits the scrubbed text plus a per-doc count
+    of replaced spans (the audit column a 100-TB scrub job reports)."""
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    n_hits = None
+    for _name, pat, repl in SCRUB_PATTERNS:
+        hits = pc.count_substring_regex(col, pat)
+        n_hits = hits if n_hits is None else pc.add(n_hits, hits)
+        col = pc.replace_substring_regex(col, pat, repl)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text_scrubbed": col,
+            "n_scrubbed": pc.cast(n_hits, pa.int64()),
+        }
+    )
+
+
+def chunk_batch(
+    batch: pa.Table, text_col: str = "text", window: int = 64
+) -> pa.Table:
+    """Token-window chunking (context-length packing prep): split each
+    doc's token stream into consecutive ``window``-token chunks and
+    emit one row per chunk ``(doc_id, chunk_id, n_tokens)`` — the
+    flat-map that turns a document corpus into training sequences.
+    Vectorized: one tokenize pass, chunk counts by integer ceil-div,
+    row expansion via np.repeat/arange (no Python loop over chunks)."""
+    texts = batch.column(text_col).to_pylist()
+    dls = np.array(
+        [len(TOKEN_RE.findall((t or "").lower())) for t in texts], dtype=np.int64
+    )
+    n_chunks = np.maximum((dls + window - 1) // window, 0)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    rep_ids = np.repeat(doc_ids, n_chunks)
+    total = int(n_chunks.sum())
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=offsets[1:])
+    chunk_id = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], n_chunks)
+    last = chunk_id == np.repeat(n_chunks - 1, n_chunks)
+    n_tokens = np.full(total, window, dtype=np.int64)
+    rem = np.repeat(dls - (n_chunks - 1) * window, n_chunks)
+    n_tokens[last] = rem[last]
+    return pa.table(
+        {
+            "doc_id": pa.array(rep_ids, pa.int64()),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+        }
+    )

@@ -502,3 +502,54 @@ def test_ivf_recall_published(ray_session):
     assert recalls[8] == 1.0
     assert recalls[4] >= 0.7
     assert recalls[1] <= recalls[2] <= recalls[4] <= recalls[8]
+
+
+def test_scrub_batch_patterns(ray_session):
+    import pyarrow as pa
+
+    from raybm25.extras.textstats import scrub_batch
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "mail me at a.b+c@x-mail.co.uk today",
+                "see https://ex.com/a?b=1 and http://y.io",
+                "card 1234567890123 and pin 12345678",  # only the 13-digit run
+                "clean text with nothing to scrub",
+            ],
+        }
+    )
+    out = scrub_batch(t)
+    texts = out.column("text_scrubbed").to_pylist()
+    counts = out.column("n_scrubbed").to_pylist()
+    assert texts[0] == "mail me at <EMAIL> today"
+    assert texts[1] == "see <URL> and <URL>"
+    assert texts[2] == "card <NUM> and pin 12345678"  # 8 digits < 9: kept
+    assert texts[3] == t.column("text")[3].as_py()
+    assert counts == [1, 2, 1, 0]
+
+
+def test_chunk_batch_windows(ray_session):
+    import pyarrow as pa
+
+    from raybm25.extras.textstats import chunk_batch
+
+    t = pa.table(
+        {
+            "doc_id": [10, 11, 12, 13],
+            "text": [
+                " ".join(["w"] * 10),   # 10 tokens -> 3 chunks of 4,4,2
+                " ".join(["w"] * 8),    # exact multiple -> 2 full chunks
+                "one",                  # 1 token -> 1 chunk of 1
+                "",                     # empty -> no rows
+            ],
+        }
+    )
+    out = chunk_batch(t, window=4).to_pandas()
+    rows = list(zip(out["doc_id"], out["chunk_id"], out["n_tokens"]))
+    assert rows == [
+        (10, 0, 4), (10, 1, 4), (10, 2, 2),
+        (11, 0, 4), (11, 1, 4),
+        (12, 0, 1),
+    ]
