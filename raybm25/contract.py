@@ -1722,6 +1722,36 @@ def q_phrase_sloppy(sf_dir: str):
     return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
 
 
+def q_matrix_stats(sf_dir: str):
+    """matrix_stats aggregation over (n_chars, dl) for docs matching
+    'merge': per-field mean/variance + pairwise covariance/correlation
+    with the pinned float chain documented in
+    query/engine.matrix_stats_agg (moment sums exact in int64; the SQL
+    oracle states the identical expression tree)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _reader(sf_dir),
+        {
+            "size": 0,
+            "query": {"match": {"text": {"query": "merge"}}},
+            "aggs": {"m": {"matrix_stats": {"fields": ["n_chars", "dl"]}}},
+        },
+    )
+    m = resp["aggregations"]["m"]
+    return pd.DataFrame(
+        {
+            "n": pd.array([m["doc_count"]], dtype="int64"),
+            "mean_nchars": [m["fields"]["n_chars"]["mean"]],
+            "mean_dl": [m["fields"]["dl"]["mean"]],
+            "var_nchars": [m["fields"]["n_chars"]["variance"]],
+            "var_dl": [m["fields"]["dl"]["variance"]],
+            "cov": [m["covariance"]["n_chars"]["dl"]],
+            "corr": [m["correlation"]["n_chars"]["dl"]],
+        }
+    )
+
+
 def q_weighted_avg(sf_dir: str):
     """weighted_avg aggregation through the DSL: Σ(n_chars·dl)/Σ(dl)
     over docs matching 'merge' — integer products/sums exact in int64,
@@ -3121,6 +3151,25 @@ ORACLE_SQL: dict[str, str] = {
         " CAST(CASE WHEN chunk_id = nc - 1 THEN dl - (nc - 1) * 64"
         " ELSE 64 END AS BIGINT) AS n_tokens FROM x ORDER BY doc_id, chunk_id"
     ),
+    "matrix_stats_agg": (
+        f"WITH {TOKS_CTE},\n"
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),\n"
+        "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),\n"
+        "j AS (SELECT d.n_chars AS x, dl.dl AS y FROM documents d"
+        " JOIN dl ON dl.doc_id = d.doc_id JOIN m ON m.doc_id = d.doc_id),\n"
+        "s AS (SELECT count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,"
+        " sum(y) AS sy, sum(y*y) AS syy, sum(x*y) AS sxy FROM j),\n"
+        "mm AS (SELECT n, sxx, syy, sxy,"
+        " CAST(sx AS DOUBLE)/n AS mx, CAST(sy AS DOUBLE)/n AS my FROM s)\n"
+        "SELECT n, mx AS mean_nchars, my AS mean_dl,\n"
+        " (CAST(sxx AS DOUBLE) - n*mx*mx)/(n-1) AS var_nchars,\n"
+        " (CAST(syy AS DOUBLE) - n*my*my)/(n-1) AS var_dl,\n"
+        " (CAST(sxy AS DOUBLE) - n*mx*my)/(n-1) AS cov,\n"
+        " ((CAST(sxy AS DOUBLE) - n*mx*my)/(n-1)) /"
+        " (sqrt((CAST(sxx AS DOUBLE) - n*mx*mx)/(n-1)) *"
+        " sqrt((CAST(syy AS DOUBLE) - n*my*my)/(n-1))) AS corr\n"
+        "FROM mm"
+    ),
     "weighted_avg_agg": (
         f"WITH {TOKS_CTE},\n"
         "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),\n"
@@ -3904,6 +3953,7 @@ QUERIES = {
     "phrase_sloppy": q_phrase_sloppy,
     "scrub_text": q_scrub_text,
     "chunk_tokens": q_chunk_tokens,
+    "matrix_stats_agg": q_matrix_stats,
     "weighted_avg_agg": q_weighted_avg,
     "top_metrics_agg": q_top_metrics,
     "rank_feature_nchars": q_rank_feature,

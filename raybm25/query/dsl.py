@@ -760,6 +760,11 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
                 }
             }
             continue
+        if akind == "matrix_stats":
+            out[name] = r.matrix_stats_agg(
+                qtext, [str(fl) for fl in aspec["fields"]], field=f
+            )
+            continue
         if akind == "weighted_avg":
             out[name] = {
                 "value": r.weighted_avg_agg(

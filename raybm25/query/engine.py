@@ -1158,6 +1158,79 @@ class IndexReader:
             for j, i in enumerate(order)
         ]
 
+    def matrix_stats_agg(
+        self, query: str, fields: list[str], field: str | None = None
+    ) -> dict:
+        """Matrix-stats aggregation (OpenSearch ``matrix_stats``) over
+        numeric doc-value fields: per-field count / mean / variance /
+        skewness / kurtosis plus pairwise covariance and correlation.
+        Pinned formulas (documented — OpenSearch's exact higher-moment
+        flavor varies by version):
+          mean       = Σx / n               (Σ exact in int64 for int fields)
+          variance   = (Σx² - n·mean·mean) / (n - 1)      [sample]
+          covariance = (Σxy - n·meanx·meany) / (n - 1)
+          correlation= cov / (sqrt(varx) · sqrt(vary))
+          skewness   = (Σx³/n - 3·mean·m2 - mean³) / m2^1.5   [population m2]
+          kurtosis   = (Σx⁴/n - 4·mean·(Σx³/n) + 6·mean²·(Σx²/n) - 3·mean⁴) / m2²
+        Every moment sum is a per-block partial at cluster scale —
+        merged by addition, no doc-level shuffle."""
+        cand = self._match_ordinals(query, field)
+        n = int(cand.size)
+        if n < 2:
+            return {"doc_count": n, "fields": {}, "covariance": {}, "correlation": {}}
+        cols = {fl: self._gather_column(cand, fl) for fl in fields}
+        out_fields: dict[str, dict] = {}
+        moments: dict[str, tuple] = {}
+        for fl, v in cols.items():
+            s1, s2 = v.sum(), (v * v).sum()
+            v3 = v.astype(np.float64)
+            s3, s4 = float((v3 * v3 * v3).sum()), float((v3 * v3 * v3 * v3).sum())
+            mean = float(s1) / n
+            var = (float(s2) - n * mean * mean) / (n - 1)
+            m2 = float(s2) / n - mean * mean
+            skew = (
+                (s3 / n - 3.0 * mean * m2 - mean**3) / m2**1.5 if m2 > 0 else 0.0
+            )
+            kurt = (
+                (s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (float(s2) / n)
+                 - 3.0 * mean**4) / (m2 * m2)
+                if m2 > 0
+                else 0.0
+            )
+            moments[fl] = (mean, var)
+            out_fields[fl] = {
+                "count": n,
+                "mean": mean,
+                "variance": var,
+                "skewness": skew,
+                "kurtosis": kurt,
+            }
+        cov: dict[str, dict[str, float]] = {fl: {} for fl in fields}
+        corr: dict[str, dict[str, float]] = {fl: {} for fl in fields}
+        for i, fa in enumerate(fields):
+            for fb in fields[i + 1:]:
+                va, vb = cols[fa], cols[fb]
+                sxy = (va.astype(np.int64) * vb.astype(np.int64)).sum() if (
+                    np.issubdtype(va.dtype, np.integer)
+                    and np.issubdtype(vb.dtype, np.integer)
+                ) else float((va.astype(np.float64) * vb.astype(np.float64)).sum())
+                ma, mb = moments[fa][0], moments[fb][0]
+                c = (float(sxy) - n * ma * mb) / (n - 1)
+                denom = math.sqrt(moments[fa][1]) * math.sqrt(moments[fb][1])
+                # a constant field has zero variance: correlation is
+                # undefined — report 0.0 rather than dividing by zero
+                rho = c / denom if denom > 0 else 0.0
+                cov[fa][fb] = c
+                cov[fb][fa] = c
+                corr[fa][fb] = rho
+                corr[fb][fa] = rho
+        return {
+            "doc_count": n,
+            "fields": out_fields,
+            "covariance": cov,
+            "correlation": corr,
+        }
+
     def rare_terms_agg(
         self,
         query: str,

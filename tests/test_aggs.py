@@ -187,3 +187,40 @@ def test_weighted_avg_dsl_body(rdr):
     )
     assert resp["aggregations"]["w"]["value"] == rdr.weighted_avg_agg("alpha", "size", "dl")
     assert resp["aggregations"]["t"]["top"][0]["metrics"]["size"] == 999
+
+
+def test_matrix_stats_agg(rdr):
+    import math
+
+    m = rdr.matrix_stats_agg("alpha", ["size", "dl"])
+    matched = [(s, len(TOK.findall(t.lower()))) for t, _, s in DOCS
+               if "alpha" in TOK.findall(t.lower())]
+    n = len(matched)
+    xs = [s for s, _ in matched]
+    ys = [d for _, d in matched]
+    mx, my = sum(xs) / n, sum(ys) / n
+    varx = (sum(v * v for v in xs) - n * mx * mx) / (n - 1)
+    vary = (sum(v * v for v in ys) - n * my * my) / (n - 1)
+    cov = (sum(a * b for a, b in zip(xs, ys)) - n * mx * my) / (n - 1)
+    assert m["doc_count"] == n
+    assert m["fields"]["size"]["mean"] == pytest.approx(mx)
+    assert m["fields"]["size"]["variance"] == pytest.approx(varx)
+    assert m["fields"]["dl"]["variance"] == pytest.approx(vary)
+    assert m["covariance"]["size"]["dl"] == pytest.approx(cov)
+    assert m["covariance"]["dl"]["size"] == pytest.approx(cov)
+    assert m["correlation"]["size"]["dl"] == pytest.approx(
+        cov / (math.sqrt(varx) * math.sqrt(vary))
+    )
+    # numpy cross-check for the higher moments (population defs)
+    a = np.array(xs, dtype=np.float64)
+    m2 = a.var()
+    skew = ((a - a.mean()) ** 3).mean() / m2**1.5
+    kurt = ((a - a.mean()) ** 4).mean() / m2**2
+    assert m["fields"]["size"]["skewness"] == pytest.approx(skew)
+    assert m["fields"]["size"]["kurtosis"] == pytest.approx(kurt)
+
+
+def test_matrix_stats_tiny_match(rdr):
+    # fewer than two matches: empty stats, no division by zero
+    m = rdr.matrix_stats_agg("zzznope", ["size", "dl"])
+    assert m == {"doc_count": 0, "fields": {}, "covariance": {}, "correlation": {}}
