@@ -1722,6 +1722,37 @@ def q_phrase_sloppy(sf_dir: str):
     return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
 
 
+def q_percentile_ranks(sf_dir: str):
+    """percentile_ranks over n_chars for docs matching 'merge': exact
+    empirical-CDF definition, 100 * count(val <= v) / n
+    (query/engine.percentile_ranks_agg)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _reader(sf_dir),
+        {
+            "size": 0,
+            "query": {"match": {"text": {"query": "merge"}}},
+            "aggs": {
+                "pr": {
+                    "percentile_ranks": {
+                        "field": "n_chars",
+                        "values": [150, 250, 400],
+                    }
+                }
+            },
+        },
+    )
+    v = resp["aggregations"]["pr"]["values"]
+    return pd.DataFrame(
+        {
+            "pr_150": [v["150.0"]],
+            "pr_250": [v["250.0"]],
+            "pr_400": [v["400.0"]],
+        }
+    )
+
+
 def q_matrix_stats(sf_dir: str):
     """matrix_stats aggregation over (n_chars, dl) for docs matching
     'merge': per-field mean/variance + pairwise covariance/correlation
@@ -3151,6 +3182,16 @@ ORACLE_SQL: dict[str, str] = {
         " CAST(CASE WHEN chunk_id = nc - 1 THEN dl - (nc - 1) * 64"
         " ELSE 64 END AS BIGINT) AS n_tokens FROM x ORDER BY doc_id, chunk_id"
     ),
+    "percentile_ranks_nchars": (
+        f"WITH {TOKS_CTE},\n"
+        "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),\n"
+        "j AS (SELECT d.n_chars FROM documents d JOIN m ON m.doc_id = d.doc_id),\n"
+        "n AS (SELECT count(*) AS n FROM j)\n"
+        "SELECT 100.0 * (SELECT count(*) FROM j WHERE n_chars <= 150) / n.n AS pr_150,\n"
+        " 100.0 * (SELECT count(*) FROM j WHERE n_chars <= 250) / n.n AS pr_250,\n"
+        " 100.0 * (SELECT count(*) FROM j WHERE n_chars <= 400) / n.n AS pr_400\n"
+        "FROM n"
+    ),
     "matrix_stats_agg": (
         f"WITH {TOKS_CTE},\n"
         "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),\n"
@@ -3953,6 +3994,7 @@ QUERIES = {
     "phrase_sloppy": q_phrase_sloppy,
     "scrub_text": q_scrub_text,
     "chunk_tokens": q_chunk_tokens,
+    "percentile_ranks_nchars": q_percentile_ranks,
     "matrix_stats_agg": q_matrix_stats,
     "weighted_avg_agg": q_weighted_avg,
     "top_metrics_agg": q_top_metrics,

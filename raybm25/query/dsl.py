@@ -852,6 +852,16 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
             out[name] = {
                 "buckets": [{"key": b, "doc_count": c} for b, c in rows]
             }
+        elif akind == "percentile_ranks":
+            vals = tuple(float(v) for v in aspec["values"])
+            out[name] = {
+                "values": {
+                    str(float(v)): pr
+                    for v, pr in r.percentile_ranks_agg(
+                        qtext, afield, vals, field=f
+                    ).items()
+                }
+            }
         elif akind == "percentiles":
             pcts = tuple(aspec.get("percents", (1, 5, 25, 50, 75, 95, 99)))
             out[name] = {

@@ -1713,6 +1713,28 @@ class IndexReader:
         qs = np.percentile(vals, list(percents))
         return {float(p): float(v) for p, v in zip(percents, qs)}
 
+    def percentile_ranks_agg(
+        self,
+        query: str,
+        agg_field: str,
+        values: tuple[float, ...],
+        field: str | None = None,
+    ) -> dict[float, float]:
+        """Percentile-ranks aggregation (OpenSearch
+        ``percentile_ranks``), EXACT variant: for each probe value v,
+        the percentage of matching docs whose doc-value is <= v —
+        ``100 * count(val <= v) / n`` (pinned definition; OpenSearch's
+        t-digest interpolates, but the exact empirical CDF is
+        oracle-checkable — same choice as ``percentiles_agg``). One
+        sort + one searchsorted for all probes."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return {float(v): None for v in values}
+        vals = np.sort(self._gather_column(cand, agg_field).astype(np.float64))
+        pos = np.searchsorted(vals, np.asarray(values, np.float64), side="right")
+        n = float(vals.size)
+        return {float(v): 100.0 * int(p) / n for v, p in zip(values, pos)}
+
     def _feature_candidates(self, field: str) -> tuple[np.ndarray, np.ndarray]:
         """(ordinals, float64 values) of live docs with a non-null
         value for a numeric doc-value field — the candidate set of the

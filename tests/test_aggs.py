@@ -224,3 +224,15 @@ def test_matrix_stats_tiny_match(rdr):
     # fewer than two matches: empty stats, no division by zero
     m = rdr.matrix_stats_agg("zzznope", ["size", "dl"])
     assert m == {"doc_count": 0, "fields": {}, "covariance": {}, "correlation": {}}
+
+
+def test_percentile_ranks_agg(rdr):
+    vals = sorted(s for t, _, s in DOCS if "alpha" in TOK.findall(t.lower()))
+    pr = rdr.percentile_ranks_agg("alpha", "size", (10, 250, 5000))
+    n = len(vals)
+    for v in (10, 250, 5000):
+        assert pr[float(v)] == pytest.approx(
+            100.0 * sum(x <= v for x in vals) / n
+        )
+    assert pr[5000.0] == 100.0
+    assert rdr.percentile_ranks_agg("zzz", "size", (1,)) == {1.0: None}
