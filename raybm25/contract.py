@@ -1722,6 +1722,77 @@ def q_phrase_sloppy(sf_dir: str):
     return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
 
 
+_HALF_CACHE: dict[tuple, str] = {}
+
+
+def docs_index_half(sf_dir: str, parity: int) -> str:
+    """One of two doc_id-parity partitions of the documents corpus,
+    indexed separately — the time/shard-partitioned multi-index
+    layout (one index per partition is how a 100-TB corpus is
+    actually operated)."""
+    key = (sf_dir, parity)
+    if key in _HALF_CACHE:
+        return _HALF_CACHE[key]
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    part_path = os.path.join(CACHE_ROOT, f"docs_half{parity}_{_tag(sf_dir)}.parquet")
+    if not os.path.exists(part_path):
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        half = docs.filter(
+            pc.equal(pc.bit_wise_and(docs.column("doc_id"), 1), parity)
+        )
+        tmp = part_path + ".tmp"
+        pq.write_table(half, tmp)
+        os.replace(tmp, part_path)
+    index_dir = os.path.join(CACHE_ROOT, f"docidx_half{parity}_{_tag(sf_dir)}")
+    build_index(
+        part_path,
+        index_dir,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("text",),
+        num_buckets=8,
+    )
+    _HALF_CACHE[key] = index_dir
+    return index_dir
+
+
+def q_multi_index_search(sf_dir: str):
+    """Multi-index scatter-gather (query/dsl.run_query_multi — the
+    logs-* idiom): the same match query against two doc_id-parity
+    partition indexes, each scored with its OWN BM25 stats (per-index
+    n/avgdl/df, OpenSearch per-shard semantics), pages merged by
+    (score desc, doc_id asc)."""
+    from .query.dsl import run_query_multi
+
+    resp = run_query_multi(
+        [docs_index_half(sf_dir, 0), docs_index_half(sf_dir, 1)],
+        {"query": {"match": {"text": {"query": "merge join"}}}, "size": 20},
+    )
+    return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
+
+
+def _bm25_half_union_sql(query: str, k: int) -> str:
+    """Oracle for multi-index search: one full pinned BM25 chain per
+    parity partition (stats computed over THAT half only — the
+    per-index model), results unioned and ranked globally."""
+    subs = []
+    for i in (0, 1):
+        sql_i = _bm25_sql(query, None, cols="doc_id, score").replace(
+            "documents", f"(SELECT * FROM documents WHERE doc_id % 2 = {i})"
+        )
+        subs.append(f"SELECT doc_id, score FROM ({sql_i})")
+    return (
+        "SELECT rank, doc_id, score FROM (SELECT row_number() OVER"
+        " (ORDER BY score DESC, doc_id) AS rank, doc_id, score FROM"
+        f" ({subs[0]} UNION ALL {subs[1]}))"
+        f" ORDER BY rank LIMIT {k}"
+    )
+
+
 def q_percentile_ranks(sf_dir: str):
     """percentile_ranks over n_chars for docs matching 'merge': exact
     empirical-CDF definition, 100 * count(val <= v) / n
@@ -3182,6 +3253,7 @@ ORACLE_SQL: dict[str, str] = {
         " CAST(CASE WHEN chunk_id = nc - 1 THEN dl - (nc - 1) * 64"
         " ELSE 64 END AS BIGINT) AS n_tokens FROM x ORDER BY doc_id, chunk_id"
     ),
+    "multi_index_search": _bm25_half_union_sql("merge join", 20),
     "percentile_ranks_nchars": (
         f"WITH {TOKS_CTE},\n"
         "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),\n"
@@ -3994,6 +4066,7 @@ QUERIES = {
     "phrase_sloppy": q_phrase_sloppy,
     "scrub_text": q_scrub_text,
     "chunk_tokens": q_chunk_tokens,
+    "multi_index_search": q_multi_index_search,
     "percentile_ranks_nchars": q_percentile_ranks,
     "matrix_stats_agg": q_matrix_stats,
     "weighted_avg_agg": q_weighted_avg,

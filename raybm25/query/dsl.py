@@ -1348,3 +1348,32 @@ def run_scroll(
         _json.dumps(next_st, sort_keys=True).encode()
     ).decode()
     return resp
+
+
+def run_query_multi(index_dirs: list, body: dict) -> dict:
+    """Multi-index search — the ``GET /logs-*/_search`` scatter-gather
+    idiom (time-partitioned indices are THE way a 100-TB corpus is
+    operated: one index per day/shard-range, queries fan out and
+    merge). The body runs against each index independently with that
+    index's OWN BM25 statistics (n_docs / avgdl / df — OpenSearch
+    semantics: scores are per-shard-local unless dfs_query_then_fetch)
+    and the per-index top pages merge by (score desc, doc_id asc) —
+    correct scatter-gather: each index contributes its own top ``size``,
+    so the global top ``size`` is always present. Hits carry ``_index``
+    (the index directory's basename)."""
+    import os as _os
+
+    size = int(body.get("size", 10))
+    merged: list[tuple[float, int, str]] = []
+    for d in index_dirs:
+        resp = run_query(d, {**body, "size": size})
+        name = _os.path.basename(_os.path.normpath(d)) if isinstance(d, str) else (
+            _os.path.basename(_os.path.normpath(d.index_dir))
+        )
+        for h in resp["hits"]["hits"]:
+            merged.append((float(h["_score"]), int(h["_id"]), name))
+    merged.sort(key=lambda t: (-t[0], t[1]))
+    hits = [
+        {"_id": i, "_score": s, "_index": nm} for s, i, nm in merged[:size]
+    ]
+    return {"hits": {"total": {"value": len(hits)}, "hits": hits}}

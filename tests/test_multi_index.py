@@ -1,0 +1,63 @@
+"""Multi-index scatter-gather search (run_query_multi) vs brute force:
+per-index BM25 stats, global merge by (score desc, doc_id asc)."""
+
+import pyarrow as pa
+import pytest
+
+from raybm25.index.build import build_index
+from raybm25.query.dsl import run_query, run_query_multi
+
+DOCS_A = [(0, "merge sort fast"), (2, "merge only"), (4, "nothing here")]
+DOCS_B = [(1, "merge merge merge"), (3, "sort and merge"), (5, "unrelated")]
+
+
+@pytest.fixture(scope="module")
+def dirs(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("multiidx")
+    import pyarrow.parquet as pq
+
+    out = []
+    for name, docs in (("a", DOCS_A), ("b", DOCS_B)):
+        pq.write_table(
+            pa.table(
+                {"doc_id": [i for i, _ in docs], "text": [t for _, t in docs]}
+            ),
+            str(tmp / f"{name}.parquet"),
+        )
+        idx = str(tmp / f"idx_{name}")
+        build_index(str(tmp / f"{name}.parquet"), idx, key_col="doc_id",
+                    id_col="doc_id", ts_col=None, num_buckets=2)
+        out.append(idx)
+    return out
+
+
+def test_merge_equals_per_index_union(dirs):
+    body = {"query": {"match": {"text": {"query": "merge"}}}, "size": 10}
+    resp = run_query_multi(dirs, body)
+    per_index = []
+    for d in dirs:
+        per_index.extend(
+            (h["_id"], h["_score"]) for h in run_query(d, body)["hits"]["hits"]
+        )
+    exp = sorted(per_index, key=lambda t: (-t[1], t[0]))[:10]
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == exp
+    # hits carry their index name
+    names = {h["_id"]: h["_index"] for h in resp["hits"]["hits"]}
+    assert names[0] == "idx_a" and names[1] == "idx_b"
+
+
+def test_per_index_stats_differ(dirs):
+    # the same doc text scores differently per index (own n/avgdl/df):
+    # doc 1 ("merge merge merge") ranks first overall — highest tf and
+    # index b's own stats
+    resp = run_query_multi(
+        dirs, {"query": {"match": {"text": {"query": "merge"}}}, "size": 1}
+    )
+    assert resp["hits"]["hits"][0]["_id"] == 1
+
+
+def test_size_cut_is_global(dirs):
+    resp = run_query_multi(
+        dirs, {"query": {"match": {"text": {"query": "merge"}}}, "size": 2}
+    )
+    assert len(resp["hits"]["hits"]) == 2
