@@ -24,9 +24,11 @@ Supported:
   silently dropped),
   intervals (all_of: ordered / max_gaps), query_string (full Lucene
   syntax — see query/querystring.py), span_term / span_near /
-  span_first, bool (must / should /
+  span_first, rank_feature (saturation / log / sigmoid) and
+  distance_feature over stored doc-values, bool (must / should /
   must_not / filter(term | range | terms | exists | ids, ANDed) /
-  minimum_should_match), match_all
+  minimum_should_match), match_all; ``run_query_multi`` fans a body
+  out over partition indexes (logs-* scatter-gather, per-index stats)
 - size / from (offset paging), search_after + deterministic sort
   [_score, _id], sort on a numeric doc-value field, collapse (field
   collapsing), rescore (match_phrase window re-ranking), the
@@ -36,7 +38,8 @@ Supported:
 - aggs: terms, range, histogram, date_histogram, stats /
   extended_stats / rare_terms / missing (and the
   single-metric min / max / avg / sum / value_count), filters (named
-  buckets), percentiles,
+  buckets), percentiles, percentile_ranks (exact empirical CDF),
+  weighted_avg, top_metrics, matrix_stats (pinned moment formulas),
   cardinality, significant_terms (JLH), terms + top_hits/stats
   sub-aggs, composite (after-key pagination) — each over the SAME
   query's match set; pipeline aggs: cumulative_sum / derivative /
