@@ -27,6 +27,12 @@ Round-4 continuation record (sf0.1): all entries ok (100 at run time;
 101 with global_agg added after), exit 0 — the new query_string /
 span / suggester / pipeline-agg / termvectors / mget entries each
 <= 0.2 s warm; events_sessions 1.9 s closes the run.
+
+Round-4 session-2 record (sf0.1): all 114 entries ok, exit 0 —
+including the new match_bool_prefix / knn_dsl / scroll_pages /
+phrase_sloppy / feature-query / weighted_avg / top_metrics /
+matrix_stats / percentile_ranks / scrub_text / chunk_tokens /
+multi_index_search entries; events_sessions 1.5 s closes the run.
 """
 
 from __future__ import annotations
