@@ -3,6 +3,8 @@ from .dsl import (  # noqa: F401
     run_analyze,
     run_count,
     run_explain,
+    run_get_mapping,
+    run_get_settings,
     run_mget,
     run_msearch,
     run_query,

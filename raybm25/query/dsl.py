@@ -1380,3 +1380,94 @@ def run_query_multi(index_dirs: list, body: dict) -> dict:
         {"_id": i, "_score": s, "_index": nm} for s, i, nm in merged[:size]
     ]
     return {"hits": {"total": {"value": len(hits)}, "hits": hits}}
+
+
+def run_get_mapping(index_dir_or_reader) -> dict:
+    """``GET /<index>/_mapping``: reconstruct the OpenSearch-style
+    properties dict from the committed manifest — text fields (the
+    primary first), search_as_you_type fields, keyword fields, and the
+    stored doc-value columns visible in the docstore schema (numeric ->
+    long/double, string -> keyword-stored, list<float> -> knn_vector).
+    ``dynamic`` is always ``false``: only declared/built fields are
+    indexed, the reference's own setting
+    (/root/reference/opensearch_loader/opensearch_client.py:102-106)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    r = (
+        index_dir_or_reader
+        if isinstance(index_dir_or_reader, IndexReader)
+        else IndexReader(index_dir_or_reader)
+    )
+    man = r.manifest
+    props: dict[str, dict] = {}
+    sayt = set(man.get("sayt_cols", []))
+    for c in man.get("text_cols", []):
+        props[c] = {
+            "type": "search_as_you_type" if c in sayt else "text",
+            "analyzer": man.get("analyzer"),
+        }
+        if man.get("positions"):
+            props[c]["index_options"] = "positions"
+    for c in man.get("keyword_cols", []):
+        props.setdefault(c, {"type": "keyword"})
+    docs = sorted(
+        _glob.glob(_os.path.join(r._docs_dir, f"{r.docstore_prefix}=*.parquet"))
+    )
+    if docs:
+        schema = _pq.read_schema(docs[0])
+        skip = {"doc_id", "ordinal", "texth", "dl"} | {
+            f"dl_{c}" for c in man.get("text_cols", [])
+        }
+        for field in schema:
+            if field.name in props or field.name in skip:
+                continue
+            t = field.type
+            if _pa.types.is_list(t) and _pa.types.is_floating(t.value_type):
+                props[field.name] = {"type": "knn_vector"}
+            elif _pa.types.is_integer(t):
+                props[field.name] = {"type": "long"}
+            elif _pa.types.is_floating(t):
+                props[field.name] = {"type": "double"}
+            elif _pa.types.is_timestamp(t):
+                props[field.name] = {"type": "date"}
+            elif _pa.types.is_boolean(t):
+                props[field.name] = {"type": "boolean"}
+            else:
+                props[field.name] = {"type": "keyword", "index": False}
+    return {"mappings": {"dynamic": False, "properties": props}}
+
+
+def run_get_settings(index_dir_or_reader) -> dict:
+    """``GET /<index>/_settings``: the engine-level knobs a client can
+    read — BM25 similarity parameters, shard/bucket layout, analyzer
+    and codec versions — from the committed manifest."""
+    r = (
+        index_dir_or_reader
+        if isinstance(index_dir_or_reader, IndexReader)
+        else IndexReader(index_dir_or_reader)
+    )
+    man = r.manifest
+    return {
+        "settings": {
+            "index": {
+                "number_of_shards": int(man.get("num_shards", 0)),
+                "layout": man.get("layout", "hash"),
+                "docstore_partitions": int(man.get("num_buckets", 0)),
+                "similarity": {
+                    "default": {
+                        "type": "BM25",
+                        "k1": float(man.get("k1", 1.2)),
+                        "b": float(man.get("b", 0.75)),
+                    }
+                },
+                "analysis": {"analyzer": man.get("analyzer")},
+                "positions": bool(man.get("positions", False)),
+                "hash_impl": man.get("hash_impl"),
+                "version": man.get("version"),
+            }
+        }
+    }
