@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""End-to-end LLM-training-data pipeline over this engine's stages:
+
+    read corpus parquet
+      -> PII-style scrub            (extras.textstats.scrub_batch)
+      -> exact dedup                (extras.dedup.exact_dedup)
+      -> near-dup dedup (MinHash)   (extras.dedup.neardup_dedup)
+      -> quality gate               (extras.textstats.quality_batch)
+      -> token-window chunk stats   (extras.textstats.chunk_batch)
+      -> full-text index build      (index.build.build_index)
+      -> filtered BM25 via the DSL  (query.dsl.run_query)
+
+Every stage is a streaming Ray Data transform chained on the SAME
+dataset — nothing materializes the corpus driver-side (the dedup
+stages broadcast dup-rate-sized loser sets via ray.put; the corpus
+streams through anti-join filters). At 100 TB this is the same code
+over more blocks. Run in this sandbox:
+
+    python examples/training_data_pipeline.py /root/testdata/sf0.001 /tmp/tdp
+
+Prints one JSON line of stage counts and a sample search result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(sf_dir: str, work: str) -> dict:
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import pyarrow.compute as pc
+
+    from raybm25.extras.dedup import exact_dedup, neardup_dedup
+    from raybm25.extras.textstats import chunk_batch, quality_batch, scrub_batch
+    from raybm25.index.build import build_index
+    from raybm25.query.dsl import run_query
+
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    src = os.path.join(sf_dir, "documents.parquet")
+    counts: dict = {"input": ray.data.read_parquet(src).count()}
+
+    # 1. scrub: typed placeholders for emails/URLs/long digit runs
+    def scrub(b):
+        s = scrub_batch(b)
+        return (
+            b.drop_columns(["text"])
+            .append_column("text", s.column("text_scrubbed"))
+            .append_column("n_scrubbed", s.column("n_scrubbed"))
+        )
+
+    ds = ray.data.read_parquet(
+        src, columns=["doc_id", "text", "lang"]
+    ).map_batches(scrub, batch_format="pyarrow")
+
+    # 2-3. dedup, exact then fuzzy — both stream (broadcast loser sets)
+    ds = exact_dedup(ds)
+    ds = neardup_dedup(ds, threshold=0.9, work_dir=os.path.join(work, "lsh"))
+
+    # 4. quality gate: drop low-alnum docs (vectorized stage)
+    def gate(b):
+        q = quality_batch(b)
+        keep = pc.greater(q.column("alnum_ratio"), 0.5)
+        return b.filter(keep)
+
+    gated_path = os.path.join(work, "gated")
+    ds.map_batches(gate, batch_format="pyarrow").write_parquet(gated_path)
+    counts["after_scrub_dedup_gate"] = ray.data.read_parquet(gated_path).count()
+
+    # 5. chunk accounting for sequence packing (64-token windows)
+    counts["train_chunks_64tok"] = (
+        ray.data.read_parquet(gated_path, columns=["doc_id", "text"])
+        .map_batches(chunk_batch, batch_format="pyarrow")
+        .count()
+    )
+
+    # 6. index the surviving corpus; serve a filtered DSL query
+    idx = os.path.join(work, "idx")
+    build_index(
+        gated_path,
+        idx,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("text",),
+        keyword_cols=("lang",),
+        num_buckets=8,
+    )
+    resp = run_query(
+        idx,
+        {
+            "size": 3,
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": {"query": "merge join"}}}],
+                    "filter": [{"term": {"lang": "en"}}],
+                }
+            },
+            "track_total_hits": True,
+        },
+    )
+    counts["sample_query_total"] = resp["hits"]["total"]["value"]
+    counts["sample_top"] = [h["_id"] for h in resp["hits"]["hits"]]
+    return counts
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    wk = sys.argv[2] if len(sys.argv) > 2 else "/tmp/tdp"
+    out = main(sf, wk)
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
