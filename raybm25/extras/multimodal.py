@@ -257,3 +257,92 @@ class FakeEmbedStage:
             "embedding",
             pa.LargeListArray.from_arrays(offsets, pa.array(vecs.ravel(), pa.float64())),
         )
+
+
+class WavDecodeStage:
+    """Actor-pool stage with a REAL audio decode kernel: WAV/PCM parses
+    with the stdlib ``wave`` module (no external codec libs needed), so
+    unlike the image path this one is NOT stubbed. Per payload:
+    (n_channels, sample_rate, n_frames, duration_s, rms) — rms over
+    int16 PCM computed vectorized in numpy. Compressed audio (mp3/ogg)
+    would still need codec libs; WAV is the honest real-kernel subset
+    this container supports. Small batches: payloads are large."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def _decode(self, buf: bytes) -> tuple[int, int, int, float, float]:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(buf), "rb") as w:
+            nch = w.getnchannels()
+            rate = w.getframerate()
+            nfr = w.getnframes()
+            width = w.getsampwidth()
+            pcm = w.readframes(nfr)
+        if width == 2:
+            arr = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+        elif width == 1:
+            arr = np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0
+        else:
+            raise ValueError(f"unsupported WAV sample width {width}")
+        rms = float(np.sqrt(np.mean(arr * arr))) if arr.size else 0.0
+        return nch, rate, nfr, nfr / rate if rate else 0.0, rms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._decode(b.as_py()) for b in batch.column(self.payload_col)]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_channels": pa.array([r[0] for r in rows], pa.int32()),
+                "sample_rate": pa.array([r[1] for r in rows], pa.int32()),
+                "n_frames": pa.array([r[2] for r in rows], pa.int64()),
+                "duration_s": pa.array([r[3] for r in rows], pa.float64()),
+                "rms": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+
+
+class BmpDecodeStage:
+    """Actor-pool stage with a REAL image decode kernel for
+    uncompressed 24-bit BMP (the format needs only ``struct`` header
+    parsing + one numpy reshape — no codec library). Emits the same
+    (height, width, mean_byte) metadata struct as ``ImageDecodeStage``
+    so downstream stages are interchangeable; mean_byte is the
+    grayscale mean (ITU-R 601 luma over the BGR pixel array).
+    Compressed formats (PNG/JPEG) still require codec libs and stay
+    behind the ImageDecodeStage seam."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def _decode(self, buf: bytes) -> tuple[int, int, float]:
+        import struct
+
+        if buf[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        off = struct.unpack_from("<I", buf, 10)[0]
+        w, h = struct.unpack_from("<ii", buf, 18)
+        planes, bpp = struct.unpack_from("<HH", buf, 26)
+        comp = struct.unpack_from("<I", buf, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        raw = np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=off)
+        px = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if flip:
+            px = px[::-1]
+        b, g, r = (px[..., i].astype(np.float64) for i in range(3))
+        gray = 0.299 * r + 0.587 * g + 0.114 * b
+        return h, w, float(gray.mean())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._decode(b.as_py()) for b in batch.column(self.payload_col)]
+        meta = pa.array(
+            [{"height": h, "width": w, "mean_byte": m} for h, w, m in rows],
+            META_TYPE,
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "meta": meta})

@@ -553,3 +553,100 @@ def test_chunk_batch_windows(ray_session):
         (11, 0, 4), (11, 1, 4),
         (12, 0, 1),
     ]
+
+
+def _make_wav(freq, seconds, rate=8000, amp=12000):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * seconds)) / rate
+    pcm = (amp * np.sin(2 * np.pi * freq * t)).astype("<i2")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return bio.getvalue(), pcm
+
+
+def _make_bmp(h, w, pixel_fn):
+    """Hand-rolled uncompressed 24-bit bottom-up BMP."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            b, g, r = pixel_fn(y, x)
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - w * 3)
+        rows.append(bytes(row))
+    px = b"".join(rows)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 0, 0, 0, 0)
+    return header + info + px
+
+
+def test_wav_decode_real_kernel(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raybm25.extras.multimodal import WavDecodeStage
+
+    wav1, pcm1 = _make_wav(440.0, 0.5)
+    wav2, pcm2 = _make_wav(220.0, 0.25, amp=6000)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "payload": pa.array([wav1, wav2], pa.binary())})
+    )
+    out = (
+        ds.map_batches(WavDecodeStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["sample_rate"].tolist() == [8000, 8000]
+    assert out["n_frames"].tolist() == [4000, 2000]
+    assert out["duration_s"].tolist() == [0.5, 0.25]
+    for i, pcm in enumerate((pcm1, pcm2)):
+        exp = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+        assert out["rms"][i] == pytest.approx(exp, rel=1e-12)
+
+
+def test_bmp_decode_real_kernel(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raybm25.extras.multimodal import BmpDecodeStage
+
+    # 3x5 gradient with non-multiple-of-4 stride (exercises padding)
+    def pix(y, x):
+        return (10 * y, 20 * x, 5 * y + 3 * x)  # (b, g, r)
+
+    bmp = _make_bmp(3, 5, pix)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [7], "payload": pa.array([bmp], pa.binary())})
+    )
+    out = ds.map_batches(BmpDecodeStage, batch_format="pyarrow", concurrency=1).to_pandas()
+    meta = out["meta"][0]
+    assert (meta["height"], meta["width"]) == (3, 5)
+    exp = np.mean(
+        [
+            0.299 * (5 * y + 3 * x) + 0.587 * (20 * x) + 0.114 * (10 * y)
+            for y in range(3)
+            for x in range(5)
+        ]
+    )
+    assert meta["mean_byte"] == pytest.approx(exp, rel=1e-12)
+
+
+def test_bmp_decode_rejects_non_bmp(ray_session):
+    from raybm25.extras.multimodal import BmpDecodeStage
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        BmpDecodeStage()._decode(b"PNG whatever")
