@@ -8,6 +8,7 @@ from .dsl import (  # noqa: F401
     run_mget,
     run_msearch,
     run_query,
+    run_query_multi,
     run_scroll,
     run_stats,
     run_termvectors,
