@@ -28,13 +28,39 @@ def entry() -> Any:
     return run_flagship("/root/testdata/sf0.001")
 
 
+def _priority_order(names: list[str]) -> list[str]:
+    """Entries the driver has never oracle-checked (absent from every
+    committed CORRECTNESS_r*.json) first, so its per-round cap samples
+    fresh entries each round; within each group the original contract
+    order is kept."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    tested: set[str] = set()
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                tested |= set(json.load(f).keys())
+        except Exception:
+            continue
+    return [n for n in names if n not in tested] + [
+        n for n in names if n in tested
+    ]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from raybm25.contract import QUERIES
 
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _priority_order(list(QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
-    from raybm25.contract import ORACLE_SQL
+    from raybm25.contract import ORACLE_SQL, QUERIES
 
-    return dict(ORACLE_SQL)
+    order = _priority_order(list(QUERIES))
+    out = {n: ORACLE_SQL[n] for n in order if n in ORACLE_SQL}
+    # rows-only entries have no SQL; any extra oracle keys keep their place
+    for n, s in ORACLE_SQL.items():
+        out.setdefault(n, s)
+    return out

@@ -3499,7 +3499,7 @@ ORACLE_SQL: dict[str, str] = {
         " m AS (SELECT DISTINCT doc_id FROM toks"
         " WHERE term IN ('join', 'merge'))"
         " SELECT lang, count(*) AS n, min(n_chars) AS min_v,"
-        " max(n_chars) AS max_v, sum(n_chars) AS sum_v,"
+        " max(n_chars) AS max_v, CAST(sum(n_chars) AS BIGINT) AS sum_v,"
         " CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_v"
         " FROM documents JOIN m USING(doc_id) GROUP BY lang ORDER BY lang"
     ),
@@ -3571,7 +3571,7 @@ ORACLE_SQL: dict[str, str] = {
         " m AS (SELECT DISTINCT doc_id FROM toks"
         " WHERE term IN ('join', 'merge')),"
         " s AS (SELECT count(*) AS n, min(n_chars) AS min_v,"
-        " max(n_chars) AS max_v, sum(n_chars) AS sum_v,"
+        " max(n_chars) AS max_v, CAST(sum(n_chars) AS BIGINT) AS sum_v,"
         " sum(n_chars * n_chars) AS ss"
         " FROM documents JOIN m USING(doc_id))"
         " SELECT n, min_v, max_v, sum_v,"

@@ -568,35 +568,68 @@ class SimHashStage:
     Token hashes are the SQL-expressible polynomial byte hash
     (textstats.poly_token_hashes) so the whole signature — and
     therefore the pair set — has a bit-exact DuckDB oracle
-    (contract.py ``simhash_pairs``)."""
+    (contract.py ``simhash_pairs``).
+
+    Fully vectorized (VERDICT r4 'Next round' #5): the batch's token
+    occurrences are interned with one hash-based ``pd.factorize``
+    (no sort, no per-doc ``np.unique``), only the DISTINCT tokens go
+    through the byte-matrix ``poly_token_hashes`` (the expensive
+    str->bytes step — vocabularies are Zipf, so uniques << occurrences
+    on real batches), and the per-doc bit accumulation runs as 64
+    ``np.bincount`` segmented sums keyed by doc index — tf weighting
+    falls out of summing per OCCURRENCE instead of per unique term
+    (Σ_occ bit(h) == Σ_uniq count·bit(h)), and bit b of the signature
+    is set iff 2·Σ_occ bit_b(h) > n_occ, exact integer-valued
+    arithmetic (bincount's float64 sums are exact below 2^53) so the
+    old per-doc kernel's values are reproduced bit-for-bit
+    (equivalence pinned by tests/test_extras.py::
+    test_simhash_vectorized_matches_per_doc). Only the regex tokenize
+    stays per-text (``str`` objects are inherently per-row)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         from .textstats import poly_token_hashes
 
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column(self.text_col).to_pylist()
-        out = []
-        bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        for t in texts:
-            toks = TOKEN_RE.findall(t.lower()) if isinstance(t, str) else []
-            if not toks:
-                out.append(0)
-                continue
-            uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-            h = poly_token_hashes(uniq.tolist())
-            bits = ((h[:, None] & bitcols) != 0).astype(np.int64)  # (n, 64)
-            acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-            sig = np.uint64(0)
-            for bit in np.flatnonzero(acc > 0):
-                sig |= np.uint64(1) << np.uint64(bit)
-            out.append(int(sig))
+        findall = TOKEN_RE.findall
+        tok_lists = [
+            findall(t.lower()) if isinstance(t, str) else [] for t in texts
+        ]
+        n = len(tok_lists)
+        lens = np.fromiter((len(l) for l in tok_lists), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        sigs = np.zeros(n, dtype=np.uint64)
+        if total:
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for l in tok_lists:
+                flat[pos : pos + len(l)] = l
+                pos += len(l)
+            codes, uniques = pd.factorize(flat, sort=False)
+            occ_hash = poly_token_hashes(list(uniques))[codes]
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            # S[b, d] = occurrences of bit b set among doc d's tokens
+            S = np.empty((64, n), dtype=np.int64)
+            one = np.uint64(1)
+            for b in range(64):
+                bit = ((occ_hash >> np.uint64(b)) & one).astype(np.float64)
+                S[b] = np.bincount(doc_idx, weights=bit, minlength=n).astype(
+                    np.int64
+                )
+            sig_bits = (2 * S) > lens[None, :]  # acc = 2S - n_occ > 0
+            bitcols = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            sigs = (sig_bits.T.astype(np.uint64) * bitcols).sum(
+                axis=1, dtype=np.uint64
+            )
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids.astype("int64"), pa.int64()),
-                "simhash": pa.array(np.array(out, dtype=np.uint64), pa.uint64()),
+                "simhash": pa.array(sigs, pa.uint64()),
             }
         )
 

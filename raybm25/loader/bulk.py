@@ -201,12 +201,17 @@ def run_bulk(index_dir: str, actions: list[dict], id_field: str | None = None) -
 
         rebuild_postings(index_dir)
 
+    # documented-benign outcomes (the reference counts them as skips,
+    # not failures): falsy-id warn-skips, document_missing update
+    # no-ops, delete not_found. Genuine failures (e.g. create
+    # version_conflict) still flip ``errors``.
+    _benign = {"skipped", "document_missing", "not_found"}
     return {
-        # OpenSearch sets errors when any item carries an error status;
-        # document_missing (benign per the reference) still counts here
-        # but is separately visible in the item results
         "errors": any(
-            next(iter(it.values()))["status"] >= 400 for it in items if it
+            (v := next(iter(it.values())))["status"] >= 400
+            and v["result"] not in _benign
+            for it in items
+            if it
         ),
         "items": items,
         "created": created,

@@ -1367,19 +1367,27 @@ def run_query_multi(index_dirs: list, body: dict) -> dict:
     import os as _os
 
     size = int(body.get("size", 10))
-    merged: list[tuple[float, int, str]] = []
+    merged: list[dict] = []
+    total = 0
+    relation = "eq" if body.get("track_total_hits") else None
     for d in index_dirs:
         resp = run_query(d, {**body, "size": size})
         name = _os.path.basename(_os.path.normpath(d)) if isinstance(d, str) else (
             _os.path.basename(_os.path.normpath(d.index_dir))
         )
+        # per-index total sums to the cross-index total (exact when
+        # track_total_hits; otherwise sum of page lengths, the same
+        # lower bound run_query reports per index)
+        total += int(resp["hits"]["total"]["value"])
         for h in resp["hits"]["hits"]:
-            merged.append((float(h["_score"]), int(h["_id"]), name))
-    merged.sort(key=lambda t: (-t[0], t[1]))
-    hits = [
-        {"_id": i, "_score": s, "_index": nm} for s, i, nm in merged[:size]
-    ]
-    return {"hits": {"total": {"value": len(hits)}, "hits": hits}}
+            # carry the full per-index hit (incl. _source / highlight)
+            merged.append({**h, "_index": name})
+    merged.sort(key=lambda h: (-float(h["_score"]), int(h["_id"])))
+    hits = merged[:size]
+    tot: dict = {"value": total}
+    if relation:
+        tot["relation"] = relation
+    return {"hits": {"total": tot, "hits": hits}}
 
 
 def run_get_mapping(index_dir_or_reader) -> dict:

@@ -205,16 +205,51 @@ class IndexReader:
         return paths
 
     # ------------------------------------------------------------- postings
-    def load_postings(self, terms: list[str]) -> dict[str, TermPostings]:
+    def _shard_entry(self, path: str) -> tuple:
+        """Memoized per-shard parquet handle + row-group term statistics
+        (min/max per group for term pruning) + column names."""
+        entry = self._shard_pf.get(path)
+        if entry is None:
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            term_idx = pf.schema_arrow.get_field_index("term")
+            mins, maxs = [], []
+            for gi in range(md.num_row_groups):
+                st = md.row_group(gi).column(term_idx).statistics
+                mins.append(st.min if st else "")
+                maxs.append(st.max if st else "\U0010ffff")
+            cols = list(pf.schema_arrow.names)
+            entry = self._shard_pf[path] = (pf, mins, maxs, cols)
+        return entry
+
+    def load_postings(
+        self, terms: list[str], positions: bool = False
+    ) -> dict[str, TermPostings]:
         """Load + decode postings for a set of terms (term-pruned scan).
 
         Rows for one term are segments keyed by doc-range; ranges are
         monotone in doc_id, so sorting segments by ``range`` and
         concatenating yields the globally doc_id-sorted posting list
-        with no merge (the salting invariant from the build)."""
+        with no merge (the salting invariant from the build).
+
+        ``positions=False`` (the default — every pure-BM25 / filter /
+        agg path) neither reads nor decodes the ``poss_enc`` column:
+        positions are the LARGEST postings payload (~one varint per
+        token occurrence vs one per doc for ids/tfs), and eagerly
+        dragging them through parquet decompression made every cold
+        head-term load 3-5x slower once positional indexing landed.
+        Phrase / span / interval paths pass ``positions=True``; a term
+        cached without positions is transparently reloaded with them."""
         if not terms:
             return {}
-        cached = {t: self._term_cache[t] for t in terms if t in self._term_cache}
+        cached = {
+            t: self._term_cache[t]
+            for t in terms
+            if t in self._term_cache
+            and (not positions or self._term_cache[t].poss is not None)
+        }
         terms = [t for t in terms if t not in cached]
         if not terms:
             return cached
@@ -226,18 +261,7 @@ class IndexReader:
 
         tables = []
         for p in paths:
-            entry = self._shard_pf.get(p)
-            if entry is None:
-                pf = pq.ParquetFile(p)
-                md = pf.metadata
-                term_idx = pf.schema_arrow.get_field_index("term")
-                mins, maxs = [], []
-                for gi in range(md.num_row_groups):
-                    st = md.row_group(gi).column(term_idx).statistics
-                    mins.append(st.min if st else "")
-                    maxs.append(st.max if st else "\U0010ffff")
-                entry = self._shard_pf[p] = (pf, mins, maxs)
-            pf, mins, maxs = entry
+            pf, mins, maxs, cols = self._shard_entry(p)
             groups = [
                 gi
                 for gi in range(len(mins))
@@ -245,7 +269,8 @@ class IndexReader:
             ]
             if not groups:
                 continue
-            t = pf.read_row_groups(groups)
+            want_cols = [c for c in cols if c != "poss_enc" or positions]
+            t = pf.read_row_groups(groups, columns=want_cols)
             mask = pc.is_in(t.column("term"), value_set=pa.array(terms, pa.string()))
             t = t.filter(mask)
             if t.num_rows:
@@ -305,10 +330,47 @@ class IndexReader:
         out.update(cached)
         return out
 
+    def warm_cache(
+        self, queries: list[str], fields: list[str] | None = None
+    ) -> dict[str, TermPostings]:
+        """Decode-once warm set for a serving pool: postings (and
+        precomputed BM25 tf-norms) for every term of ``queries``.
+        ``ray.put`` the returned dict and hand the ref to
+        :class:`BatchSearcher(warm=...)` — each actor then seeds its
+        term cache from the object store zero-copy instead of
+        re-decoding the same head-term posting lists per actor."""
+        terms: set[str] = set()
+        for q in queries:
+            for f in [None, *(fields or [])]:
+                terms.update(self.field_terms(q, f))
+        postings = self.load_postings(sorted(terms))
+        text_cols = set(self.manifest.get("text_cols") or [])
+        for t, tp in postings.items():
+            # precompute the tf-norm with the owning field's avgdl
+            # (prefixed terms belong to secondary text fields; bare
+            # terms to the primary field). Keyword-filter terms keep a
+            # lazy norm — they're filters, not scored.
+            fld = t.split(":", 1)[0] if ":" in t else None
+            if fld is None:
+                self._norm_cached(tp, self.avgdl)
+            elif fld in text_cols:
+                self._norm_cached(tp, self.field_avgdl(fld))
+        return postings
+
+    def seed_cache(self, warm: dict[str, TermPostings]) -> None:
+        """Adopt a broadcast warm set into this reader's term cache
+        (same size accounting / eviction as organically-loaded terms)."""
+        for t, tp in warm.items():
+            if t not in self._term_cache:
+                self._cache_put(t, tp)
+
     def _cache_put(self, term: str, tp: TermPostings) -> None:
         limit = self.term_cache_max_postings
         if tp.df > limit:
             return
+        old = self._term_cache.pop(term, None)
+        if old is not None:  # positions upgrade replaces the entry
+            self._term_cache_postings -= old.df
         while self._term_cache_postings + tp.df > limit and self._term_cache:
             # newest-first (MRU-style) eviction, MEASURED: true LRU
             # (touch-on-hit + evict-oldest) thrashed a cyclic query set
@@ -641,7 +703,16 @@ class IndexReader:
         per-bucket parquet read, rows restricted to live (untombstoned)
         docs. This in-memory matrix is the single-node brute-force
         baseline; the 100-TB path is ``extras.similarity.ivf_build`` /
-        ``ivf_search`` (per-centroid parquet buckets, probed reads)."""
+        ``ivf_search`` (per-centroid parquet buckets, probed reads).
+
+        The load is Arrow-native (list values buffer -> one reshape per
+        chunk, no per-row Python objects), rows whose vector is null
+        are skipped (docs indexed without the field — partial ``_bulk``
+        docs, late-added mappings — are simply not knn candidates, the
+        OpenSearch behavior), ragged dimensions are a hard error, and
+        the total matrix is capped at ``knn_max_rows`` rows so a
+        mistyped ``knn`` query against a huge index fails fast with a
+        pointer to the IVF path instead of OOMing the serving actor."""
         cached = getattr(self, "_knn_cache", {}).get(column)
         if cached is not None:
             return cached
@@ -649,21 +720,63 @@ class IndexReader:
 
         import pyarrow.parquet as pq
 
+        max_rows = int(getattr(self, "knn_max_rows", 2_000_000))
         ords_parts: list[np.ndarray] = []
         mats: list[np.ndarray] = []
+        dim: int | None = None
+        total = 0
         for path in sorted(
             glob.glob(os.path.join(self._docs_dir, f"{self.docstore_prefix}=*.parquet"))
         ):
             b = int(os.path.basename(path).split("=")[1].split(".")[0])
             col = pq.read_table(path, columns=[column]).column(column)
-            lists = col.to_pylist()
-            if not lists:
-                continue
-            mats.append(np.asarray(lists, dtype=np.float64))
-            ords_parts.append(
-                (np.uint64(b) << np.uint64(ORD_SHIFT))
-                + np.arange(len(lists), dtype=np.uint64)
-            )
+            row_base = 0
+            for chunk in col.chunks:
+                n = len(chunk)
+                if n == 0:
+                    continue
+                valid = np.asarray(chunk.is_valid())
+                sub = chunk.drop_null() if not valid.all() else chunk
+                if len(sub) == 0:
+                    row_base += n
+                    continue
+                if pa.types.is_fixed_size_list(sub.type):
+                    d = sub.type.list_size
+                    lens = None
+                else:
+                    lens = sub.value_lengths().to_numpy(zero_copy_only=False)
+                    d = int(lens[0]) if lens.size else 0
+                    if lens.size and not (lens == d).all():
+                        raise ValueError(
+                            f"knn column {column!r} has ragged vector lengths "
+                            f"(expected every row dim={d})"
+                        )
+                if dim is None:
+                    dim = d
+                elif d != dim:
+                    raise ValueError(
+                        f"knn column {column!r} dimension mismatch across "
+                        f"partitions: {d} != {dim}"
+                    )
+                # flatten() honors list offsets/slices; the float values
+                # then reshape without copying rows through Python
+                flat = sub.flatten().to_numpy(zero_copy_only=False)
+                mats.append(
+                    np.ascontiguousarray(flat, dtype=np.float64).reshape(len(sub), d)
+                )
+                ords_parts.append(
+                    (np.uint64(b) << np.uint64(ORD_SHIFT))
+                    + (row_base + np.flatnonzero(valid)).astype(np.uint64)
+                )
+                total += len(sub)
+                if total > max_rows:
+                    raise ValueError(
+                        f"knn column {column!r} exceeds knn_max_rows="
+                        f"{max_rows} live vectors; use extras.similarity."
+                        "ivf_build/ivf_search (per-centroid parquet "
+                        "buckets) instead of the exact in-memory path"
+                    )
+                row_base += n
         if not mats:
             out = (np.empty(0, np.uint64), np.empty((0, 0), np.float64))
         else:
@@ -709,8 +822,12 @@ class IndexReader:
         dids = self._map_ordinals(ords)
         if filter_docs is not None:
             fd = np.asarray(filter_docs, dtype=np.uint64)
+            if fd.size == 0:
+                # a filter clause matching zero docs means zero knn
+                # candidates (OpenSearch returns empty hits, not 500)
+                return []
             pos = np.searchsorted(fd, dids)
-            m = (pos < fd.size) & (fd[np.minimum(pos, max(fd.size - 1, 0))] == dids)
+            m = (pos < fd.size) & (fd[np.minimum(pos, fd.size - 1)] == dids)
             dids, scores = dids[m], scores[m]
             if dids.size == 0:
                 return []
@@ -1181,22 +1298,58 @@ class IndexReader:
         cols = {fl: self._gather_column(cand, fl) for fl in fields}
         out_fields: dict[str, dict] = {}
         moments: dict[str, tuple] = {}
+        def _int_overflow(*vs) -> bool:
+            # int64 moment sums are exact only while n · max|a|·max|b|
+            # fits in int64; numpy wraps silently past that, so detect
+            # the bound and take the exact object-int path instead
+            if not all(np.issubdtype(x.dtype, np.integer) for x in vs):
+                return False
+            prod = 1
+            for x in vs:
+                m = int(np.abs(x).max()) if x.size else 0
+                prod *= max(m, 1)
+            return prod > (2**63 - 1) // max(n, 1)
+
+        int_sums: dict[str, int] = {}
         for fl, v in cols.items():
-            s1, s2 = v.sum(), (v * v).sum()
-            v3 = v.astype(np.float64)
-            s3, s4 = float((v3 * v3 * v3).sum()), float((v3 * v3 * v3 * v3).sum())
-            mean = float(s1) / n
-            var = (float(s2) - n * mean * mean) / (n - 1)
-            m2 = float(s2) / n - mean * mean
-            skew = (
-                (s3 / n - 3.0 * mean * m2 - mean**3) / m2**1.5 if m2 > 0 else 0.0
-            )
-            kurt = (
-                (s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (float(s2) / n)
-                 - 3.0 * mean**4) / (m2 * m2)
-                if m2 > 0
-                else 0.0
-            )
+            if _int_overflow(v, v):
+                # exact object-int central moments: raw moment sums at
+                # this magnitude cancel catastrophically in float64
+                # (Σx² ≈ n·mean², 0 significant bits left), so work
+                # with d_i = n·x_i − Σx (exact ints, mean-centered):
+                # m2 = Σd²/n³, m3 = Σd³/n⁴, m4 = Σd⁴/n⁵
+                ints = [int(x) for x in v.tolist()]
+                s1 = sum(ints)
+                int_sums[fl] = s1
+                d = [n * x - s1 for x in ints]
+                c2 = sum(e * e for e in d)
+                c3 = sum(e * e * e for e in d)
+                c4 = sum(e * e * e * e for e in d)
+                mean = s1 / n
+                var = c2 / (n * n * (n - 1))
+                m2 = c2 / n**3
+                skew = (c3 / n**4) / m2**1.5 if m2 > 0 else 0.0
+                kurt = (c4 / n**5) / (m2 * m2) if m2 > 0 else 0.0
+            else:
+                s1, s2 = v.sum(), (v * v).sum()
+                v3 = v.astype(np.float64)
+                s3 = float((v3 * v3 * v3).sum())
+                s4 = float((v3 * v3 * v3 * v3).sum())
+                mean = float(s1) / n
+                var = (float(s2) - n * mean * mean) / (n - 1)
+                m2 = float(s2) / n - mean * mean
+                skew = (
+                    (s3 / n - 3.0 * mean * m2 - mean**3) / m2**1.5
+                    if m2 > 0
+                    else 0.0
+                )
+                kurt = (
+                    (s4 / n - 4.0 * mean * (s3 / n)
+                     + 6.0 * mean * mean * (float(s2) / n)
+                     - 3.0 * mean**4) / (m2 * m2)
+                    if m2 > 0
+                    else 0.0
+                )
             moments[fl] = (mean, var)
             out_fields[fl] = {
                 "count": n,
@@ -1210,12 +1363,25 @@ class IndexReader:
         for i, fa in enumerate(fields):
             for fb in fields[i + 1:]:
                 va, vb = cols[fa], cols[fb]
-                sxy = (va.astype(np.int64) * vb.astype(np.int64)).sum() if (
-                    np.issubdtype(va.dtype, np.integer)
-                    and np.issubdtype(vb.dtype, np.integer)
-                ) else float((va.astype(np.float64) * vb.astype(np.float64)).sum())
-                ma, mb = moments[fa][0], moments[fb][0]
-                c = (float(sxy) - n * ma * mb) / (n - 1)
+                if _int_overflow(va, vb):
+                    # exact: Σ(a−ā)(b−b̄) = (n·Σab − Σa·Σb) / n
+                    sa = int_sums.get(fa, sum(int(x) for x in va.tolist()))
+                    sb = int_sums.get(fb, sum(int(x) for x in vb.tolist()))
+                    sxy = sum(
+                        int(x) * int(y) for x, y in zip(va.tolist(), vb.tolist())
+                    )
+                    c = (n * sxy - sa * sb) / (n * (n - 1))
+                else:
+                    if np.issubdtype(va.dtype, np.integer) and np.issubdtype(
+                        vb.dtype, np.integer
+                    ):
+                        sxy = (va.astype(np.int64) * vb.astype(np.int64)).sum()
+                    else:
+                        sxy = float(
+                            (va.astype(np.float64) * vb.astype(np.float64)).sum()
+                        )
+                    ma, mb = moments[fa][0], moments[fb][0]
+                    c = (float(sxy) - n * ma * mb) / (n - 1)
                 denom = math.sqrt(moments[fa][1]) * math.sqrt(moments[fb][1])
                 # a constant field has zero variance: correlation is
                 # undefined — report 0.0 rather than dividing by zero
@@ -1321,18 +1487,7 @@ class IndexReader:
         if not terms:
             return out
         for p in self._shard_paths(terms):
-            entry = self._shard_pf.get(p)
-            if entry is None:
-                pf = pq.ParquetFile(p)
-                md = pf.metadata
-                term_idx = pf.schema_arrow.get_field_index("term")
-                mins, maxs = [], []
-                for gi in range(md.num_row_groups):
-                    st = md.row_group(gi).column(term_idx).statistics
-                    mins.append(st.min if st else "")
-                    maxs.append(st.max if st else "\U0010ffff")
-                entry = self._shard_pf[p] = (pf, mins, maxs)
-            pf, mins, maxs = entry
+            pf, mins, maxs, _cols = self._shard_entry(p)
             groups = [
                 gi
                 for gi in range(len(mins))
@@ -2634,7 +2789,7 @@ class IndexReader:
         none = (empty, np.empty(0, np.int64), np.empty(0, np.int64), terms)
         if not terms:
             return none
-        postings = self.load_postings(sorted(set(terms)))
+        postings = self.load_postings(sorted(set(terms)), positions=True)
         if any(t not in postings for t in terms):
             return none
         uniq = sorted(set(terms))
@@ -2696,7 +2851,7 @@ class IndexReader:
         none = (empty, np.empty(0, np.int64), np.empty(0, np.int64), terms)
         if not terms:
             return none
-        postings = self.load_postings(sorted(set(terms)))
+        postings = self.load_postings(sorted(set(terms)), positions=True)
         if any(t not in postings for t in terms):
             return none
         uniq = sorted(set(terms))
@@ -2805,7 +2960,7 @@ class IndexReader:
                 raise ValueError(
                     "unordered intervals are supported for <= 2 terms"
                 )
-        postings = self.load_postings(sorted(set(terms)))
+        postings = self.load_postings(sorted(set(terms)), positions=True)
         if any(t not in postings for t in terms):
             return np.empty(0, np.uint64)
         uniq = sorted(set(terms))
@@ -2843,7 +2998,7 @@ class IndexReader:
                 f"span_first matches a single-term span; {term_text!r} "
                 f"analyzed to {len(terms)} terms"
             )
-        postings = self.load_postings(terms)
+        postings = self.load_postings(terms, positions=True)
         if terms[0] not in postings:
             return np.empty(0, np.uint64)
         tp = postings[terms[0]]
@@ -2883,7 +3038,7 @@ class IndexReader:
             exps_t = [f"{field}:{e}" for e in exps]
         else:
             exps_t = list(exps)
-        postings = self.load_postings(sorted(set(head) | set(exps_t)))
+        postings = self.load_postings(sorted(set(head) | set(exps_t)), positions=True)
         if any(t not in postings for t in head):
             return np.empty(0, np.uint64)
         exps_t = [t for t in exps_t if t in postings]
@@ -3101,12 +3256,30 @@ class BatchSearcher:
     {"index_dir": ...}, concurrency=N, batch_format="pandas")``.
     The reader (manifest, dataset handles, OS page cache of postings)
     is opened once per actor (__init__), per-batch work is scoring.
-    """
 
-    def __init__(self, index_dir: str, k: int = 10, pruned: bool = True):
+    ``warm``: optional decode-once postings broadcast — a ``ray.put``
+    ObjectRef (or plain dict) of ``{term: TermPostings}`` produced by
+    :meth:`IndexReader.warm_cache`. Without it every actor in the pool
+    independently re-decodes the same Zipf-head posting lists on its
+    first batches (measured 2-5 s per actor on a 400k-doc index, the
+    dominant cost of a 16-actor pool's first seconds); with it the
+    arrays come out of the object store zero-copy, once per node.
+    This is the broadcast-small-side pattern: decode on the driver,
+    ``ray.put`` once, share read-only everywhere."""
+
+    def __init__(
+        self, index_dir: str, k: int = 10, pruned: bool = True, warm=None
+    ):
         self.reader = IndexReader(index_dir)
         self.k = k
         self.pruned = pruned
+        if warm is not None:
+            import ray
+
+            if isinstance(warm, ray.ObjectRef):
+                # nested-in-kwargs refs are not auto-resolved by Ray
+                warm = ray.get(warm)
+            self.reader.seed_cache(warm)
 
     def _dispatch(self, qtext: str, k: int, kind: str, fval) -> list:
         """One typed query. ``kind`` column values: "match" (default,

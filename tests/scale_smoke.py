@@ -44,7 +44,61 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def simhash_kernel_bench(sf_dir: str) -> None:
+    """--simhash-kernel: measure the round-5 vectorized SimHashStage
+    against the original per-doc np.unique kernel on the real sf
+    documents (signature equality asserted; ray not needed)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raybm25.extras.dedup import TOKEN_RE, SimHashStage
+    from raybm25.extras.textstats import poly_token_hashes
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    texts = tbl.column("text").to_pylist()
+
+    def per_doc(texts):
+        out = []
+        bitcols = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for t in texts:
+            toks = TOKEN_RE.findall(t.lower()) if isinstance(t, str) else []
+            if not toks:
+                out.append(0)
+                continue
+            uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+            h = poly_token_hashes(uniq.tolist())
+            bits = ((h[:, None] & bitcols) != 0).astype(np.int64)
+            acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+            sig = np.uint64(0)
+            for bit in np.flatnonzero(acc > 0):
+                sig |= np.uint64(1) << np.uint64(bit)
+            out.append(int(sig))
+        return np.array(out, dtype=np.uint64)
+
+    st = SimHashStage()
+    st(tbl.slice(0, 64))  # warm imports
+    t0 = time.perf_counter()
+    new = st(tbl).column("simhash").to_numpy(zero_copy_only=False)
+    t_new = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    old = per_doc(texts)
+    t_old = time.perf_counter() - t0
+    assert (new == old).all(), "vectorized SimHash drifted from the reference"
+    print(
+        f"simhash kernel: {len(texts)} docs, vectorized {t_new:.3f}s "
+        f"vs per-doc {t_old:.3f}s -> {t_old / t_new:.2f}x (signatures equal)"
+    )
+
+
 def main() -> int:
+    if "--simhash-kernel" in sys.argv:
+        sys.argv.remove("--simhash-kernel")
+        simhash_kernel_bench(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+        )
+        return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     import ray
 

@@ -236,3 +236,48 @@ def test_percentile_ranks_agg(rdr):
         )
     assert pr[5000.0] == 100.0
     assert rdr.percentile_ranks_agg("zzz", "size", (1,)) == {1.0: None}
+
+
+def test_matrix_stats_big_int_no_overflow(ray_session, tmp_path):
+    """Integer fields above the int64 moment-sum bound take the exact
+    object-int path instead of silently wrapping (numpy int64 wrap)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    big = [4_000_000_000, 4_000_000_001, 4_000_000_005, 3_999_999_990]
+    small = [1, 2, 3, 4]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(4)),
+                "text": ["alpha x"] * 4,
+                "big": big,
+                "small": small,
+            }
+        ),
+        str(tmp_path / "d.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "d.parquet"), idx, key_col="doc_id",
+                id_col="doc_id", ts_col=None,
+                stored_cols=["text", "big", "small"], num_buckets=1)
+    m = IndexReader(idx).matrix_stats_agg("alpha", ["big", "small"])
+    n = 4
+    mx = sum(big) / n
+    # expected values computed with exact integer arithmetic (the
+    # float64 raw-moment form cancels at this magnitude):
+    # var = (n·Σv² − (Σv)²) / (n·(n−1))
+    varx = (n * sum(v * v for v in big) - sum(big) ** 2) / (n * (n - 1))
+    my = sum(small) / n
+    vary = (n * sum(v * v for v in small) - sum(small) ** 2) / (n * (n - 1))
+    cov = (
+        n * sum(a * b for a, b in zip(big, small)) - sum(big) * sum(small)
+    ) / (n * (n - 1))
+    assert m["fields"]["big"]["mean"] == pytest.approx(mx)
+    assert m["fields"]["big"]["variance"] == pytest.approx(varx, rel=1e-9)
+    assert m["fields"]["big"]["variance"] > 0  # wrap would go negative/garbage
+    assert m["covariance"]["big"]["small"] == pytest.approx(cov, rel=1e-9)
+    assert m["correlation"]["big"]["small"] == pytest.approx(
+        cov / (math.sqrt(varx) * math.sqrt(vary)), rel=1e-9
+    )

@@ -58,7 +58,9 @@ def test_bulk_mixed_batch(ray_session, tmp_path):
     assert by_op[2] == ("update", {"_id": 2, "result": "updated", "status": 200})
     assert by_op[3] == ("delete", {"_id": 3, "result": "deleted", "status": 200})
     assert by_op[4][1]["result"] == "document_missing"
-    assert res["errors"] is True  # the 404 item
+    # document_missing is a documented-benign no-op (the reference
+    # counts it as a skip, not a failure): errors stays False
+    assert res["errors"] is False
 
     r = IndexReader(idx)
 
@@ -89,6 +91,9 @@ def test_bulk_create_conflict_and_not_found(ray_session, tmp_path):
     ops = [next(iter(it.items())) for it in res["items"]]
     assert ops[0][1]["status"] == 409 and ops[0][1]["result"] == "version_conflict"
     assert ops[1][1] == {"_id": 42, "result": "not_found", "status": 404}
+    # version_conflict is a genuine failure (flips errors); the 404
+    # delete not_found alone would not
+    assert res["errors"] is True
     # conflict left the original doc untouched
     assert 1 in [d for d, _ in IndexReader(idx).search("alpha", k=10)]
 

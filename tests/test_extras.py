@@ -72,6 +72,54 @@ def test_shuffle_group_counts_scale_with_input():
     assert scaled_group_count(100_001, 100_000, lo=1) == 2
 
 
+def test_simhash_vectorized_matches_per_doc():
+    """The round-5 vectorized SimHash kernel (factorize + per-bit
+    bincount) must reproduce the original per-doc np.unique kernel
+    bit-for-bit — signatures define the pair set, so any drift would
+    silently change simhash_pairs output."""
+    import numpy as np
+
+    from raybm25.extras.dedup import TOKEN_RE, SimHashStage
+    from raybm25.extras.textstats import poly_token_hashes
+
+    def per_doc_reference(texts):
+        out = []
+        bitcols = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for t in texts:
+            toks = TOKEN_RE.findall(t.lower()) if isinstance(t, str) else []
+            if not toks:
+                out.append(0)
+                continue
+            uniq, counts = np.unique(
+                np.array(toks, dtype=object), return_counts=True
+            )
+            h = poly_token_hashes(uniq.tolist())
+            bits = ((h[:, None] & bitcols) != 0).astype(np.int64)
+            acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+            sig = np.uint64(0)
+            for bit in np.flatnonzero(acc > 0):
+                sig |= np.uint64(1) << np.uint64(bit)
+            out.append(int(sig))
+        return np.array(out, dtype=np.uint64)
+
+    rng = np.random.default_rng(11)
+    words = ["merge", "join", "alpha", "q9"] + [f"tok{i}" for i in range(60)]
+    texts: list[str | None] = [None, ""]  # null + empty -> signature 0
+    for _ in range(120):
+        k = int(rng.integers(0, 90))
+        texts.append(" ".join(rng.choice(words, size=k).tolist()))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = SimHashStage()(tbl).column("simhash").to_numpy(zero_copy_only=False)
+    want = per_doc_reference(texts)
+    assert (got == want).all()
+    assert got[0] == 0 and got[1] == 0
+
+
 def test_simhash_identical_docs_distance_zero(ray_session):
     import ray.data
 

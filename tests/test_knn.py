@@ -188,3 +188,113 @@ def test_loader_spec_knn_vector_field(ray_session, tmp_path):
     r = IndexReader(str(tmp_path / "root" / "vecidx"))
     hits = r.knn_search("embedding", vecs[5], k=3)
     assert hits[0][0] == 5 and hits[0][1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_knn_empty_filter_returns_empty(idx):
+    """A filter clause matching zero docs yields empty hits, not an
+    IndexError (OpenSearch filtered-knn semantics)."""
+    r = IndexReader(idx)
+    vecs = _vectors()
+    assert r.knn_search("embedding", vecs[0], k=5, filter_docs=np.array([], np.uint64)) == []
+    resp = run_query(
+        r,
+        {
+            "size": 5,
+            "query": {
+                "knn": {
+                    "embedding": {
+                        "vector": vecs[0].tolist(),
+                        "k": 5,
+                        "filter": {"term": {"lang": "xx"}},
+                    }
+                }
+            },
+        },
+    )
+    assert resp["hits"]["hits"] == []
+
+
+@pytest.fixture()
+def idx_nulls(ray_session, tmp_path):
+    """Index where some docs lack the vector field (null rows)."""
+    import pyarrow.parquet as pq
+
+    vecs = _vectors()
+    emb = [v.tolist() if i % 4 else None for i, v in enumerate(vecs)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(N)),
+                "text": _texts(),
+                "lang": _langs(),
+                "embedding": emb,
+            }
+        ),
+        str(tmp_path / "d.parquet"),
+    )
+    out = str(tmp_path / "idx")
+    build_index(
+        str(tmp_path / "d.parquet"),
+        out,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        keyword_cols=("lang",),
+        stored_cols=["text", "lang", "embedding"],
+        num_buckets=4,
+    )
+    return out
+
+
+def test_knn_skips_null_vectors(idx_nulls):
+    """Docs indexed without the vector field are simply not knn
+    candidates (OpenSearch skips them) instead of crashing the load."""
+    r = IndexReader(idx_nulls)
+    vecs = _vectors()
+    with_vec = np.array([i for i in range(N) if i % 4])
+    q = vecs[5]
+    hits = r.knn_search("embedding", q, k=10)
+    exp = _brute(vecs, q, 10, keep=with_vec)
+    assert [d for d, _ in hits] == [d for d, _ in exp]
+    for (_, s), (_, e) in zip(hits, exp):
+        assert s == pytest.approx(e, rel=1e-6)
+    # doc 0, 4, 8... (null vectors) never appear even with a huge k
+    all_hits = [d for d, _ in r.knn_search("embedding", q, k=N)]
+    assert not set(all_hits) & {i for i in range(N) if i % 4 == 0}
+
+
+def test_knn_size_cap_routes_to_ivf(idx):
+    """Oversized in-memory matrices fail fast with a pointer to the
+    IVF path instead of OOMing the serving actor."""
+    r = IndexReader(idx)
+    r.knn_max_rows = 10  # below the 40 fixture vectors
+    with pytest.raises(ValueError, match="ivf_"):
+        r.knn_vectors("embedding")
+
+
+def test_knn_ragged_dims_rejected(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    emb = [[1.0, 2.0], [3.0, 4.0, 5.0], [6.0, 7.0]]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["a b", "b c", "c d"],
+                "embedding": emb,
+            }
+        ),
+        str(tmp_path / "d.parquet"),
+    )
+    out = str(tmp_path / "idx")
+    build_index(
+        str(tmp_path / "d.parquet"),
+        out,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        stored_cols=["text", "embedding"],
+        num_buckets=1,
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        IndexReader(out).knn_vectors("embedding")

@@ -61,3 +61,33 @@ def test_size_cut_is_global(dirs):
         dirs, {"query": {"match": {"text": {"query": "merge"}}}, "size": 2}
     )
     assert len(resp["hits"]["hits"]) == 2
+
+
+def test_total_sums_across_indices(dirs):
+    # 4 docs match 'merge' (2 per index); a size-2 page still reports
+    # the cross-index total, not the page length
+    resp = run_query_multi(
+        dirs,
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 2,
+            "track_total_hits": True,
+        },
+    )
+    assert resp["hits"]["total"] == {"value": 4, "relation": "eq"}
+    assert len(resp["hits"]["hits"]) == 2
+
+
+def test_source_carried_through_merge(dirs):
+    resp = run_query_multi(
+        dirs,
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 3,
+            "_source": ["text"],
+        },
+    )
+    for h in resp["hits"]["hits"]:
+        assert "text" in h["_source"]
+    by_id = {h["_id"]: h["_source"]["text"] for h in resp["hits"]["hits"]}
+    assert by_id[1] == "merge merge merge"
