@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
-structs. The decode / feature-extract kernels need codec libraries
-that are NOT in this container, so the decode step is STUBBED behind
-an import-try (clearly marked); the Ray-side plumbing — schema, actor
-signature, batch sizing, output layout — is real and tested with a
-deterministic fake decoder.
+structs. REAL decode kernels (no codec libraries needed): WAV/PCM
+audio (stdlib ``wave``), uncompressed 24-bit BMP (``struct`` + numpy),
+and PNG (stdlib ``zlib`` DEFLATE + numpy unfiltering, see
+:mod:`raybm25.extras.png`). Formats that genuinely need external
+codecs (JPEG/MP3/...) stay STUBBED behind an import-try (clearly
+marked); their Ray-side plumbing — schema, actor signature, batch
+sizing, output layout — is real and tested with a deterministic fake
+decoder.
 """
 
 from __future__ import annotations
@@ -341,6 +344,29 @@ class BmpDecodeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = [self._decode(b.as_py()) for b in batch.column(self.payload_col)]
+        meta = pa.array(
+            [{"height": h, "width": w, "mean_byte": m} for h, w, m in rows],
+            META_TYPE,
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "meta": meta})
+
+class PngDecodeStage:
+    """Actor-pool stage with a REAL image decode kernel for PNG —
+    stdlib ``zlib`` DEFLATE + numpy scanline unfiltering, no codec
+    library (see :mod:`raybm25.extras.png`).  Covers 8-bit grey /
+    RGB / palette / alpha, all five filter types; interlaced or
+    16-bit streams raise instead of faking.  Emits the same
+    (height, width, mean_byte) metadata struct as ``ImageDecodeStage``
+    / ``BmpDecodeStage`` so downstream stages are interchangeable.
+    Small batches: payloads are large."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .png import png_meta
+
+        rows = [png_meta(b.as_py()) for b in batch.column(self.payload_col)]
         meta = pa.array(
             [{"height": h, "width": w, "mean_byte": m} for h, w, m in rows],
             META_TYPE,

@@ -698,3 +698,127 @@ def test_bmp_decode_rejects_non_bmp(ray_session):
 
     with pytest.raises(ValueError, match="not a BMP"):
         BmpDecodeStage()._decode(b"PNG whatever")
+
+
+def test_png_roundtrip_all_filters_all_layouts():
+    """encode->decode bit-exact for every filter type x channel count,
+    on both random and gradient (filter-sensitive) content."""
+    import numpy as np
+
+    from raybm25.extras.png import decode_png, encode_png
+
+    rng = np.random.default_rng(13)
+    shapes = [(5, 7), (5, 7, 2), (16, 9, 3), (8, 8, 4), (1, 1, 3), (3, 200, 3)]
+    for shape in shapes:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        want = arr[..., None] if arr.ndim == 2 else arr
+        for ft in range(5):
+            out = decode_png(encode_png(arr, filter_type=ft))
+            assert out.shape == want.shape
+            assert np.array_equal(out, want), (shape, ft)
+    grad = np.tile(np.arange(256, dtype=np.uint8), (4, 1))
+    for ft in range(5):
+        assert np.array_equal(decode_png(encode_png(grad, ft))[..., 0], grad)
+
+
+def test_png_decode_error_paths():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from raybm25.extras.png import decode_png, encode_png
+
+    with _pytest.raises(ValueError, match="bad signature"):
+        decode_png(b"JFIF not a png")
+    good = encode_png(np.zeros((2, 2), np.uint8))
+    # corrupt one IDAT byte -> CRC check trips
+    idat_at = good.index(b"IDAT") + 4
+    bad = bytearray(good)
+    bad[idat_at] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(bad))
+    # interlaced streams are rejected, not faked
+    sig = good[:8]
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    idat_raw = zlib.compress(b"\x00\x00\x00\x00\x00\x00")
+    idat = struct.pack(">I", len(idat_raw)) + b"IDAT" + idat_raw + struct.pack(
+        ">I", zlib.crc32(b"IDAT" + idat_raw) & 0xFFFFFFFF
+    )
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
+        ">I", zlib.crc32(b"IEND") & 0xFFFFFFFF
+    )
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_png(sig + chunk + idat + iend)
+
+
+def test_png_palette_decode():
+    """Palette (color type 3) images resolve through PLTE to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from raybm25.extras.png import decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))  # red green blue
+    scan = b"\x00\x00\x01\x02" + b"\x00\x02\x01\x00"  # filter None rows
+    buf = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    px = decode_png(buf)
+    assert px.shape == (2, 3, 3)
+    assert px[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    assert px[1].tolist() == [[0, 0, 255], [0, 255, 0], [255, 0, 0]]
+
+
+def test_png_decode_stage(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raybm25.extras.multimodal import PngDecodeStage
+    from raybm25.extras.png import encode_png
+
+    grad = np.stack(
+        [
+            np.tile(np.arange(20, dtype=np.uint8) * 12, (10, 1)),
+            np.tile(np.arange(10, dtype=np.uint8)[:, None] * 25, (1, 20)),
+            np.full((10, 20), 7, np.uint8),
+        ],
+        axis=-1,
+    )
+    bufs = [encode_png(grad, ft) for ft in (1, 4)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "payload": pa.array(bufs, pa.binary())})
+    )
+    out = (
+        ds.map_batches(PngDecodeStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    f = grad.astype(np.float64)
+    exp = float((0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]).mean())
+    for meta in out["meta"]:
+        assert (meta["height"], meta["width"]) == (10, 20)
+        assert meta["mean_byte"] == pytest.approx(exp, rel=1e-12)

@@ -136,3 +136,35 @@ def test_batch_searcher_dsl_dispatch(rdr):
     assert list(zip(out["doc_id"].astype("int64"), out["score"])) == [
         (np.int64(d), s) for d, s in want
     ]
+
+
+def test_batch_searcher_warm_seed_parity(rdr):
+    """The decode-once warm broadcast (IndexReader.warm_cache -> ray.put
+    -> BatchSearcher(warm=...)) must change only WHERE postings decode,
+    never scores: seeded and unseeded actors return identical hits, and
+    the seeded reader serves the warmed terms from cache (no re-decode)."""
+    import ray
+
+    r, idx = rdr
+    queries = ["merge stream", "fast path", "rare singleton"]
+    warm = r.warm_cache(queries)
+    assert warm, "warm set should contain the query terms' postings"
+    warm_ref = ray.put(warm)
+
+    cold = BatchSearcher(idx, k=5)
+    hot = BatchSearcher(idx, k=5, warm=warm_ref)
+    # every warmed term is already resident in the hot actor's cache
+    for t in warm:
+        assert t in hot.reader._term_cache
+    batch = pd.DataFrame(
+        {
+            "query_id": [1, 2, 3],
+            "query_text": queries,
+            "kind": ["match"] * 3,
+            "filter_field": [None] * 3,
+            "filter_value": [None] * 3,
+        }
+    )
+    a = cold(batch).reset_index(drop=True)
+    b = hot(batch).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
