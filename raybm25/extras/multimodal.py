@@ -3,11 +3,16 @@
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs. REAL decode kernels (no codec libraries needed): WAV/PCM
 audio (stdlib ``wave``), uncompressed 24-bit BMP (``struct`` + numpy),
-and PNG (stdlib ``zlib`` DEFLATE + numpy unfiltering, see
-:mod:`raybm25.extras.png`). Formats that genuinely need external
-codecs (JPEG/MP3/...) stay STUBBED behind an import-try (clearly
-marked); their Ray-side plumbing — schema, actor signature, batch
-sizing, output layout — is real and tested with a deterministic fake
+PNG (stdlib ``zlib`` DEFLATE + numpy unfiltering, full spec layout
+coverage — :mod:`raybm25.extras.png`), GIF (pure-Python LZW,
+interlace + animation + transparency — :mod:`raybm25.extras.gif`),
+and baseline JPEG (pure Huffman + einsum IDCT, 4:2:0/4:2:2/4:4:4,
+restart markers — :mod:`raybm25.extras.jpeg`);
+``AnyImageDecodeStage`` sniffs magic bytes and routes a mixed corpus
+to the right kernel.  Formats that genuinely need external codecs
+(MP3/video/...) stay STUBBED behind an import-try (clearly marked);
+their Ray-side plumbing — schema, actor signature, batch sizing,
+output layout — is real and tested with a deterministic fake
 decoder.
 """
 
@@ -372,3 +377,211 @@ class PngDecodeStage:
             META_TYPE,
         )
         return pa.table({"doc_id": batch.column("doc_id"), "meta": meta})
+
+
+class GifDecodeStage:
+    """Actor-pool stage with a REAL image decode kernel for GIF —
+    pure-Python LZW + numpy palette resolve, no codec library (see
+    :mod:`raybm25.extras.gif`).  Handles global/local color tables,
+    interlace, GCE transparency, and multi-frame streams (first frame
+    decoded, all frames counted).  Output adds ``n_frames`` next to the
+    shared metadata struct.  Small batches: payloads are large."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .gif import gif_meta
+
+        rows = [gif_meta(b.as_py()) for b in batch.column(self.payload_col)]
+        meta = pa.array(
+            [{"height": h, "width": w, "mean_byte": m} for h, w, _, m in rows],
+            META_TYPE,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "meta": meta,
+                "n_frames": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        )
+
+
+class JpegDecodeStage:
+    """Actor-pool stage with a REAL image decode kernel for baseline
+    JPEG — pure Python/numpy Huffman + einsum IDCT, no codec library
+    (see :mod:`raybm25.extras.jpeg`).  Handles 4:4:4/4:2:2/4:2:0
+    subsampling, restart markers, grayscale and YCbCr color;
+    progressive streams raise instead of faking.  Emits the shared
+    (height, width, mean_byte) metadata struct.  Small batches:
+    payloads are large and entropy decode is the slow real work."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpeg import jpeg_meta
+
+        rows = [jpeg_meta(b.as_py()) for b in batch.column(self.payload_col)]
+        meta = pa.array(
+            [{"height": h, "width": w, "mean_byte": m} for h, w, m in rows],
+            META_TYPE,
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "meta": meta})
+
+
+def sniff_image_meta(buf: bytes) -> tuple[str, int, int, float]:
+    """Route a payload to the right REAL kernel by magic bytes:
+    (format, height, width, mean_byte).  Raises ValueError for
+    formats with no kernel (the caller decides whether that is an
+    error or a skip)."""
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import png_meta
+
+        return ("png", *png_meta(buf))
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_meta
+
+        h, w, _n, m = gif_meta(buf)
+        return ("gif", h, w, m)
+    if buf[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_meta
+
+        return ("jpeg", *jpeg_meta(buf))
+    if buf[:2] == b"BM":
+        h, w, m = BmpDecodeStage()._decode(buf)
+        return ("bmp", h, w, m)
+    raise ValueError("unrecognized image payload (no real kernel)")
+
+
+class AnyImageDecodeStage:
+    """Actor-pool stage for a MIXED image corpus: sniffs each payload's
+    magic bytes and dispatches to the matching real kernel
+    (PNG/GIF/JPEG/BMP).  Unrecognized payloads either raise
+    (``strict=True``) or pass through with format ``"unknown"`` and
+    null metadata — the skip-don't-crash behavior a 100 TB crawl
+    pipeline needs, with the skip visible in the output for auditing."""
+
+    def __init__(self, payload_col: str = "payload", strict: bool = False):
+        self.payload_col = payload_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts: list[str] = []
+        metas: list[dict | None] = []
+        for b in batch.column(self.payload_col):
+            buf = b.as_py() or b""
+            try:
+                fmt, h, w, m = sniff_image_meta(buf)
+                fmts.append(fmt)
+                metas.append({"height": h, "width": w, "mean_byte": m})
+            except ValueError:
+                if self.strict:
+                    raise
+                fmts.append("unknown")
+                metas.append(None)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "format": pa.array(fmts, pa.string()),
+                "meta": pa.array(metas, META_TYPE),
+            }
+        )
+
+
+class ReencodeResizeStage:
+    """Actor-pool stage with a REAL resize path: sniff-decode the
+    payload with the stdlib kernels (PNG/GIF/JPEG/BMP), nearest-
+    neighbor resample to (target_h, target_w) in numpy, re-encode as
+    PNG (the lossless kernel — re-encoding resized thumbnails as JPEG
+    would stack quantization loss).  Output: (doc_id, payload,
+    media_type="image/png", meta).  Unrecognized payloads pass through
+    unresized with format preserved unless ``strict``."""
+
+    def __init__(
+        self,
+        target_h: int = 64,
+        target_w: int = 64,
+        payload_col: str = "payload",
+        strict: bool = False,
+    ):
+        self.target_h = target_h
+        self.target_w = target_w
+        self.payload_col = payload_col
+        self.strict = strict
+
+    def _decode(self, buf: bytes) -> np.ndarray | None:
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            from .png import decode_png
+
+            px = decode_png(buf)
+            if px.dtype == np.uint16:
+                px = (px // 257).astype(np.uint8)
+            return px
+        if buf[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import decode_gif
+
+            return decode_gif(buf)[0]
+        if buf[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(buf)
+        if buf[:2] == b"BM":
+            # BmpDecodeStage only extracts metadata; decode inline
+            import struct as _s
+
+            off = _s.unpack_from("<I", buf, 10)[0]
+            w, h = _s.unpack_from("<ii", buf, 18)
+            bpp = _s.unpack_from("<HH", buf, 26)[1]
+            if bpp != 24:
+                return None
+            flip = h > 0
+            h = abs(h)
+            stride = (w * 3 + 3) & ~3
+            raw = np.frombuffer(buf, np.uint8, h * stride, off)
+            px = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+            if flip:
+                px = px[::-1]
+            return px[..., ::-1]  # BGR -> RGB
+        return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .png import encode_png
+
+        th, tw = self.target_h, self.target_w
+        payloads = []
+        media = []
+        metas = []
+        for b in batch.column(self.payload_col):
+            buf = b.as_py() or b""
+            px = self._decode(buf)
+            if px is None:
+                if self.strict:
+                    raise ValueError("unrecognized image payload (no real kernel)")
+                payloads.append(buf)
+                media.append("application/octet-stream")
+                metas.append(None)
+                continue
+            h, w = px.shape[:2]
+            ys = (np.arange(th) * h // th).clip(0, h - 1)
+            xs = (np.arange(tw) * w // tw).clip(0, w - 1)
+            small = px[ys][:, xs]
+            f = small.astype(np.float64)
+            gray = (
+                0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+                if small.shape[-1] >= 3
+                else f[..., 0]
+            )
+            payloads.append(encode_png(small, filter_type=1))
+            media.append("image/png")
+            metas.append(
+                {"height": th, "width": tw, "mean_byte": float(gray.mean())}
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_type": pa.array(media, pa.string()),
+                "meta": pa.array(metas, META_TYPE),
+            }
+        )

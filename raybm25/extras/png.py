@@ -6,13 +6,14 @@ Round-4 left compressed-image formats behind the PIL import seam
 lacks — DEFLATE is stdlib ``zlib`` and the five scanline filters are
 pure arithmetic — so this module makes the most common lossless web
 format a REAL kernel, like WAV/BMP before it.  Implemented from the
-public PNG specification (RFC 2083 / W3C PNG): 8-bit greyscale,
-truecolor, palette, and each with alpha; all five filter types; Adam7
-interlace is rejected with a clear error rather than faked.
+public PNG specification (RFC 2083 / W3C PNG), full standard layout
+coverage: bit depths 1/2/4/8/16, all five color types (greyscale,
+truecolor, palette, each alpha variant), tRNS palette transparency,
+all five scanline filters, and Adam7 interlace.
 
 The encoder exists for test fixtures (round-trip: encode with a chosen
-per-row filter, decode, compare arrays) and writes only non-interlaced
-8-bit images.
+per-row filter, decode, compare arrays): non-interlaced or Adam7,
+depths 8/16, plus packed sub-8-bit single-channel images.
 
 Reference behavior being re-expressed: the loader treats attachments as
 opaque payloads (see ``/root/reference/opensearch_loader/loader.py``
@@ -29,8 +30,27 @@ import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
-# color type -> samples per pixel (8-bit depth only)
+# color type -> samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# color type -> legal bit depths (PNG spec, table 11.1)
+_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _chunks(buf: bytes):
@@ -57,14 +77,18 @@ def _chunks(buf: bytes):
 
 
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
-    """Reverse per-scanline filtering: raw is the decompressed IDAT
-    stream reshaped to (h, 1+stride); returns (h, stride) uint8.
+    """Reverse per-scanline filtering: raw is (h, 1+stride) filtered
+    bytes; returns (h, stride) uint8.  ``bpp`` is the filter distance
+    in BYTES (ceil of bits-per-pixel/8 — sub-byte depths use 1).
 
     Filters None/Sub/Up are vectorized whole-row (Sub is a mod-256
     prefix sum over bpp-strided lanes — uint8 cumsum wraps exactly);
     Average/Paeth depend on the left-reconstructed pixel so they walk x
-    sequentially but stay vectorized across the bpp channel lanes.
+    sequentially but stay vectorized across the bpp byte lanes.
     """
+    # every legal layout has stride divisible by bpp (sub-byte depths
+    # use bpp=1; 8/16-bit strides are w*ch*(depth/8))
+    assert stride % bpp == 0
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     npx = stride // bpp
@@ -73,7 +97,7 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
         row = raw[y, 1:].copy()
         if ftype == 0:  # None
             rec = row
-        elif ftype == 1:  # Sub: prefix sum along x per channel lane
+        elif ftype == 1:  # Sub: prefix sum along x per byte lane
             rec = np.cumsum(row.reshape(npx, bpp), axis=0, dtype=np.uint8).reshape(
                 stride
             )
@@ -109,21 +133,47 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
-def decode_png(buf: bytes) -> np.ndarray:
-    """Decode a PNG payload to a (H, W, C) uint8 array.
+def _stride_bytes(w: int, ch: int, depth: int) -> int:
+    return (w * ch * depth + 7) // 8
 
-    C is 1 (grey), 2 (grey+alpha), 3 (RGB — truecolor or palette), or
-    4 (RGBA).  Supports bit depth 8 and non-interlaced streams; other
-    layouts raise ``ValueError`` (honest errors, no fake path).
+
+def _rows_to_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
+    """(h, stride) reconstructed bytes -> (h, w, ch) samples (uint8 for
+    depth<=8, uint16 for depth 16)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        pairs = rows[:, : w * ch * 2].reshape(h, w, ch, 2).astype(np.uint16)
+        return (pairs[..., 0] << 8) | pairs[..., 1]
+    # sub-byte: ch == 1 (spec: depths 1/2/4 only for grey / palette)
+    bits = np.unpackbits(rows, axis=1)  # MSB-first, matching PNG packing
+    per = bits[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (per * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[..., None]
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Decode a PNG payload to a (H, W, C) array.
+
+    dtype is uint8 for bit depths <=8 and uint16 for depth 16.  C is
+    1 (grey), 2 (grey+alpha), 3 (RGB — truecolor or palette), or 4
+    (RGBA — including palette + tRNS transparency).  Sub-8-bit grey
+    samples are scaled to full 8-bit range (0..255); palette indices
+    resolve through PLTE.  Handles non-interlaced and Adam7 streams;
+    anything outside the PNG spec's layout table raises ``ValueError``.
     """
     ihdr = None
     plte = None
+    trns = None
     idat: list[bytes] = []
     for ctype, data in _chunks(buf):
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.append(data)
     if ihdr is None or not idat:
@@ -131,33 +181,67 @@ def decode_png(buf: bytes) -> np.ndarray:
     w, h, depth, ctype_, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unknown PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported by this kernel")
-    if depth != 8 or ctype_ not in _CHANNELS:
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if ctype_ not in _CHANNELS or depth not in _DEPTHS[ctype_]:
         raise ValueError(
-            f"unsupported PNG layout (bit depth {depth}, color type {ctype_}); "
-            "this kernel decodes 8-bit types 0/2/3/4/6"
+            f"illegal PNG layout (bit depth {depth}, color type {ctype_})"
         )
     ch = _CHANNELS[ctype_]
-    stride = w * ch
+    bpp = max(1, (ch * depth) // 8)  # filter distance in bytes
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
+    sample_dtype = np.uint16 if depth == 16 else np.uint8
+    px = np.zeros((h, w, ch), dtype=sample_dtype)
+
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    off = 0
+    for xs, ys, xst, yst in passes:
+        pw = (w - xs + xst - 1) // xst
+        ph = (h - ys + yst - 1) // yst
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = _stride_bytes(pw, ch, depth)
+        need = ph * (stride + 1)
+        if off + need > len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        rows = np.frombuffer(raw, dtype=np.uint8, count=need, offset=off).reshape(
+            ph, stride + 1
+        )
+        off += need
+        rec = _unfilter(rows, ph, stride, bpp)
+        px[ys::yst, xs::xst] = _rows_to_samples(rec, pw, ch, depth)
+    if off != len(raw):
         raise ValueError("PNG pixel data length mismatch")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    px = _unfilter(rows, h, stride, ch).reshape(h, w, ch)
-    if ctype_ == 3:  # palette indices -> RGB
+
+    if ctype_ == 3:  # palette indices -> RGB(A)
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
-        px = plte[px[..., 0]]
+        idx = px[..., 0]
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.concatenate([rgb, alpha[idx][..., None]], axis=-1)
+        return rgb
+    if ctype_ == 0 and depth < 8:
+        # scale sub-8-bit grey to the full byte range (bit replication
+        # per spec recommendation: max sample value -> 255)
+        px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
     return px
 
 
 def png_meta(buf: bytes) -> tuple[int, int, float]:
     """(height, width, grayscale mean) — the ImageDecodeStage metadata
-    contract, from a real decode (ITU-R 601 luma for color images)."""
+    contract, from a real decode (ITU-R 601 luma for color images).
+    16-bit samples are mapped to byte scale (/257) so the metric stays
+    comparable across depths."""
     px = decode_png(buf)
     h, w, ch = px.shape
     f = px.astype(np.float64)
+    if px.dtype == np.uint16:
+        f = f / 257.0
     if ch >= 3:
         gray = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
     else:
@@ -165,8 +249,26 @@ def png_meta(buf: bytes) -> tuple[int, int, float]:
     return h, w, float(gray.mean()) if gray.size else 0.0
 
 
+def _samples_to_bytes(arr: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, ch) samples -> (h, stride) packed scanline bytes."""
+    h, w, ch = arr.shape
+    if depth == 8:
+        return arr.astype(np.uint8).reshape(h, w * ch)
+    if depth == 16:
+        a = arr.astype(np.uint16)
+        out = np.zeros((h, w * ch * 2), dtype=np.uint8)
+        out[:, 0::2] = (a >> 8).reshape(h, w * ch)
+        out[:, 1::2] = (a & 0xFF).reshape(h, w * ch)
+        return out
+    # sub-byte pack, ch == 1, MSB-first
+    weights = np.arange(depth - 1, -1, -1)
+    bits = ((arr[..., 0][..., None] >> weights) & 1).astype(np.uint8)
+    return np.packbits(bits.reshape(h, w * depth), axis=1)
+
+
 def _encode_filtered(px: np.ndarray, filter_type: int, bpp: int) -> bytes:
-    """Apply one filter type to every scanline (encoder side)."""
+    """Apply one filter type to every scanline (encoder side).
+    ``px`` is (h, stride) packed bytes; ``bpp`` the byte distance."""
     h, stride = px.shape
     out = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
@@ -211,25 +313,48 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """Encode a (H, W) or (H, W, C) uint8 array as a non-interlaced
-    8-bit PNG, applying ``filter_type`` (0-4) to every scanline.
+def encode_png(
+    arr: np.ndarray,
+    filter_type: int = 0,
+    depth: int | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode a (H, W) or (H, W, C) array as a PNG.
 
-    Fixture-grade encoder: correctness (round-trips through
-    ``decode_png`` bit-exactly) over compression ratio.
+    dtype uint8 -> bit depth 8, uint16 -> 16; pass ``depth`` of 1/2/4
+    to pack a single-channel uint8 array (values must fit) sub-byte.
+    ``interlace=True`` writes Adam7 passes.  Fixture-grade encoder:
+    correctness (round-trips through ``decode_png`` bit-exactly) over
+    compression ratio.
     """
-    arr = np.asarray(arr, dtype=np.uint8)
+    arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w, ch = arr.shape
+    if depth is None:
+        depth = 16 if arr.dtype == np.uint16 else 8
+    if depth in (1, 2, 4):
+        if ch != 1:
+            raise ValueError("sub-byte depth requires a single channel")
+        if int(arr.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"sample out of range for depth {depth}")
     ctype_ = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
     if ctype_ is None:
         raise ValueError(f"cannot encode {ch}-channel image")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_, 0, 0, 0)
-    body = _encode_filtered(arr.reshape(h, w * ch), filter_type, ch)
+    if depth not in _DEPTHS[ctype_]:
+        raise ValueError(f"depth {depth} illegal for {ch}-channel image")
+    bpp = max(1, (ch * depth) // 8)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype_, 0, 0, 1 if interlace else 0)
+    body = bytearray()
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    for xs, ys, xst, yst in passes:
+        sub = arr[ys::yst, xs::xst]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        body += _encode_filtered(_samples_to_bytes(sub, depth), filter_type, bpp)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(body, 6))
+        + _chunk(b"IDAT", zlib.compress(bytes(body), 6))
         + _chunk(b"IEND", b"")
     )

@@ -3336,3 +3336,87 @@ class BatchSearcher:
                 "score": pd.Series(out["score"], dtype="float64"),
             }
         )
+
+
+class ServingPool:
+    """Long-lived BM25 serving pool: N persistent :class:`BatchSearcher`
+    actors behind a round-robin dispatcher with bounded in-flight
+    pipelining.
+
+    The Dataset path (``map_batches(BatchSearcher, ...)``) is the right
+    shape for BATCH scoring jobs — but it builds a fresh actor pool per
+    executed dataset, and each new actor is a new worker process paying
+    Python + Ray + engine import and reader open (~2-3 s) before its
+    first batch.  A SERVING deployment never does that per request
+    wave: actors start once, then only score.  This class is that
+    steady-state regime — spin-up cost is paid (and reported) once in
+    ``__init__``/:meth:`warm_up`, after which :meth:`score` measures
+    pure scoring throughput.
+
+    On a multi-node cluster pass a ``warm`` ObjectRef
+    (:meth:`IndexReader.warm_cache` + ``ray.put``) so the head-term
+    postings decode once per node (zero-copy object-store reads)
+    instead of once per actor.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        n_actors: int = 8,
+        k: int = 10,
+        warm=None,
+        num_cpus: float = 1,
+        inflight_per_actor: int = 2,
+    ):
+        import ray
+
+        cls = ray.remote(num_cpus=num_cpus)(BatchSearcher)
+        self._actors = [
+            cls.remote(index_dir, k=k, warm=warm) for _ in range(n_actors)
+        ]
+        self._inflight = max(1, inflight_per_actor)
+        self._rr = 0
+
+    def warm_up(self) -> None:
+        """Block until every actor has constructed (reader open, warm
+        cache seeded) — separates spin-up from scoring measurements."""
+        import ray
+
+        probe = pd.DataFrame(
+            {
+                "query_id": [0],
+                "query_text": [""],
+                "kind": ["match"],
+                "filter_field": [None],
+                "filter_value": [None],
+            }
+        )
+        ray.get([a.__call__.remote(probe) for a in self._actors])
+
+    def score(self, batches) -> list:
+        """Score an iterable of query DataFrames; returns the result
+        frames in submission order.  Keeps ``inflight_per_actor``
+        batches queued per actor (pipelining hides dispatch latency
+        without unbounded queueing — backpressure at the driver)."""
+        import ray
+
+        n = len(self._actors)
+        window = n * self._inflight
+        futures: list = []
+        results: list = []
+        for batch in batches:
+            if len(futures) >= window:
+                # oldest future first: each actor runs its queue in
+                # order, so this is both backpressure and order-safe
+                results.append(ray.get(futures.pop(0)))
+            futures.append(self._actors[self._rr % n].__call__.remote(batch))
+            self._rr += 1
+        results.extend(ray.get(futures))
+        return results
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []

@@ -739,7 +739,8 @@ def test_png_decode_error_paths():
     bad[idat_at] ^= 0xFF
     with _pytest.raises(ValueError, match="CRC mismatch"):
         decode_png(bytes(bad))
-    # interlaced streams are rejected, not faked
+    # truncated pixel stream (non-interlaced IHDR over an Adam7-sized
+    # payload) trips the length check rather than mis-decoding
     sig = good[:8]
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
     chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
@@ -752,8 +753,78 @@ def test_png_decode_error_paths():
     iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
         ">I", zlib.crc32(b"IEND") & 0xFFFFFFFF
     )
-    with _pytest.raises(ValueError, match="interlaced"):
+    with _pytest.raises(ValueError, match="length mismatch"):
         decode_png(sig + chunk + idat + iend)
+    # illegal layout: depth 16 palette does not exist in the spec
+    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    chunk2 = struct.pack(">I", len(ihdr2)) + b"IHDR" + ihdr2 + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr2) & 0xFFFFFFFF
+    )
+    with _pytest.raises(ValueError, match="illegal PNG layout"):
+        decode_png(sig + chunk2 + idat + iend)
+
+
+def test_png_roundtrip_extended_layouts():
+    """16-bit, sub-8-bit grey, and Adam7-interlaced streams round-trip
+    bit-exactly through every filter type."""
+    import numpy as np
+
+    from raybm25.extras.png import decode_png, encode_png
+
+    rng = np.random.default_rng(29)
+    # 16-bit: each channel count, interlaced and not
+    for shape in [(6, 5, 3), (4, 4, 1), (3, 3, 4), (13, 11, 2)]:
+        arr = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        for ft in range(5):
+            for il in (False, True):
+                out = decode_png(encode_png(arr, ft, interlace=il))
+                assert out.dtype == np.uint16
+                assert np.array_equal(out, arr), (shape, ft, il)
+    # sub-byte grey scales to the full 0..255 range on decode
+    for d in (1, 2, 4):
+        arr = rng.integers(0, 1 << d, size=(7, 13, 1), dtype=np.uint8)
+        exp = (arr.astype(np.uint16) * 255 // ((1 << d) - 1)).astype(np.uint8)
+        for ft in range(5):
+            for il in (False, True):
+                out = decode_png(encode_png(arr, ft, depth=d, interlace=il))
+                assert np.array_equal(out, exp), (d, ft, il)
+    # Adam7 edge shapes: passes that are empty in one or both axes
+    for shape in [(1, 1, 3), (2, 2, 3), (3, 5, 1), (8, 1, 2), (1, 9, 4)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(
+            decode_png(encode_png(arr, 4, interlace=True)), arr
+        ), shape
+
+
+def test_png_palette_trns_alpha():
+    """tRNS on a palette image yields RGBA with per-entry alpha
+    (entries beyond the tRNS table default to opaque)."""
+    import numpy as np
+
+    from raybm25.extras.png import decode_png
+    from raybm25.extras.png import _chunk, _SIG  # fixture-building internals
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0)
+    plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))
+    trns = bytes((0, 128))  # entry0 transparent, entry1 half, entry2 opaque
+    scan = b"\x00\x00\x01\x02"
+    buf = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"tRNS", trns)
+        + _chunk(b"IDAT", zlib.compress(scan))
+        + _chunk(b"IEND", b"")
+    )
+    px = decode_png(buf)
+    assert px.shape == (1, 3, 4)
+    assert px[0].tolist() == [
+        [255, 0, 0, 0],
+        [0, 255, 0, 128],
+        [0, 0, 255, 255],
+    ]
 
 
 def test_png_palette_decode():
@@ -822,3 +893,253 @@ def test_png_decode_stage(ray_session):
     for meta in out["meta"]:
         assert (meta["height"], meta["width"]) == (10, 20)
         assert meta["mean_byte"] == pytest.approx(exp, rel=1e-12)
+
+
+def test_gif_roundtrip_palettes_interlace():
+    """encode->decode exact palette-resolved pixels across palette
+    sizes, shapes, and interlace; animation counts frames; GCE
+    transparency yields RGBA."""
+    import numpy as np
+
+    from raybm25.extras.gif import decode_gif, encode_gif, gif_meta
+
+    rng = np.random.default_rng(5)
+    for npal in (2, 4, 16, 200, 256):
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        for shape in [(1, 1), (5, 7), (16, 9), (33, 65)]:
+            idx = rng.integers(0, npal, shape, dtype=np.uint8)
+            for il in (False, True):
+                frame, nf = decode_gif(encode_gif(idx, pal, interlace=il))
+                assert nf == 1
+                assert np.array_equal(frame, pal[idx]), (npal, shape, il)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 8, (6, 6), dtype=np.uint8) for _ in range(5)]
+    frame, nf = decode_gif(encode_gif(frames, pal))
+    assert nf == 5 and np.array_equal(frame, pal[frames[0]])
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    frame, nf = decode_gif(encode_gif(idx, pal[:4], transparent=0))
+    assert frame.shape == (2, 2, 4)
+    assert frame[0, 0, 3] == 0 and frame[0, 1, 3] == 255 and frame[1, 1, 3] == 0
+    h, w, nf, m = gif_meta(
+        encode_gif(np.zeros((3, 4), np.uint8), np.array([[10, 20, 30]], np.uint8))
+    )
+    assert (h, w, nf) == (3, 4, 1)
+    assert m == pytest.approx(0.299 * 10 + 0.587 * 20 + 0.114 * 30, rel=1e-12)
+
+
+def test_gif_decode_error_paths():
+    import pytest as _pytest
+
+    from raybm25.extras.gif import decode_gif
+
+    with _pytest.raises(ValueError, match="bad signature"):
+        decode_gif(b"PNG nope")
+    with _pytest.raises(ValueError, match="truncated GIF header"):
+        decode_gif(b"GIF89a\x00\x00\x00\x00")
+
+
+def test_gif_decode_stage(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raybm25.extras.gif import encode_gif
+    from raybm25.extras.multimodal import GifDecodeStage
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (10, 20), dtype=np.uint8)
+    bufs = [
+        encode_gif(idx, pal),
+        encode_gif([idx, idx, idx], pal, interlace=True),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "payload": pa.array(bufs, pa.binary())})
+    )
+    out = (
+        ds.map_batches(GifDecodeStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    f = pal[idx].astype(np.float64)
+    exp = float((0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]).mean())
+    assert out["n_frames"].tolist() == [1, 3]
+    for meta in out["meta"]:
+        assert (meta["height"], meta["width"]) == (10, 20)
+        assert meta["mean_byte"] == pytest.approx(exp, rel=1e-12)
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """Baseline JPEG encode->decode: flat blocks exact, smooth content
+    within 1 LSB at q95, 4:2:0 and restart-marker paths bounded."""
+    import numpy as np
+
+    from raybm25.extras.jpeg import decode_jpeg, encode_jpeg
+
+    # flat images: DC-only -> exact
+    flat = np.full((16, 16), 128, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(flat, 90))[..., 0], flat
+    )
+    color = np.zeros((8, 8, 3), np.uint8)
+    color[...] = (200, 50, 100)
+    assert np.array_equal(decode_jpeg(encode_jpeg(color, 95)), color)
+
+    y, x = np.mgrid[0:37, 0:53]
+    smooth = (
+        np.stack([60 + x * 2, 40 + y * 3, 128 + (x - y)], -1)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    for sub in ("444", "420"):
+        for dri in (0, 2, 5):
+            out = decode_jpeg(
+                encode_jpeg(smooth, 95, subsampling=sub, restart_interval=dri)
+            )
+            assert out.shape == smooth.shape
+            err = np.abs(out.astype(int) - smooth.astype(int))
+            bound = 1 if sub == "444" else 4  # chroma downsample loss
+            assert err.max() <= bound, (sub, dri, err.max())
+
+    # decode is deterministic (same payload -> identical pixels)
+    buf = encode_jpeg(smooth, 90, subsampling="420", restart_interval=3)
+    assert np.array_equal(decode_jpeg(buf), decode_jpeg(buf))
+
+
+def test_jpeg_error_paths():
+    import pytest as _pytest
+
+    from raybm25.extras.jpeg import decode_jpeg, encode_jpeg
+
+    with _pytest.raises(ValueError, match="bad SOI"):
+        decode_jpeg(b"\x89PNG")
+    import numpy as np
+
+    good = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    # flip SOF0 marker to SOF2 (progressive) -> explicit rejection
+    sof_at = bytes(good).index(b"\xff\xc0")
+    good[sof_at + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(good))
+
+
+def test_jpeg_decode_stage_and_sniffer(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raybm25.extras.gif import encode_gif
+    from raybm25.extras.jpeg import encode_jpeg
+    from raybm25.extras.multimodal import (
+        AnyImageDecodeStage,
+        JpegDecodeStage,
+        sniff_image_meta,
+    )
+    from raybm25.extras.png import encode_png
+
+    arr = np.full((5, 6, 3), 90, np.uint8)
+    pal = np.array([[90, 90, 90]], np.uint8)
+    bufs = [
+        encode_jpeg(arr, 95),
+        encode_png(arr),
+        encode_gif(np.zeros((5, 6), np.uint8), pal),
+        b"not an image",
+    ]
+    assert sniff_image_meta(bufs[0])[0] == "jpeg"
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(4), pa.int64()),
+             "payload": pa.array(bufs, pa.binary())}
+        )
+    )
+    out = (
+        ds.map_batches(AnyImageDecodeStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["format"].tolist() == ["jpeg", "png", "gif", "unknown"]
+    for meta in out["meta"][:3]:
+        assert (meta["height"], meta["width"]) == (5, 6)
+        assert meta["mean_byte"] == pytest.approx(90.0, abs=0.5)
+    assert out["meta"][3] is None or out["meta"][3].get("height") is None
+
+    # strict mode raises on the unknown payload
+    with pytest.raises(Exception):
+        ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([1], pa.int64()),
+                 "payload": pa.array([b"junk"], pa.binary())}
+            )
+        ).map_batches(
+            AnyImageDecodeStage,
+            fn_constructor_kwargs={"strict": True},
+            batch_format="pyarrow",
+            concurrency=1,
+        ).materialize()
+
+    # dedicated jpeg stage
+    out = (
+        ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([7], pa.int64()),
+                 "payload": pa.array([bufs[0]], pa.binary())}
+            )
+        )
+        .map_batches(JpegDecodeStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert out["meta"][0]["mean_byte"] == pytest.approx(90.0, abs=0.5)
+
+
+def test_reencode_resize_stage_real_path(ray_session):
+    """ReencodeResizeStage: decode (JPEG/PNG/GIF) -> NN resample ->
+    PNG re-encode, verified by decoding the output payloads."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raybm25.extras.gif import encode_gif
+    from raybm25.extras.jpeg import encode_jpeg
+    from raybm25.extras.multimodal import ReencodeResizeStage
+    from raybm25.extras.png import decode_png, encode_png
+
+    rng = np.random.default_rng(21)
+    big = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    gif_idx = rng.integers(0, 16, (30, 30), dtype=np.uint8)
+    bufs = [encode_png(big), encode_jpeg(big, 95), encode_gif(gif_idx, pal), b"??"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(4), pa.int64()),
+             "payload": pa.array(bufs, pa.binary())}
+        )
+    )
+    out = (
+        ds.map_batches(
+            ReencodeResizeStage,
+            fn_constructor_kwargs={"target_h": 8, "target_w": 12},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # PNG source: NN-resample is exact, so output decodes to the exact
+    # sampled grid of the input
+    ys = (np.arange(8) * 40 // 8).clip(0, 39)
+    xs = (np.arange(12) * 60 // 12).clip(0, 59)
+    want = big[ys][:, xs]
+    got = decode_png(out["payload"][0])
+    assert np.array_equal(got, want)
+    assert out["media_type"].tolist()[:3] == ["image/png"] * 3
+    # JPEG source: decodes near the same grid (lossy, q95)
+    got_j = decode_png(out["payload"][1])
+    assert got_j.shape == (8, 12, 3)
+    err = np.abs(got_j.astype(int) - want.astype(int))
+    assert err.mean() < 12  # noise content at q95
+    # unknown passes through untouched
+    assert out["payload"][3] == b"??"
+    assert out["media_type"][3] == "application/octet-stream"

@@ -168,3 +168,39 @@ def test_batch_searcher_warm_seed_parity(rdr):
     a = cold(batch).reset_index(drop=True)
     b = hot(batch).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_serving_pool_matches_direct(rdr):
+    """ServingPool (persistent actors + windowed round-robin) returns
+    exactly what a direct BatchSearcher call returns, in submission
+    order, including with more batches than the in-flight window."""
+    from raybm25.query.engine import ServingPool
+
+    r, idx = rdr
+    direct = BatchSearcher(idx, k=5)
+    pool = ServingPool(idx, n_actors=2, k=5, inflight_per_actor=1)
+    try:
+        pool.warm_up()
+        batches = [
+            pd.DataFrame(
+                {
+                    "query_id": [i],
+                    "query_text": [q],
+                    "kind": ["match"],
+                    "filter_field": [None],
+                    "filter_value": [None],
+                }
+            )
+            for i, q in enumerate(
+                ["merge stream", "fast path", "rare singleton", "join",
+                 "window sort", "merge", "stream", "uniqueword"]
+            )
+        ]
+        got = pool.score(batches)
+        assert len(got) == len(batches)
+        for b, g in zip(batches, got):
+            pd.testing.assert_frame_equal(
+                g.reset_index(drop=True), direct(b).reset_index(drop=True)
+            )
+    finally:
+        pool.shutdown()
