@@ -48,11 +48,14 @@ def _try_real_decoder():
 class ImageDecodeStage:
     """Actor-pool stage: binary payload -> (height, width, mean_byte).
 
-    With a real codec library present this would decode the image; in
-    this container it falls back to a DETERMINISTIC FAKE decode (first
-    4 bytes -> h/w, zlib.crc32-seeded mean) so the distributed plumbing
-    stays exercised end-to-end. Small batches: payloads are large, so
-    batch_size x concurrency must fit worker heaps."""
+    The PIL-seam stage: with a codec library present (strict=True) it
+    decodes through PIL; in this container it falls back to a
+    DETERMINISTIC FAKE decode (first 4 bytes -> h/w, zlib.crc32-seeded
+    mean) so the distributed plumbing stays exercised end-to-end.
+    For PNG/GIF/JPEG/BMP payloads prefer :class:`AnyImageDecodeStage`
+    below — its stdlib kernels need no codec library at all.  Small
+    batches: payloads are large, so batch_size x concurrency must fit
+    worker heaps."""
 
     def __init__(self, payload_col: str = "payload", strict: bool = False):
         self.payload_col = payload_col
