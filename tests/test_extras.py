@@ -120,6 +120,48 @@ def test_simhash_vectorized_matches_per_doc():
     assert got[0] == 0 and got[1] == 0
 
 
+def test_shingle_stage_vectorized_matches_per_doc():
+    """The vectorized unigram ShingleSetStage path (arrow_tokenize +
+    dictionary-level hash_array + lexsort segment-unique) must emit
+    per-row sets bit-identical to shingles(text, 1) — the sets feed
+    both the MinHash signatures and the exact-Jaccard verifier, so any
+    drift would change the LSH pair set."""
+    import numpy as np
+
+    from raybm25.extras.dedup import ShingleSetStage, shingles
+
+    rng = np.random.default_rng(17)
+    words = ["alpha", "beta", "q9", "x", "longertokenhere"] + [
+        f"tok{i}" for i in range(40)
+    ]
+    texts: list[str | None] = [
+        None,
+        "",
+        "   ",
+        "UPPER lower MiXeD",
+        "punct,separated;tokens!here",
+        "héllo wörld café über",  # non-ASCII chars are separators
+        "dup dup dup unique",
+    ]
+    for _ in range(80):
+        k = int(rng.integers(0, 60))
+        texts.append(" ".join(rng.choice(words, size=k).tolist()))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = ShingleSetStage(shingle_n=1)(tbl)
+    sh = out.column("sh")
+    assert out.num_rows == len(texts)
+    for i, t in enumerate(texts):
+        want = shingles(t if isinstance(t, str) else "", 1)
+        got = np.asarray(sh[i].as_py(), dtype=np.uint64)
+        assert got.size == want.size, (i, t)
+        assert (got == want).all(), (i, t)
+
+
 def test_simhash_identical_docs_distance_zero(ray_session):
     import ray.data
 
