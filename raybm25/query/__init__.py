@@ -3,6 +3,7 @@ from .dsl import (  # noqa: F401
     run_analyze,
     run_count,
     run_explain,
+    run_field_caps,
     run_get_mapping,
     run_get_settings,
     run_mget,

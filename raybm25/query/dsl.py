@@ -1479,3 +1479,68 @@ def run_get_settings(index_dir_or_reader) -> dict:
             }
         }
     }
+
+
+# aggregatability per mapped type: text is searchable-only (no
+# doc-values), everything else the engine stores column-backed
+_FIELD_CAPS = {
+    "text": (True, False),
+    "search_as_you_type": (True, False),
+    "keyword": (True, True),
+    "long": (True, True),
+    "double": (True, True),
+    "date": (True, True),
+    "boolean": (True, True),
+    "knn_vector": (True, False),
+}
+
+
+def run_field_caps(index_dirs, fields: list[str] | None = None) -> dict:
+    """``GET /<index>/_field_caps`` over one index dir or a list of
+    them (the alias / wildcard-pattern scatter-gather shape): per
+    field, per mapped type, whether it is searchable / aggregatable,
+    merged across indices. When a field maps to DIFFERENT types in
+    different indices, each type entry carries the ``indices`` that
+    use it — the conflict shape OpenSearch clients key off before
+    building cross-index queries. Derived entirely from each index's
+    committed manifest via :func:`run_get_mapping` (no data reads).
+    ``fields`` filters the response (exact names; None = all)."""
+    import os as _os
+
+    if isinstance(index_dirs, (str, IndexReader)):
+        index_dirs = [index_dirs]
+    want = set(fields) if fields is not None else None
+    # field -> type -> sorted list of index names using it
+    seen: dict[str, dict[str, list[str]]] = {}
+    names: list[str] = []
+    for d in index_dirs:
+        name = (
+            _os.path.basename(_os.path.normpath(d))
+            if isinstance(d, str)
+            else _os.path.basename(_os.path.normpath(d.index_dir))
+        )
+        names.append(name)
+        props = run_get_mapping(d)["mappings"]["properties"]
+        for fld, spec in props.items():
+            if want is not None and fld not in want:
+                continue
+            t = spec.get("type", "keyword")
+            if spec.get("index") is False:
+                continue  # stored-only column: not searchable, omit
+            seen.setdefault(fld, {}).setdefault(t, []).append(name)
+    out: dict[str, dict] = {}
+    for fld in sorted(seen):
+        by_type = seen[fld]
+        out[fld] = {}
+        for t in sorted(by_type):
+            searchable, aggregatable = _FIELD_CAPS.get(t, (True, True))
+            cap = {
+                "type": t,
+                "searchable": searchable,
+                "aggregatable": aggregatable,
+            }
+            # OpenSearch includes per-type index lists only on conflict
+            if len(by_type) > 1:
+                cap["indices"] = sorted(by_type[t])
+            out[fld][t] = cap
+    return {"indices": sorted(names), "fields": out}

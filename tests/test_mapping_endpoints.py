@@ -62,3 +62,71 @@ def test_settings(idx):
     assert s["positions"] is True
     assert s["docstore_partitions"] == 2
     assert s["analysis"]["analyzer"]
+
+
+@pytest.fixture(scope="module")
+def idx2(ray_session, tmp_path_factory):
+    """Second index where ``n`` is a DOUBLE (field-caps type conflict)."""
+    tmp = tmp_path_factory.mktemp("mapend2")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1],
+                "text": ["delta epsilon", "zeta"],
+                "lang": ["fr", "en"],
+                "n": [1.5, 2.5],
+            }
+        ),
+        str(tmp / "d.parquet"),
+    )
+    out = str(tmp / "idx2")
+    build_index(
+        str(tmp / "d.parquet"),
+        out,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("text",),
+        sayt_cols=(),
+        keyword_cols=("lang",),
+        stored_cols=["text", "lang", "n"],
+        num_buckets=2,
+    )
+    return out
+
+
+def test_field_caps_single(idx):
+    from raybm25.query.dsl import run_field_caps
+
+    caps = run_field_caps(idx)
+    assert caps["indices"] == ["idx"]
+    f = caps["fields"]
+    assert f["text"] == {
+        "text": {"type": "text", "searchable": True, "aggregatable": False}
+    }
+    assert f["lang"]["keyword"]["aggregatable"] is True
+    assert f["n"]["long"] == {
+        "type": "long", "searchable": True, "aggregatable": True
+    }
+    assert f["embedding"]["knn_vector"]["aggregatable"] is False
+    # stored-only (index: False) columns are not searchable -> omitted
+    assert "title" not in f and "doc_id" not in f
+
+
+def test_field_caps_multi_index_conflict(idx, idx2):
+    from raybm25.query.dsl import run_field_caps
+
+    caps = run_field_caps([idx, idx2])
+    assert caps["indices"] == ["idx", "idx2"]
+    n = caps["fields"]["n"]
+    # conflicting types each carry the indices that use them
+    assert set(n) == {"long", "double"}
+    assert n["long"]["indices"] == ["idx"]
+    assert n["double"]["indices"] == ["idx2"]
+    # non-conflicting fields merge with no indices annotation
+    assert "indices" not in caps["fields"]["text"]["text"]
+    # fields= filter
+    only = run_field_caps([idx, idx2], fields=["lang"])
+    assert list(only["fields"]) == ["lang"]
