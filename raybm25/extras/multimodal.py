@@ -9,16 +9,21 @@ interlace + animation + transparency — :mod:`raybm25.extras.gif`),
 and baseline JPEG (pure Huffman + einsum IDCT, 4:2:0/4:2:2/4:4:4,
 restart markers — :mod:`raybm25.extras.jpeg`);
 ``AnyImageDecodeStage`` sniffs magic bytes and routes a mixed corpus
-to the right kernel.  Formats that genuinely need external codecs
-(MP3/video/...) stay STUBBED behind an import-try (clearly marked);
-their Ray-side plumbing — schema, actor signature, batch sizing,
-output layout — is real and tested with a deterministic fake
-decoder.
+to the right kernel.  Compressed audio/video METADATA is also real:
+MPEG-audio frame walk (:mod:`raybm25.extras.mp3` — exact frame
+count / duration / bitrate / VBR) and ISO-BMFF box walk
+(:mod:`raybm25.extras.mp4` — brand / duration / per-track
+handler / codec / resolution).  Only SAMPLE decode for those formats
+(PCM synthesis, video frames) genuinely needs external codecs and
+stays STUBBED behind an import-try (clearly marked); its Ray-side
+plumbing — schema, actor signature, batch sizing, output layout —
+is real and tested with a deterministic fake decoder.
 """
 
 from __future__ import annotations
 
 import zlib
+from struct import error as struct_error
 
 import numpy as np
 import pyarrow as pa
@@ -586,5 +591,122 @@ class ReencodeResizeStage:
                 "payload": pa.array(payloads, pa.binary()),
                 "media_type": pa.array(media, pa.string()),
                 "meta": pa.array(metas, META_TYPE),
+            }
+        )
+
+
+class Mp3MetaStage:
+    """Actor-pool stage with a REAL MPEG-audio METADATA kernel
+    (:mod:`raybm25.extras.mp3`): exact frame walk -> version / layer /
+    sample_rate / n_frames / duration / mean bitrate / VBR flag, no
+    codec library and no PCM decode (which genuinely needs one and
+    stays behind the seam). Unparseable payloads raise with
+    ``strict=True``, else emit nulls with ``format="unknown"`` — the
+    skip-don't-crash contract of ``AnyImageDecodeStage``."""
+
+    def __init__(self, payload_col: str = "payload", strict: bool = False):
+        self.payload_col = payload_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .mp3 import mp3_meta
+
+        rows: list[dict | None] = []
+        for b in batch.column(self.payload_col):
+            try:
+                rows.append(mp3_meta(b.as_py() or b""))
+            except ValueError:
+                if self.strict:
+                    raise
+                rows.append(None)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "format": pa.array(
+                    ["mp3" if r else "unknown" for r in rows], pa.string()
+                ),
+                "sample_rate": pa.array(
+                    [r["sample_rate"] if r else None for r in rows], pa.int32()
+                ),
+                "n_frames": pa.array(
+                    [r["n_frames"] if r else None for r in rows], pa.int64()
+                ),
+                "duration_s": pa.array(
+                    [r["duration_s"] if r else None for r in rows], pa.float64()
+                ),
+                "avg_bitrate_kbps": pa.array(
+                    [r["avg_bitrate_kbps"] if r else None for r in rows],
+                    pa.float64(),
+                ),
+                "is_vbr": pa.array(
+                    [r["is_vbr"] if r else None for r in rows], pa.bool_()
+                ),
+            }
+        )
+
+
+class Mp4MetaStage:
+    """Actor-pool stage with a REAL ISO-BMFF METADATA kernel
+    (:mod:`raybm25.extras.mp4`): box-tree walk -> brand, movie
+    duration, track counts and the primary video/audio triage columns
+    (codec fourcc, resolution). Output is flat scalar columns (Arrow-
+    and pandas-friendly); callers needing the full per-track list use
+    ``mp4.mp4_meta`` directly. Sample data is never touched — frame
+    decode genuinely needs codec libraries and stays behind the seam.
+    Same strict/skip contract as :class:`Mp3MetaStage`."""
+
+    def __init__(self, payload_col: str = "payload", strict: bool = False):
+        self.payload_col = payload_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .mp4 import mp4_meta
+
+        rows: list[dict | None] = []
+        for b in batch.column(self.payload_col):
+            try:
+                rows.append(mp4_meta(b.as_py() or b""))
+            except (ValueError, struct_error):
+                if self.strict:
+                    raise
+                rows.append(None)
+
+        def _primary(r: dict | None, handler: str) -> dict | None:
+            if not r:
+                return None
+            for t in r["tracks"]:
+                if t["handler"] == handler:
+                    return t
+            return None
+
+        vids = [_primary(r, "vide") for r in rows]
+        auds = [_primary(r, "soun") for r in rows]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "format": pa.array(
+                    ["mp4" if r else "unknown" for r in rows], pa.string()
+                ),
+                "brand": pa.array(
+                    [r["brand"] if r else None for r in rows], pa.string()
+                ),
+                "duration_s": pa.array(
+                    [r["duration_s"] if r else None for r in rows], pa.float64()
+                ),
+                "n_tracks": pa.array(
+                    [r["n_tracks"] if r else None for r in rows], pa.int32()
+                ),
+                "video_codec": pa.array(
+                    [v["codec"] if v else None for v in vids], pa.string()
+                ),
+                "width": pa.array(
+                    [v["width"] if v else None for v in vids], pa.int32()
+                ),
+                "height": pa.array(
+                    [v["height"] if v else None for v in vids], pa.int32()
+                ),
+                "audio_codec": pa.array(
+                    [a["codec"] if a else None for a in auds], pa.string()
+                ),
             }
         )
