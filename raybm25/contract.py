@@ -1551,6 +1551,104 @@ def q_multimodal_meta(sf_dir: str):
     return out[["doc_id", "n_bytes"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _gen_mp3_payloads(batch):
+    """Deterministic MPEG-audio payload per doc_id: n_frames =
+    10 + doc_id%40; even ids CBR 128 kbps, odd ids VBR 64/160 — so a
+    pure-SQL oracle can compute the expected metadata from doc_id
+    arithmetic while the Ray side parses REAL frame headers."""
+    import pyarrow as _pa
+
+    from .extras.mp3 import encode_fixture_mp3
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads = [
+        encode_fixture_mp3(
+            n_frames=10 + d % 40,
+            kbps_pattern=[128] if d % 2 == 0 else [64, 160],
+        )
+        for d in ids
+    ]
+    return _pa.table(
+        {"doc_id": batch.column("doc_id"), "payload": _pa.array(payloads, _pa.binary())}
+    )
+
+
+def q_media_meta_mp3(sf_dir: str):
+    """MPEG-audio metadata over a deterministic synthetic corpus: the
+    stdlib frame-walk kernel (extras/mp3.py) run as an actor-pool
+    stage; every output value is doc_id arithmetic the SQL oracle
+    reproduces exactly (frame counts, duration, mean bitrate, VBR)."""
+    from .extras.multimodal import Mp3MetaStage
+    from .util import auto_concurrency
+
+    out = (
+        _docs_ds(sf_dir, columns=("doc_id",))
+        .map_batches(_gen_mp3_payloads, batch_format="pyarrow")
+        .map_batches(
+            Mp3MetaStage, batch_format="pyarrow", concurrency=auto_concurrency()
+        )
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_frames"] = out["n_frames"].astype("int64")
+    out["sample_rate"] = out["sample_rate"].astype("int64")
+    out["vbr"] = out["is_vbr"].astype("int64")
+    return (
+        out[["doc_id", "n_frames", "sample_rate", "duration_s", "avg_bitrate_kbps", "vbr"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _gen_mp4_payloads(batch):
+    """Deterministic ISO-BMFF payload per doc_id: duration
+    1 + 0.5*(doc_id%30) s (binary-exact halves), resolution and video
+    codec from doc_id arithmetic, one video + one audio track."""
+    import pyarrow as _pa
+
+    from .extras.mp4 import encode_fixture_mp4
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads = [
+        encode_fixture_mp4(
+            duration_s=1.0 + 0.5 * (d % 30),
+            video=(160 + (d % 16) * 16, 120 + (d % 9) * 8, "avc1" if d % 2 == 0 else "hev1"),
+            audio="mp4a",
+        )
+        for d in ids
+    ]
+    return _pa.table(
+        {"doc_id": batch.column("doc_id"), "payload": _pa.array(payloads, _pa.binary())}
+    )
+
+
+def q_media_meta_mp4(sf_dir: str):
+    """ISO-BMFF container metadata over a deterministic synthetic
+    corpus: the stdlib box-walk kernel (extras/mp4.py) as an actor-pool
+    stage; duration / resolution / codec mix reproduced by the SQL
+    oracle from doc_id arithmetic."""
+    from .extras.multimodal import Mp4MetaStage
+    from .util import auto_concurrency
+
+    out = (
+        _docs_ds(sf_dir, columns=("doc_id",))
+        .map_batches(_gen_mp4_payloads, batch_format="pyarrow")
+        .map_batches(
+            Mp4MetaStage, batch_format="pyarrow", concurrency=auto_concurrency()
+        )
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_tracks"] = out["n_tracks"].astype("int64")
+    out["width"] = out["width"].astype("int64")
+    out["height"] = out["height"].astype("int64")
+    return (
+        out[["doc_id", "duration_s", "width", "height", "video_codec", "audio_codec", "n_tracks"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF ANN top-10 for the vec_id=0 query (nprobe=4 of 8 buckets);
     rows-only check here, exactness vs brute force is pytest-gated."""
@@ -3821,6 +3919,29 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes"
         " FROM documents ORDER BY doc_id"
     ),
+    # the media payloads are a deterministic function of doc_id (see
+    # _gen_mp3_payloads / _gen_mp4_payloads), so the oracle reproduces
+    # the REAL parser's outputs with pure arithmetic
+    "media_meta_mp3": (
+        "WITH f AS (SELECT doc_id, 10 + doc_id % 40 AS n_frames FROM documents)"
+        " SELECT doc_id, n_frames, CAST(44100 AS BIGINT) AS sample_rate,"
+        " CAST(n_frames * 1152 AS DOUBLE) / 44100 AS duration_s,"
+        " CASE WHEN doc_id % 2 = 0 THEN 128.0 ELSE"
+        "  (64 * CAST(CEIL(n_frames / 2.0) AS BIGINT)"
+        "   + 160 * (n_frames // 2)) / CAST(n_frames AS DOUBLE) END"
+        "  AS avg_bitrate_kbps,"
+        " CAST(doc_id % 2 AS BIGINT) AS vbr"
+        " FROM f ORDER BY doc_id"
+    ),
+    "media_meta_mp4": (
+        "SELECT doc_id,"
+        " (1000 + (doc_id % 30) * 500) / 1000.0 AS duration_s,"
+        " CAST(160 + (doc_id % 16) * 16 AS BIGINT) AS width,"
+        " CAST(120 + (doc_id % 9) * 8 AS BIGINT) AS height,"
+        " CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS video_codec,"
+        " 'mp4a' AS audio_codec, CAST(2 AS BIGINT) AS n_tracks"
+        " FROM documents ORDER BY doc_id"
+    ),
     "sayt_prefix_docs": (
         f"WITH {TOKS_CTE}"
         " SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'merg%' ORDER BY doc_id"
@@ -4142,6 +4263,8 @@ QUERIES = {
     "quality_score": q_quality_score,
     "fingerprint_stats": q_fingerprint_stats,
     "multimodal_meta": q_multimodal_meta,
+    "media_meta_mp3": q_media_meta_mp3,
+    "media_meta_mp4": q_media_meta_mp4,
     "approx_distinct_users": q_approx_distinct_users,
     "sayt_prefix_docs": q_sayt_prefix_docs,
     "wildcard_docs": q_wildcard_docs,
@@ -4174,6 +4297,7 @@ QUERIES = {
 # red in round 4 (HUGEINT cast, fixed) so their green re-check is
 # driver-visible.  Pure reorder — every entry keeps its callable/SQL.
 _DRIVER_PRIORITY = [
+    "media_meta_mp3", "media_meta_mp4",
     "boosting_demote", "agg_filters_lang", "agg_metrics_nchars",
     "intervals_ordered", "span_near_docs", "suggest_completion",
     "termvectors_doc", "field_stats", "mget_docs", "suggest_phrase",
