@@ -206,16 +206,28 @@ def test_multimodal_stage_plumbing(ray_session):
     from raybm25.extras.multimodal import ImageDecodeStage, documents_as_payloads
 
     ds = _docs_ds().map_batches(documents_as_payloads, batch_format="pyarrow")
-    out = ds.map_batches(
-        ImageDecodeStage, batch_format="pyarrow", concurrency=2, batch_size=16
-    ).to_pandas()
+    # block arrival order is not deterministic under load (streaming
+    # executor): compare runs keyed by doc_id, not by row position
+    out = (
+        ds.map_batches(
+            ImageDecodeStage, batch_format="pyarrow", concurrency=2, batch_size=16
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
     assert {"doc_id", "media_type", "meta"} <= set(out.columns)
     m = out["meta"].iloc[0]
     assert set(m.keys()) == {"height", "width", "mean_byte"}
     # deterministic fake decode
-    out2 = ds.map_batches(
-        ImageDecodeStage, batch_format="pyarrow", concurrency=2, batch_size=16
-    ).to_pandas()
+    out2 = (
+        ds.map_batches(
+            ImageDecodeStage, batch_format="pyarrow", concurrency=2, batch_size=16
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
     assert (out["meta"] == out2["meta"]).all()
 
 
