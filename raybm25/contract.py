@@ -1551,6 +1551,51 @@ def q_multimodal_meta(sf_dir: str):
     return out[["doc_id", "n_bytes"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_force_merge_survivors(sf_dir: str):
+    """_forcemerge on the scan layout: build a scan index over
+    ``documents``, tombstone every doc matching 'sort'
+    (delete_by_query leaves docstore bytes in place on this layout),
+    then ``force_merge`` and read doc ids STRAIGHT FROM THE DOCSTORE
+    FILES. Without the physical compaction the tombstoned rows would
+    still be present and the oracle hash would fail — passing proves
+    rows were reclaimed, ordinals re-densified and the keyidx
+    remapped (loader/forcemerge.py)."""
+    import glob
+    import shutil
+
+    from .index.build_scan import build_index_scan
+    from .loader.delete import delete_by_query
+    from .loader.forcemerge import force_merge
+
+    work = os.path.join(CACHE_ROOT, f"fmidx_{_tag(sf_dir)}")
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    build_index_scan(
+        os.path.join(sf_dir, "documents.parquet"),
+        work,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("text",),
+        keyword_cols=("lang",),
+        stored_cols=["text", "lang"],
+        postings_shards=8,
+        range_parts=4,
+        key_buckets=8,
+    )
+    delete_by_query(work, "sort", rebuild=False)
+    force_merge(work)  # rebuilds postings + recommits stats itself
+    parts = []
+    for p in sorted(glob.glob(os.path.join(work, "docs", "*.parquet"))):
+        parts.append(pa.parquet.read_table(p, columns=["doc_id"]).column("doc_id"))
+    ids = np.sort(
+        np.concatenate([c.to_numpy(zero_copy_only=False) for c in parts]).astype(
+            np.uint64
+        )
+    )
+    return pd.DataFrame({"doc_id": pd.array(ids.astype(np.int64), dtype="int64")})
+
+
 def _gen_mp3_payloads(batch):
     """Deterministic MPEG-audio payload per doc_id: n_frames =
     10 + doc_id%40; even ids CBR 128 kbps, odd ids VBR 64/160 — so a
@@ -3809,6 +3854,13 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM m)"
         " ORDER BY doc_id"
     ),
+    # same survivor set, but read from a force-merged scan docstore
+    "force_merge_survivors": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'sort')"
+        " SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM m)"
+        " ORDER BY doc_id"
+    ),
     "sort_by_nchars": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('join', 'merge'))"
@@ -4243,6 +4295,7 @@ QUERIES = {
     "export_matching": q_export_matching,
     "update_by_query": q_update_by_query,
     "delete_by_query": q_delete_by_query,
+    "force_merge_survivors": q_force_merge_survivors,
     "sort_by_nchars": q_sort_by_nchars,
     "cardinality_source": q_cardinality_source,
     "keyword_lang": q_keyword_lang,
@@ -4297,7 +4350,7 @@ QUERIES = {
 # red in round 4 (HUGEINT cast, fixed) so their green re-check is
 # driver-visible.  Pure reorder — every entry keeps its callable/SQL.
 _DRIVER_PRIORITY = [
-    "media_meta_mp3", "media_meta_mp4",
+    "media_meta_mp3", "media_meta_mp4", "force_merge_survivors",
     "boosting_demote", "agg_filters_lang", "agg_metrics_nchars",
     "intervals_ordered", "span_near_docs", "suggest_completion",
     "termvectors_doc", "field_stats", "mget_docs", "suggest_phrase",
