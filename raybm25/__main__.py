@@ -8,6 +8,7 @@ args, print effective config, run the Loader, always clean up).
                              [--layout scan|hash] [--key-col url] ...
     python -m raybm25 search --index DIR --query "text" [-k 10] [--field f]
     python -m raybm25 searchfile --index DIR --queries q.parquet --out DIR
+    python -m raybm25 forcemerge --index DIR [--no-rebuild]
     python -m raybm25 bench  [...]            (delegates to bench.py envs)
 
 Owns its Ray session (guarded init) — library code never does.
@@ -146,6 +147,16 @@ def cmd_searchfile(args) -> int:
     return 0
 
 
+def cmd_forcemerge(args) -> int:
+    """Physical tombstone compaction (the ``_forcemerge`` analog) —
+    scan layout only; prints the reclamation stats JSON."""
+    _ray_session()
+    from .loader.forcemerge import force_merge
+
+    print(json.dumps(force_merge(args.index, rebuild=not args.no_rebuild)))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="raybm25")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -187,6 +198,17 @@ def main(argv=None) -> int:
     pf.add_argument("--batch-size", type=int, default=16)
     pf.add_argument("--concurrency", type=int, default=None)
     pf.set_defaults(fn=cmd_searchfile)
+
+    pm = sub.add_parser(
+        "forcemerge", help="reclaim tombstoned rows (scan layout)"
+    )
+    pm.add_argument("--index", required=True)
+    pm.add_argument(
+        "--no-rebuild",
+        action="store_true",
+        help="skip the postings rebuild (batch maintenance ops)",
+    )
+    pm.set_defaults(fn=cmd_forcemerge)
 
     args = p.parse_args(argv)
     try:
