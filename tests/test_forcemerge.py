@@ -213,3 +213,39 @@ def test_updates_through_remapped_keyidx(ray_session, tmp_path):
     r1 = IndexReader(idx)
     assert len(r1.search("omega", k=10)) == 1
     assert len(r1.search("rewritten", k=10)) == 1
+
+
+def test_forcemerge_cli(ray_session, tmp_path, capsys):
+    """CLI subcommand: build scan -> delete -> forcemerge JSON stats."""
+    import pyarrow as pa
+
+    from raybm25.__main__ import main as cli_main
+
+    src = tmp_path / "p.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "url": [f"u{i}" for i in range(12)],
+                "warc_ts": [1] * 12,
+                "text": [
+                    f"doc {i} spamword here" if i < 3 else f"doc {i} clean text"
+                    for i in range(12)
+                ],
+            }
+        ),
+        str(src),
+    )
+    idx = str(tmp_path / "idx")
+    build_index_scan(str(src), idx, key_col="url", ts_col="warc_ts",
+                     key_buckets=2)
+    from raybm25.loader.delete import delete_by_query
+
+    assert delete_by_query(idx, "spamword")["deleted"] == 3
+    rc = cli_main(["forcemerge", "--index", idx])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["reclaimed_rows"] == 3
+    assert out["dropped_keyidx_entries"] == 3
+    r = IndexReader(idx)
+    assert r.n_docs == 9
+    assert r.search("spamword", k=10) == []
