@@ -1075,6 +1075,39 @@ class IndexReader:
         order = np.lexsort((uniq, -counts))[:size]
         return [(str(uniq[i]), int(counts[i])) for i in order]
 
+    def _drop_dead_ordinals(self, ordinals: np.ndarray) -> np.ndarray:
+        """Filter out ordinals tombstoned by scan-layout deletes. Dead
+        sets load lazily per touched partition and cache on the reader
+        (same lifetime as ``_bucket_ids`` — maintenance commits are
+        followed by reopening the reader)."""
+        import json
+
+        from ..index.build_scan import DEAD_SUBDIR
+
+        cache = getattr(self, "_dead_cache", None)
+        if cache is None:
+            cache = self._dead_cache = {}
+        keep = np.ones(ordinals.size, dtype=bool)
+        for b in np.unique(ordinals >> np.uint64(ORD_SHIFT)):
+            dead = cache.get(int(b))
+            if dead is None:
+                dpath = os.path.join(
+                    self.index_dir, DEAD_SUBDIR, f"part={int(b):05d}.json"
+                )
+                if os.path.exists(dpath):
+                    with open(dpath) as fh:
+                        dead = np.unique(np.array(json.load(fh), dtype=np.uint64))
+                else:
+                    dead = np.empty(0, dtype=np.uint64)
+                cache[int(b)] = dead
+            if dead.size == 0:
+                continue
+            m = (ordinals >> np.uint64(ORD_SHIFT)) == b
+            o = ordinals[m]
+            pos = np.minimum(np.searchsorted(dead, o), dead.size - 1)
+            keep[m] &= dead[pos] != o
+        return ordinals[keep]
+
     def _all_ordinals(self) -> np.ndarray:
         """Sorted ordinals of every live doc — the candidate set of a
         ``global`` aggregation. Row counts come from parquet METADATA
@@ -3228,6 +3261,13 @@ class IndexReader:
                 return pa.table({})
             idx = pads.dataset(kb_paths).to_table(filter=pads.field("doc_id").isin(ids))
             ordinals = idx.column("ordinal").to_numpy(zero_copy_only=False).astype(np.uint64)
+            if ordinals.size == 0:
+                return pa.table({})
+            # drop tombstoned ordinals: delete visibility must not wait
+            # for a force_merge (OpenSearch _mget of a deleted doc is
+            # found: false immediately) — the keyidx is only rewritten
+            # at merge time, so the dead lists are consulted here
+            ordinals = self._drop_dead_ordinals(ordinals)
             if ordinals.size == 0:
                 return pa.table({})
             parts = np.unique(ordinals >> np.uint64(ORD_SHIFT))

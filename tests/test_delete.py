@@ -165,3 +165,30 @@ def test_delete_touch_only_with_checkpoints(ray_session, tmp_path):
     assert len(changed) == 1, changed
     r = IndexReader(idx)
     assert 3 not in {d for d, _ in r.search("sort", k=10)}
+
+
+def test_scan_tombstone_mget_visibility(scan_pair):
+    """_mget / get_docs must not return tombstoned docs BEFORE a
+    force_merge: the keyidx is only rewritten at merge time, so the
+    dead lists gate point lookups (OpenSearch returns found: false
+    immediately after a delete)."""
+    import numpy as np
+
+    from raybm25.query.dsl import run_mget
+
+    src, idx, tmp_path = scan_pair
+    r = IndexReader(idx)
+    hits: list[int] = []
+    for t in r.term_dictionary().to_pylist():
+        hits = [d for d, _ in r.search(t, k=4)]
+        if len(hits) >= 2:
+            break
+    assert len(hits) >= 2
+    victim, survivor = hits[0], hits[1]
+    delete_docs(idx, [victim])
+    r2 = IndexReader(idx)
+    resp = run_mget(r2, {"ids": [int(victim), int(survivor)]})
+    assert resp["docs"][0]["found"] is False
+    assert resp["docs"][1]["found"] is True
+    got = r2.get_docs(np.array([victim, survivor], dtype=np.uint64))
+    assert got.column("doc_id").to_pylist() == [survivor]
