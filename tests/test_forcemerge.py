@@ -249,3 +249,36 @@ def test_forcemerge_cli(ray_session, tmp_path, capsys):
     r = IndexReader(idx)
     assert r.n_docs == 9
     assert r.search("spamword", k=10) == []
+
+
+def test_force_merge_empty_partition(ray_session, tmp_path):
+    """A partition whose every row is tombstoned compacts to an empty
+    (schema-preserving) file; the rebuild and searches stay correct."""
+    import pyarrow as pa
+
+    from raybm25.loader.delete import delete_by_query
+
+    pq.write_table(
+        pa.table({"url": [f"a{i}" for i in range(6)], "warc_ts": [1] * 6,
+                  "text": [f"keep alpha {i}" for i in range(6)]}),
+        str(tmp_path / "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"url": [f"b{i}" for i in range(4)], "warc_ts": [1] * 4,
+                  "text": [f"zap beta {i}" for i in range(4)]}),
+        str(tmp_path / "f2.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index_scan(
+        [str(tmp_path / "f1.parquet"), str(tmp_path / "f2.parquet")],
+        idx, key_col="url", ts_col="warc_ts", key_buckets=2,
+    )
+    delete_by_query(idx, "zap")
+    stats = force_merge(idx)
+    assert stats["reclaimed_rows"] == 4
+    assert stats["dropped_keyidx_entries"] == 4
+    assert _docstore_rows(idx) == 6
+    r = IndexReader(idx)
+    assert r.n_docs == 6
+    assert r.search("zap", k=10) == []
+    assert len(r.search("keep", k=10)) == 6
