@@ -3351,7 +3351,261 @@ def _term_stats_sql(stat: str) -> str:
     )
 
 
+# ------------------------------------------------------- rank_eval
+# Deterministic relevance judgments over ``documents``: docs with
+# doc_id % 2 == 0 are rated, rating = doc_id % 3 (0..2), relevance
+# threshold 1 — both sides (engine ratings list and SQL CASE
+# expressions) derive them from doc_id alone, so DuckDB reproduces the
+# metric arithmetic exactly.  Dense-even rating keeps every top-10
+# page mixed rated/unrated, so precision/recall/MRR/DCG all take
+# non-trivial values (unlabeled-as-irrelevant denominators included).
+_RANK_EVAL_QUERIES = ("merge", "join filter", "stream window")
+_RANK_EVAL_K = 10
+
+
+def _rank_eval_requests(sf_dir: str) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    ids = (
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        .column("doc_id")
+        .to_numpy()
+    )
+    rated = np.sort(ids[ids % 2 == 0])
+    ratings = [{"_id": int(d), "rating": int(d % 3)} for d in rated]
+    return [
+        {
+            "id": q,
+            "request": {"query": {"match": {"text": q}}},
+            "ratings": ratings,
+        }
+        for q in _RANK_EVAL_QUERIES
+    ]
+
+
+def q_rank_eval_prf(sf_dir: str):
+    """``_rank_eval`` endpoint over three match requests: per-request
+    precision@10 / recall@10 / MRR@10 against the deterministic
+    doc_id-derived judgments (query/rankeval.run_rank_eval — the
+    OpenSearch Ranking Evaluation API the reference's users tune
+    their queries with)."""
+    from .query.rankeval import run_rank_eval
+
+    r = _reader(sf_dir)
+    reqs = _rank_eval_requests(sf_dir)
+    per: dict[str, dict] = {}
+    for metric in (
+        {"precision": {"k": _RANK_EVAL_K}},
+        {"recall": {"k": _RANK_EVAL_K}},
+        {"mean_reciprocal_rank": {"k": _RANK_EVAL_K}},
+    ):
+        out = run_rank_eval(r, {"requests": reqs, "metric": metric})
+        per[next(iter(metric))] = out["details"]
+    rows = [
+        {
+            "request": q,
+            "prec": per["precision"][q]["metric_score"],
+            "recall": per["recall"][q]["metric_score"],
+            "mrr": per["mean_reciprocal_rank"][q]["metric_score"],
+        }
+        for q in _RANK_EVAL_QUERIES
+    ]
+    return (
+        pd.DataFrame(rows).sort_values("request").reset_index(drop=True)
+    )
+
+
+def q_rank_eval_ndcg(sf_dir: str):
+    """``_rank_eval`` DCG metric: per-request DCG@10, ideal DCG and
+    NDCG (normalize=true), summation pinned to ascending rank order
+    on both sides."""
+    from .query.rankeval import run_rank_eval
+
+    r = _reader(sf_dir)
+    reqs = _rank_eval_requests(sf_dir)
+    out_d = run_rank_eval(
+        r, {"requests": reqs, "metric": {"dcg": {"k": _RANK_EVAL_K}}}
+    )
+    out_n = run_rank_eval(
+        r,
+        {
+            "requests": reqs,
+            "metric": {"dcg": {"k": _RANK_EVAL_K, "normalize": True}},
+        },
+    )
+    rows = []
+    for q in _RANK_EVAL_QUERIES:
+        nd = out_n["details"][q]["metric_details"]["dcg"]
+        rows.append(
+            {
+                "request": q,
+                "dcg": out_d["details"][q]["metric_score"],
+                "ideal_dcg": nd["ideal_dcg"],
+                "ndcg": nd["normalized_dcg"],
+            }
+        )
+    return (
+        pd.DataFrame(rows).sort_values("request").reset_index(drop=True)
+    )
+
+
+_RE_RATED = "doc_id % 2 = 0"
+_RE_REL = f"{_RE_RATED} AND doc_id % 3 >= 1"
+
+
+def _rank_eval_topk_ctes() -> list[str]:
+    """One CTE per request holding its BM25 top-k ``(rank, doc_id)``
+    page (the full pinned `_bm25_sql` statement nested as a CTE
+    body)."""
+    return [
+        f"t{j} AS ({_bm25_sql(q, _RANK_EVAL_K, cols='rank, doc_id')})"
+        for j, q in enumerate(_RANK_EVAL_QUERIES)
+    ]
+
+
+def _rank_eval_prf_sql() -> str:
+    parts = ["WITH " + ",\n".join(_rank_eval_topk_ctes()) + ","]
+    parts.append(
+        f"nrel AS (SELECT count(*) AS n FROM documents WHERE {_RE_REL})"
+    )
+    sels = []
+    for j, q in enumerate(_RANK_EVAL_QUERIES):
+        relk = f"sum(CASE WHEN {_RE_REL} THEN 1 ELSE 0 END)"
+        sels.append(
+            f"SELECT '{q}' AS request,"
+            f" CAST({relk} AS DOUBLE) / count(*) AS prec,"
+            f" CAST({relk} AS DOUBLE) / (SELECT n FROM nrel) AS recall,"
+            f" COALESCE(1.0 / min(CASE WHEN {_RE_REL} THEN rank END), 0.0)"
+            f" AS mrr FROM t{j}"
+        )
+    parts.append(
+        "SELECT request, prec, recall, mrr FROM ("
+        + " UNION ALL ".join(sels)
+        + ") ORDER BY request"
+    )
+    return "\n".join(parts)
+
+
+def _rank_eval_ndcg_sql() -> str:
+    """Per-request DCG/idealDCG/NDCG with the float-add chain written
+    out rank by rank (SQL ``a + b + c`` parses left-to-right — the
+    engine's ascending-rank accumulation order)."""
+    gain = (
+        "(pow(2.0, CAST(doc_id % 3 AS DOUBLE)) - 1.0) / log2({i}.0 + 1.0)"
+    )
+    parts = ["WITH " + ",\n".join(_rank_eval_topk_ctes()) + ","]
+    parts.append(
+        "ideal AS (SELECT row_number() OVER (ORDER BY doc_id % 3 DESC,"
+        f" doc_id) AS rk, doc_id % 3 AS rating FROM documents"
+        f" WHERE {_RE_RATED}),"
+    )
+    # per-rank ideal gains (request-independent)
+    ig = ", ".join(
+        "COALESCE((SELECT (pow(2.0, CAST(rating AS DOUBLE)) - 1.0)"
+        f" / log2({i}.0 + 1.0) FROM ideal WHERE rk = {i}), 0.0) AS ig{i}"
+        for i in range(1, _RANK_EVAL_K + 1)
+    )
+    parts.append(f"igains AS (SELECT {ig})")
+    sels = []
+    for j, q in enumerate(_RANK_EVAL_QUERIES):
+        dterms = " + ".join(
+            f"COALESCE(max(CASE WHEN rank = {i} AND {_RE_RATED} THEN "
+            + gain.format(i=i)
+            + " END), 0.0)"
+            for i in range(1, _RANK_EVAL_K + 1)
+        )
+        # engine truncates the ideal list to the number of hits
+        # actually ranked, so gate each ideal term on retrieved count
+        iterms = " + ".join(
+            f"CASE WHEN {i} <= count(*) THEN (SELECT ig{i} FROM igains)"
+            " ELSE 0.0 END"
+            for i in range(1, _RANK_EVAL_K + 1)
+        )
+        sels.append(
+            f"SELECT '{q}' AS request, {dterms} AS dcg,"
+            f" {iterms} AS ideal_dcg FROM t{j}"
+        )
+    parts.append(
+        "SELECT request, dcg, ideal_dcg,"
+        " CASE WHEN ideal_dcg = 0.0 THEN 0.0 ELSE dcg / ideal_dcg END"
+        " AS ndcg FROM ("
+        + " UNION ALL ".join(sels)
+        + ") ORDER BY request"
+    )
+    return "\n".join(parts)
+
+
+# --------------------------------------------------- decontamination
+def q_decontam_trigram(sf_dir: str):
+    """Train/test decontamination (extras/decontam): docs with
+    doc_id % 97 == 0 form the held-out eval slice; every OTHER doc
+    sharing a word trigram with it is contaminated.  Broadcast
+    membership test (sorted eval n-gram hashes via ray.put), streamed
+    ``map_batches`` over the corpus — no shuffle.  Returns
+    (doc_id, contam_ngrams = DISTINCT shared trigrams) per
+    contaminated doc."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from .extras.decontam import ContaminationStage, build_eval_ngrams
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    evt = pq.read_table(path, columns=["doc_id", "text"])
+    ids = evt.column("doc_id").to_numpy()
+    eval_texts = evt.column("text").filter(
+        pa.array(ids % 97 == 0)
+    ).to_pylist()
+    ref = ray.put(build_eval_ngrams(eval_texts, n=3))
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    ann = ds.map_batches(
+        ContaminationStage,
+        fn_constructor_kwargs={"eval_hashes": ref, "n": 3},
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+
+    def _keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        mask = (ids % 97 != 0) & t.column("contaminated").to_numpy(
+            zero_copy_only=False
+        )
+        # metadata-free schema: the sort's shuffle dedups block
+        # schemas by hash and pandas metadata breaks that
+        return (
+            t.filter(pa.array(mask))
+            .select(["doc_id", "contam_ngrams"])
+            .replace_schema_metadata(None)
+        )
+
+    out = ann.map_batches(_keep, batch_format="pyarrow").sort("doc_id")
+    df = out.to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["contam_ngrams"] = df["contam_ngrams"].astype("int64")
+    return df.reset_index(drop=True)
+
+
+_DECONTAM_SQL = """
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents),
+tg AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+       FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks) - 2)) AS i FROM tl)),
+ev AS (SELECT DISTINCT g FROM tg WHERE doc_id % 97 = 0)
+SELECT tg.doc_id, count(DISTINCT tg.g) AS contam_ngrams
+FROM tg JOIN ev ON tg.g = ev.g
+WHERE tg.doc_id % 97 <> 0
+GROUP BY tg.doc_id
+ORDER BY tg.doc_id
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
+    "rank_eval_prf": _rank_eval_prf_sql(),
+    "rank_eval_ndcg": _rank_eval_ndcg_sql(),
+    "decontam_trigram": _DECONTAM_SQL,
     "doc_count": "SELECT count(*) AS n_docs FROM documents",
     "corpus_stats": (
         f"WITH {TOKS_CTE} SELECT (SELECT count(*) FROM documents) AS n_docs,"
@@ -4318,6 +4572,9 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "media_meta_mp3": q_media_meta_mp3,
     "media_meta_mp4": q_media_meta_mp4,
+    "rank_eval_prf": q_rank_eval_prf,
+    "rank_eval_ndcg": q_rank_eval_ndcg,
+    "decontam_trigram": q_decontam_trigram,
     "approx_distinct_users": q_approx_distinct_users,
     "sayt_prefix_docs": q_sayt_prefix_docs,
     "wildcard_docs": q_wildcard_docs,
@@ -4350,6 +4607,7 @@ QUERIES = {
 # red in round 4 (HUGEINT cast, fixed) so their green re-check is
 # driver-visible.  Pure reorder — every entry keeps its callable/SQL.
 _DRIVER_PRIORITY = [
+    "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",
     "media_meta_mp3", "media_meta_mp4", "force_merge_survivors",
     "boosting_demote", "agg_filters_lang", "agg_metrics_nchars",
     "intervals_ordered", "span_near_docs", "suggest_completion",

@@ -15,3 +15,4 @@ from .dsl import (  # noqa: F401
     run_termvectors,
 )
 from .querystring import parse_query_string, query_string_hits  # noqa: F401
+from .rankeval import run_rank_eval  # noqa: F401
