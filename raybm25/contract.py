@@ -3587,6 +3587,74 @@ def q_decontam_trigram(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality signals per doc
+    (extras/textstats.repetition_batch): duplicate-token fraction,
+    top-bigram coverage, duplicate-trigram fraction, longest
+    same-token run — one vectorized map_batches pass, no shuffle
+    except the final doc_id presentation sort."""
+    import ray.data
+
+    from .extras.textstats import repetition_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = ds.map_batches(
+        lambda t: repetition_batch(t).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+    df = out.to_pandas().reset_index(drop=True)
+    for c in ("doc_id", "n_tokens", "max_token_run"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+_REPETITION_SQL = """
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents),
+tok AS (SELECT doc_id, i, toks[i] AS term
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS i FROM tl)),
+base AS (SELECT doc_id, count(*) AS dl, count(DISTINCT term) AS nd
+         FROM tok GROUP BY doc_id),
+bi AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+       FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks) - 1)) AS i FROM tl)),
+bimax AS (SELECT doc_id, max(c) AS m
+          FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+          GROUP BY doc_id),
+tri AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 2)) AS i FROM tl)),
+tristat AS (SELECT doc_id, count(*) AS nt, count(DISTINCT g) AS ntd
+            FROM tri GROUP BY doc_id),
+runs AS (SELECT doc_id, max(rl) AS mr
+         FROM (SELECT doc_id, term, grp, count(*) AS rl
+               FROM (SELECT doc_id, term, i,
+                            i - row_number() OVER
+                                (PARTITION BY doc_id, term ORDER BY i) AS grp
+                     FROM tok)
+               GROUP BY doc_id, term, grp)
+         GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(b.dl, 0) AS n_tokens,
+       COALESCE(CAST(b.dl - b.nd AS DOUBLE) / b.dl, 0.0) AS dup_token_frac,
+       COALESCE(LEAST(1.0, CAST(2 * bm.m AS DOUBLE) / b.dl), 0.0)
+           AS top_bigram_frac,
+       COALESCE(CAST(ts.nt - ts.ntd AS DOUBLE) / ts.nt, 0.0)
+           AS dup_trigram_frac,
+       COALESCE(r.mr, 0) AS max_token_run
+FROM documents d
+LEFT JOIN base b USING(doc_id)
+LEFT JOIN bimax bm USING(doc_id)
+LEFT JOIN tristat ts USING(doc_id)
+LEFT JOIN runs r USING(doc_id)
+ORDER BY d.doc_id
+"""
+
+
 _DECONTAM_SQL = """
 WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
             FROM documents),
@@ -3606,6 +3674,7 @@ ORACLE_SQL: dict[str, str] = {
     "rank_eval_prf": _rank_eval_prf_sql(),
     "rank_eval_ndcg": _rank_eval_ndcg_sql(),
     "decontam_trigram": _DECONTAM_SQL,
+    "repetition_signals": _REPETITION_SQL,
     "doc_count": "SELECT count(*) AS n_docs FROM documents",
     "corpus_stats": (
         f"WITH {TOKS_CTE} SELECT (SELECT count(*) FROM documents) AS n_docs,"
@@ -4575,6 +4644,7 @@ QUERIES = {
     "rank_eval_prf": q_rank_eval_prf,
     "rank_eval_ndcg": q_rank_eval_ndcg,
     "decontam_trigram": q_decontam_trigram,
+    "repetition_signals": q_repetition_signals,
     "approx_distinct_users": q_approx_distinct_users,
     "sayt_prefix_docs": q_sayt_prefix_docs,
     "wildcard_docs": q_wildcard_docs,
@@ -4608,6 +4678,7 @@ QUERIES = {
 # driver-visible.  Pure reorder — every entry keeps its callable/SQL.
 _DRIVER_PRIORITY = [
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",
+    "repetition_signals",
     "media_meta_mp3", "media_meta_mp4", "force_merge_survivors",
     "boosting_demote", "agg_filters_lang", "agg_metrics_nchars",
     "intervals_ordered", "span_near_docs", "suggest_completion",

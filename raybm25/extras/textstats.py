@@ -200,3 +200,119 @@ def chunk_batch(
             "n_tokens": pa.array(n_tokens, pa.int64()),
         }
     )
+
+
+def _per_doc_max(doc_of_group: np.ndarray, values: np.ndarray,
+                 n_rows: int) -> np.ndarray:
+    """Max of ``values`` per doc (groups sorted by doc; docs with no
+    group get 0)."""
+    out = np.zeros(n_rows, dtype=np.int64)
+    if doc_of_group.size:
+        np.maximum.at(out, doc_of_group, values)
+    return out
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    adapted to token streams), one vectorized pass per batch:
+
+    - ``n_tokens``: analyzer token count
+    - ``dup_token_frac``: (n_tokens - distinct tokens) / n_tokens
+    - ``top_bigram_frac``: min(1, 2 * count(most frequent bigram) /
+      n_tokens) — fraction of tokens covered by the top 2-gram
+    - ``dup_trigram_frac``: (trigrams - distinct trigrams) / trigrams
+    - ``max_token_run``: longest run of one token repeated
+      consecutively (the "aaaa..." degenerate-doc detector)
+
+    All ratios are int/int float64 divisions, so the DuckDB oracle
+    (contract.py::repetition_signals) reproduces them bit-identically.
+    No Python loop over rows: tokenization is the shared Arrow kernel,
+    n-gram codes are integer combinations of dictionary ids, per-doc
+    reductions are sort + reduceat/maximum.at.
+    """
+    from ..analysis import arrow_tokenize
+
+    tid, _terms, doc_pos, dl = arrow_tokenize(batch.column(text_col))
+    n_rows = batch.num_rows
+    dl = dl.astype(np.int64)
+    k = np.int64(len(_terms)) if len(_terms) else np.int64(1)
+    # trigram codes are base-k Horner combinations of dictionary ids:
+    # exact (collision-free) while k**3 < 2**64
+    if int(k) ** 3 >= 2**64:
+        raise ValueError(
+            f"batch has {int(k)} distinct terms; trigram codes would "
+            "overflow uint64 — reduce batch_size"
+        )
+
+    # distinct tokens per doc: sort by (doc, tid), count group starts
+    order = np.lexsort((tid, doc_pos))
+    dsorted, tsorted = doc_pos[order], tid[order]
+    new_group = np.empty(tid.size, dtype=bool)
+    if tid.size:
+        new_group[0] = True
+        new_group[1:] = (dsorted[1:] != dsorted[:-1]) | (
+            tsorted[1:] != tsorted[:-1]
+        )
+    nd = np.bincount(dsorted[new_group], minlength=n_rows).astype(np.int64)
+
+    def _ngram_top_and_distinct(n: int):
+        """(per-doc max n-gram count, per-doc total, per-doc distinct)."""
+        if tid.size < n:
+            z = np.zeros(n_rows, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        same = np.ones(tid.size - n + 1, dtype=bool)
+        code = tid[: tid.size - n + 1].astype(np.uint64)
+        ku = np.uint64(k)
+        for j in range(1, n):
+            sl = slice(j, tid.size - n + 1 + j)
+            same &= doc_pos[sl] == doc_pos[: tid.size - n + 1]
+            code = code * ku + tid[sl].astype(np.uint64)
+        gdoc = doc_pos[: tid.size - n + 1][same]
+        gcode = code[same]
+        total = np.bincount(gdoc, minlength=n_rows).astype(np.int64)
+        if gdoc.size == 0:
+            z = np.zeros(n_rows, dtype=np.int64)
+            return z, total, z
+        # groups = maximal runs of equal (doc, code) in the sorted view
+        o = np.lexsort((gcode, gdoc))
+        gs, gc = gdoc[o], gcode[o]
+        change = np.empty(gs.size, dtype=bool)
+        change[0] = True
+        change[1:] = (gs[1:] != gs[:-1]) | (gc[1:] != gc[:-1])
+        starts = np.flatnonzero(change)
+        lengths = np.diff(np.append(starts, gs.size))
+        distinct = np.bincount(gs[starts], minlength=n_rows).astype(np.int64)
+        top = _per_doc_max(gs[starts], lengths, n_rows)
+        return top, total, distinct
+
+    top_bi, _tot_bi, _ = _ngram_top_and_distinct(2)
+    _, tot_tri, dis_tri = _ngram_top_and_distinct(3)
+
+    # longest same-token run per doc
+    if tid.size:
+        run_break = np.ones(tid.size, dtype=bool)
+        run_break[1:] = (doc_pos[1:] != doc_pos[:-1]) | (
+            tid[1:] != tid[:-1]
+        )
+        rstarts = np.flatnonzero(run_break)
+        rlens = np.diff(np.append(rstarts, tid.size))
+        max_run = _per_doc_max(doc_pos[rstarts], rlens, n_rows)
+    else:
+        max_run = np.zeros(n_rows, dtype=np.int64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dup_tok = np.where(dl > 0, (dl - nd) / dl, 0.0)
+        top_bi_frac = np.where(
+            dl > 0, np.minimum(1.0, (2 * top_bi) / dl), 0.0
+        )
+        dup_tri = np.where(tot_tri > 0, (tot_tri - dis_tri) / tot_tri, 0.0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(dl, pa.int64()),
+            "dup_token_frac": pa.array(dup_tok, pa.float64()),
+            "top_bigram_frac": pa.array(top_bi_frac, pa.float64()),
+            "dup_trigram_frac": pa.array(dup_tri, pa.float64()),
+            "max_token_run": pa.array(max_run, pa.int64()),
+        }
+    )
