@@ -3655,6 +3655,102 @@ ORDER BY d.doc_id
 """
 
 
+def q_canonical_urls(sf_dir: str):
+    """URL canonicalization (extras/urlnorm): raw crawl urls are
+    synthesized deterministically from doc_id (mixed-case scheme +
+    host, default and non-default ports, utm/fbclid tracking params,
+    fragments, bare-slash paths) so the DuckDB oracle can rebuild the
+    identical inputs and re-derive the canonical form with its own
+    RE2 ``regexp_replace`` chain — two independent implementations of
+    the same published rule set."""
+    import ray.data
+
+    from .extras.urlnorm import canonicalize_urls
+
+    def _synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        raw = [
+            (
+                ("HTTPS" if i % 2 == 0 else "http")
+                + "://WWW.Site"
+                + str(i % 7)
+                + ".COM"
+                + (":443" if i % 2 == 0 else (":80" if i % 3 == 0 else ""))
+                + ("/" if i % 11 == 0 else f"/Page/{i}")
+                + (
+                    f"?utm_source=feed&id={i}&utm_campaign=x"
+                    if i % 3 == 0
+                    else (f"?id={i}&fbclid=ab{i}" if i % 3 == 1 else "")
+                )
+                + (f"#Sec{i}" if i % 5 == 0 else "")
+            )
+            for i in ids.tolist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url_canon": canonicalize_urls(pa.array(raw)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = ds.map_batches(_synth, batch_format="pyarrow").sort("doc_id")
+    df = out.to_pandas().reset_index(drop=True)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
+_CANON_URL_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+    || '://WWW.Site' || (doc_id % 7) || '.COM'
+    || (CASE WHEN doc_id % 2 = 0 THEN ':443'
+             WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '/Page/' || doc_id END)
+    || (CASE WHEN doc_id % 3 = 0
+             THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=x'
+             WHEN doc_id % 3 = 1
+             THEN '?id=' || doc_id || '&fbclid=ab' || doc_id
+             ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '#Sec' || doc_id ELSE '' END) AS u
+  FROM documents),
+parsed AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '') AS rest
+  FROM raw),
+ported AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+         ELSE host END AS host,
+    rest FROM parsed),
+cleaned AS (
+  SELECT doc_id, scheme, host,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(rest, '#.*$', ''),
+            '([?&])(utm_[A-Za-z0-9]+|fbclid|gclid|msclkid)=[^&#]*',
+            '\1', 'g'),
+          '\?&', '?'),
+        '&&+', '&', 'g'),
+      '[?&]$', '') AS rest
+  FROM ported)
+SELECT doc_id,
+  scheme || '://' || host
+  || (CASE WHEN rest = '/' THEN '' ELSE rest END) AS url_canon
+FROM cleaned
+ORDER BY doc_id
+"""
+
+
 _DECONTAM_SQL = """
 WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
             FROM documents),
@@ -3675,6 +3771,7 @@ ORACLE_SQL: dict[str, str] = {
     "rank_eval_ndcg": _rank_eval_ndcg_sql(),
     "decontam_trigram": _DECONTAM_SQL,
     "repetition_signals": _REPETITION_SQL,
+    "canonical_urls": _CANON_URL_SQL,
     "doc_count": "SELECT count(*) AS n_docs FROM documents",
     "corpus_stats": (
         f"WITH {TOKS_CTE} SELECT (SELECT count(*) FROM documents) AS n_docs,"
@@ -4645,6 +4742,7 @@ QUERIES = {
     "rank_eval_ndcg": q_rank_eval_ndcg,
     "decontam_trigram": q_decontam_trigram,
     "repetition_signals": q_repetition_signals,
+    "canonical_urls": q_canonical_urls,
     "approx_distinct_users": q_approx_distinct_users,
     "sayt_prefix_docs": q_sayt_prefix_docs,
     "wildcard_docs": q_wildcard_docs,
@@ -4678,7 +4776,7 @@ QUERIES = {
 # driver-visible.  Pure reorder — every entry keeps its callable/SQL.
 _DRIVER_PRIORITY = [
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",
-    "repetition_signals",
+    "repetition_signals", "canonical_urls",
     "media_meta_mp3", "media_meta_mp4", "force_merge_survivors",
     "boosting_demote", "agg_filters_lang", "agg_metrics_nchars",
     "intervals_ordered", "span_near_docs", "suggest_completion",
