@@ -13,6 +13,7 @@ from .dsl import (  # noqa: F401
     run_scroll,
     run_stats,
     run_termvectors,
+    run_validate_query,
 )
 from .querystring import parse_query_string, query_string_hits  # noqa: F401
 from .rankeval import run_rank_eval  # noqa: F401

@@ -924,6 +924,40 @@ def run_count(index_dir_or_reader, body: dict) -> dict:
     return {"count": int(_match_docs(r, kind, spec).size)}
 
 
+def run_validate_query(index_dir_or_reader, body: dict,
+                       explain: bool = False) -> dict:
+    """OpenSearch ``_validate/query``: check whether a request body's
+    query would execute, WITHOUT running its scoring path to
+    completion.  A query is valid iff ``run_query`` with ``size: 0``
+    accepts it (the engine raises ``ValueError``/``KeyError``/
+    ``TypeError`` on unsupported or malformed clauses — loud, not
+    silently wrong — so validation is exactly that error surface).
+    Response shape: ``{"valid": bool, "_shards": {...}, "explanations":
+    [{"index", "valid", "error"?}]}`` (the subset clients read)."""
+    r = (
+        index_dir_or_reader
+        if isinstance(index_dir_or_reader, IndexReader)
+        else IndexReader(index_dir_or_reader)
+    )
+    probe = {"query": body.get("query", {"match_all": {}}), "size": 0}
+    expl: dict[str, Any] = {"index": getattr(r, "index_dir", "_local")}
+    try:
+        run_query(r, probe)
+        valid = True
+        expl["valid"] = True
+    except (ValueError, KeyError, TypeError) as ex:
+        valid = False
+        expl["valid"] = False
+        expl["error"] = f"{type(ex).__name__}: {ex}"
+    out = {
+        "valid": valid,
+        "_shards": {"total": 1, "successful": 1, "failed": 0},
+    }
+    if explain or not valid:
+        out["explanations"] = [expl]
+    return out
+
+
 def run_analyze(body: dict) -> dict:
     """OpenSearch ``_analyze``: tokenize a text with the engine's
     analyzer (the same chain every indexed field goes through) and

@@ -317,3 +317,27 @@ def test_track_total_hits_bool(rdr):
     from raybm25.query.dsl import run_count
 
     assert resp["hits"]["total"]["value"] == run_count(rdr, {"query": body["query"]})["count"]
+
+
+def test_validate_query(rdr):
+    from raybm25.query.dsl import run_validate_query
+
+    ok = run_validate_query(rdr, {"query": {"match": {"text": "merge"}}})
+    assert ok["valid"] is True and "explanations" not in ok
+    ok2 = run_validate_query(
+        rdr, {"query": {"match": {"text": "merge"}}}, explain=True
+    )
+    assert ok2["explanations"][0]["valid"] is True
+    bad = run_validate_query(rdr, {"query": {"nonsense_clause": {}}})
+    assert bad["valid"] is False
+    assert bad["explanations"][0]["error"]  # reason string present
+    # malformed body (two clauses at the top level) is invalid, not a crash
+    bad2 = run_validate_query(
+        rdr, {"query": {"match": {"text": "a"}, "term": {"lang": "en"}}}
+    )
+    assert bad2["valid"] is False
+    # bool with a bad inner clause propagates invalidity
+    bad3 = run_validate_query(
+        rdr, {"query": {"bool": {"must": [{"wat": {}}]}}}
+    )
+    assert bad3["valid"] is False
