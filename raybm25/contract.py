@@ -3751,6 +3751,68 @@ ORDER BY doc_id
 """
 
 
+_PERCOLATE_QUERIES = {
+    0: {"match": {"text": "merge join"}},
+    1: {"match": {"text": {"query": "merge join", "operator": "and"}}},
+    2: {"term": {"lang": "en"}},
+    3: {"bool": {"must": [{"match": {"text": "stream"}}],
+                 "must_not": [{"match": {"text": "sort"}}]}},
+    4: {"bool": {"must": [{"match": {"text": {"query": "merge stream",
+                                              "operator": "and"}}}],
+                 "filter": [{"term": {"lang": "en"}}]}},
+    5: {"bool": {"must": [{"match": {"text": "window"}}],
+                 "must_not": [{"term": {"lang": "fr"}}]}},
+}
+
+
+def q_percolate_matches(sf_dir: str):
+    """Percolator (query/percolate): six stored queries (OR / AND
+    match, keyword term, bool must/must_not/filter combinations)
+    matched against the streaming documents table — the stored-query
+    set is the broadcast small side, docs never shuffle.  Returns all
+    (query_id, doc_id) match pairs."""
+    import ray.data
+
+    from .query.percolate import percolate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    out = percolate(ds, _PERCOLATE_QUERIES).sort(["query_id", "doc_id"])
+    df = out.to_pandas().reset_index(drop=True)[["query_id", "doc_id"]]
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+_PERCOLATE_SQL = f"""
+WITH {TOKS_CTE},
+ts AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT query_id, doc_id FROM (
+  SELECT DISTINCT 0 AS query_id, doc_id FROM ts
+    WHERE term IN ('join', 'merge')
+  UNION ALL
+  SELECT 1, doc_id FROM ts WHERE term IN ('join', 'merge')
+    GROUP BY doc_id HAVING count(*) = 2
+  UNION ALL
+  SELECT 2, doc_id FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT 3, doc_id FROM ts GROUP BY doc_id
+    HAVING max(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) = 1
+       AND max(CASE WHEN term = 'sort' THEN 1 ELSE 0 END) = 0
+  UNION ALL
+  SELECT 4, t.doc_id FROM ts t JOIN documents d USING(doc_id)
+    WHERE d.lang = 'en' GROUP BY t.doc_id
+    HAVING sum(CASE WHEN term IN ('merge', 'stream') THEN 1 ELSE 0 END) = 2
+  UNION ALL
+  SELECT 5, t.doc_id FROM ts t JOIN documents d USING(doc_id)
+    WHERE d.lang <> 'fr' GROUP BY t.doc_id
+    HAVING max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) = 1
+) ORDER BY query_id, doc_id
+"""
+
+
 _DECONTAM_SQL = """
 WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
             FROM documents),
@@ -3772,6 +3834,7 @@ ORACLE_SQL: dict[str, str] = {
     "decontam_trigram": _DECONTAM_SQL,
     "repetition_signals": _REPETITION_SQL,
     "canonical_urls": _CANON_URL_SQL,
+    "percolate_matches": _PERCOLATE_SQL,
     "doc_count": "SELECT count(*) AS n_docs FROM documents",
     "corpus_stats": (
         f"WITH {TOKS_CTE} SELECT (SELECT count(*) FROM documents) AS n_docs,"
@@ -4743,6 +4806,7 @@ QUERIES = {
     "decontam_trigram": q_decontam_trigram,
     "repetition_signals": q_repetition_signals,
     "canonical_urls": q_canonical_urls,
+    "percolate_matches": q_percolate_matches,
     "approx_distinct_users": q_approx_distinct_users,
     "sayt_prefix_docs": q_sayt_prefix_docs,
     "wildcard_docs": q_wildcard_docs,
@@ -4776,7 +4840,7 @@ QUERIES = {
 # driver-visible.  Pure reorder — every entry keeps its callable/SQL.
 _DRIVER_PRIORITY = [
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",
-    "repetition_signals", "canonical_urls",
+    "repetition_signals", "canonical_urls", "percolate_matches",
     "media_meta_mp3", "media_meta_mp4", "force_merge_survivors",
     "boosting_demote", "agg_filters_lang", "agg_metrics_nchars",
     "intervals_ordered", "span_near_docs", "suggest_completion",
