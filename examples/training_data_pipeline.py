@@ -5,7 +5,9 @@
       -> PII-style scrub            (extras.textstats.scrub_batch)
       -> exact dedup                (extras.dedup.exact_dedup)
       -> near-dup dedup (MinHash)   (extras.dedup.neardup_dedup)
-      -> quality gate               (extras.textstats.quality_batch)
+      -> eval decontamination       (extras.decontam.decontaminate)
+      -> quality gate               (extras.textstats.quality_batch
+                                     + repetition_batch signals)
       -> token-window chunk stats   (extras.textstats.chunk_batch)
       -> full-text index build      (index.build.build_index)
       -> filtered BM25 via the DSL  (query.dsl.run_query)
@@ -39,8 +41,14 @@ def main(sf_dir: str, work: str) -> dict:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     import pyarrow.compute as pc
 
+    from raybm25.extras.decontam import decontaminate
     from raybm25.extras.dedup import exact_dedup, neardup_dedup
-    from raybm25.extras.textstats import chunk_batch, quality_batch, scrub_batch
+    from raybm25.extras.textstats import (
+        chunk_batch,
+        quality_batch,
+        repetition_batch,
+        scrub_batch,
+    )
     from raybm25.index.build import build_index
     from raybm25.query.dsl import run_query
 
@@ -66,10 +74,30 @@ def main(sf_dir: str, work: str) -> dict:
     ds = exact_dedup(ds)
     ds = neardup_dedup(ds, threshold=0.9, work_dir=os.path.join(work, "lsh"))
 
-    # 4. quality gate: drop low-alnum docs (vectorized stage)
+    # 3b. train/test decontamination: docs sharing a 13-gram with the
+    # held-out eval slice (every 97th doc stands in for a benchmark
+    # suite here) are dropped — broadcast membership, no shuffle
+    import pyarrow.parquet as _pq
+
+    evt = _pq.read_table(src, columns=["doc_id", "text"])
+    eval_texts = [
+        t
+        for i, t in zip(
+            evt.column("doc_id").to_pylist(), evt.column("text").to_pylist()
+        )
+        if i % 97 == 0
+    ]
+    ds = decontaminate(ds, eval_texts, n=13)
+
+    # 4. quality gate: drop low-alnum docs and degenerate repeaters
+    # (Gopher-style repetition signals, same vectorized pass family)
     def gate(b):
         q = quality_batch(b)
-        keep = pc.greater(q.column("alnum_ratio"), 0.5)
+        rep = repetition_batch(b)
+        keep = pc.and_(
+            pc.greater(q.column("alnum_ratio"), 0.5),
+            pc.less(rep.column("dup_trigram_frac"), 0.9),
+        )
         return b.filter(keep)
 
     gated_path = os.path.join(work, "gated")
