@@ -157,6 +157,34 @@ def cmd_forcemerge(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Point-in-time snapshot ops (the ``_snapshot`` repository
+    analog): create / restore / list / delete on an index dir."""
+    from .loader.snapshot import (
+        create_snapshot,
+        delete_snapshot,
+        list_snapshots,
+        restore_snapshot,
+    )
+
+    if args.action == "create":
+        print(json.dumps(
+            {k: v for k, v in
+             create_snapshot(args.index, args.repo, args.name).items()
+             if k != "files"}
+        ))
+    elif args.action == "restore":
+        meta = restore_snapshot(args.repo, args.name, args.index)
+        print(json.dumps({"restored": meta["name"],
+                          "n_files": meta["n_files"]}))
+    elif args.action == "list":
+        print(json.dumps(list_snapshots(args.repo)))
+    else:
+        delete_snapshot(args.repo, args.name)
+        print(json.dumps({"deleted": args.name}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="raybm25")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -209,6 +237,18 @@ def main(argv=None) -> int:
         help="skip the postings rebuild (batch maintenance ops)",
     )
     pm.set_defaults(fn=cmd_forcemerge)
+
+    pn = sub.add_parser(
+        "snapshot", help="point-in-time index snapshots (hardlink repo)"
+    )
+    pn.add_argument("action",
+                    choices=["create", "restore", "list", "delete"])
+    pn.add_argument("--repo", required=True, help="repository directory")
+    pn.add_argument("--name", default=None,
+                    help="snapshot name (create/restore/delete)")
+    pn.add_argument("--index", default=None,
+                    help="index dir (create source / restore destination)")
+    pn.set_defaults(fn=cmd_snapshot)
 
     args = p.parse_args(argv)
     try:
