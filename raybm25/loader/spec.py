@@ -176,13 +176,19 @@ class IndexSpec:
 
 
 def parse_spec(cfg: dict) -> list[IndexSpec]:
-    """Parse the top-level ``{indices: [...]}`` config document."""
+    """Parse the top-level ``{indices: [...]}`` config document.
+    Optional ``templates:`` entries supply name-pattern defaults
+    (loader/templates.py — the composable _index_template analog)."""
+    from .templates import apply_templates
+
     cfg = strip_strings(cfg)
     indices = cfg.get("indices")
     if not indices:
         raise ValueError("spec must contain a non-empty 'indices' list")
+    templates = cfg.get("templates") or []
     out = []
     for entry in indices:
+        entry = apply_templates(entry, templates)
         name = entry.get("index_name")
         if not name:
             raise ValueError("every index needs an index_name")
