@@ -3564,7 +3564,8 @@ def q_decontam_trigram(sf_dir: str):
         ContaminationStage,
         fn_constructor_kwargs={"eval_hashes": ref, "n": 3},
         batch_format="pyarrow",
-        concurrency=4,
+        # (1, 4): a fixed 4-actor pool wedges a 4-CPU session
+        concurrency=(1, 4),
     )
 
     def _keep(t: pa.Table) -> pa.Table:

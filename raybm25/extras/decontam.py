@@ -36,6 +36,7 @@ import pyarrow.compute as pc
 
 from ..analysis import arrow_tokenize
 from ..hashing import hash64
+from ..util import auto_concurrency
 
 DEFAULT_N = 13
 
@@ -142,7 +143,7 @@ class ContaminationStage:
 
 def decontaminate(ds, eval_texts, n: int = DEFAULT_N,
                   text_col: str = "text", drop: bool = True,
-                  concurrency: int = 4):
+                  concurrency=None):
     """Annotate (and by default filter) a Dataset against an eval set.
 
     Builds the eval n-gram set once, broadcasts it, and streams the
@@ -159,7 +160,14 @@ def decontaminate(ds, eval_texts, n: int = DEFAULT_N,
             "eval_hashes": ref, "n": n, "text_col": text_col
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        # autoscaling pool: a FIXED pool of N actors can grab every
+        # CPU of a small session and starve the upstream read /
+        # downstream sort into a wedge (reproduced at num_cpus=4)
+        concurrency=(
+            (1, concurrency) if isinstance(concurrency, int)
+            else concurrency if concurrency is not None
+            else auto_concurrency()
+        ),
     )
     if drop:
         out = out.map_batches(

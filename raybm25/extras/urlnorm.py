@@ -30,6 +30,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import auto_concurrency
+
 _URL_RE = (
     r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
     r"(?P<host>[^/?#]+)(?P<rest>.*)$"
@@ -81,7 +83,7 @@ class UrlCanonStage:
         )
 
 
-def canonical_url_dedup(ds, url_col: str = "url", concurrency: int = 4):
+def canonical_url_dedup(ds, url_col: str = "url", concurrency=None):
     """Annotate with ``url_canon`` — downstream exact dedup then runs
     the engine's standard keys-only last-write-wins on that column
     (index.build key_col='url_canon'), so two crawls of
@@ -91,5 +93,9 @@ def canonical_url_dedup(ds, url_col: str = "url", concurrency: int = 4):
         UrlCanonStage,
         fn_constructor_kwargs={"url_col": url_col},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(
+            (1, concurrency) if isinstance(concurrency, int)
+            else concurrency if concurrency is not None
+            else auto_concurrency()
+        ),
     )

@@ -34,6 +34,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..analysis import arrow_tokenize, tokenize
+from ..util import auto_concurrency
 
 
 def _parse_query(qid: int, body: dict, out: dict) -> None:
@@ -98,7 +99,9 @@ class PercolateIndex:
     """Parsed, numpy-resident form of the stored query set.
 
     Built once on the driver from ``{query_id: body}`` and broadcast;
-    ``match_batch`` runs on workers.
+    ``match_batch`` runs on workers.  Requirement tables are sized by
+    ``max(query_id) + 1`` (8 bytes/slot × 3) — keep ids dense; an
+    alerting system's query registry naturally is.
     """
 
     def __init__(self, queries: dict[int, dict]):
@@ -301,7 +304,7 @@ class PercolateStage:
 
 
 def percolate(ds, queries: dict[int, dict], id_col: str = "doc_id",
-              text_col: str = "text", concurrency: int = 4):
+              text_col: str = "text", concurrency=None):
     """Match a document Dataset against stored queries; returns the
     streaming (id, query_id) match pairs."""
     import ray
@@ -313,5 +316,11 @@ def percolate(ds, queries: dict[int, dict], id_col: str = "doc_id",
             "index": ref, "id_col": id_col, "text_col": text_col
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        # (1, N) autoscaling pool: a fixed pool sized to the session's
+        # whole CPU count deadlocks small sessions (see decontam.py)
+        concurrency=(
+            (1, concurrency) if isinstance(concurrency, int)
+            else concurrency if concurrency is not None
+            else auto_concurrency()
+        ),
     )
