@@ -17,3 +17,11 @@ from .dsl import (  # noqa: F401
 )
 from .querystring import parse_query_string, query_string_hits  # noqa: F401
 from .rankeval import run_rank_eval  # noqa: F401
+from .searchtemplate import (  # noqa: F401
+    delete_script,
+    get_script,
+    put_script,
+    render_template,
+    run_search_template,
+)
+from .cat import cat_aliases, cat_count, cat_indices, cat_templates  # noqa: F401
