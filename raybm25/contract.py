@@ -2196,6 +2196,52 @@ def q_dsl_search(sf_dir: str):
     return _hits_frame(hits)
 
 
+def q_search_template_topk(sf_dir: str):
+    """Stored search template (OpenSearch ``PUT _scripts/<id>`` +
+    ``POST _search/template``): the mustache body is registered once,
+    rendered with params (raw-typed substitution: ``"{{k}}"`` -> int)
+    and run through the same DSL adapter as ``dsl_search`` — so the
+    oracle is the rendered bool query's SQL
+    (query/searchtemplate.py)."""
+    from .query.searchtemplate import put_script, run_search_template
+
+    root = os.path.join(CACHE_ROOT, f"scripts_{_tag(sf_dir)}")
+    put_script(
+        root,
+        "by_lang_topk",
+        {
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": "{{q}}"}}],
+                    "should": [{"match": {"text": "{{opt}}"}}],
+                    "filter": [{"term": {"lang": "{{lang}}"}}],
+                }
+            },
+            "size": "{{k}}",
+        },
+    )
+    resp = run_search_template(
+        docs_index(sf_dir),
+        {
+            "id": "by_lang_topk",
+            "params": {"q": "merge", "opt": "join", "lang": "en", "k": 12},
+        },
+        script_root=root,
+    )
+    hits = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    return _hits_frame(hits)
+
+
+def q_cat_count_docs(sf_dir: str):
+    """``GET _cat/count`` (query/cat.py): the committed-manifest live
+    doc count for the documents index, served without opening any
+    data file."""
+    from .query.cat import cat_count
+
+    rows = cat_count(docs_index(sf_dir))
+    return pd.DataFrame({"count": pd.array([r["count"] for r in rows], dtype="int64")})
+
+
 def q_mlt_terms(sf_dir: str):
     """More-like-this term selection for doc 0 (OpenSearch
     more_like_this): terms with tf>=1 and corpus df>=2, ranked by
@@ -4520,6 +4566,10 @@ ORACLE_SQL: dict[str, str] = {
     "dsl_search": _bool_sql(
         "stream", "window", "", msm=0, k=12, where="lang = 'de'"
     ),
+    "search_template_topk": _bool_sql(
+        "merge", "join", "", msm=0, k=12, where="lang = 'en'"
+    ),
+    "cat_count_docs": "SELECT count(*) AS count FROM documents",
     "mlt_terms": (
         f"WITH {TOKS_CTE},"
         " dtf AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = 0"
@@ -4818,6 +4868,8 @@ QUERIES = {
     "phrase_bm25_topk": q_phrase_bm25_topk,
     "query_string_search": q_query_string,
     "dsl_search": q_dsl_search,
+    "search_template_topk": q_search_template_topk,
+    "cat_count_docs": q_cat_count_docs,
     "mlt_terms": q_mlt_terms,
     "phrase_prefix_docs": q_phrase_prefix_docs,
     "events_window": q_events_window,
