@@ -2232,6 +2232,65 @@ def q_search_template_topk(sf_dir: str):
     return _hits_frame(hits)
 
 
+def q_script_score_topk(sf_dir: str):
+    """``script_score`` query through the DSL adapter: BM25('merge')
+    rescored by a painless-subset script over a stored doc-value
+    (query/script.py compiles it to a whitelisted vectorized numpy
+    expression; query/engine.search_script_score gathers n_chars once
+    for the candidate set)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {
+                "script_score": {
+                    "query": {"match": {"text": "merge"}},
+                    "script": {
+                        "source": "_score * 2 + doc['n_chars'].value / 1000.0"
+                    },
+                }
+            },
+            "size": 10,
+        },
+    )
+    hits = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    return _hits_frame(hits)
+
+
+def q_highlight_counts(sf_dir: str):
+    """Plain highlighter (query/engine.highlight via the DSL
+    ``highlight`` body key): for the BM25 top-10 of 'merge join', the
+    number of highlighted tokens per doc — a bit-exact cross-check of
+    WHICH tokens get wrapped (the full tagged strings are
+    pytest-covered; tags here are chars that cannot occur in the
+    corpus, so the count is unambiguous)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": "merge join"}},
+            "size": 10,
+            "highlight": {
+                "fields": {"text": {}},
+                "pre_tags": ["⟦"],
+                "post_tags": ["⟧"],
+            },
+        },
+    )
+    rows = sorted(
+        (h["_id"], h["highlight"]["text"][0].count("⟦"))
+        for h in resp["hits"]["hits"]
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
+            "n_marked": pd.array([n for _, n in rows], dtype="int64"),
+        }
+    )
+
+
 def q_cat_count_docs(sf_dir: str):
     """``GET _cat/count`` (query/cat.py): the committed-manifest live
     doc count for the documents index, served without opening any
@@ -4570,6 +4629,17 @@ ORACLE_SQL: dict[str, str] = {
         "merge", "join", "", msm=0, k=12, where="lang = 'en'"
     ),
     "cat_count_docs": "SELECT count(*) AS count FROM documents",
+    "script_score_topk": _bm25_sql(
+        "merge", 10, score_expr="score * 2 + n_chars / 1000.0"
+    ),
+    "highlight_counts": (
+        f"WITH {TOKS_CTE},"
+        f" topk AS ({_bm25_sql('merge join', 10, cols='doc_id')})"
+        " SELECT topk.doc_id AS doc_id, count(*) AS n_marked FROM topk"
+        " JOIN toks ON toks.doc_id = topk.doc_id"
+        " WHERE toks.term IN ('merge', 'join')"
+        " GROUP BY topk.doc_id ORDER BY topk.doc_id"
+    ),
     "mlt_terms": (
         f"WITH {TOKS_CTE},"
         " dtf AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = 0"
@@ -4870,6 +4940,8 @@ QUERIES = {
     "dsl_search": q_dsl_search,
     "search_template_topk": q_search_template_topk,
     "cat_count_docs": q_cat_count_docs,
+    "script_score_topk": q_script_score_topk,
+    "highlight_counts": q_highlight_counts,
     "mlt_terms": q_mlt_terms,
     "phrase_prefix_docs": q_phrase_prefix_docs,
     "events_window": q_events_window,

@@ -275,6 +275,22 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
             k=k,
             field=None if ifield == r.primary_field else ifield,
         )
+    if kind == "script_score":
+        # {"script_score": {"query": {"match": ...}, "script":
+        #  {"source": "<painless arithmetic subset>"}}} — the script
+        # replaces the inner score (query/script.py compiles it to a
+        # whitelisted vectorized numpy expression)
+        ik, ispec = _one(spec["query"], "script_score.query")
+        if ik != "match":
+            raise ValueError("script_score supports a 'match' inner query")
+        ifield, ibody = _field_query(ispec)
+        script = spec.get("script") or {}
+        return r.search_script_score(
+            str(ibody.get("query", "")),
+            str(script.get("source", "")),
+            k=k,
+            field=None if ifield == r.primary_field else ifield,
+        )
     if kind == "dis_max":
         # generic compound: per-doc score = best sub-clause score +
         # tie_breaker * (sum of the others). Sub-clauses are evaluated

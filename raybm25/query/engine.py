@@ -2052,6 +2052,45 @@ class IndexReader:
         ids, sc = self._rank(uniq, scores, k)
         return list(zip(ids.tolist(), sc.tolist()))
 
+    def search_script_score(
+        self,
+        query: str,
+        source: str,
+        k: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """``script_score`` query (painless arithmetic subset, see
+        query/script.py): final score = script(_score = BM25(query),
+        doc['<col>'].value = stored doc-values). The script compiles
+        once per query to a whitelisted-AST numpy expression; doc
+        values are gathered once for the full candidate set (same
+        pruned per-bucket reads as ``search_function_score``) and the
+        script evaluates vectorized — then the standard
+        (score desc, doc_id asc) rank."""
+        from .script import compile_script
+
+        fn = compile_script(source)
+        avgdl = self.field_avgdl(field)
+        qcounts = Counter(self.field_terms(query, field))
+        postings = self.load_postings(sorted(qcounts))
+        parts_ids, parts_scores = [], []
+        for term in sorted(qcounts):
+            p = postings.get(term)
+            if p is None:
+                continue
+            contrib = qcounts[term] * self.idf(p.df) * self._norm_cached(p, avgdl)
+            parts_ids.append(p.doc_ids)
+            parts_scores.append(contrib)
+        if not parts_ids:
+            return []
+        uniq, scores = self._combine(parts_ids, parts_scores)
+        vals = {
+            f: self._gather_column(uniq, f).astype(np.float64) for f in fn.fields
+        }
+        scores = fn(scores, vals)
+        ids, sc = self._rank(uniq, scores, k)
+        return list(zip(ids.tolist(), sc.tolist()))
+
     def cardinality_agg(
         self, query: str, agg_field: str, field: str | None = None
     ) -> int:
