@@ -545,7 +545,7 @@ def _events_index(sf_dir: str) -> str:
         return _EVT_INDEX_CACHE[sf_dir]
     from .index.build import build_index
 
-    idx = os.path.join(CACHE_ROOT, f"evtidx_{_tag(sf_dir)}")
+    idx = os.path.join(CACHE_ROOT, f"evtidx2_{_tag(sf_dir)}")
     build_index(
         os.path.join(sf_dir, "events.parquet"),
         idx,
@@ -553,7 +553,7 @@ def _events_index(sf_dir: str) -> str:
         id_col="event_id",
         ts_col=None,
         text_cols=("event_type",),
-        stored_cols=["event_type", "ts", "value"],
+        stored_cols=["event_type", "ts", "value", "user_id"],
         num_buckets=8,
     )
     _EVT_INDEX_CACHE[sf_dir] = idx
@@ -645,6 +645,153 @@ def q_bucket_sort_busiest(sf_dir: str):
                 [b["doc_count"] for b in buckets], dtype="int64"
             ),
             "max_count": [aggs["busiest"]["value"]] * len(buckets),
+        }
+    )
+
+
+def q_pipeline_bucket_math(sf_dir: str):
+    """bucket_script / serial_diff / moving_fn / normalize parent
+    pipelines plus a sum metric sub-agg under a daily date_histogram —
+    the full time-series pipeline family in one request.  The metric
+    sub-agg computes in the engine (facet_date_histogram_stats: one
+    gather + segment reduceats); the pipelines are driver-side
+    post-processing of the already-small bucket list.  The metric is
+    the integer user_id column so every sum is exact in both engines
+    and the derived floats are bit-identical."""
+    from .query.dsl import run_query
+
+    body = {
+        "query": {"match": {"event_type": {"query": "error"}}},
+        "size": 0,
+        "aggs": {
+            "daily": {
+                "date_histogram": {"field": "ts", "fixed_interval_ms": 86400000},
+                "aggs": {
+                    "vsum": {"sum": {"field": "user_id"}},
+                    "ratio": {
+                        "bucket_script": {
+                            "buckets_path": {"s": "vsum", "c": "_count"},
+                            "script": "params.s / params.c",
+                        }
+                    },
+                    "sd": {"serial_diff": {"buckets_path": "vsum", "lag": 1}},
+                    "mv": {
+                        "moving_fn": {
+                            "buckets_path": "vsum",
+                            "window": 3,
+                            "script": "MovingFunctions.unweightedAvg(values)",
+                        }
+                    },
+                    "pct": {
+                        "normalize": {
+                            "buckets_path": "_count",
+                            "method": "percent_of_sum",
+                        }
+                    },
+                },
+            }
+        },
+    }
+    buckets = run_query(_events_index(sf_dir), body)["aggregations"]["daily"][
+        "buckets"
+    ]
+    return pd.DataFrame(
+        {
+            "bucket_ms": pd.array([b["key"] for b in buckets], dtype="int64"),
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+            "vsum": [float(b["vsum"]["value"]) for b in buckets],
+            "ratio": [b["ratio"]["value"] for b in buckets],
+            "sd": [b["sd"]["value"] if "sd" in b else None for b in buckets],
+            "mv": [b["mv"]["value"] for b in buckets],
+            "pct": [b["pct"]["value"] for b in buckets],
+        }
+    )
+
+
+def q_pipeline_bucket_selector(sf_dir: str):
+    """bucket_selector parent pipeline: keep only daily buckets whose
+    doc_count is even (`params.c % 2 == 0` — a scale-independent
+    predicate) — the script compiles through the same whitelisted
+    painless-subset AST gate as script_score, vectorized across the
+    bucket list."""
+    from .query.dsl import run_query
+
+    body = {
+        "query": {"match": {"event_type": {"query": "error"}}},
+        "size": 0,
+        "aggs": {
+            "daily": {
+                "date_histogram": {"field": "ts", "fixed_interval_ms": 86400000},
+                "aggs": {
+                    "vsum": {"sum": {"field": "user_id"}},
+                    "keep": {
+                        "bucket_selector": {
+                            "buckets_path": {"c": "_count"},
+                            "script": "params.c % 2 == 0",
+                        }
+                    },
+                },
+            }
+        },
+    }
+    buckets = run_query(_events_index(sf_dir), body)["aggregations"]["daily"][
+        "buckets"
+    ]
+    return pd.DataFrame(
+        {
+            "bucket_ms": pd.array([b["key"] for b in buckets], dtype="int64"),
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+            "vsum": [float(b["vsum"]["value"]) for b in buckets],
+        }
+    )
+
+
+def q_pipeline_stats_buckets(sf_dir: str):
+    """Sibling pipelines stats_bucket / extended_stats_bucket /
+    percentiles_bucket over the daily histogram: one row of
+    whole-series statistics.  extended stats + percentiles run over
+    the integer doc_count metric so every moment sum is exact in both
+    engines; percentiles are nearest-rank (sorted[round(p/100*(n-1))],
+    round-half-up) as pinned in dsl._sibling_pipeline."""
+    from .query.dsl import run_query
+
+    body = {
+        "query": {"match": {"event_type": {"query": "error"}}},
+        "size": 0,
+        "aggs": {
+            "daily": {
+                "date_histogram": {"field": "ts", "fixed_interval_ms": 86400000},
+                "aggs": {"vsum": {"sum": {"field": "user_id"}}},
+            },
+            "st": {"stats_bucket": {"buckets_path": "daily>vsum"}},
+            "xst": {"extended_stats_bucket": {"buckets_path": "daily>_count"}},
+            "pb": {
+                "percentiles_bucket": {
+                    "buckets_path": "daily>_count",
+                    "percents": [25, 50, 75],
+                }
+            },
+        },
+    }
+    aggs = run_query(_events_index(sf_dir), body)["aggregations"]
+    st, xst, pb = aggs["st"], aggs["xst"], aggs["pb"]["values"]
+    return pd.DataFrame(
+        {
+            "n_buckets": pd.array([st["count"]], dtype="int64"),
+            "vmin": [st["min"]],
+            "vmax": [st["max"]],
+            "vsum": [st["sum"]],
+            "vavg": [st["avg"]],
+            "c_ss": [xst["sum_of_squares"]],
+            "c_var": [xst["variance"]],
+            "c_std": [xst["std_deviation"]],
+            "p25": [pb["25"]],
+            "p50": [pb["50"]],
+            "p75": [pb["75"]],
         }
     )
 
@@ -4255,6 +4402,56 @@ ORACLE_SQL: dict[str, str] = {
         " AS DOUBLE) AS deriv"
         " FROM b ORDER BY bucket_ms"
     ),
+    "pipeline_bucket_math": (
+        "WITH t AS (SELECT event_id, ts, user_id,"
+        " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk FROM events),"
+        " b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS bucket_ms,"
+        " count(*) AS doc_count, CAST(sum(user_id) AS DOUBLE) AS vsum FROM t"
+        " WHERE list_contains(tk, 'error') GROUP BY bucket_ms)"
+        " SELECT bucket_ms, doc_count, vsum,"
+        " vsum / doc_count AS ratio,"
+        " vsum - lag(vsum) OVER (ORDER BY bucket_ms) AS sd,"
+        " avg(vsum) OVER (ORDER BY bucket_ms"
+        " ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mv,"
+        " CAST(doc_count AS DOUBLE) / sum(doc_count) OVER () AS pct"
+        " FROM b ORDER BY bucket_ms"
+    ),
+    "pipeline_bucket_selector": (
+        "WITH t AS (SELECT event_id, ts, user_id,"
+        " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk FROM events),"
+        " b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS bucket_ms,"
+        " count(*) AS doc_count, CAST(sum(user_id) AS DOUBLE) AS vsum FROM t"
+        " WHERE list_contains(tk, 'error') GROUP BY bucket_ms)"
+        " SELECT bucket_ms, doc_count, vsum FROM b"
+        " WHERE doc_count % 2 = 0 ORDER BY bucket_ms"
+    ),
+    # percentiles: nearest-rank sorted[floor(p*(n-1)+0.5)], the pinned
+    # dsl._sibling_pipeline definition; moments over integer counts so
+    # both engines' sums are exact
+    "pipeline_stats_buckets": (
+        "WITH t AS (SELECT event_id, ts, user_id,"
+        " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk FROM events),"
+        " b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS bucket_ms,"
+        " count(*) AS doc_count, CAST(sum(user_id) AS DOUBLE) AS vsum FROM t"
+        " WHERE list_contains(tk, 'error') GROUP BY bucket_ms),"
+        " s AS (SELECT CAST(doc_count AS DOUBLE) AS c,"
+        " row_number() OVER (ORDER BY doc_count) AS rn FROM b),"
+        " agg AS (SELECT count(*) AS nb, min(vsum) AS vmin,"
+        " max(vsum) AS vmax, sum(vsum) AS vsum_t,"
+        " CAST(sum(doc_count) AS DOUBLE) AS csum,"
+        " CAST(sum(doc_count * doc_count) AS DOUBLE) AS css FROM b)"
+        " SELECT nb AS n_buckets, vmin, vmax, vsum_t AS vsum,"
+        " vsum_t / nb AS vavg, css AS c_ss,"
+        " css / nb - (csum / nb) * (csum / nb) AS c_var,"
+        " sqrt(css / nb - (csum / nb) * (csum / nb)) AS c_std,"
+        " (SELECT c FROM s WHERE rn ="
+        " CAST(floor(0.25 * (nb - 1) + 0.5) AS BIGINT) + 1) AS p25,"
+        " (SELECT c FROM s WHERE rn ="
+        " CAST(floor(0.50 * (nb - 1) + 0.5) AS BIGINT) + 1) AS p50,"
+        " (SELECT c FROM s WHERE rn ="
+        " CAST(floor(0.75 * (nb - 1) + 0.5) AS BIGINT) + 1) AS p75"
+        " FROM agg"
+    ),
     "bucket_sort_busiest": (
         "WITH t AS (SELECT event_id, ts,"
         " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk FROM events),"
@@ -4866,6 +5063,9 @@ QUERIES = {
     "terms_stats_lang": q_terms_stats,
     "date_histogram_errors": q_date_histogram,
     "pipeline_cumsum_daily": q_pipeline_cumsum,
+    "pipeline_bucket_math": q_pipeline_bucket_math,
+    "pipeline_bucket_selector": q_pipeline_bucket_selector,
+    "pipeline_stats_buckets": q_pipeline_stats_buckets,
     "bucket_sort_busiest": q_bucket_sort_busiest,
     "extended_stats_chars": q_extended_stats,
     "global_agg": q_global_agg,
@@ -4964,6 +5164,8 @@ QUERIES = {
 # red in round 4 (HUGEINT cast, fixed) so their green re-check is
 # driver-visible.  Pure reorder — every entry keeps its callable/SQL.
 _DRIVER_PRIORITY = [
+    "pipeline_bucket_math", "pipeline_bucket_selector",
+    "pipeline_stats_buckets",
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",
     "repetition_signals", "canonical_urls", "percolate_matches",
     "media_meta_mp3", "media_meta_mp4", "force_merge_survivors",
@@ -4978,6 +5180,8 @@ _DRIVER_PRIORITY = [
     "fuzzy_docs", "prefix_docs_dict", "phrase_match_long",
     "phrase_bm25_topk", "query_string_search", "dsl_search",
     "mlt_terms", "phrase_prefix_docs",
+    "search_template_topk", "cat_count_docs", "script_score_topk",
+    "highlight_counts",
     "terms_stats_lang", "extended_stats_chars",
 ]
 assert set(_DRIVER_PRIORITY) <= set(QUERIES), (

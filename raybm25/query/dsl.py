@@ -56,6 +56,7 @@ Response shape (the subset clients actually read):
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 import numpy as np
@@ -523,7 +524,17 @@ def _bool_hits(r: IndexReader, spec: dict, k: int) -> list[tuple[int, float]]:
     )
 
 
-_SIBLING_PIPELINE = ("max_bucket", "min_bucket", "sum_bucket", "avg_bucket")
+_METRIC_SUBAGGS = ("sum", "avg", "min", "max", "value_count", "stats")
+
+_SIBLING_PIPELINE = (
+    "max_bucket",
+    "min_bucket",
+    "sum_bucket",
+    "avg_bucket",
+    "stats_bucket",
+    "extended_stats_bucket",
+    "percentiles_bucket",
+)
 
 
 def _bucket_metric(bucket: dict, path: str) -> float:
@@ -572,11 +583,136 @@ def _apply_parent_pipelines(result: dict, sub_aggs: dict) -> None:
             size = sspec.get("size")
             end = None if size is None else frm + int(size)
             result["buckets"] = buckets = buckets[frm:end]
+        elif skind in ("bucket_script", "bucket_selector"):
+            # buckets_path is a {param: path} map; the script sees each
+            # param as a float64 array across the whole bucket list
+            from .script import compile_bucket_script
+
+            paths = sspec["buckets_path"]
+            if not isinstance(paths, dict):
+                raise ValueError(f"{skind}.buckets_path must be a map")
+            compiled = compile_bucket_script(_script_source(sspec))
+            missing = [p for p in compiled.params if p not in paths]
+            if missing:
+                raise ValueError(
+                    f"{skind} script reads params absent from "
+                    f"buckets_path: {missing}"
+                )
+            vals = {
+                p: np.array(
+                    [_bucket_metric(b, str(paths[p])) for b in buckets],
+                    dtype=np.float64,
+                )
+                for p in compiled.params
+            }
+            out_v = compiled(vals) if buckets else np.empty(0)
+            if skind == "bucket_script":
+                for b, v in zip(buckets, out_v):
+                    b[sname] = {"value": float(v)}
+            else:
+                result["buckets"] = buckets = [
+                    b for b, keep in zip(buckets, out_v) if bool(keep)
+                ]
+        elif skind == "serial_diff":
+            lag = int(sspec.get("lag", 1))
+            if lag < 1:
+                raise ValueError("serial_diff.lag must be >= 1")
+            vs = [_bucket_metric(b, path) for b in buckets]
+            for i in range(lag, len(buckets)):
+                buckets[i][sname] = {"value": vs[i] - vs[i - lag]}
+        elif skind == "moving_fn":
+            # window = the `window` buckets before the current one,
+            # shifted right by `shift` (OpenSearch: shift=0 excludes
+            # the current bucket); empty windows yield null
+            window = int(sspec["window"])
+            shift = int(sspec.get("shift", 0))
+            fn = _moving_fn(_script_source(sspec))
+            vs = [_bucket_metric(b, path) for b in buckets]
+            for i in range(len(buckets)):
+                lo = max(0, i - window + shift)
+                hi = min(len(vs), i + shift)
+                win = vs[lo:hi]
+                buckets[i][sname] = {"value": fn(win) if win else None}
+        elif skind == "normalize":
+            method = str(sspec.get("method", ""))
+            vs = np.array(
+                [_bucket_metric(b, path) for b in buckets], dtype=np.float64
+            )
+            out_v = _normalize_values(vs, method) if len(vs) else vs
+            for b, v in zip(buckets, out_v):
+                b[sname] = {"value": float(v)}
         else:
             raise ValueError(
                 f"unsupported parent pipeline agg {skind!r} (supported: "
-                "cumulative_sum, derivative, bucket_sort)"
+                "cumulative_sum, derivative, bucket_sort, bucket_script, "
+                "bucket_selector, serial_diff, moving_fn, normalize)"
             )
+
+
+def _script_source(spec: dict) -> str:
+    s = spec.get("script", "")
+    if isinstance(s, dict):
+        s = s.get("source", "")
+    return str(s)
+
+
+_MOVING_FNS = {
+    "max": max,
+    "min": min,
+    "sum": lambda w: float(sum(w)),
+    "unweightedAvg": lambda w: float(sum(w)) / len(w),
+    "stdDev": None,  # handled below (takes the window mean)
+}
+
+_MOVING_FN_RE = re.compile(
+    r"^\s*MovingFunctions\.([A-Za-z]+)\s*\(\s*values\s*"
+    r"(?:,\s*MovingFunctions\.unweightedAvg\s*\(\s*values\s*\)\s*)?\)\s*$"
+)
+
+
+def _moving_fn(source: str):
+    """``moving_fn`` scripts: the OpenSearch ``MovingFunctions``
+    built-ins over the whole window (``max/min/sum/unweightedAvg``,
+    plus ``stdDev(values, unweightedAvg(values))`` — population)."""
+    m = _MOVING_FN_RE.match(source)
+    if not m or m.group(1) not in _MOVING_FNS:
+        raise ValueError(
+            f"unsupported moving_fn script {source!r} (supported: "
+            "MovingFunctions.max/min/sum/unweightedAvg/stdDev over values)"
+        )
+    kind = m.group(1)
+    if kind == "stdDev":
+        def _std(w):
+            mu = sum(w) / len(w)
+            return float(np.sqrt(sum((x - mu) ** 2 for x in w) / len(w)))
+        return _std
+    return _MOVING_FNS[kind]
+
+
+def _normalize_values(vs: np.ndarray, method: str) -> np.ndarray:
+    """``normalize`` pipeline methods (OpenSearch names; population
+    std-dev for z-score; a zero-span range yields 0s, a zero sum
+    yields 0s — pinned so the SQL oracle can reproduce exactly)."""
+    span = vs.max() - vs.min()
+    if method == "rescale_0_1":
+        return (vs - vs.min()) / span if span else np.zeros_like(vs)
+    if method == "rescale_0_100":
+        return (vs - vs.min()) * 100.0 / span if span else np.zeros_like(vs)
+    if method == "percent_of_sum":
+        t = vs.sum()
+        return vs / t if t else np.zeros_like(vs)
+    if method == "mean":
+        return (vs - vs.mean()) / span if span else np.zeros_like(vs)
+    if method == "z-score":
+        sd = float(np.sqrt(((vs - vs.mean()) ** 2).mean()))
+        return (vs - vs.mean()) / sd if sd else np.zeros_like(vs)
+    if method == "softmax":
+        e = np.exp(vs)
+        return e / e.sum()
+    raise ValueError(
+        f"unsupported normalize method {method!r} (supported: rescale_0_1, "
+        "rescale_0_100, percent_of_sum, mean, z-score, softmax)"
+    )
 
 
 def _sibling_pipeline(out: dict, name: str, akind: str, aspec: dict) -> None:
@@ -592,6 +728,37 @@ def _sibling_pipeline(out: dict, name: str, akind: str, aspec: dict) -> None:
         out[name] = {"value": float(sum(vals))}
     elif akind == "avg_bucket":
         out[name] = {"value": (float(sum(vals)) / len(vals)) if vals else None}
+    elif akind in ("stats_bucket", "extended_stats_bucket"):
+        n = len(vals)
+        stats = {
+            "count": n,
+            "min": min(vals) if vals else None,
+            "max": max(vals) if vals else None,
+            "avg": (float(sum(vals)) / n) if vals else None,
+            "sum": float(sum(vals)),
+        }
+        if akind == "extended_stats_bucket" and vals:
+            ss = float(sum(v * v for v in vals))
+            var = ss / n - stats["avg"] ** 2  # population variance
+            stats["sum_of_squares"] = ss
+            stats["variance"] = var
+            stats["std_deviation"] = float(np.sqrt(max(var, 0.0)))
+        out[name] = stats
+    elif akind == "percentiles_bucket":
+        # nearest-rank: sorted[round(p/100 * (n-1))], round-half-up —
+        # pinned so the SQL oracle reproduces it with pure arithmetic
+        percents = [float(p) for p in aspec.get(
+            "percents", (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+        )]
+        sv = sorted(vals)
+        values = {}
+        for p in percents:
+            if not sv:
+                values[f"{p:g}"] = None
+            else:
+                idx = int(np.floor(p / 100.0 * (len(sv) - 1) + 0.5))
+                values[f"{p:g}"] = sv[idx]
+        out[name] = {"values": values}
     else:
         if not vals:
             out[name] = {"value": None, "keys": []}
@@ -868,9 +1035,46 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
                     "calendar_interval of day/hour/minute"
                 )
             rows = r.facet_date_histogram(qtext, afield, int(iv), field=f)
-            out[name] = {
-                "buckets": [{"key": b, "doc_count": c} for b, c in rows]
-            }
+            buckets = [{"key": b, "doc_count": c} for b, c in rows]
+            if sub_aggs:
+                # metric sub-aggs (the date_histogram + sum/avg
+                # time-series idiom) compute inside the engine in the
+                # same pass shape; pipeline sub-aggs stay driver-side
+                metric_subs = {
+                    sn: s
+                    for sn, s in sub_aggs.items()
+                    if isinstance(s, dict)
+                    and len(s) == 1
+                    and next(iter(s)) in _METRIC_SUBAGGS
+                }
+                for sn, s in metric_subs.items():
+                    mk, mspec = _one(s, f"sub-agg {sn}")
+                    srows = r.facet_date_histogram_stats(
+                        qtext, afield, int(iv), mspec["field"], field=f
+                    )
+                    per = {b: (n, mn, mx, sm) for b, n, mn, mx, sm in srows}
+                    for bkt in buckets:
+                        n, mn, mx, sm = per[bkt["key"]]
+                        if mk == "stats":
+                            bkt[sn] = {
+                                "count": n,
+                                "min": mn,
+                                "max": mx,
+                                "sum": sm,
+                                "avg": float(sm) / n,
+                            }
+                        elif mk == "value_count":
+                            bkt[sn] = {"value": n}
+                        elif mk == "avg":
+                            bkt[sn] = {"value": float(sm) / n}
+                        else:
+                            bkt[sn] = {
+                                "value": {"sum": sm, "min": mn, "max": mx}[mk]
+                            }
+                sub_aggs = {
+                    sn: s for sn, s in sub_aggs.items() if sn not in metric_subs
+                }
+            out[name] = {"buckets": buckets}
         elif akind == "percentile_ranks":
             vals = tuple(float(v) for v in aspec["values"])
             out[name] = {

@@ -1788,6 +1788,49 @@ class IndexReader:
         u, c = np.unique(keys, return_counts=True)
         return list(zip(u.tolist(), c.tolist()))
 
+    def facet_date_histogram_stats(
+        self,
+        query: str,
+        ts_field: str,
+        interval_ms: int,
+        stat_field: str,
+        field: str | None = None,
+    ) -> list[tuple[int, int, object, object, object]]:
+        """date_histogram with a numeric metric sub-aggregation (the
+        time-series ``date_histogram`` + ``sum``/``avg`` idiom): per
+        time bucket, count / min / max / sum of a stored doc-value.
+        Same shape as ``facet_terms_stats`` — one gather per column,
+        one stable sort on the integer bucket key, segment reduceats —
+        so adding the metric costs no extra pass over the postings.
+        Returns (bucket_ms, doc_count, min, max, sum) sorted by
+        bucket; bucket keys identical to ``facet_date_histogram``."""
+        if interval_ms <= 0:
+            raise ValueError("interval_ms must be positive")
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        ms = (
+            self._gather_column(cand, ts_field)
+            .astype("datetime64[ms]")
+            .astype(np.int64)
+        )
+        keys = (ms // interval_ms) * interval_ms
+        svals = self._gather_column(cand, stat_field)
+        if svals.dtype == object:
+            raise TypeError(f"stats field {stat_field!r} is not numeric")
+        order = np.argsort(keys, kind="stable")
+        k = keys[order]
+        v = svals[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        counts = np.diff(np.append(starts, k.size))
+        sums = np.add.reduceat(v, starts)
+        mins = np.minimum.reduceat(v, starts)
+        maxs = np.maximum.reduceat(v, starts)
+        return [
+            (int(k[s]), int(n), mn.item(), mx.item(), sm.item())
+            for s, n, mn, mx, sm in zip(starts, counts, mins, maxs, sums)
+        ]
+
     def facet_date_ranges(
         self,
         query: str,

@@ -78,6 +78,106 @@ def _var(fname: str) -> str:
     return "__dv_" + fname.replace(".", "__")
 
 
+_PARAMS_RE = re.compile(r"params\.([A-Za-z_][A-Za-z0-9_]*)")
+
+_BUCKET_EXTRA_NODES = (
+    ast.Compare,
+    ast.Gt,
+    ast.GtE,
+    ast.Lt,
+    ast.LtE,
+    ast.Eq,
+    ast.NotEq,
+    ast.BoolOp,
+    ast.And,
+    ast.Or,
+    ast.Mod,
+)
+
+
+@dataclass
+class CompiledBucketScript:
+    """A validated ``bucket_script`` / ``bucket_selector`` expression:
+    variables are the ``buckets_path`` map's keys, spelled
+    ``params.<name>`` in painless.  Evaluation is vectorized — each
+    variable is a float64 array across the parent's whole bucket list,
+    so one numpy expression covers every bucket."""
+
+    source: str
+    params: list[str]
+    _code: object = field(repr=False, default=None)
+
+    def __call__(self, values: dict[str, np.ndarray]) -> np.ndarray:
+        env = {
+            "__p_" + p: np.asarray(values[p], dtype=np.float64)
+            for p in self.params
+        }
+        funcs = {**_FUNCS, "logical_and": np.logical_and, "logical_or": np.logical_or}
+        out = eval(self._code, {"__builtins__": {}, **funcs}, env)  # noqa: S307
+        n = len(next(iter(env.values()))) if env else 1
+        return np.broadcast_to(np.asarray(out), (n,)).copy()
+
+
+class _BoolOpToUfunc(ast.NodeTransformer):
+    """``a && b`` must stay vectorized — Python's ``and`` would demand
+    a scalar truth value — so BoolOps compile to logical_and/or calls."""
+
+    def visit_BoolOp(self, node: ast.BoolOp) -> ast.AST:
+        self.generic_visit(node)
+        fname = "logical_and" if isinstance(node.op, ast.And) else "logical_or"
+        cur = node.values[0]
+        for nxt in node.values[1:]:
+            cur = ast.Call(
+                func=ast.Name(id=fname, ctx=ast.Load()), args=[cur, nxt], keywords=[]
+            )
+        return cur
+
+
+def compile_bucket_script(source: str) -> CompiledBucketScript:
+    """Parse + whitelist-validate a pipeline-agg script.  Same AST
+    whitelist as ``compile_script`` plus comparisons / ``&&`` / ``||``
+    (``bucket_selector`` returns booleans); variables must be
+    ``params.*`` references."""
+    if not isinstance(source, str) or not source.strip():
+        raise ValueError("script.source must be a non-empty string")
+    params: list[str] = []
+
+    def _sub(m: re.Match) -> str:
+        p = m.group(1)
+        if p.startswith("_"):
+            raise ValueError(f"invalid param name {p!r} in {source!r}")
+        if p not in params:
+            params.append(p)
+        return "__p_" + p
+
+    rewritten = _PARAMS_RE.sub(_sub, source)
+    rewritten = rewritten.replace("&&", " and ").replace("||", " or ")
+    rewritten = re.sub(r"\bMath\.([A-Za-z]+)", r"\1", rewritten)
+    try:
+        tree = ast.parse(rewritten, mode="eval")
+    except SyntaxError as e:
+        raise ValueError(f"unsupported script syntax: {source!r}") from e
+    allowed = _ALLOWED_NODES + _BUCKET_EXTRA_NODES
+    names = {"__p_" + p for p in params}
+    for node in ast.walk(tree):
+        if not isinstance(node, allowed):
+            raise ValueError(
+                f"unsupported script construct {type(node).__name__} in {source!r}"
+            )
+        if isinstance(node, ast.Call):
+            if (
+                not isinstance(node.func, ast.Name)
+                or node.func.id not in _FUNCS
+                or node.keywords
+            ):
+                raise ValueError(f"unsupported script function in {source!r}")
+        elif isinstance(node, ast.Name) and node.id not in names and node.id not in _FUNCS:
+            raise ValueError(f"unknown script variable {node.id!r} in {source!r}")
+    tree = ast.fix_missing_locations(_BoolOpToUfunc().visit(tree))
+    code = compile(tree, "<bucket_script>", "eval")
+    return CompiledBucketScript(source=source, params=params, _code=code)
+
+
 def compile_script(source: str) -> CompiledScript:
     """Parse + whitelist-validate a ``script.source`` string."""
     if not isinstance(source, str) or not source.strip():

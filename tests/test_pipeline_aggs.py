@@ -1,11 +1,11 @@
-"""Extended-stats / rare_terms / missing aggs and pipeline
-aggregations (cumulative_sum, derivative, bucket_sort, max_bucket
-family) against brute force computed in-test. Reference behavior:
-OpenSearch pipeline aggregations + aggs.{extended_stats,rare_terms,
-missing}."""
+"""Pipeline-aggregation family completion: metric sub-aggs under a
+date_histogram (the time-series sum/avg idiom), bucket_script /
+bucket_selector (painless-subset, params.* variables), serial_diff,
+moving_fn (MovingFunctions built-ins), normalize, and the sibling
+stats_bucket / extended_stats_bucket / percentiles_bucket — each
+checked against brute-force arithmetic over the same fixture."""
 
-import math
-import re
+import datetime as dt
 
 import numpy as np
 import pyarrow as pa
@@ -13,171 +13,285 @@ import pytest
 
 from raybm25.index.build import build_index
 from raybm25.query.dsl import run_query
-from raybm25.query.engine import IndexReader
+from raybm25.query.script import compile_bucket_script
 
-TOK = re.compile(r"[a-z0-9]+")
+DAY = 86400000
 
-# (text, lang, size or None)
-DOCS = [
-    ("alpha beta", "en", 10),
-    ("beta gamma", "de", 250),
-    ("alpha gamma delta", "en", 250),
-    ("delta only", "fr", 400),
-    ("alpha alpha", "en", 999),
-    ("nothing here", "de", None),
-    ("alpha omega", "pt", 77),
+# four daily buckets of 'error' events with a numeric value column
+TS = [
+    dt.datetime(2024, 1, 1, 5, 0),
+    dt.datetime(2024, 1, 1, 9, 0),
+    dt.datetime(2024, 1, 1, 23, 59),
+    dt.datetime(2024, 1, 2, 0, 0),
+    dt.datetime(2024, 1, 2, 12, 30),
+    dt.datetime(2024, 1, 3, 8, 0),
+    dt.datetime(2024, 1, 5, 8, 0),
+    dt.datetime(2024, 1, 5, 9, 0),
+]
+TYPES = ["error"] * 6 + ["error", "signup"]
+VALS = [2.0, 4.0, 6.0, 1.0, 3.0, 10.0, 7.0, 99.0]
+
+# per-day (key, count, sum) over the error rows
+DAYS = [
+    (1704067200000, 3, 12.0),
+    (1704153600000, 2, 4.0),
+    (1704240000000, 1, 10.0),
+    (1704412800000, 1, 7.0),
 ]
 
 
 @pytest.fixture(scope="module")
-def built(ray_session, tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("pipeaggs")
+def idx(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pipeagg")
     import pyarrow.parquet as pq
 
     pq.write_table(
         pa.table(
             {
-                "doc_id": list(range(len(DOCS))),
-                "text": [t for t, _, _ in DOCS],
-                "lang": [l for _, l, _ in DOCS],
-                "size": pa.array(
-                    [s for _, _, s in DOCS], type=pa.float64()
-                ),
+                "event_id": list(range(len(TS))),
+                "event_type": TYPES,
+                "ts": pa.array(TS, pa.timestamp("us")),
+                "value": VALS,
             }
         ),
-        str(tmp / "d.parquet"),
+        str(tmp / "e.parquet"),
     )
-    idx = str(tmp / "idx")
+    out = str(tmp / "idx")
     build_index(
-        str(tmp / "d.parquet"), idx, key_col="doc_id", id_col="doc_id",
-        ts_col=None, keyword_cols=("lang",),
-        stored_cols=["text", "lang", "size"], num_buckets=2,
+        str(tmp / "e.parquet"),
+        out,
+        key_col="event_id",
+        id_col="event_id",
+        ts_col=None,
+        text_cols=("event_type",),
+        stored_cols=["event_type", "ts", "value"],
+        num_buckets=2,
     )
-    return idx, IndexReader(idx)
+    return out
 
 
-def _match(query):
-    terms = set(TOK.findall(query.lower()))
-    return [i for i, (t, _, _) in enumerate(DOCS)
-            if set(TOK.findall(t.lower())) & terms]
-
-
-def test_extended_stats(built):
-    _, rdr = built
-    st = rdr.extended_stats_agg("alpha gamma", "size")
-    vals = np.array(
-        [DOCS[i][2] for i in _match("alpha gamma")], dtype=np.float64
-    )
-    assert st["count"] == vals.size
-    assert st["sum_of_squares"] == pytest.approx(float((vals * vals).sum()))
-    want_var = float((vals * vals).sum()) / vals.size - vals.mean() ** 2
-    assert st["variance"] == pytest.approx(want_var)
-    assert st["std_deviation"] == pytest.approx(math.sqrt(want_var))
-
-
-def test_rare_terms(built):
-    _, rdr = built
-    # 'alpha' matches en x3, pt x1 -> rare at max_doc_count=1: pt only
-    assert rdr.rare_terms_agg("alpha", "lang", max_doc_count=1) == [("pt", 1)]
-    # max_doc_count=3 admits en too, count-asc then key-asc
-    assert rdr.rare_terms_agg("alpha", "lang", max_doc_count=3) == [
-        ("pt", 1), ("en", 3),
-    ]
-
-
-def test_missing_agg(built):
-    _, rdr = built
-    # 'nothing here' has a null size and matches 'nothing'
-    assert rdr.missing_agg("nothing", "size") == 1
-    assert rdr.missing_agg("alpha", "size") == 0
-
-
-def test_missing_agg_dsl(built):
-    idx, _ = built
-    resp = run_query(idx, {
-        "query": {"match": {"text": {"query": "nothing gamma"}}},
-        "size": 0,
-        "aggs": {"m": {"missing": {"field": "size"}}},
-    })
-    assert resp["aggregations"]["m"] == {"doc_count": 1}
-
-
-def test_parent_pipeline_cumsum_derivative(built):
-    idx, _ = built
-    resp = run_query(idx, {
-        "query": {"match": {"text": {"query": "alpha beta gamma delta"}}},
-        "size": 0,
-        "aggs": {"h": {
-            "histogram": {"field": "size", "interval": 100},
-            "aggs": {
-                "cum": {"cumulative_sum": {"buckets_path": "_count"}},
-                "d": {"derivative": {"buckets_path": "_count"}},
-            },
-        }},
-    })
-    buckets = resp["aggregations"]["h"]["buckets"]
-    counts = [b["doc_count"] for b in buckets]
-    cums = [b["cum"]["value"] for b in buckets]
-    assert cums == [float(c) for c in np.cumsum(counts)]
-    assert "d" not in buckets[0]
-    assert [b["d"]["value"] for b in buckets[1:]] == [
-        float(b - a) for a, b in zip(counts, counts[1:])
-    ]
-
-
-def test_bucket_sort_and_siblings(built):
-    idx, _ = built
-    resp = run_query(idx, {
-        "query": {"match": {"text": {"query": "alpha beta gamma delta"}}},
+def _daily(idx, sub_aggs):
+    body = {
+        "query": {"match": {"event_type": {"query": "error"}}},
         "size": 0,
         "aggs": {
-            "h": {
-                "histogram": {"field": "size", "interval": 100},
-                "aggs": {"top": {"bucket_sort": {
-                    "sort": [{"_count": {"order": "desc"}}], "size": 2,
-                }}},
-            },
-            "mx": {"max_bucket": {"buckets_path": "h>_count"}},
-            "avg": {"avg_bucket": {"buckets_path": "h>_count"}},
-            "tot": {"sum_bucket": {"buckets_path": "h>_count"}},
+            "daily": {
+                "date_histogram": {"field": "ts", "fixed_interval_ms": DAY},
+                "aggs": sub_aggs,
+            }
         },
-    })
-    aggs = resp["aggregations"]
-    # matched sizes: 10, 250, 250, 400, 999, 77 -> buckets
-    # 0:[10,77] 200:[250,250] 400:[400] 900:[999]
-    top = [(b["key"], b["doc_count"]) for b in aggs["h"]["buckets"]]
-    assert top == [(0.0, 2), (200.0, 2)]  # stable: key-asc among ties
-    # siblings reduce over the FULL histogram (declared before the sort
-    # trimmed it? no - siblings run after, over the trimmed parent):
-    assert aggs["mx"]["value"] == 2.0 and set(aggs["mx"]["keys"]) == {
-        "0.0", "200.0",
     }
-    assert aggs["tot"]["value"] == 4.0
-    assert aggs["avg"]["value"] == 2.0
+    return run_query(idx, body)["aggregations"]["daily"]["buckets"]
 
 
-def test_unknown_pipeline_raises(built):
-    idx, _ = built
-    with pytest.raises(ValueError, match="unsupported parent pipeline"):
-        run_query(idx, {
-            "query": {"match": {"text": {"query": "alpha"}}},
-            "size": 0,
-            "aggs": {"h": {
-                "histogram": {"field": "size", "interval": 100},
-                "aggs": {"bad": {"moving_avg": {"buckets_path": "_count"}}},
-            }},
-        })
+def test_metric_sub_aggs_per_bucket(idx):
+    buckets = _daily(
+        idx,
+        {
+            "vsum": {"sum": {"field": "value"}},
+            "vavg": {"avg": {"field": "value"}},
+            "vst": {"stats": {"field": "value"}},
+            "vn": {"value_count": {"field": "value"}},
+        },
+    )
+    assert [(b["key"], b["doc_count"]) for b in buckets] == [
+        (k, n) for k, n, _ in DAYS
+    ]
+    for b, (_, n, s) in zip(buckets, DAYS):
+        assert b["vsum"]["value"] == pytest.approx(s)
+        assert b["vavg"]["value"] == pytest.approx(s / n)
+        assert b["vn"]["value"] == n
+        assert b["vst"]["count"] == n
+        assert b["vst"]["sum"] == pytest.approx(s)
 
 
-def test_global_agg(built):
-    idx, rdr = built
-    resp = run_query(idx, {
-        "query": {"match": {"text": {"query": "nothing"}}},
+def test_bucket_script_and_selector(idx):
+    buckets = _daily(
+        idx,
+        {
+            "vsum": {"sum": {"field": "value"}},
+            "ratio": {
+                "bucket_script": {
+                    "buckets_path": {"s": "vsum", "c": "_count"},
+                    "script": "params.s / params.c",
+                }
+            },
+            "keep": {
+                "bucket_selector": {
+                    "buckets_path": {"c": "_count"},
+                    "script": "params.c >= 2 && params.c < 10",
+                }
+            },
+        },
+    )
+    # selector keeps the two buckets with count 3 and 2
+    assert [b["doc_count"] for b in buckets] == [3, 2]
+    assert [b["ratio"]["value"] for b in buckets] == [
+        pytest.approx(4.0),
+        pytest.approx(2.0),
+    ]
+
+
+def test_serial_diff(idx):
+    buckets = _daily(
+        idx, {"sd": {"serial_diff": {"buckets_path": "_count", "lag": 2}}}
+    )
+    counts = [b["doc_count"] for b in buckets]
+    for i, b in enumerate(buckets):
+        if i < 2:
+            assert "sd" not in b
+        else:
+            assert b["sd"]["value"] == pytest.approx(counts[i] - counts[i - 2])
+
+
+def test_moving_fn_window_and_shift(idx):
+    buckets = _daily(
+        idx,
+        {
+            "vsum": {"sum": {"field": "value"}},
+            "mv": {
+                "moving_fn": {
+                    "buckets_path": "vsum",
+                    "window": 2,
+                    "script": "MovingFunctions.unweightedAvg(values)",
+                }
+            },
+            "mx": {
+                "moving_fn": {
+                    "buckets_path": "vsum",
+                    "window": 2,
+                    "shift": 1,  # window includes the current bucket
+                    "script": "MovingFunctions.max(values)",
+                }
+            },
+            "sdv": {
+                "moving_fn": {
+                    "buckets_path": "vsum",
+                    "window": 3,
+                    "script": (
+                        "MovingFunctions.stdDev(values, "
+                        "MovingFunctions.unweightedAvg(values))"
+                    ),
+                }
+            },
+        },
+    )
+    sums = [s for _, _, s in DAYS]
+    for i, b in enumerate(buckets):
+        win = sums[max(0, i - 2):i]
+        assert b["mv"]["value"] == (
+            pytest.approx(sum(win) / len(win)) if win else None
+        )
+        win_inc = sums[max(0, i - 1):i + 1]
+        assert b["mx"]["value"] == pytest.approx(max(win_inc))
+        win3 = sums[max(0, i - 3):i]
+        if win3:
+            mu = sum(win3) / len(win3)
+            want = float(np.sqrt(sum((x - mu) ** 2 for x in win3) / len(win3)))
+            assert b["sdv"]["value"] == pytest.approx(want)
+        else:
+            assert b["sdv"]["value"] is None
+
+
+def test_normalize_methods(idx):
+    methods = [
+        "rescale_0_1",
+        "rescale_0_100",
+        "percent_of_sum",
+        "mean",
+        "z-score",
+        "softmax",
+    ]
+    buckets = _daily(
+        idx,
+        {
+            f"n{i}": {"normalize": {"buckets_path": "_count", "method": m}}
+            for i, m in enumerate(methods)
+        },
+    )
+    vs = np.array([b["doc_count"] for b in buckets], dtype=np.float64)
+    span = vs.max() - vs.min()
+    sd = float(np.sqrt(((vs - vs.mean()) ** 2).mean()))
+    want = {
+        "n0": (vs - vs.min()) / span,
+        "n1": (vs - vs.min()) * 100 / span,
+        "n2": vs / vs.sum(),
+        "n3": (vs - vs.mean()) / span,
+        "n4": (vs - vs.mean()) / sd,
+        "n5": np.exp(vs) / np.exp(vs).sum(),
+    }
+    for key, w in want.items():
+        got = [b[key]["value"] for b in buckets]
+        assert got == pytest.approx(list(w))
+
+
+def test_sibling_stats_and_percentiles(idx):
+    body = {
+        "query": {"match": {"event_type": {"query": "error"}}},
         "size": 0,
-        "aggs": {"all": {"global": {}, "aggs": {
-            "st": {"stats": {"field": "size"}}}}},
-    })
-    g = resp["aggregations"]["all"]
-    # the global bucket covers every live doc, not the 1-doc match set
-    assert g["doc_count"] == len(DOCS)
-    assert g["st"]["count"] == len(DOCS)
+        "aggs": {
+            "daily": {
+                "date_histogram": {"field": "ts", "fixed_interval_ms": DAY},
+                "aggs": {"vsum": {"sum": {"field": "value"}}},
+            },
+            "st": {"stats_bucket": {"buckets_path": "daily>vsum"}},
+            "xst": {
+                "extended_stats_bucket": {"buckets_path": "daily>vsum"}
+            },
+            "pb": {
+                "percentiles_bucket": {
+                    "buckets_path": "daily>_count",
+                    "percents": [0, 50, 100],
+                }
+            },
+        },
+    }
+    aggs = run_query(idx, body)["aggregations"]
+    sums = [s for _, _, s in DAYS]
+    st = aggs["st"]
+    assert st["count"] == len(sums)
+    assert st["sum"] == pytest.approx(sum(sums))
+    assert st["min"] == min(sums) and st["max"] == max(sums)
+    xst = aggs["xst"]
+    mu = sum(sums) / len(sums)
+    var = sum(v * v for v in sums) / len(sums) - mu * mu
+    assert xst["variance"] == pytest.approx(var)
+    assert xst["std_deviation"] == pytest.approx(var**0.5)
+    counts = sorted(n for _, n, _ in DAYS)
+    pb = aggs["pb"]["values"]
+    assert pb["0"] == counts[0]
+    assert pb["100"] == counts[-1]
+    # nearest-rank: round(0.5 * 3) = 2
+    assert pb["50"] == counts[2]
+
+
+@pytest.mark.parametrize(
+    "src",
+    [
+        "__import__('os').system('true')",
+        "params.c ** 2",
+        "open('/etc/passwd')",
+        "params.c if params.c else 0",
+        "params.c; params.c",
+        "[x for x in (1,)]",
+        "params.__class__",
+    ],
+)
+def test_bucket_script_rejects_unsafe(src):
+    with pytest.raises(ValueError):
+        compile_bucket_script(src)
+
+
+def test_bucket_script_requires_mapped_params(idx):
+    with pytest.raises(ValueError, match="absent from buckets_path"):
+        _daily(
+            idx,
+            {
+                "bad": {
+                    "bucket_script": {
+                        "buckets_path": {"c": "_count"},
+                        "script": "params.c + params.missing",
+                    }
+                }
+            },
+        )
