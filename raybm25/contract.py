@@ -499,6 +499,134 @@ def q_span_first(sf_dir: str):
     )
 
 
+def q_span_or(sf_dir: str):
+    """Lucene ``span_or``: union of a span_term and an adjacent
+    span_near pair — exact at doc level (any matching inner span
+    qualifies the doc); clause doc sets union in sorted-id space
+    (dsl._match_docs 'span_or')."""
+    from .query.dsl import _match_docs
+
+    r = _IndexReader()(_pos_index(sf_dir))
+    ids = _match_docs(
+        r,
+        "span_or",
+        {
+            "clauses": [
+                {"span_term": {"text": "filter"}},
+                {
+                    "span_near": {
+                        "clauses": [
+                            {"span_term": {"text": "merge"}},
+                            {"span_term": {"text": "sort"}},
+                        ],
+                        "slop": 0,
+                        "in_order": True,
+                    }
+                },
+            ]
+        },
+    )
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
+def q_terms_set(sf_dir: str):
+    """``terms_set`` query: docs containing at least 2 of 3 analyzed
+    terms, the threshold from a ``params.num_terms`` script through
+    the whitelisted bucket-script compiler (dsl._terms_set_min); doc
+    sets counted with one unique-with-counts pass over the per-term
+    postings unions."""
+    from .query.dsl import _match_docs
+
+    ids = _match_docs(
+        _IndexReader()(docs_index(sf_dir)),
+        "terms_set",
+        {
+            "text": {
+                "terms": ["merge", "join", "sort"],
+                "minimum_should_match_script": {
+                    "source": "params.num_terms - 1"
+                },
+            }
+        },
+    )
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
+def q_pinned_wrapper(sf_dir: str):
+    """``pinned`` query (ids promoted first, in order, above the
+    organic ranking) whose organic clause arrives base64-encoded via
+    a ``wrapper`` query — both OpenSearch escape hatches in one
+    request.  Pinned promotion uses Lucene-style huge-float scores;
+    the emitted `pinned` flag derives from the score band."""
+    import base64
+    import json
+
+    from .query.dsl import run_query
+
+    organic = {"match": {"text": {"query": "merge"}}}
+    b64 = base64.b64encode(json.dumps(organic).encode()).decode()
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {
+                "pinned": {"ids": [7, 3], "organic": {"wrapper": {"query": b64}}}
+            },
+            "size": 10,
+        },
+    )
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array(
+                [int(np.int64(np.uint64(h["_id"]))) for h in hits],
+                dtype="int64",
+            ),
+            "pinned": pd.array(
+                [int(h["_score"] > 1e30) for h in hits], dtype="int64"
+            ),
+        }
+    )
+
+
+def q_multi_terms(sf_dir: str):
+    """``multi_terms`` aggregation: buckets keyed by the (lang, source)
+    keyword tuple over docs matching 'merge join' — one gather per
+    source column + one lexsort (engine.facet_multi_terms), count-desc
+    then key-asc ordering."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge join"}}},
+            "size": 0,
+            "aggs": {
+                "ls": {
+                    "multi_terms": {
+                        "terms": [{"field": "lang"}, {"field": "source"}],
+                        "size": 10,
+                    }
+                }
+            },
+        },
+    )
+    buckets = resp["aggregations"]["ls"]["buckets"]
+    return pd.DataFrame(
+        {
+            "lang": [b["key"][0] for b in buckets],
+            "source": [b["key"][1] for b in buckets],
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+        }
+    )
+
+
 def q_significant_terms(sf_dir: str):
     """significant_terms aggregation (JLH): terms over-represented in
     docs matching 'merge sort' vs the whole corpus — foreground counts
@@ -4338,6 +4466,48 @@ ORACLE_SQL: dict[str, str] = {
         "range(1, least(4, len(toks)+1)), i -> toks[i] = 'merge')) > 0"
         " ORDER BY doc_id"
     ),
+    # span_term 'filter' OR adjacent "merge sort" (slop 0, ordered)
+    "span_or_docs": (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
+        " AS toks FROM documents)"
+        " SELECT doc_id FROM t WHERE list_contains(toks, 'filter')"
+        " OR len(list_filter(range(1, len(toks)),"
+        " i -> toks[i] = 'merge' AND toks[i+1] = 'sort')) > 0"
+        " ORDER BY doc_id"
+    ),
+    # >= 2 distinct terms of (join, merge, sort) present
+    "terms_set_docs": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT doc_id, count(DISTINCT term) AS c FROM toks"
+        " WHERE term IN ('join', 'merge', 'sort') GROUP BY doc_id)"
+        " SELECT doc_id FROM m WHERE c >= 2 ORDER BY doc_id"
+    ),
+    # pinned ids (7, 3) first in that order, then organic BM25 'merge'
+    # ranking with the pinned ids removed
+    "pinned_wrapper_topk": (
+        "WITH org AS ("
+        + _bm25_sql(
+            "merge",
+            None,
+            cols="rank AS orank, doc_id",
+            where="documents.doc_id NOT IN (7, 3)",
+        )
+        + "), pin AS (SELECT * FROM (VALUES (7, 1), (3, 2)) AS v(doc_id, prank)),"
+        " allrows AS ("
+        " SELECT doc_id, prank AS o1, 0 AS o2, 1 AS pinned FROM pin"
+        " UNION ALL SELECT doc_id, 1000000000, orank, 0 FROM org)"
+        " SELECT row_number() OVER (ORDER BY o1, o2) AS rank, doc_id, pinned"
+        " FROM allrows ORDER BY rank LIMIT 10"
+    ),
+    "multi_terms_lang_source": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks"
+        " WHERE term IN ('join', 'merge'))"
+        " SELECT lang, source, count(*) AS doc_count"
+        " FROM documents JOIN m USING(doc_id)"
+        " GROUP BY lang, source"
+        " ORDER BY doc_count DESC, lang, source LIMIT 10"
+    ),
     "significant_terms": (
         f"WITH {TOKS_CTE},"
         " fg AS (SELECT DISTINCT doc_id FROM toks"
@@ -5083,6 +5253,10 @@ QUERIES = {
     "agg_metrics_nchars": q_agg_metrics,
     "intervals_ordered": q_intervals_ordered,
     "span_near_docs": q_span_near,
+    "span_or_docs": q_span_or,
+    "terms_set_docs": q_terms_set,
+    "pinned_wrapper_topk": q_pinned_wrapper,
+    "multi_terms_lang_source": q_multi_terms,
     "suggest_completion": q_suggest_completion,
     "termvectors_doc": q_termvectors,
     "field_stats": q_field_stats,
@@ -5165,7 +5339,8 @@ QUERIES = {
 # driver-visible.  Pure reorder — every entry keeps its callable/SQL.
 _DRIVER_PRIORITY = [
     "pipeline_bucket_math", "pipeline_bucket_selector",
-    "pipeline_stats_buckets",
+    "pipeline_stats_buckets", "span_or_docs", "terms_set_docs",
+    "pinned_wrapper_topk", "multi_terms_lang_source",
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",
     "repetition_signals", "canonical_urls", "percolate_matches",
     "media_meta_mp3", "media_meta_mp4", "force_merge_survivors",

@@ -101,6 +101,24 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
         return np.sort(np.concatenate(parts).astype(np.uint64))
     if kind == "exists":
         return r.exists_docs(str(spec["field"]))
+    if kind == "wrapper":
+        # base64-wrapped JSON query (the OpenSearch escape hatch for
+        # templated clients); decode and re-dispatch
+        ik, ispec = _unwrap(spec)
+        return _match_docs(r, ik, ispec)
+    if kind == "span_or":
+        # union of the clause spans' doc sets — exact at doc level
+        # (any matching inner span qualifies the doc)
+        sets = []
+        for c in spec["clauses"]:
+            ck, cs = _one(c, "span_or clause")
+            sets.append(_match_docs(r, ck, cs).astype(np.uint64))
+        if not sets:
+            return np.empty(0, np.uint64)
+        out = sets[0]
+        for s in sets[1:]:
+            out = np.union1d(out, s)
+        return out
     if kind == "query_string":
         from .querystring import query_string_docs
 
@@ -196,7 +214,57 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
             prefix_length=int(body.get("prefix_length", 0)),
             field=f,
         ).astype(np.uint64)
+    if kind == "terms_set":
+        # docs containing >= m of the given analyzed terms (text
+        # fields; keyword fields are what `terms` covers).  m comes
+        # from a literal minimum_should_match or a params.num_terms
+        # script through the whitelisted bucket-script compiler.
+        terms = [str(t) for t in body["terms"]]
+        m = _terms_set_min(body, len(terms))
+        sets = [
+            np.unique(
+                r._map_ordinals(r._match_ordinals(t, f)).astype(np.uint64)
+            )
+            for t in terms
+        ]
+        allv = (
+            np.concatenate(sets) if sets else np.empty(0, np.uint64)
+        )
+        u, c = np.unique(allv, return_counts=True)
+        return u[c >= max(m, 1)]
     raise ValueError(f"unsupported query kind {kind!r}")
+
+
+def _terms_set_min(body: dict, n_terms: int) -> int:
+    """Resolve a terms_set threshold: a literal minimum_should_match,
+    a params.num_terms script (whitelisted compiler), or all terms."""
+    if "minimum_should_match" in body:
+        return int(body["minimum_should_match"])
+    msrc = body.get("minimum_should_match_script")
+    if msrc is None:
+        return n_terms
+    from .script import compile_bucket_script
+
+    src = str(msrc.get("source", "")) if isinstance(msrc, dict) else str(msrc)
+    cs = compile_bucket_script(src)
+    bad = [p for p in cs.params if p != "num_terms"]
+    if bad:
+        raise ValueError(
+            f"terms_set script may only read params.num_terms: {bad}"
+        )
+    return int(cs({"num_terms": np.array([float(n_terms)])})[0])
+
+
+def _unwrap(spec: dict) -> tuple[str, Any]:
+    """Decode a ``wrapper`` query's base64 JSON body."""
+    import base64
+    import json
+
+    try:
+        inner = json.loads(base64.b64decode(str(spec["query"])))
+    except Exception as e:
+        raise ValueError(f"wrapper.query is not base64 JSON: {e}") from e
+    return _one(inner, "wrapper.query")
 
 
 def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, float]]:
@@ -204,6 +272,29 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
     if kind == "match_all":
         ids = _match_docs(r, "match_all", spec)
         return [(int(d), 1.0) for d in ids[:k]]
+    if kind == "wrapper":
+        ik, ispec = _unwrap(spec)
+        return _scored_hits(r, ik, ispec, k)
+    if kind == "pinned":
+        # pinned docs first in the given order (only those that exist
+        # in the index), then the organic hits with pinned ids removed.
+        # Pinned scores mirror Lucene's huge-float promotion: distinct,
+        # strictly decreasing, far above any BM25 score.
+        ids = [int(v) for v in spec["ids"]]
+        ok_, ospec = _one(spec["organic"], "pinned.organic")
+        organic = _scored_hits(r, ok_, ospec, k + len(ids))
+        mask = (1 << 64) - 1
+        uids = np.array([v & mask for v in ids], dtype=np.uint64)
+        present = set(int(d) for d in r.ids_docs(uids))
+        base = 2.0**127
+        pinned = [
+            (int(u), base - i * 2.0**100)
+            for i, u in enumerate(uids)
+            if int(u) in present
+        ]
+        pinned_set = {d for d, _ in pinned}
+        organic = [(d, s) for d, s in organic if d not in pinned_set]
+        return (pinned + organic)[:k]
     if kind == "more_like_this":
         # spec is the options dict itself: {"like_id": ..., knobs...}
         return r.more_like_this(
@@ -431,7 +522,7 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
                     c[inner][next(iter(c[inner]))]["slop"] = int(spec["slop"])
             return _scored_hits(r, "dis_max", sub, k)
         raise ValueError(f"unsupported multi_match type {mtype!r}")
-    if kind in ("span_near", "span_first"):
+    if kind in ("span_near", "span_first", "span_or"):
         # span queries: constant-score rewrite (multi-key specs never
         # reach _field_query)
         ids = _match_docs(r, kind, spec)
@@ -462,6 +553,17 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
         return [(d, s * boost) for d, s in hits] if boost != 1.0 else hits
     if kind == "match_bool_prefix":
         hits = r.match_bool_prefix(q, k, field=f)
+        return [(d, s * boost) for d, s in hits] if boost != 1.0 else hits
+    if kind == "terms_set":
+        # scores like bool-should with minimum_should_match (the
+        # OpenSearch semantics: BM25 sum over the matched terms)
+        terms = [str(t) for t in body["terms"]]
+        hits = r.search_bool(
+            should=" ".join(terms),
+            minimum_should_match=_terms_set_min(body, len(terms)),
+            k=k,
+            field=f,
+        )
         return [(d, s * boost) for d, s in hits] if boost != 1.0 else hits
     # multi-term queries score constant 1.0 (OpenSearch constant-score
     # rewrite); rank = doc_id asc for determinism
@@ -977,6 +1079,22 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
                     size=int(aspec.get("size", 1)),
                     field=f,
                 )
+            }
+            continue
+        if akind == "multi_terms":
+            flds = [str(t["field"]) for t in aspec["terms"]]
+            rows = r.facet_multi_terms(
+                qtext, flds, size=int(aspec.get("size", 10)), field=f
+            )
+            out[name] = {
+                "buckets": [
+                    {
+                        "key": list(kt),
+                        "key_as_string": "|".join(kt),
+                        "doc_count": n,
+                    }
+                    for kt, n in rows
+                ]
             }
             continue
         afield = aspec["field"]

@@ -1884,6 +1884,39 @@ class IndexReader:
             u, c = u[cut:], c[cut:]
         return [(str(k), int(n)) for k, n in zip(u[:size], c[:size])]
 
+    def facet_multi_terms(
+        self,
+        query: str,
+        fields: list[str],
+        size: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[tuple[str, ...], int]]:
+        """multi_terms aggregation: buckets keyed by the TUPLE of two+
+        keyword doc-values (OpenSearch ``multi_terms``) — one gather
+        per source column, one lexsort, adjacent-difference group
+        starts; no per-bucket work.  Returns (key_tuple, doc_count)
+        sorted count-desc then key-asc, cut to ``size``."""
+        if len(fields) < 2:
+            raise ValueError("multi_terms needs at least two term sources")
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        cols = [self._gather_column(cand, fl).astype(str) for fl in fields]
+        order = np.lexsort(cols[::-1])  # first field = primary key
+        sc = [c[order] for c in cols]
+        neq = np.zeros(sc[0].size, dtype=bool)
+        neq[0] = True
+        for c in sc:
+            neq[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(neq)
+        counts = np.diff(np.append(starts, sc[0].size))
+        rows = [
+            (tuple(str(c[s]) for c in sc), int(n))
+            for s, n in zip(starts, counts)
+        ]
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        return rows[: max(size, 0)]
+
     def facet_terms_stats(
         self,
         query: str,

@@ -1,0 +1,213 @@
+"""wrapper / pinned / terms_set / span_or queries and the multi_terms
+aggregation, checked against brute force over a small fixed corpus."""
+
+import base64
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raybm25.index.build import build_index
+from raybm25.query.dsl import _match_docs, run_query
+from raybm25.query.engine import IndexReader
+
+DOCS = [
+    (0, "quick brown fox", "en", "web"),
+    (1, "merge sort beats quick sort", "en", "web"),
+    (2, "merge join and hash join", "en", "book"),
+    (3, "the lazy dog sleeps", "de", "web"),
+    (4, "quick merge join sort", "de", "book"),
+    (5, "nothing relevant here", "en", "web"),
+    (6, "merge merge merge", "en", "book"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("qext")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [d for d, _, _, _ in DOCS],
+                "text": [t for _, t, _, _ in DOCS],
+                "lang": [la for _, _, la, _ in DOCS],
+                "source": [s for _, _, _, s in DOCS],
+            }
+        ),
+        str(tmp / "d.parquet"),
+    )
+    out = str(tmp / "idx")
+    build_index(
+        str(tmp / "d.parquet"),
+        out,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("text",),
+        keyword_cols=("lang", "source"),
+        stored_cols=["text", "lang", "source"],
+        num_buckets=2,
+        positions=True,
+    )
+    return out
+
+
+def _b64(q):
+    return base64.b64encode(json.dumps(q).encode()).decode()
+
+
+def test_wrapper_matches_inner(idx):
+    inner = {"match": {"text": {"query": "merge join"}}}
+    a = run_query(idx, {"query": inner, "size": 10})["hits"]["hits"]
+    b = run_query(
+        idx, {"query": {"wrapper": {"query": _b64(inner)}}, "size": 10}
+    )["hits"]["hits"]
+    assert [(h["_id"], h["_score"]) for h in a] == [
+        (h["_id"], h["_score"]) for h in b
+    ]
+    assert len(a) > 0
+
+
+def test_wrapper_rejects_garbage(idx):
+    with pytest.raises(ValueError, match="base64 JSON"):
+        run_query(idx, {"query": {"wrapper": {"query": "!!!"}}, "size": 1})
+
+
+def test_pinned_order_and_dedup(idx):
+    organic = {"match": {"text": {"query": "merge"}}}
+    org = [h["_id"] for h in run_query(idx, {"query": organic, "size": 10})["hits"]["hits"]]
+    # pin one organic hit and one non-matching doc; a nonexistent id is dropped
+    body = {
+        "query": {"pinned": {"ids": [3, org[0], 999999], "organic": organic}},
+        "size": 10,
+    }
+    hits = run_query(idx, body)["hits"]["hits"]
+    got = [h["_id"] for h in hits]
+    assert got[:2] == [3, org[0]]
+    assert got[2:] == [d for d in org if d != org[0]]
+    # pinned scores strictly decreasing and far above BM25
+    assert hits[0]["_score"] > hits[1]["_score"] > 1e30 > hits[2]["_score"]
+    assert 999999 not in got
+
+
+def test_terms_set_thresholds(idx):
+    r = IndexReader(idx)
+    spec = lambda **kw: {"text": {"terms": ["merge", "join", "sort"], **kw}}
+    brute = {
+        d: len({"merge", "join", "sort"} & set(t.split()))
+        for d, t, _, _ in DOCS
+    }
+    for m in (1, 2, 3):
+        ids = _match_docs(r, "terms_set", spec(minimum_should_match=m))
+        assert sorted(ids.tolist()) == sorted(
+            d for d, c in brute.items() if c >= m
+        ), m
+    # script threshold: num_terms - 1 == 2
+    ids = _match_docs(
+        r,
+        "terms_set",
+        spec(minimum_should_match_script={"source": "params.num_terms - 1"}),
+    )
+    assert sorted(ids.tolist()) == sorted(d for d, c in brute.items() if c >= 2)
+    # default = all terms
+    ids = _match_docs(r, "terms_set", spec())
+    assert sorted(ids.tolist()) == sorted(d for d, c in brute.items() if c >= 3)
+    # threshold above the term count matches nothing
+    assert _match_docs(r, "terms_set", spec(minimum_should_match=4)).size == 0
+
+
+def test_terms_set_scored_like_bool_should(idx):
+    body = {
+        "query": {
+            "terms_set": {
+                "text": {"terms": ["merge", "join"], "minimum_should_match": 1}
+            }
+        },
+        "size": 10,
+    }
+    a = run_query(idx, body)["hits"]["hits"]
+    b = run_query(
+        idx,
+        {
+            "query": {
+                "bool": {
+                    "should": [
+                        {"match": {"text": {"query": "merge"}}},
+                        {"match": {"text": {"query": "join"}}},
+                    ],
+                    "minimum_should_match": 1,
+                }
+            },
+            "size": 10,
+        },
+    )["hits"]["hits"]
+    assert [(h["_id"], h["_score"]) for h in a] == [
+        (h["_id"], h["_score"]) for h in b
+    ]
+
+
+def test_span_or_union(idx):
+    r = IndexReader(idx)
+    ids = _match_docs(
+        r,
+        "span_or",
+        {
+            "clauses": [
+                {"span_term": {"text": "lazy"}},
+                {
+                    "span_near": {
+                        "clauses": [
+                            {"span_term": {"text": "merge"}},
+                            {"span_term": {"text": "sort"}},
+                        ],
+                        "slop": 0,
+                        "in_order": True,
+                    }
+                },
+            ]
+        },
+    )
+    # doc 3 has 'lazy'; docs 1 ("merge sort") has the adjacent pair;
+    # doc 4 has "merge join sort" (not adjacent)
+    assert sorted(ids.tolist()) == [1, 3]
+
+
+def test_multi_terms_vs_brute(idx):
+    resp = run_query(
+        idx,
+        {
+            "query": {"match": {"text": {"query": "merge join"}}},
+            "size": 0,
+            "aggs": {
+                "ls": {
+                    "multi_terms": {
+                        "terms": [{"field": "lang"}, {"field": "source"}],
+                        "size": 10,
+                    }
+                }
+            },
+        },
+    )
+    match = [d for d, t, _, _ in DOCS if {"merge", "join"} & set(t.split())]
+    from collections import Counter
+
+    want = Counter(
+        (la, s) for d, _, la, s in DOCS if d in match
+    )
+    got = {
+        tuple(b["key"]): b["doc_count"]
+        for b in resp["aggregations"]["ls"]["buckets"]
+    }
+    assert got == dict(want)
+    # ordering: count desc then key asc
+    counts = [b["doc_count"] for b in resp["aggregations"]["ls"]["buckets"]]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_multi_terms_needs_two_fields(idx):
+    r = IndexReader(idx)
+    with pytest.raises(ValueError, match="two term sources"):
+        r.facet_multi_terms("merge", ["lang"], size=5)
