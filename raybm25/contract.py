@@ -499,6 +499,130 @@ def q_span_first(sf_dir: str):
     )
 
 
+_GEO_INDEX_CACHE: dict[str, str] = {}
+
+# deterministic synthetic geo_point per doc (same arithmetic in the
+# DuckDB oracles: integer multiply + mod, then one float divide/sub —
+# bit-identical in both engines)
+_GEO_LAT_MUL, _GEO_LON_MUL = 7919, 104729
+
+
+def _geo_index(sf_dir: str) -> str:
+    """documents + a synthesized geo_point field ``loc`` (stored as
+    the flat ``loc_lat`` / ``loc_lon`` float64 doc-value columns the
+    engine's geo queries read)."""
+    if sf_dir in _GEO_INDEX_CACHE:
+        return _GEO_INDEX_CACHE[sf_dir]
+    import pyarrow.parquet as pq
+
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    src = os.path.join(CACHE_ROOT, f"geodocs_{_tag(sf_dir)}.parquet")
+    if not os.path.exists(src):
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        )
+        did = t.column("doc_id").to_numpy()
+        lat = ((did * _GEO_LAT_MUL) % 18000) / 100.0 - 90.0
+        lon = ((did * _GEO_LON_MUL) % 36000) / 100.0 - 180.0
+        t = t.append_column("loc_lat", pa.array(lat, pa.float64()))
+        t = t.append_column("loc_lon", pa.array(lon, pa.float64()))
+        tmp = src + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, src)
+    idx = os.path.join(CACHE_ROOT, f"geoidx_{_tag(sf_dir)}")
+    build_index(
+        src,
+        idx,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("text",),
+        keyword_cols=("lang",),
+        stored_cols=["text", "lang", "loc_lat", "loc_lon"],
+        num_buckets=8,
+    )
+    _GEO_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_geo_distance(sf_dir: str):
+    """``geo_distance`` query: docs within 3000 km of (10, 20) —
+    one gather per coordinate column over the live ordinal set, one
+    vectorized haversine (engine.geo_distance_docs, spherical
+    R=6371000 m)."""
+    from .query.dsl import _match_docs
+
+    ids = _match_docs(
+        _IndexReader()(_geo_index(sf_dir)),
+        "geo_distance",
+        {"distance": "3000km", "loc": {"lat": 10.0, "lon": 20.0}},
+    )
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
+def q_geo_bbox(sf_dir: str):
+    """``geo_bounding_box`` query: docs inside lat [-30, 30] x
+    lon [-60, 60] (inclusive rectangle, pure comparisons — exact)."""
+    from .query.dsl import _match_docs
+
+    ids = _match_docs(
+        _IndexReader()(_geo_index(sf_dir)),
+        "geo_bounding_box",
+        {
+            "loc": {
+                "top_left": {"lat": 30.0, "lon": -60.0},
+                "bottom_right": {"lat": -30.0, "lon": 60.0},
+            }
+        },
+    )
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
+def q_geo_distance_rings(sf_dir: str):
+    """``geo_distance`` aggregation: doc counts per distance ring
+    around (0, 0) over docs matching 'merge' (engine.
+    facet_geo_distance — the facet_ranges shape after one haversine
+    pass)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _geo_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 0,
+            "aggs": {
+                "rings": {
+                    "geo_distance": {
+                        "field": "loc",
+                        "origin": {"lat": 0.0, "lon": 0.0},
+                        "unit": "km",
+                        "ranges": [
+                            {"to": 3000},
+                            {"from": 3000, "to": 9000},
+                            {"from": 9000},
+                        ],
+                    }
+                }
+            },
+        },
+    )
+    buckets = resp["aggregations"]["rings"]["buckets"]
+    return pd.DataFrame(
+        {
+            "lo_km": [-1.0 if b["from"] is None else b["from"] for b in buckets],
+            "hi_km": [-1.0 if b["to"] is None else b["to"] for b in buckets],
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+        }
+    )
+
+
 def q_span_or(sf_dir: str):
     """Lucene ``span_or``: union of a span_term and an adjacent
     span_near pair — exact at doc level (any matching inner span
@@ -4466,6 +4590,46 @@ ORACLE_SQL: dict[str, str] = {
         "range(1, least(4, len(toks)+1)), i -> toks[i] = 'merge')) > 0"
         " ORDER BY doc_id"
     ),
+    # synthetic geo_point per doc: same integer mod + one float
+    # divide/sub as contract._geo_index (bit-identical), spherical
+    # haversine R=6371000 mirrored term-for-term from the engine
+    "geo_distance_docs": (
+        "WITH g AS (SELECT doc_id,"
+        " ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,"
+        " ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon"
+        " FROM documents)"
+        " SELECT doc_id FROM g WHERE 2 * 6371000 * asin(sqrt("
+        " pow(sin(radians(10.0 - lat) / 2), 2) +"
+        " cos(radians(lat)) * cos(radians(10.0)) *"
+        " pow(sin(radians(20.0 - lon) / 2), 2))) <= 3000000"
+        " ORDER BY doc_id"
+    ),
+    "geo_bbox_docs": (
+        "WITH g AS (SELECT doc_id,"
+        " ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,"
+        " ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon"
+        " FROM documents)"
+        " SELECT doc_id FROM g WHERE lat <= 30.0 AND lat >= -30.0"
+        " AND lon >= -60.0 AND lon <= 60.0 ORDER BY doc_id"
+    ),
+    "geo_distance_rings": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
+        " g AS (SELECT doc_id,"
+        " ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,"
+        " ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon"
+        " FROM documents JOIN m USING(doc_id)),"
+        " d AS (SELECT 2 * 6371000 * asin(sqrt("
+        " pow(sin(radians(0.0 - lat) / 2), 2) +"
+        " cos(radians(lat)) * cos(radians(0.0)) *"
+        " pow(sin(radians(0.0 - lon) / 2), 2))) AS dist FROM g)"
+        " SELECT -1.0 AS lo_km, 3000.0 AS hi_km,"
+        " (SELECT count(*) FROM d WHERE dist < 3000000) AS doc_count"
+        " UNION ALL SELECT 3000.0, 9000.0,"
+        " (SELECT count(*) FROM d WHERE dist >= 3000000 AND dist < 9000000)"
+        " UNION ALL SELECT 9000.0, -1.0,"
+        " (SELECT count(*) FROM d WHERE dist >= 9000000)"
+    ),
     # span_term 'filter' OR adjacent "merge sort" (slop 0, ordered)
     "span_or_docs": (
         "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -5254,6 +5418,9 @@ QUERIES = {
     "intervals_ordered": q_intervals_ordered,
     "span_near_docs": q_span_near,
     "span_or_docs": q_span_or,
+    "geo_distance_docs": q_geo_distance,
+    "geo_bbox_docs": q_geo_bbox,
+    "geo_distance_rings": q_geo_distance_rings,
     "terms_set_docs": q_terms_set,
     "pinned_wrapper_topk": q_pinned_wrapper,
     "multi_terms_lang_source": q_multi_terms,
@@ -5341,6 +5508,7 @@ _DRIVER_PRIORITY = [
     "pipeline_bucket_math", "pipeline_bucket_selector",
     "pipeline_stats_buckets", "span_or_docs", "terms_set_docs",
     "pinned_wrapper_topk", "multi_terms_lang_source",
+    "geo_distance_docs", "geo_bbox_docs", "geo_distance_rings",
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",
     "repetition_signals", "canonical_urls", "percolate_matches",
     "media_meta_mp3", "media_meta_mp4", "force_merge_survivors",

@@ -106,6 +106,23 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
         # templated clients); decode and re-dispatch
         ik, ispec = _unwrap(spec)
         return _match_docs(r, ik, ispec)
+    if kind == "geo_distance":
+        dist = _parse_distance(spec["distance"])
+        rest = {kk: v for kk, v in spec.items() if kk != "distance"}
+        gfield, origin = _one(rest, "geo_distance field")
+        return r.geo_distance_docs(
+            gfield, float(origin["lat"]), float(origin["lon"]), dist
+        )
+    if kind == "geo_bounding_box":
+        gfield, box = _one(spec, "geo_bounding_box")
+        tl, br = box["top_left"], box["bottom_right"]
+        return r.geo_bounding_box_docs(
+            gfield,
+            top=float(tl["lat"]),
+            left=float(tl["lon"]),
+            bottom=float(br["lat"]),
+            right=float(br["lon"]),
+        )
     if kind == "span_or":
         # union of the clause spans' doc sets — exact at doc level
         # (any matching inner span qualifies the doc)
@@ -233,6 +250,20 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
         u, c = np.unique(allv, return_counts=True)
         return u[c >= max(m, 1)]
     raise ValueError(f"unsupported query kind {kind!r}")
+
+
+_DIST_RE = re.compile(r"^\s*([0-9.]+)\s*(m|km|mi)?\s*$")
+
+
+def _parse_distance(v) -> float:
+    """OpenSearch distance string -> meters (m / km / mi; bare = m)."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    m = _DIST_RE.match(str(v))
+    if not m:
+        raise ValueError(f"unparseable distance {v!r}")
+    mult = {"m": 1.0, "km": 1000.0, "mi": 1609.344, None: 1.0}[m.group(2)]
+    return float(m.group(1)) * mult
 
 
 def _terms_set_min(body: dict, n_terms: int) -> int:
@@ -1193,6 +1224,35 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
                     sn: s for sn, s in sub_aggs.items() if sn not in metric_subs
                 }
             out[name] = {"buckets": buckets}
+        elif akind == "geo_distance":
+            unit = {"m": 1.0, "km": 1000.0, "mi": 1609.344}[
+                str(aspec.get("unit", "m"))
+            ]
+            origin = aspec["origin"]
+            rngs = [
+                (
+                    None if rg.get("from") is None else float(rg["from"]) * unit,
+                    None if rg.get("to") is None else float(rg["to"]) * unit,
+                )
+                for rg in aspec["ranges"]
+            ]
+            rows = r.facet_geo_distance(
+                qtext,
+                afield,
+                (float(origin["lat"]), float(origin["lon"])),
+                rngs,
+                field=f,
+            )
+            out[name] = {
+                "buckets": [
+                    {
+                        "from": None if lo is None else lo / unit,
+                        "to": None if hi is None else hi / unit,
+                        "doc_count": c,
+                    }
+                    for lo, hi, c in rows
+                ]
+            }
         elif akind == "percentile_ranks":
             vals = tuple(float(v) for v in aspec["values"])
             out[name] = {

@@ -1884,6 +1884,100 @@ class IndexReader:
             u, c = u[cut:], c[cut:]
         return [(str(k), int(n)) for k, n in zip(u[:size], c[:size])]
 
+    # ------------------------------------------------------------- geo
+    # A geo_point field `f` is stored as two float64 doc-value columns
+    # `{f}_lat` / `{f}_lon` (flat Arrow columns — no struct type in the
+    # docstore).  Distances are great-circle haversine on a spherical
+    # earth, R = 6371000 m (the OpenSearch/Lucene constant).
+
+    _EARTH_R_M = 6371000.0
+
+    def _geo_columns(
+        self, ordinals: np.ndarray, geo_field: str
+    ) -> tuple[np.ndarray, np.ndarray]:
+        lat = self._gather_column(ordinals, f"{geo_field}_lat").astype(
+            np.float64
+        )
+        lon = self._gather_column(ordinals, f"{geo_field}_lon").astype(
+            np.float64
+        )
+        return lat, lon
+
+    @staticmethod
+    def _haversine_m(
+        lat: np.ndarray, lon: np.ndarray, olat: float, olon: float
+    ) -> np.ndarray:
+        """Vectorized haversine distance (meters) from one origin."""
+        la1 = np.radians(lat)
+        la2 = np.radians(olat)
+        dla = np.radians(olat - lat)
+        dlo = np.radians(olon - lon)
+        h = (
+            np.sin(dla / 2.0) ** 2
+            + np.cos(la1) * np.cos(la2) * np.sin(dlo / 2.0) ** 2
+        )
+        return 2.0 * IndexReader._EARTH_R_M * np.arcsin(np.sqrt(h))
+
+    def geo_distance_docs(
+        self, geo_field: str, lat: float, lon: float, distance_m: float
+    ) -> np.ndarray:
+        """``geo_distance`` query: live docs within ``distance_m``
+        meters of the origin — one gather per coordinate column over
+        the live ordinal set, one vectorized haversine, sorted ids."""
+        ords = self._all_ordinals()
+        if ords.size == 0:
+            return np.empty(0, np.uint64)
+        la, lo = self._geo_columns(ords, geo_field)
+        d = self._haversine_m(la, lo, float(lat), float(lon))
+        keep = ords[d <= float(distance_m)]
+        return np.sort(self._map_ordinals(keep).astype(np.uint64))
+
+    def geo_bounding_box_docs(
+        self,
+        geo_field: str,
+        top: float,
+        left: float,
+        bottom: float,
+        right: float,
+    ) -> np.ndarray:
+        """``geo_bounding_box`` query: docs inside the [bottom, top] x
+        [left, right] rectangle (inclusive, no dateline wrapping)."""
+        if left > right:
+            raise ValueError("dateline-crossing boxes are not supported")
+        ords = self._all_ordinals()
+        if ords.size == 0:
+            return np.empty(0, np.uint64)
+        la, lo = self._geo_columns(ords, geo_field)
+        m = (la <= float(top)) & (la >= float(bottom))
+        m &= (lo >= float(left)) & (lo <= float(right))
+        return np.sort(self._map_ordinals(ords[m]).astype(np.uint64))
+
+    def facet_geo_distance(
+        self,
+        query: str,
+        geo_field: str,
+        origin: tuple[float, float],
+        ranges: list[tuple[float | None, float | None]],
+        field: str | None = None,
+    ) -> list[tuple[float | None, float | None, int]]:
+        """``geo_distance`` aggregation: doc counts per half-open
+        ``[from, to)`` meter ring around the origin, over the query's
+        match set — the facet_ranges shape after one haversine pass."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return [(lo, hi, 0) for lo, hi in ranges]
+        la, lo_ = self._geo_columns(cand, geo_field)
+        d = self._haversine_m(la, lo_, origin[0], origin[1])
+        out = []
+        for lo, hi in ranges:
+            m = np.ones(d.size, dtype=bool)
+            if lo is not None:
+                m &= d >= float(lo)
+            if hi is not None:
+                m &= d < float(hi)
+            out.append((lo, hi, int(np.count_nonzero(m))))
+        return out
+
     def facet_multi_terms(
         self,
         query: str,

@@ -1,0 +1,164 @@
+"""geo_distance / geo_bounding_box queries and the geo_distance
+aggregation, vs brute-force haversine over known coordinates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raybm25.index.build import build_index
+from raybm25.query.dsl import _match_docs, _parse_distance, run_query
+from raybm25.query.engine import IndexReader
+
+# (doc_id, text, lat, lon)
+DOCS = [
+    (0, "alpha point", 0.0, 0.0),
+    (1, "alpha point", 0.0, 1.0),      # ~111 km east
+    (2, "alpha point", 45.0, 45.0),
+    (3, "beta point", -30.0, 120.0),
+    (4, "alpha point", 89.0, 0.0),     # near north pole
+    (5, "alpha point", 0.0, -179.0),
+]
+
+R = 6371000.0
+
+
+def _hav(lat, lon, olat, olon):
+    la1, la2 = np.radians(lat), np.radians(olat)
+    dla = np.radians(olat - lat)
+    dlo = np.radians(olon - lon)
+    h = np.sin(dla / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin(dlo / 2) ** 2
+    return 2 * R * np.arcsin(np.sqrt(h))
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("geo")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [d for d, _, _, _ in DOCS],
+                "text": [t for _, t, _, _ in DOCS],
+                "loc_lat": [la for _, _, la, _ in DOCS],
+                "loc_lon": [lo for _, _, _, lo in DOCS],
+            }
+        ),
+        str(tmp / "d.parquet"),
+    )
+    out = str(tmp / "idx")
+    build_index(
+        str(tmp / "d.parquet"),
+        out,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("text",),
+        stored_cols=["text", "loc_lat", "loc_lon"],
+        num_buckets=2,
+    )
+    return out
+
+
+def test_geo_distance_vs_brute(idx):
+    r = IndexReader(idx)
+    for dist_km, olat, olon in [(200, 0.0, 0.0), (8000, 0.0, 0.0), (150, 89.5, 10.0)]:
+        ids = _match_docs(
+            r,
+            "geo_distance",
+            {"distance": f"{dist_km}km", "loc": {"lat": olat, "lon": olon}},
+        )
+        want = sorted(
+            d
+            for d, _, la, lo in DOCS
+            if _hav(la, lo, olat, olon) <= dist_km * 1000
+        )
+        assert sorted(ids.tolist()) == want, (dist_km, olat, olon)
+
+
+def test_geo_distance_near_antimeridian(idx):
+    # doc 5 sits at lon -179; an origin at lon +179 is ~222 km away
+    # across the antimeridian — haversine handles the wrap natively
+    r = IndexReader(idx)
+    ids = _match_docs(
+        r,
+        "geo_distance",
+        {"distance": "300km", "loc": {"lat": 0.0, "lon": 179.0}},
+    )
+    assert ids.tolist() == [5]
+
+
+def test_geo_bbox_inclusive_edges(idx):
+    r = IndexReader(idx)
+    ids = _match_docs(
+        r,
+        "geo_bounding_box",
+        {
+            "loc": {
+                "top_left": {"lat": 45.0, "lon": 0.0},
+                "bottom_right": {"lat": 0.0, "lon": 45.0},
+            }
+        },
+    )
+    # inclusive bounds: docs 0 (0,0), 1 (0,1), 2 (45,45)
+    assert sorted(ids.tolist()) == [0, 1, 2]
+
+
+def test_geo_bbox_rejects_dateline_cross(idx):
+    r = IndexReader(idx)
+    with pytest.raises(ValueError, match="dateline"):
+        _match_docs(
+            r,
+            "geo_bounding_box",
+            {
+                "loc": {
+                    "top_left": {"lat": 10.0, "lon": 170.0},
+                    "bottom_right": {"lat": -10.0, "lon": -170.0},
+                }
+            },
+        )
+
+
+def test_geo_distance_agg_rings(idx):
+    resp = run_query(
+        idx,
+        {
+            "query": {"match": {"text": {"query": "alpha"}}},
+            "size": 0,
+            "aggs": {
+                "rings": {
+                    "geo_distance": {
+                        "field": "loc",
+                        "origin": {"lat": 0.0, "lon": 0.0},
+                        "unit": "km",
+                        "ranges": [
+                            {"to": 500},
+                            {"from": 500, "to": 9000},
+                            {"from": 9000},
+                        ],
+                    }
+                }
+            },
+        },
+    )
+    buckets = resp["aggregations"]["rings"]["buckets"]
+    alpha = [(d, la, lo) for d, t, la, lo in DOCS if "alpha" in t]
+    dists = {d: _hav(la, lo, 0.0, 0.0) / 1000 for d, la, lo in alpha}
+    want = [
+        sum(1 for v in dists.values() if v < 500),
+        sum(1 for v in dists.values() if 500 <= v < 9000),
+        sum(1 for v in dists.values() if v >= 9000),
+    ]
+    assert [b["doc_count"] for b in buckets] == want
+    assert buckets[0]["to"] == 500 and buckets[0]["from"] is None
+    assert buckets[2]["from"] == 9000 and buckets[2]["to"] is None
+
+
+def test_parse_distance():
+    assert _parse_distance("10km") == 10000.0
+    assert _parse_distance("250m") == 250.0
+    assert _parse_distance("1.5 km") == 1500.0
+    assert _parse_distance(42) == 42.0
+    assert _parse_distance("2mi") == pytest.approx(3218.688)
+    with pytest.raises(ValueError):
+        _parse_distance("10 parsecs")
