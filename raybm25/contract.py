@@ -5505,6 +5505,9 @@ QUERIES = {
 # red in round 4 (HUGEINT cast, fixed) so their green re-check is
 # driver-visible.  Pure reorder — every entry keeps its callable/SQL.
 _DRIVER_PRIORITY = [
+    # the two round-4 reds (HUGEINT cast, fixed) lead so their green
+    # re-check is guaranteed a driver row even under the ~50 cap
+    "terms_stats_lang", "extended_stats_chars",
     "pipeline_bucket_math", "pipeline_bucket_selector",
     "pipeline_stats_buckets", "span_or_docs", "terms_set_docs",
     "pinned_wrapper_topk", "multi_terms_lang_source",
@@ -5525,7 +5528,6 @@ _DRIVER_PRIORITY = [
     "mlt_terms", "phrase_prefix_docs",
     "search_template_topk", "cat_count_docs", "script_score_topk",
     "highlight_counts",
-    "terms_stats_lang", "extended_stats_chars",
 ]
 assert set(_DRIVER_PRIORITY) <= set(QUERIES), (
     sorted(set(_DRIVER_PRIORITY) - set(QUERIES))
