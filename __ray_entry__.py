@@ -29,24 +29,30 @@ def entry() -> Any:
 
 
 def _priority_order(names: list[str]) -> list[str]:
-    """Entries the driver has never oracle-checked (absent from every
-    committed CORRECTNESS_r*.json) first, so its per-round cap samples
-    fresh entries each round; within each group the original contract
-    order is kept."""
+    """Driver-sampling order under the per-round cap: entries whose
+    LATEST driver check failed first (their fixed re-check must get a
+    row), then entries never oracle-checked (absent from every
+    committed CORRECTNESS_r*.json), then the green rest; within each
+    group the original contract order is kept."""
     import glob
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
-    tested: set[str] = set()
-    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    last: dict[str, bool] = {}
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(p) as f:
-                tested |= set(json.load(f).keys())
+                for n, rec in json.load(f).items():
+                    ok = rec.get("hash_match")
+                    if ok is None:
+                        ok = rec.get("rows_match", True) and not rec.get("err")
+                    last[n] = bool(ok)
         except Exception:
             continue
-    return [n for n in names if n not in tested] + [
-        n for n in names if n in tested
-    ]
+    failed = [n for n in names if last.get(n) is False]
+    fresh = [n for n in names if n not in last and n not in failed]
+    rest = [n for n in names if n not in failed and n in last]
+    return failed + fresh + rest
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
