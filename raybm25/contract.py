@@ -717,6 +717,112 @@ def q_pinned_wrapper(sf_dir: str):
     )
 
 
+def q_terms_order_by_avg(sf_dir: str):
+    """terms agg ordered by a single-metric sub-agg (avg n_chars,
+    descending): the metric computes for EVERY bucket in one
+    facet_terms_stats pass, then sort + size cut — no per-bucket
+    re-query."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 0,
+            "aggs": {
+                "l": {
+                    "terms": {
+                        "field": "lang",
+                        "size": 5,
+                        "order": {"ac": "desc"},
+                    },
+                    "aggs": {"ac": {"avg": {"field": "n_chars"}}},
+                }
+            },
+        },
+    )
+    buckets = resp["aggregations"]["l"]["buckets"]
+    return pd.DataFrame(
+        {
+            "lang": [b["key"] for b in buckets],
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+            "avg_v": [b["ac"]["value"] for b in buckets],
+        }
+    )
+
+
+def q_terms_key_order(sf_dir: str):
+    """terms agg ordered by _key descending with min_doc_count
+    pruning (engine.facet_terms order/min_doc_count params)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 0,
+            "aggs": {
+                "s": {
+                    "terms": {
+                        "field": "source",
+                        "size": 10,
+                        "order": {"_key": "desc"},
+                        "min_doc_count": 5,
+                    }
+                }
+            },
+        },
+    )
+    buckets = resp["aggregations"]["s"]["buckets"]
+    return pd.DataFrame(
+        {
+            "source": [b["key"] for b in buckets],
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+        }
+    )
+
+
+def q_sampler_lang(sf_dir: str):
+    """sampler aggregation: a lang terms sub-agg over only the 50
+    best-scoring 'merge join' docs (deterministic sample: score desc,
+    doc_id asc — the BM25 chain is bit-exact vs the oracle, so the
+    sample boundary is too)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge join"}}},
+            "size": 0,
+            "aggs": {
+                "smp": {
+                    "sampler": {"shard_size": 50},
+                    "aggs": {
+                        "langs": {"terms": {"field": "lang", "size": 10}}
+                    },
+                }
+            },
+        },
+    )
+    s = resp["aggregations"]["smp"]
+    buckets = s["langs"]["buckets"]
+    return pd.DataFrame(
+        {
+            "lang": [b["key"] for b in buckets],
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+            "sample_size": pd.array(
+                [s["doc_count"]] * len(buckets), dtype="int64"
+            ),
+        }
+    )
+
+
 def q_multi_terms(sf_dir: str):
     """``multi_terms`` aggregation: buckets keyed by the (lang, source)
     keyword tuple over docs matching 'merge join' — one gather per
@@ -4663,6 +4769,31 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT row_number() OVER (ORDER BY o1, o2) AS rank, doc_id, pinned"
         " FROM allrows ORDER BY rank LIMIT 10"
     ),
+    "terms_order_by_avg": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')"
+        " SELECT lang, count(*) AS doc_count,"
+        " CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_v"
+        " FROM documents JOIN m USING(doc_id) GROUP BY lang"
+        " ORDER BY avg_v DESC, lang LIMIT 5"
+    ),
+    "terms_key_order": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')"
+        " SELECT source, count(*) AS doc_count"
+        " FROM documents JOIN m USING(doc_id) GROUP BY source"
+        " HAVING count(*) >= 5 ORDER BY source DESC LIMIT 10"
+    ),
+    # the 50 best-scoring 'merge join' docs, then a lang group-count —
+    # the sampler agg's deterministic sample
+    "sampler_lang": (
+        "WITH top AS ("
+        + _bm25_sql("merge join", 50, cols="doc_id")
+        + ") SELECT lang, count(*) AS doc_count,"
+        " (SELECT count(*) FROM top) AS sample_size"
+        " FROM documents JOIN top USING(doc_id)"
+        " GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10"
+    ),
     "multi_terms_lang_source": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks"
@@ -5424,6 +5555,9 @@ QUERIES = {
     "terms_set_docs": q_terms_set,
     "pinned_wrapper_topk": q_pinned_wrapper,
     "multi_terms_lang_source": q_multi_terms,
+    "terms_order_by_avg": q_terms_order_by_avg,
+    "terms_key_order": q_terms_key_order,
+    "sampler_lang": q_sampler_lang,
     "suggest_completion": q_suggest_completion,
     "termvectors_doc": q_termvectors,
     "field_stats": q_field_stats,

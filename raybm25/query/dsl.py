@@ -977,9 +977,44 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
                         for key, n, mn, mx, sm, av in srows
                     ]
                 }
+            elif set(sub) & {"sum", "avg", "min", "max"}:
+                # single-metric sub-agg; supports ordering the parent's
+                # buckets by it: order {"<sub_name>": "desc"} — metric
+                # computed for EVERY bucket (facet_terms_stats computes
+                # all groups in one pass), then sort + size cut
+                mk, mspec = _one(sub, f"sub-agg {sub_name}")
+                srows = r.facet_terms_stats(
+                    qtext, agg["terms"]["field"], mspec["field"], field=f
+                )
+                proj = {"min": 2, "max": 3, "sum": 4, "avg": 5}[mk]
+                rows2 = [(row[0], row[1], float(row[proj])) for row in srows]
+                okey, asc = "_count", False
+                if "order" in agg["terms"]:
+                    okey, odir = _one(agg["terms"]["order"], "terms.order")
+                    asc = str(odir) == "asc"
+                if okey == sub_name:
+                    rows2.sort(
+                        key=lambda t: ((t[2] if asc else -t[2]), t[0])
+                    )
+                elif okey == "_key":
+                    rows2.sort(key=lambda t: t[0], reverse=not asc)
+                else:  # _count (ties on key asc in both directions)
+                    rows2.sort(
+                        key=lambda t: ((t[1] if asc else -t[1]), t[0])
+                    )
+                mdc = int(agg["terms"].get("min_doc_count", 1))
+                rows2 = [t for t in rows2 if t[1] >= mdc]
+                rows2 = rows2[: int(agg["terms"].get("size", 10))]
+                out[name] = {
+                    "buckets": [
+                        {"key": key, "doc_count": n, sub_name: {"value": v}}
+                        for key, n, v in rows2
+                    ]
+                }
             else:
                 raise ValueError(
-                    "nested sub-aggs support 'top_hits' and 'stats'"
+                    "nested sub-aggs support 'top_hits', 'stats' and "
+                    "single-metric (sum/avg/min/max) kinds"
                 )
             continue
         if isinstance(agg, dict) and "composite" in agg:
@@ -1112,6 +1147,37 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
                 )
             }
             continue
+        if akind == "sampler":
+            # sub-aggs run over only the shard_size BEST-scoring docs
+            # of the query (deterministic: score desc, doc_id asc) —
+            # the sample is small by design, so its keyword values
+            # come from one docstore point-read
+            shard_size = int(aspec.get("shard_size", 100))
+            hits = r.search_pruned(qtext, shard_size, field=f)
+            ids = np.array([d for d, _ in hits], dtype=np.uint64)
+            sampled: dict[str, Any] = {"doc_count": int(ids.size)}
+            for sn, s in (sub_aggs or {}).items():
+                sk, sspec2 = _one(s, f"sub-agg {sn}")
+                if sk != "terms":
+                    raise ValueError("sampler supports terms sub-aggs")
+                if ids.size == 0:
+                    sampled[sn] = {"buckets": []}
+                    continue
+                tbl = r.get_docs(ids)
+                vals = np.asarray(
+                    [str(v) for v in tbl.column(str(sspec2["field"])).to_pylist()]
+                )
+                uniq, counts = np.unique(vals, return_counts=True)
+                idx = np.lexsort((uniq, -counts))[: int(sspec2.get("size", 10))]
+                sampled[sn] = {
+                    "buckets": [
+                        {"key": str(uniq[i]), "doc_count": int(counts[i])}
+                        for i in idx
+                    ]
+                }
+            out[name] = sampled
+            sub_aggs = None
+            continue
         if akind == "multi_terms":
             flds = [str(t["field"]) for t in aspec["terms"]]
             rows = r.facet_multi_terms(
@@ -1130,7 +1196,24 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
             continue
         afield = aspec["field"]
         if akind == "terms":
-            buckets = r.facet_terms(qtext, afield, size=int(aspec.get("size", 10)), field=f)
+            okey, asc = "_count", False
+            if "order" in aspec:
+                okey, odir = _one(aspec["order"], "terms.order")
+                asc = str(odir) == "asc"
+            if okey not in ("_count", "_key"):
+                raise ValueError(
+                    "terms order by a sub-agg metric needs the sub-agg "
+                    "declared under 'aggs' (the terms+aggs form)"
+                )
+            buckets = r.facet_terms(
+                qtext,
+                afield,
+                size=int(aspec.get("size", 10)),
+                field=f,
+                order="key" if okey == "_key" else "count",
+                ascending=asc,
+                min_doc_count=int(aspec.get("min_doc_count", 1)),
+            )
             out[name] = {
                 "buckets": [{"key": v, "doc_count": c} for v, c in buckets]
             }

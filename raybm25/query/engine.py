@@ -1054,6 +1054,9 @@ class IndexReader:
         facet_field: str,
         size: int = 10,
         field: str | None = None,
+        order: str = "count",
+        ascending: bool = False,
+        min_doc_count: int = 1,
     ) -> list[tuple[str, int]]:
         """Terms aggregation over a match query (OpenSearch
         ``aggs: {terms: {field: ...}}``): doc counts per keyword value
@@ -1072,8 +1075,21 @@ class IndexReader:
             return []
         vals = self._gather_column(cand, facet_field)
         uniq, counts = np.unique(vals.astype(str), return_counts=True)
-        order = np.lexsort((uniq, -counts))[:size]
-        return [(str(uniq[i]), int(counts[i])) for i in order]
+        if min_doc_count > 1:
+            keep = counts >= min_doc_count
+            uniq, counts = uniq[keep], counts[keep]
+        if order == "count":
+            # ties break on key ascending in BOTH directions (the
+            # OpenSearch _count tie rule)
+            idx = np.lexsort((uniq, counts if ascending else -counts))
+        elif order == "key":
+            idx = np.argsort(uniq)
+            if not ascending:
+                idx = idx[::-1]
+        else:
+            raise ValueError(f"unsupported terms order {order!r}")
+        idx = idx[:size]
+        return [(str(uniq[i]), int(counts[i])) for i in idx]
 
     def _drop_dead_ordinals(self, ordinals: np.ndarray) -> np.ndarray:
         """Filter out ordinals tombstoned by scan-layout deletes. Dead
