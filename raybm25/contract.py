@@ -717,6 +717,49 @@ def q_pinned_wrapper(sf_dir: str):
     )
 
 
+def q_hybrid_rrf(sf_dir: str):
+    """Hybrid search with reciprocal-rank fusion: BM25 'merge join'
+    fused with a rank_feature (n_chars) ranking — each sub-query
+    contributes 1/(60 + rank) over its top-100 window, accumulated in
+    sub-query order (dsl 'hybrid').  RRF reads only ranks, and both
+    sub-rankings are bit-exact vs the oracle, so the fused scores are
+    too."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {
+                "hybrid": {
+                    "queries": [
+                        {"match": {"text": {"query": "merge join"}}},
+                        {
+                            "rank_feature": {
+                                "field": "n_chars",
+                                "saturation": {"pivot": 300},
+                            }
+                        },
+                    ],
+                    "rank_constant": 60,
+                    "window_size": 100,
+                }
+            },
+            "size": 10,
+        },
+    )
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array(
+                [int(np.int64(np.uint64(h["_id"]))) for h in hits],
+                dtype="int64",
+            ),
+            "score": [h["_score"] for h in hits],
+        }
+    )
+
+
 def q_terms_order_by_avg(sf_dir: str):
     """terms agg ordered by a single-metric sub-agg (avg n_chars,
     descending): the metric computes for EVERY bucket in one
@@ -4769,6 +4812,21 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT row_number() OVER (ORDER BY o1, o2) AS rank, doc_id, pinned"
         " FROM allrows ORDER BY rank LIMIT 10"
     ),
+    # RRF: 1/(60+bm25_rank) + 1/(60+nchars_rank) over top-100 windows
+    "hybrid_rrf_topk": (
+        "WITH a AS ("
+        + _bm25_sql("merge join", 100, cols="rank AS arank, doc_id")
+        + "), b AS (SELECT doc_id, brank FROM"
+        " (SELECT doc_id, row_number() OVER"
+        " (ORDER BY n_chars DESC, doc_id) AS brank FROM documents)"
+        " WHERE brank <= 100),"
+        " f AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,"
+        " COALESCE(1.0 / (60 + arank), 0) +"
+        " COALESCE(1.0 / (60 + brank), 0) AS score"
+        " FROM a FULL JOIN b USING(doc_id))"
+        " SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,"
+        " doc_id, score FROM f ORDER BY rank LIMIT 10"
+    ),
     "terms_order_by_avg": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')"
@@ -5555,6 +5613,7 @@ QUERIES = {
     "terms_set_docs": q_terms_set,
     "pinned_wrapper_topk": q_pinned_wrapper,
     "multi_terms_lang_source": q_multi_terms,
+    "hybrid_rrf_topk": q_hybrid_rrf,
     "terms_order_by_avg": q_terms_order_by_avg,
     "terms_key_order": q_terms_key_order,
     "sampler_lang": q_sampler_lang,

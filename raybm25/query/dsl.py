@@ -306,6 +306,21 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
     if kind == "wrapper":
         ik, ispec = _unwrap(spec)
         return _scored_hits(r, ik, ispec, k)
+    if kind == "hybrid":
+        # hybrid search with reciprocal-rank fusion: each sub-query
+        # contributes 1/(rank_constant + rank) over its top window_size
+        # hits; contributions accumulate in sub-query order (pinned
+        # float association), fused order = score desc, doc_id asc.
+        rc = int(spec.get("rank_constant", 60))
+        window = int(spec.get("window_size", max(k, 100)))
+        fused: dict[int, float] = {}
+        for sq in spec["queries"]:
+            sk, ss = _one(sq, "hybrid sub-query")
+            hits = _scored_hits(r, sk, ss, window)
+            for rank, (d, _) in enumerate(hits, 1):
+                fused[d] = fused.get(d, 0.0) + 1.0 / (rc + rank)
+        ranked = sorted(fused.items(), key=lambda t: (-t[1], t[0]))
+        return ranked[:k]
     if kind == "pinned":
         # pinned docs first in the given order (only those that exist
         # in the index), then the organic hits with pinned ids removed.

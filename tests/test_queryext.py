@@ -207,6 +207,36 @@ def test_multi_terms_vs_brute(idx):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_hybrid_rrf_fuses_rankings(idx):
+    q1 = {"match": {"text": {"query": "merge"}}}
+    q2 = {"match": {"text": {"query": "quick"}}}
+    h1 = run_query(idx, {"query": q1, "size": 100})["hits"]["hits"]
+    h2 = run_query(idx, {"query": q2, "size": 100})["hits"]["hits"]
+    fused = {}
+    for hits in (h1, h2):
+        for rank, h in enumerate(hits, 1):
+            fused[h["_id"]] = fused.get(h["_id"], 0.0) + 1.0 / (60 + rank)
+    want = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:5]
+    got = run_query(
+        idx,
+        {
+            "query": {
+                "hybrid": {
+                    "queries": [q1, q2],
+                    "rank_constant": 60,
+                    "window_size": 100,
+                }
+            },
+            "size": 5,
+        },
+    )["hits"]["hits"]
+    assert [(h["_id"], h["_score"]) for h in got] == want
+    # a doc matching both sub-queries outranks equal-rank single hits
+    both = {h["_id"] for h in h1} & {h["_id"] for h in h2}
+    if both:
+        assert got[0]["_id"] in both
+
+
 def test_multi_terms_needs_two_fields(idx):
     r = IndexReader(idx)
     with pytest.raises(ValueError, match="two term sources"):
