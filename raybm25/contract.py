@@ -717,6 +717,23 @@ def q_pinned_wrapper(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chop sequence packing (seq_len=512) over documents:
+    a distributed global prefix sum — token counts from one tokenize
+    pass (text never shuffled), per-id-range bucket totals reduced to
+    driver-side exclusive base offsets, per-bucket map_groups adds the
+    local cumsum (extras/packing.pack_sequences)."""
+    from .extras.packing import pack_sequences
+
+    df = (
+        pack_sequences(os.path.join(sf_dir, "documents.parquet"), 512)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return df.astype("int64")
+
+
 def q_hybrid_rrf(sf_dir: str):
     """Hybrid search with reciprocal-rank fusion: BM25 'merge join'
     fused with a rank_feature (n_chars) ranking — each sub-query
@@ -4812,6 +4829,23 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT row_number() OVER (ORDER BY o1, o2) AS rank, doc_id, pinned"
         " FROM allrows ORDER BY rank LIMIT 10"
     ),
+    # global token prefix-sum in doc_id order; empty docs pin their
+    # sequence span to the sequence at their offset (greatest(n,1))
+    "pack_sequences_docs": (
+        "WITH c AS (SELECT doc_id,"
+        " len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok"
+        " FROM documents),"
+        " s AS (SELECT doc_id, n_tok,"
+        " COALESCE(sum(n_tok) OVER (ORDER BY doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS start_tok FROM c)"
+        " SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,"
+        " CAST(start_tok AS BIGINT) AS start_tok,"
+        " CAST(start_tok // 512 AS BIGINT) AS seq_first,"
+        " CAST((start_tok + greatest(n_tok, 1) - 1) // 512 AS BIGINT)"
+        " AS seq_last"
+        " FROM s ORDER BY doc_id"
+    ),
     # RRF: 1/(60+bm25_rank) + 1/(60+nchars_rank) over top-100 windows
     "hybrid_rrf_topk": (
         "WITH a AS ("
@@ -5613,6 +5647,7 @@ QUERIES = {
     "terms_set_docs": q_terms_set,
     "pinned_wrapper_topk": q_pinned_wrapper,
     "multi_terms_lang_source": q_multi_terms,
+    "pack_sequences_docs": q_pack_sequences,
     "hybrid_rrf_topk": q_hybrid_rrf,
     "terms_order_by_avg": q_terms_order_by_avg,
     "terms_key_order": q_terms_key_order,
