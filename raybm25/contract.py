@@ -1030,6 +1030,41 @@ def q_pipeline_cumsum(sf_dir: str):
     )
 
 
+def q_auto_date_histogram(sf_dir: str):
+    """auto_date_histogram (buckets=12) over events matching 'error':
+    the engine picks the smallest pinned-ladder interval whose
+    floored-key span fits (engine.facet_auto_date_histogram) — the
+    chosen interval_ms is emitted so the oracle must derive the SAME
+    ladder choice with integer arithmetic."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _events_index(sf_dir),
+        {
+            "query": {"match": {"event_type": {"query": "error"}}},
+            "size": 0,
+            "aggs": {
+                "auto": {
+                    "auto_date_histogram": {"field": "ts", "buckets": 12}
+                }
+            },
+        },
+    )
+    a = resp["aggregations"]["auto"]
+    buckets = a["buckets"]
+    return pd.DataFrame(
+        {
+            "bucket_ms": pd.array([b["key"] for b in buckets], dtype="int64"),
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+            "interval_ms": pd.array(
+                [a["interval_ms"]] * len(buckets), dtype="int64"
+            ),
+        }
+    )
+
+
 def q_bucket_sort_busiest(sf_dir: str):
     """bucket_sort pipeline (top-2 daily buckets by doc_count desc,
     stable on bucket key for ties) + max_bucket sibling over the full
@@ -5009,6 +5044,22 @@ ORACLE_SQL: dict[str, str] = {
         " CAST(floor(0.75 * (nb - 1) + 0.5) AS BIGINT) + 1) AS p75"
         " FROM agg"
     ),
+    # ladder choice mirrored in SQL: smallest interval whose floored-
+    # key span fits in 12 buckets
+    "auto_date_histogram_errors": (
+        "WITH t AS (SELECT epoch_ms(ts) AS ms,"
+        " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk"
+        " FROM events),"
+        " e AS (SELECT ms FROM t WHERE list_contains(tk, 'error')),"
+        " mm AS (SELECT min(ms) AS a, max(ms) AS b FROM e),"
+        " iv AS (SELECT min(i) AS iv FROM (VALUES (1000), (5000),"
+        " (10000), (30000), (60000), (300000), (600000), (1800000),"
+        " (3600000), (10800000), (43200000), (86400000), (604800000),"
+        " (2592000000), (31536000000)) AS l(i), mm"
+        " WHERE (b // i - a // i + 1) <= 12)"
+        " SELECT (ms // iv) * iv AS bucket_ms, count(*) AS doc_count,"
+        " iv AS interval_ms FROM e, iv GROUP BY 1, 3 ORDER BY 1"
+    ),
     "bucket_sort_busiest": (
         "WITH t AS (SELECT event_id, ts,"
         " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk FROM events),"
@@ -5649,6 +5700,7 @@ QUERIES = {
     "multi_terms_lang_source": q_multi_terms,
     "pack_sequences_docs": q_pack_sequences,
     "hybrid_rrf_topk": q_hybrid_rrf,
+    "auto_date_histogram_errors": q_auto_date_histogram,
     "terms_order_by_avg": q_terms_order_by_avg,
     "terms_key_order": q_terms_key_order,
     "sampler_lang": q_sampler_lang,

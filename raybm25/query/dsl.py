@@ -1351,6 +1351,14 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
                     for lo, hi, c in rows
                 ]
             }
+        elif akind == "auto_date_histogram":
+            iv, rows = r.facet_auto_date_histogram(
+                qtext, afield, int(aspec.get("buckets", 10)), field=f
+            )
+            out[name] = {
+                "interval_ms": iv,
+                "buckets": [{"key": b, "doc_count": c} for b, c in rows],
+            }
         elif akind == "percentile_ranks":
             vals = tuple(float(v) for v in aspec["values"])
             out[name] = {

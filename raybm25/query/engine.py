@@ -1804,6 +1804,48 @@ class IndexReader:
         u, c = np.unique(keys, return_counts=True)
         return list(zip(u.tolist(), c.tolist()))
 
+    # pinned fixed-interval ladder for auto_date_histogram (ms): the
+    # OpenSearch rounding ladder's fixed-interval projection (calendar
+    # months/years approximated as 30 d / 365 d so the choice is pure
+    # integer arithmetic, reproducible in SQL)
+    AUTO_INTERVALS_MS = (
+        1000, 5000, 10000, 30000,
+        60000, 300000, 600000, 1800000,
+        3600000, 10800000, 43200000,
+        86400000, 604800000, 2592000000, 31536000000,
+    )
+
+    def facet_auto_date_histogram(
+        self,
+        query: str,
+        ts_field: str,
+        buckets: int,
+        field: str | None = None,
+    ) -> tuple[int, list[tuple[int, int]]]:
+        """auto_date_histogram: the smallest ladder interval whose
+        floored-key span fits in ``buckets`` buckets (span counted as
+        floor(max/iv) - floor(min/iv) + 1 — covers empty buckets like
+        OpenSearch's rounding does).  Returns (interval_ms, rows)."""
+        if buckets <= 0:
+            raise ValueError("buckets must be positive")
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return (self.AUTO_INTERVALS_MS[0], [])
+        ms = (
+            self._gather_column(cand, ts_field)
+            .astype("datetime64[ms]")
+            .astype(np.int64)
+        )
+        lo, hi = int(ms.min()), int(ms.max())
+        iv = self.AUTO_INTERVALS_MS[-1]
+        for cand_iv in self.AUTO_INTERVALS_MS:
+            if hi // cand_iv - lo // cand_iv + 1 <= buckets:
+                iv = cand_iv
+                break
+        keys = (ms // iv) * iv
+        u, c = np.unique(keys, return_counts=True)
+        return (iv, list(zip(u.tolist(), c.tolist())))
+
     def facet_date_histogram_stats(
         self,
         query: str,

@@ -88,3 +88,39 @@ def test_date_histogram_dsl(rdr):
     native = rdr.facet_date_histogram("error", "ts", DAY)
     assert [(b["key"], b["doc_count"]) for b in
             resp["aggregations"]["per_day"]["buckets"]] == native
+
+
+def test_auto_date_histogram_ladder(rdr):
+    # events span Jan 1 05:00 - Jan 5 09:00 = 9 half-day keys, 5 day
+    # keys: a budget of 5 forces the day interval (12h needs 9)
+    iv, rows = rdr.facet_auto_date_histogram("error", "ts", 5)
+    assert iv == DAY
+    assert rows == rdr.facet_date_histogram("error", "ts", DAY)
+    iv_h, _ = rdr.facet_auto_date_histogram("error", "ts", 9)
+    assert iv_h == DAY // 2
+    # forcing fewer buckets climbs the ladder to weeks
+    iv2, rows2 = rdr.facet_auto_date_histogram("error", "ts", 2)
+    assert iv2 == 7 * DAY
+    assert sum(c for _, c in rows2) == sum(c for _, c in rows)
+    # a huge budget drops to fine intervals; bucket count respects it
+    iv3, rows3 = rdr.facet_auto_date_histogram("error", "ts", 100000)
+    assert iv3 < DAY and len(rows3) <= 100000
+    # empty match set returns the finest interval and no buckets
+    assert rdr.facet_auto_date_histogram("nomatch", "ts", 5) == (1000, [])
+
+
+def test_auto_date_histogram_dsl(rdr):
+    resp = run_query(
+        rdr,
+        {
+            "query": {"match": {"event_type": "error"}},
+            "size": 0,
+            "aggs": {
+                "auto": {"auto_date_histogram": {"field": "ts", "buckets": 3}}
+            },
+        },
+    )
+    a = resp["aggregations"]["auto"]
+    iv, rows = rdr.facet_auto_date_histogram("error", "ts", 3)
+    assert a["interval_ms"] == iv
+    assert [(b["key"], b["doc_count"]) for b in a["buckets"]] == rows
