@@ -717,6 +717,40 @@ def q_pinned_wrapper(sf_dir: str):
     )
 
 
+def q_ingest_pipeline(sf_dir: str):
+    """Ingest pipeline (set / rename / uppercase / gsub / convert)
+    over documents as a map_batches stage — the processor chain
+    compiles once (loader/ingest.compile_pipeline), each batch pays
+    one pyarrow.compute kernel call per processor."""
+    import ray.data
+
+    from .loader.ingest import IngestStage
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    out = ds.map_batches(
+        IngestStage(
+            [
+                {"set": {"field": "pipeline", "value": "v1"}},
+                {"rename": {"field": "source", "target_field": "origin"}},
+                {"uppercase": {"field": "lang"}},
+                {
+                    "gsub": {
+                        "field": "origin",
+                        "pattern": "^src",
+                        "replacement": "feed-",
+                    }
+                },
+                {"convert": {"field": "n_chars", "type": "string"}},
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-and-chop sequence packing (seq_len=512) over documents:
     a distributed global prefix sum — token counts from one tokenize
@@ -4864,6 +4898,12 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT row_number() OVER (ORDER BY o1, o2) AS rank, doc_id, pinned"
         " FROM allrows ORDER BY rank LIMIT 10"
     ),
+    "ingest_pipeline_docs": (
+        "SELECT doc_id, upper(lang) AS lang,"
+        " regexp_replace(source, '^src', 'feed-') AS origin,"
+        " 'v1' AS pipeline, CAST(n_chars AS VARCHAR) AS n_chars"
+        " FROM documents ORDER BY doc_id"
+    ),
     # global token prefix-sum in doc_id order; empty docs pin their
     # sequence span to the sequence at their offset (greatest(n,1))
     "pack_sequences_docs": (
@@ -5701,6 +5741,7 @@ QUERIES = {
     "pack_sequences_docs": q_pack_sequences,
     "hybrid_rrf_topk": q_hybrid_rrf,
     "auto_date_histogram_errors": q_auto_date_histogram,
+    "ingest_pipeline_docs": q_ingest_pipeline,
     "terms_order_by_avg": q_terms_order_by_avg,
     "terms_key_order": q_terms_key_order,
     "sampler_lang": q_sampler_lang,
