@@ -1901,6 +1901,51 @@ def q_knn_dsl(sf_dir: str):
     )
 
 
+def q_hybrid_bm25_knn(sf_dir: str):
+    """Hybrid lexical+semantic search: BM25 'merge join' fused with an
+    exact-cosine knn ranking by reciprocal-rank fusion (1/(60+rank)
+    per sub-query over top-50 windows).  Fused scores are pure rank
+    arithmetic, so they hash bit-exactly as long as both sub-rankings
+    are order-identical with the oracle (BM25 is bit-exact; cosine
+    order matches as in knn_dsl)."""
+    import pyarrow.parquet as pq
+
+    from .query.dsl import run_query
+    from .query.engine import IndexReader
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = (
+        emb.filter(pc_eq(emb.column("vec_id"), 7))
+        .column("embedding")
+        .to_pylist()[0]
+    )
+    r = IndexReader(docs_index_knn(sf_dir))
+    resp = run_query(
+        r,
+        {
+            "size": 12,
+            "query": {
+                "hybrid": {
+                    "queries": [
+                        {"match": {"text": {"query": "merge join"}}},
+                        {"knn": {"embedding": {"vector": qv, "k": 50}}},
+                    ],
+                    "rank_constant": 60,
+                    "window_size": 50,
+                }
+            },
+        },
+    )
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array([int(h["_id"]) for h in hits], dtype="int64"),
+            "score": [h["_score"] for h in hits],
+        }
+    )
+
+
 def q_scroll_pages(sf_dir: str):
     """Scroll (stateless continuation token, search_after fast path)
     through a match query in 5-hit pages; the concatenation of the
@@ -4689,6 +4734,23 @@ ORACLE_SQL: dict[str, str] = {
         " (ORDER BY s DESC, doc_id) AS rank, doc_id FROM scored)"
         " ORDER BY rank LIMIT 20"
     ),
+    "hybrid_bm25_knn": (
+        "WITH a AS ("
+        + _bm25_sql("merge join", 50, cols="rank AS arank, doc_id")
+        + "), qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),"
+        " ks AS (SELECT d.doc_id,"
+        " list_cosine_similarity(e.embedding, (SELECT v FROM qv)) AS s"
+        " FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),"
+        " b AS (SELECT doc_id, brank FROM (SELECT doc_id,"
+        " row_number() OVER (ORDER BY s DESC, doc_id) AS brank FROM ks)"
+        " WHERE brank <= 50),"
+        " f AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,"
+        " COALESCE(1.0 / (60 + arank), 0) +"
+        " COALESCE(1.0 / (60 + brank), 0) AS score"
+        " FROM a FULL JOIN b USING(doc_id))"
+        " SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,"
+        " doc_id, score FROM f ORDER BY rank LIMIT 12"
+    ),
     "bm25_dismax": _bm25_dismax_sql(
         "merge src3 join", 15, ["text", "source"], tie_breaker=0.3
     ),
@@ -5740,6 +5802,7 @@ QUERIES = {
     "multi_terms_lang_source": q_multi_terms,
     "pack_sequences_docs": q_pack_sequences,
     "hybrid_rrf_topk": q_hybrid_rrf,
+    "hybrid_bm25_knn": q_hybrid_bm25_knn,
     "auto_date_histogram_errors": q_auto_date_histogram,
     "ingest_pipeline_docs": q_ingest_pipeline,
     "terms_order_by_avg": q_terms_order_by_avg,
