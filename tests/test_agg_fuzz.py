@@ -210,3 +210,122 @@ def test_extended_stats_matches_sql(env, q):
     assert got["std_deviation"] == pytest.approx(
         math.sqrt(max(var, 0.0)), rel=1e-9, abs=1e-12
     )
+
+
+@settings(max_examples=25, deadline=None)
+@given(q=terms_q, interval=st.sampled_from([1, 2, 3, 5]),
+       lag=st.integers(min_value=1, max_value=3),
+       w=st.integers(min_value=1, max_value=4))
+def test_pipeline_aggs_match_sql(env, q, interval, lag, w):
+    rdr, con = env
+    got = _run(rdr, q, {
+        "histogram": {"field": "n", "interval": interval},
+        "aggs": {
+            "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+            "sd": {"serial_diff": {"buckets_path": "_count", "lag": lag}},
+            "mv": {"moving_fn": {"buckets_path": "_count", "window": w,
+                   "script": "MovingFunctions.unweightedAvg(values)"}},
+            "pct": {"normalize": {"buckets_path": "_count",
+                    "method": "percent_of_sum"}},
+            "r2": {"bucket_script": {"buckets_path": {"c": "_count"},
+                   "script": "params.c * 2"}},
+        },
+    })
+    exp = _sql(
+        con, q,
+        f", b AS (SELECT floor(n / {interval}) * {interval} AS k,"
+        " count(*) AS c FROM md GROUP BY k)"
+        " SELECT k, c, CAST(sum(c) OVER (ORDER BY k) AS DOUBLE) AS cum,"
+        f" CAST(c - lag(c, {lag}) OVER (ORDER BY k) AS DOUBLE) AS sd,"
+        f" avg(c) OVER (ORDER BY k ROWS BETWEEN {w} PRECEDING"
+        " AND 1 PRECEDING) AS mv,"
+        " CAST(c AS DOUBLE) / sum(c) OVER () AS pct"
+        " FROM b ORDER BY k",
+    )
+    buckets = got["buckets"]
+    assert [float(b["key"]) for b in buckets] == exp["k"].astype(float).tolist()
+    for i, b in enumerate(buckets):
+        assert b["cum"]["value"] == pytest.approx(exp["cum"][i])
+        assert b["r2"]["value"] == pytest.approx(2.0 * b["doc_count"])
+        assert b["pct"]["value"] == pytest.approx(exp["pct"][i])
+        if i >= lag:
+            assert b["sd"]["value"] == pytest.approx(exp["sd"][i])
+        else:
+            assert "sd" not in b
+        mv = b["mv"]["value"]
+        if i == 0:
+            assert mv is None and pd.isna(exp["mv"][i])
+        else:
+            assert mv == pytest.approx(exp["mv"][i])
+
+
+@settings(max_examples=25, deadline=None)
+@given(q=terms_q, key=st.sampled_from(["_key", "_count"]),
+       asc=st.booleans(), mdc=st.integers(min_value=1, max_value=3),
+       size=st.integers(min_value=1, max_value=5))
+def test_terms_order_matches_sql(env, q, key, asc, mdc, size):
+    rdr, con = env
+    got = _run(rdr, q, {"terms": {
+        "field": "lang", "size": size, "min_doc_count": mdc,
+        "order": {key: "asc" if asc else "desc"}}})
+    direction = "ASC" if asc else "DESC"
+    order = (f"lang {direction}" if key == "_key"
+             else f"c {direction}, lang ASC")
+    exp = _sql(
+        con, q,
+        f"SELECT lang, count(*) AS c FROM md GROUP BY lang"
+        f" HAVING count(*) >= {mdc} ORDER BY {order} LIMIT {size}",
+    )
+    assert [(b["key"], b["doc_count"]) for b in got["buckets"]] == list(
+        zip(exp["lang"], exp["c"].astype(int))
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(q=terms_q)
+def test_multi_terms_matches_sql(env, q):
+    rdr, con = env
+    got = _run(rdr, q, {"multi_terms": {
+        "terms": [{"field": "lang"}, {"field": "n"}], "size": 100}})
+    exp = _sql(
+        con, q,
+        "SELECT lang, CAST(n AS VARCHAR) AS n2, count(*) AS c FROM md"
+        " GROUP BY lang, n2 ORDER BY c DESC, lang, n2",
+    )
+    assert [(tuple(b["key"]), b["doc_count"]) for b in got["buckets"]] == [
+        ((la, n2), int(c)) for la, n2, c in
+        zip(exp["lang"], exp["n2"], exp["c"])
+    ]
+
+
+@settings(max_examples=20, deadline=None)
+@given(q=terms_q, pcts=st.lists(
+    st.integers(min_value=0, max_value=100), min_size=1, max_size=4,
+    unique=True).map(sorted))
+def test_sibling_buckets_match_sql(env, q, pcts):
+    import numpy as np
+
+    rdr, con = env
+    got = _run(rdr, q, {
+        "histogram": {"field": "n", "interval": 2},
+        "aggs": {},
+    })
+    body = {
+        "size": 0,
+        "query": {"match": {"text": " ".join(q)}},
+        "aggs": {
+            "h": {"histogram": {"field": "n", "interval": 2}},
+            "st": {"stats_bucket": {"buckets_path": "h>_count"}},
+            "pb": {"percentiles_bucket": {
+                "buckets_path": "h>_count", "percents": pcts}},
+        },
+    }
+    aggs = run_query(rdr, body)["aggregations"]
+    counts = sorted(b["doc_count"] for b in aggs["h"]["buckets"])
+    st_ = aggs["st"]
+    assert st_["count"] == len(counts)
+    assert st_["sum"] == float(sum(counts))
+    if counts:
+        for p in pcts:
+            idx = int(np.floor(p / 100.0 * (len(counts) - 1) + 0.5))
+            assert aggs["pb"]["values"][f"{float(p):g}"] == counts[idx]
