@@ -987,6 +987,46 @@ def q_agg_top_hits(sf_dir: str):
     )
 
 
+def q_significant_text(sf_dir: str):
+    """significant_text aggregation: JLH over-representation scoring
+    with the FOREGROUND limited to the 50 best-scoring 'merge sort'
+    docs (the sampler+significant_text idiom;
+    engine.significant_text — sample text via one docstore point-read,
+    background df from the pruned (term, df)-only shard scan)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge sort"}}},
+            "size": 0,
+            "aggs": {
+                "sig": {
+                    "significant_text": {
+                        "field": "text",
+                        "size": 10,
+                        "sampler_shard_size": 50,
+                        "min_doc_count": 3,
+                    }
+                }
+            },
+        },
+    )
+    buckets = resp["aggregations"]["sig"]["buckets"]
+    return pd.DataFrame(
+        {
+            "term": [b["key"] for b in buckets],
+            "fg_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+            "bg_count": pd.array(
+                [b["bg_count"] for b in buckets], dtype="int64"
+            ),
+            "score": [b["score"] for b in buckets],
+        }
+    )
+
+
 _EVT_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -5032,6 +5072,26 @@ ORACLE_SQL: dict[str, str] = {
         " GROUP BY lang, source"
         " ORDER BY doc_count DESC, lang, source LIMIT 10"
     ),
+    # JLH over the 50 best-scoring 'merge sort' docs as foreground
+    "significant_text_sampled": (
+        "WITH top AS ("
+        + _bm25_sql("merge sort", 50, cols="doc_id")
+        + f"), {TOKS_CTE},"
+        " ft AS (SELECT DISTINCT toks.doc_id, term FROM toks"
+        " JOIN top USING(doc_id)),"
+        " fgc AS (SELECT term, count(*) AS fg FROM ft GROUP BY term"
+        " HAVING count(*) >= 3),"
+        " bgc AS (SELECT term, count(DISTINCT doc_id) AS bg FROM toks"
+        " GROUP BY term),"
+        " nfg AS (SELECT count(*) AS n FROM top),"
+        " nbg AS (SELECT count(*) AS n FROM documents),"
+        " s AS (SELECT fgc.term, fg, bg,"
+        " (fg / nfg.n - bg / nbg.n) * ((fg / nfg.n) / (bg / nbg.n)) AS score"
+        " FROM fgc JOIN bgc USING(term), nfg, nbg"
+        " WHERE fg / nfg.n > bg / nbg.n AND bg > 0)"
+        " SELECT term, fg AS fg_count, bg AS bg_count, score FROM s"
+        " ORDER BY score DESC, term LIMIT 10"
+    ),
     "significant_terms": (
         f"WITH {TOKS_CTE},"
         " fg AS (SELECT DISTINCT doc_id FROM toks"
@@ -5808,6 +5868,7 @@ QUERIES = {
     "terms_order_by_avg": q_terms_order_by_avg,
     "terms_key_order": q_terms_key_order,
     "sampler_lang": q_sampler_lang,
+    "significant_text_sampled": q_significant_text,
     "suggest_completion": q_suggest_completion,
     "termvectors_doc": q_termvectors,
     "field_stats": q_field_stats,

@@ -1381,6 +1381,24 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
             }
         elif akind == "cardinality":
             out[name] = {"value": r.cardinality_agg(qtext, afield, field=f)}
+        elif akind == "significant_text":
+            if afield not in (r.primary_field, field):
+                raise ValueError(
+                    "significant_text runs over the query's text field"
+                )
+            rows = r.significant_text(
+                qtext,
+                size=int(aspec.get("size", 10)),
+                sample_size=int(aspec.get("sampler_shard_size", 200)),
+                field=f,
+                min_doc_count=int(aspec.get("min_doc_count", 3)),
+            )
+            out[name] = {
+                "buckets": [
+                    {"key": t, "doc_count": fg, "bg_count": bg, "score": sc}
+                    for t, fg, bg, sc in rows
+                ]
+            }
         elif akind == "significant_terms":
             if afield not in (r.primary_field, field):
                 raise ValueError(

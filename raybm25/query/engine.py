@@ -1581,6 +1581,45 @@ class IndexReader:
             return []
         col = self.primary_field if field is None else field
         texts = self._gather_column(cand, col)
+        return self._jlh_over_texts(texts, n_fg, size, min_doc_count, field)
+
+    def significant_text(
+        self,
+        query: str,
+        size: int = 10,
+        sample_size: int = 200,
+        field: str | None = None,
+        min_doc_count: int = 3,
+    ) -> list[tuple[str, int, int, float]]:
+        """significant_text aggregation: the significant_terms JLH
+        scoring, but the FOREGROUND is only the ``sample_size``
+        best-scoring docs of the query (OpenSearch's
+        sampler+significant_text idiom) — noise from low-relevance
+        matches never enters the counts.  Sample text comes from one
+        docstore point-read; background df from the same pruned
+        (term, df)-only shard scan as significant_terms."""
+        hits = self.search_pruned(query, sample_size, field=field)
+        if not hits:
+            return []
+        ids = np.array([d for d, _ in hits], dtype=np.uint64)
+        col = self.primary_field if field is None else field
+        tbl = self.get_docs(ids)
+        texts = tbl.column(col).to_pylist()
+        return self._jlh_over_texts(texts, len(texts), size, min_doc_count, field)
+
+    def _jlh_over_texts(
+        self,
+        texts,
+        n_fg: int,
+        size: int,
+        min_doc_count: int,
+        field: str | None,
+    ) -> list[tuple[str, int, int, float]]:
+        """Shared JLH ranking over a foreground text set: per-doc term
+        presence (batch tokenize + one bincount), background df, pinned
+        divide-first float chain; (score desc, term asc) top size."""
+        from ..analysis import arrow_tokenize
+
         tid, terms, doc_pos, _ = arrow_tokenize(
             pa.array([t if t is not None else "" for t in texts], pa.string())
         )

@@ -218,3 +218,19 @@ def test_significant_terms_dsl(rdr):
             resp["aggregations"]["sig"]["buckets"]] == [
         (t, f) for t, f, _, _ in native
     ]
+
+
+def test_significant_text_sampled_subset(rdr):
+    """significant_text with a huge sample equals significant_terms;
+    a small sample restricts the foreground to the top hits."""
+    full = rdr.significant_terms("merge sort", size=10, min_doc_count=1)
+    big = rdr.significant_text(
+        "merge sort", size=10, sample_size=10**6, min_doc_count=1
+    )
+    assert big == full
+    small = rdr.significant_text(
+        "merge sort", size=10, sample_size=2, min_doc_count=1
+    )
+    # foreground counts can never exceed the sample size
+    assert all(fg <= 2 for _, fg, _, _ in small)
+    assert rdr.significant_text("zzznomatch", sample_size=5) == []
