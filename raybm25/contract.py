@@ -1027,6 +1027,50 @@ def q_significant_text(sf_dir: str):
     )
 
 
+def q_runtime_field(sf_dir: str):
+    """Runtime fields (``runtime_mappings``): a script-computed doc
+    value (n_chars*2+1 through the whitelisted compiler) used as BOTH
+    the sort key and a stats-agg target — one gather per referenced
+    source column, one vectorized expression
+    (engine._runtime_values)."""
+    from .query.dsl import run_query
+
+    rt = {
+        "nc2": {
+            "type": "double",
+            "script": {"source": "doc['n_chars'].value * 2 + 1"},
+        }
+    }
+    idx = docs_index(sf_dir)
+    sresp = run_query(
+        idx,
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "runtime_mappings": rt,
+            "sort": [{"nc2": {"order": "desc"}}],
+            "size": 10,
+        },
+    )
+    aresp = run_query(
+        idx,
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "runtime_mappings": rt,
+            "size": 0,
+            "aggs": {"s": {"sum": {"field": "nc2"}}},
+        },
+    )
+    hits = sresp["hits"]["hits"]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array([int(h["_id"]) for h in hits], dtype="int64"),
+            "nc2": [float(h["sort"][0]) for h in hits],
+            "sum_v": [aresp["aggregations"]["s"]["value"]] * len(hits),
+        }
+    )
+
+
 _EVT_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -5072,6 +5116,15 @@ ORACLE_SQL: dict[str, str] = {
         " GROUP BY lang, source"
         " ORDER BY doc_count DESC, lang, source LIMIT 10"
     ),
+    "runtime_field_sort": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
+        " s AS (SELECT doc_id, CAST(n_chars * 2 + 1 AS DOUBLE) AS nc2"
+        " FROM documents JOIN m USING(doc_id))"
+        " SELECT row_number() OVER (ORDER BY nc2 DESC, doc_id) AS rank,"
+        " doc_id, nc2, (SELECT sum(nc2) FROM s) AS sum_v"
+        " FROM s ORDER BY rank LIMIT 10"
+    ),
     # JLH over the 50 best-scoring 'merge sort' docs as foreground
     "significant_text_sampled": (
         "WITH top AS ("
@@ -5869,6 +5922,7 @@ QUERIES = {
     "terms_key_order": q_terms_key_order,
     "sampler_lang": q_sampler_lang,
     "significant_text_sampled": q_significant_text,
+    "runtime_field_sort": q_runtime_field,
     "suggest_completion": q_suggest_completion,
     "termvectors_doc": q_termvectors,
     "field_stats": q_field_stats,

@@ -227,7 +227,7 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
     if kind == "fuzzy":
         return r.fuzzy_docs(
             str(q),
-            max_edits=int(body.get("fuzziness", 1)),
+            max_edits=_fuzziness(body.get("fuzziness", 1), str(q)),
             prefix_length=int(body.get("prefix_length", 0)),
             field=f,
         ).astype(np.uint64)
@@ -250,6 +250,27 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
         u, c = np.unique(allv, return_counts=True)
         return u[c >= max(m, 1)]
     raise ValueError(f"unsupported query kind {kind!r}")
+
+
+def _fuzziness(v, term: str) -> int:
+    """OpenSearch fuzziness: an int, or "AUTO" (0 edits for terms
+    shorter than 3 chars, 1 for 3-5, 2 above — the documented AUTO
+    ladder), optionally "AUTO:lo,hi" with custom breakpoints."""
+    s = str(v).strip()
+    if not s.upper().startswith("AUTO"):
+        return int(v)
+    lo, hi = 3, 6
+    if ":" in s:
+        try:
+            lo, hi = (int(x) for x in s.split(":", 1)[1].split(","))
+        except ValueError as e:
+            raise ValueError(f"bad AUTO fuzziness {v!r}") from e
+    n = len(term)
+    if n < lo:
+        return 0
+    if n < hi:
+        return 1
+    return 2
 
 
 _DIST_RE = re.compile(r"^\s*([0-9.]+)\s*(m|km|mi)?\s*$")
@@ -918,7 +939,25 @@ def _sibling_pipeline(out: dict, name: str, akind: str, aspec: dict) -> None:
         }
 
 
-def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
+def _compile_runtime(body: dict) -> dict:
+    """``runtime_mappings``: script-computed numeric doc values
+    (whitelisted painless subset — ``doc['f'].value`` + arithmetic),
+    usable in field sorts and metric aggregations."""
+    out = {}
+    for fname, m in (body.get("runtime_mappings") or {}).items():
+        if str(m.get("type", "double")) not in ("double", "long"):
+            raise ValueError("runtime fields support double/long types")
+        from .script import compile_script
+
+        src = m.get("script", {})
+        src = src.get("source", "") if isinstance(src, dict) else str(src)
+        out[str(fname)] = compile_script(str(src))
+    return out
+
+
+def _aggregations(
+    r: IndexReader, query_kind, query_spec, aggs: dict, runtime=None
+) -> dict:
     """Each agg runs over the query's match text when the query is a
     plain match (the engine aggs re-derive the candidate union);
     other query kinds aggregate over their doc set via doc-value
@@ -1210,6 +1249,35 @@ def _aggregations(r: IndexReader, query_kind, query_spec, aggs: dict) -> dict:
             }
             continue
         afield = aspec["field"]
+        if (
+            runtime
+            and afield in runtime
+            and akind in ("min", "max", "avg", "sum", "value_count", "stats")
+        ):
+            cand = r._match_ordinals(qtext, f)
+            vals = (
+                r._runtime_values(cand, runtime[afield])
+                if cand.size
+                else np.empty(0)
+            )
+            n = int(vals.size)
+            stats = {
+                "count": n,
+                "min": float(vals.min()) if n else None,
+                "max": float(vals.max()) if n else None,
+                "sum": float(vals.sum()),
+                "avg": (float(vals.sum()) / n) if n else None,
+            }
+            out[name] = (
+                stats
+                if akind == "stats"
+                else {
+                    "value": stats[
+                        "count" if akind == "value_count" else akind
+                    ]
+                }
+            )
+            continue
         if akind == "terms":
             okey, asc = "_count", False
             if "order" in aspec:
@@ -1578,10 +1646,11 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
     qspec = body.get("query", {"match_all": {}})
     kind, spec = _one(qspec, "query")
 
+    runtime = _compile_runtime(body)
     sort = body.get("sort")
     after = body.get("search_after")
     if sort not in (None, "_score", ["_score", "_id"]) and not after:
-        # numeric doc-value sort
+        # numeric doc-value sort (runtime fields sort by their script)
         s = sort[0] if isinstance(sort, list) else sort
         sfield, sdir = _one(s, "sort")
         if kind != "match":
@@ -1594,6 +1663,7 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
             descending=(sdir in ("desc", {"order": "desc"})
                         or (isinstance(sdir, dict) and sdir.get("order") == "desc")),
             field=None if field == r.primary_field else field,
+            script=runtime.get(str(sfield)),
         )[offset:]
         hits_out = [
             {"_id": int(d), "_score": None, "sort": [v]} for d, v in hits
@@ -1699,7 +1769,9 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
                     r.highlight(h["_id"], qtext_h, field=fld, tags=tags)
                 ]
     if body.get("aggs"):
-        resp["aggregations"] = _aggregations(r, kind, spec, body["aggs"])
+        resp["aggregations"] = _aggregations(
+            r, kind, spec, body["aggs"], runtime=runtime
+        )
     if body.get("suggest"):
         sugg: dict[str, Any] = {}
         for name, s in body["suggest"].items():

@@ -1486,6 +1486,18 @@ class IndexReader:
             return int(np.isnan(vals).sum())
         return 0  # non-nullable integer storage: nothing missing
 
+    def _runtime_values(self, ordinals: np.ndarray, compiled) -> np.ndarray:
+        """Evaluate a runtime-field script (the whitelisted
+        ``script.compile_script`` subset: ``doc['f'].value`` reads +
+        arithmetic) over the candidate set — one gather per referenced
+        doc-value column, one vectorized expression; ``_score`` inside
+        a runtime script is 0 (no relevance context)."""
+        values = {
+            fn: self._gather_column(ordinals, fn).astype(np.float64)
+            for fn in compiled.fields
+        }
+        return compiled(np.zeros(ordinals.size, dtype=np.float64), values)
+
     def search_sort_by(
         self,
         query: str,
@@ -1493,6 +1505,7 @@ class IndexReader:
         k: int = 10,
         descending: bool = False,
         field: str | None = None,
+        script=None,
     ) -> list[tuple[int, object]]:
         """Match query with a field ``sort`` clause instead of
         relevance (OpenSearch ``sort: [{field: asc|desc}]``): top ``k``
@@ -1506,7 +1519,11 @@ class IndexReader:
         cand = self._match_ordinals(query, field)
         if cand.size == 0:
             return []
-        vals = self._gather_column(cand, sort_field)
+        if script is not None:
+            # runtime field: sort key computed from source doc-values
+            vals = self._runtime_values(cand, script)
+        else:
+            vals = self._gather_column(cand, sort_field)
         if vals.dtype == object:
             raise TypeError(
                 f"sort field {sort_field!r} is not numeric; keyword sort is "

@@ -119,3 +119,30 @@ def test_keyword_terms_excluded_from_text_dictionary(ray_session, tmp_path):
     assert r.term_dictionary("lang").to_pylist() == ["de", "en"]
     # expansion over the keyword field routes through "lang:" terms
     assert r.dict_prefix_docs("e", field="lang").tolist() == [0]
+
+
+def test_fuzziness_auto_ladder():
+    from raybm25.query.dsl import _fuzziness
+
+    assert _fuzziness("AUTO", "ab") == 0
+    assert _fuzziness("AUTO", "abc") == 1
+    assert _fuzziness("AUTO", "abcde") == 1
+    assert _fuzziness("AUTO", "abcdef") == 2
+    assert _fuzziness("AUTO:2,4", "ab") == 1
+    assert _fuzziness("AUTO:2,4", "a") == 0
+    assert _fuzziness("AUTO:2,4", "abcd") == 2
+    assert _fuzziness(2, "xy") == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        _fuzziness("AUTO:x,y", "abc")
+
+
+def test_fuzzy_auto_in_dsl(rdr):
+    import numpy as np
+
+    from raybm25.query.dsl import _match_docs
+
+    auto = _match_docs(rdr, "fuzzy", {"text": {"value": "mergX", "fuzziness": "AUTO"}})
+    one = _match_docs(rdr, "fuzzy", {"text": {"value": "mergX", "fuzziness": 1}})
+    assert np.array_equal(auto, one)  # len 5 -> 1 edit
