@@ -895,6 +895,7 @@ def build_index(
     batch_size: int = 1024,
     checkpoint_partials: bool = False,
     positions: bool = False,
+    ingest: list[dict] | None = None,
 ) -> dict:
     """Build (or resume) a full-text index at ``index_dir``.
 
@@ -992,6 +993,24 @@ def build_index(
             cols.update(keyword_cols)
             if stored_cols:
                 cols.update(stored_cols)
+            if ingest:
+                # ingest processors may read source columns the index
+                # itself doesn't keep — include them in the pruned read
+                for p in ingest:
+                    spec = next(iter(p.values())) if isinstance(p, dict) else {}
+                    if isinstance(spec, dict) and "field" in spec:
+                        cols.add(str(spec["field"]))
+                # a renamed/set output column is produced by the
+                # pipeline itself; reading it would fail
+                produced = set()
+                for p in ingest:
+                    spec = next(iter(p.values()))
+                    kind = next(iter(p))
+                    if kind == "rename":
+                        produced.add(str(spec.get("target_field", "")))
+                    elif kind == "set" and spec.get("override", True):
+                        produced.add(str(spec.get("field", "")))
+                cols -= produced
             # A small file count would otherwise read as 1-2 blocks and
             # serialize every downstream map stage; split to keep all
             # cores busy. (With thousands of input files the default
@@ -1004,6 +1023,13 @@ def build_index(
             ds = ray.data.read_parquet(source, columns=sorted(cols), **kwargs)
         else:
             ds = source
+        if ingest:
+            # index-time ingest pipeline (the OpenSearch
+            # ``?pipeline=`` analog): one vectorized kernel call per
+            # processor per batch, compiled once per worker
+            from ..loader.ingest import IngestStage
+
+            ds = ds.map_batches(IngestStage(ingest), batch_format="pyarrow")
         if extract_html:
             # drop html right away: the dedup shuffle must not carry raw bytes
             ds = ds.map_batches(

@@ -93,3 +93,43 @@ def test_map_batches_stage(ray_session):
         batch_format="pyarrow",
     ).to_pandas()
     assert sorted(out["a"]) == ["hello", "world"]
+
+
+def test_build_index_with_ingest_pipeline(ray_session, tmp_path):
+    """build_index(ingest=...): processors run before tokenize; the
+    pruned read includes processor source columns and excludes
+    produced ones (a renamed text column doesn't exist in source)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raybm25.index.build import build_index
+    from raybm25.query.engine import IndexReader
+
+    pa_tbl = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "body": ["QUICK Fox", "lazy DOG", "QUICK dog"],
+        }
+    )
+    pq.write_table(pa_tbl, str(tmp_path / "src.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(
+        str(tmp_path / "src.parquet"),
+        idx,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("text",),
+        stored_cols=["text"],
+        num_buckets=2,
+        ingest=[
+            {"rename": {"field": "body", "target_field": "text"}},
+            {"lowercase": {"field": "text"}},
+        ],
+    )
+    r = IndexReader(idx)
+    assert r.n_docs == 3
+    hits = r.search("quick", k=5)
+    assert sorted(d for d, _ in hits) == [0, 2]
+    stored = r.get_docs(np.array([0], dtype=np.uint64))
+    assert stored.column("text").to_pylist() == ["quick fox"]
