@@ -3261,6 +3261,23 @@ def _shuffle_keys(t: pa.Table) -> pa.Table:
     )
 
 
+def q_mixture_sample(sf_dir: str):
+    """Domain-mixture sampling: per-source keep rates (src0 100%,
+    src1 50%, src2 25%, others 10%) decided by the SQL-expressible id
+    hash — deterministic, partition-independent, shuffle-free
+    (extras/mixture.mixture_sample)."""
+    from .extras.mixture import mixture_sample
+
+    out = mixture_sample(
+        os.path.join(sf_dir, "documents.parquet"),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+        columns=["doc_id", "source"],
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_deterministic_sample(sf_dir: str):
     """Reproducible ~10% sample by content-independent id hash:
     keep docs with shufkey % 10 == 0 — a distributed filter, stable
@@ -5708,6 +5725,20 @@ ORACLE_SQL: dict[str, str] = {
     ),
     # shufkey = polynomial byte hash of the id's decimal digits (same
     # HUGEINT list_reduce congruence as fingerprint_stats)
+    # sampling key = high 32 bits of hash * fib-mix (wrapping uint64),
+    # mod granularity — mirrors extras/mixture exactly in HUGEINT
+    "mixture_sample_docs": (
+        "WITH k AS (SELECT doc_id, source,"
+        " ((list_reduce(list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '[0-9]'),"
+        " c -> CAST(unicode(c) AS HUGEINT)),"
+        " (h, c) -> (h * 1000003::HUGEINT + c) % 18446744073709551616::HUGEINT)"
+        " * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT"
+        " // 4294967296) % 10000 AS m FROM documents)"
+        " SELECT doc_id, source FROM k WHERE m <"
+        " CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000"
+        " WHEN 'src2' THEN 2500 ELSE 1000 END"
+        " ORDER BY doc_id"
+    ),
     "deterministic_sample": (
         "WITH k AS (SELECT doc_id,"
         " list_reduce(list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '[0-9]'),"
@@ -5989,6 +6020,7 @@ QUERIES = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "orders_per_nation": q_orders_per_nation,
     "lineitem_priority": q_lineitem_priority,
+    "mixture_sample_docs": q_mixture_sample,
     "deterministic_sample": q_deterministic_sample,
     "deterministic_shuffle": q_deterministic_shuffle,
     "stratified_sample": q_stratified_sample,
