@@ -1220,6 +1220,40 @@ def q_bucket_sort_busiest(sf_dir: str):
     )
 
 
+def q_date_histogram_filled(sf_dir: str):
+    """date_histogram with ``min_doc_count: 0``: every hourly interval
+    between the first and last occupied bucket appears, empty ones
+    with doc_count 0 (dsl._fill_empty_buckets — the OpenSearch gap
+    default the compact engine rows omit)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _events_index(sf_dir),
+        {
+            "query": {"match": {"event_type": {"query": "purchase"}}},
+            "size": 0,
+            "aggs": {
+                "d": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "fixed_interval_ms": 3600000,
+                        "min_doc_count": 0,
+                    }
+                }
+            },
+        },
+    )
+    buckets = resp["aggregations"]["d"]["buckets"]
+    return pd.DataFrame(
+        {
+            "bucket_ms": pd.array([b["key"] for b in buckets], dtype="int64"),
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+        }
+    )
+
+
 def q_pipeline_bucket_math(sf_dir: str):
     """bucket_script / serial_diff / moving_fn / normalize parent
     pipelines plus a sum metric sub-agg under a daily date_histogram —
@@ -5226,6 +5260,18 @@ ORACLE_SQL: dict[str, str] = {
         " AS DOUBLE) AS deriv"
         " FROM b ORDER BY bucket_ms"
     ),
+    "date_histogram_filled": (
+        "WITH t AS (SELECT ts,"
+        " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk FROM events),"
+        " g AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS b,"
+        " count(*) AS c FROM t WHERE list_contains(tk, 'purchase')"
+        " GROUP BY b),"
+        " mm AS (SELECT min(b) AS a, max(b) AS z FROM g),"
+        " series AS (SELECT unnest(generate_series(a, z,"
+        " 3600000::BIGINT)) AS b FROM mm)"
+        " SELECT series.b AS bucket_ms, COALESCE(c, 0) AS doc_count"
+        " FROM series LEFT JOIN g USING(b) ORDER BY bucket_ms"
+    ),
     "pipeline_bucket_math": (
         "WITH t AS (SELECT event_id, ts, user_id,"
         " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk FROM events),"
@@ -5917,6 +5963,7 @@ QUERIES = {
     "terms_stats_lang": q_terms_stats,
     "date_histogram_errors": q_date_histogram,
     "pipeline_cumsum_daily": q_pipeline_cumsum,
+    "date_histogram_filled": q_date_histogram_filled,
     "pipeline_bucket_math": q_pipeline_bucket_math,
     "pipeline_bucket_selector": q_pipeline_bucket_selector,
     "pipeline_stats_buckets": q_pipeline_stats_buckets,

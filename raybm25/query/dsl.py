@@ -818,6 +818,37 @@ def _apply_parent_pipelines(result: dict, sub_aggs: dict) -> None:
             )
 
 
+def _fill_empty_buckets(rows, interval, aspec: dict):
+    """OpenSearch histogram gap semantics: with ``min_doc_count: 0``
+    every interval between the first and last occupied bucket (widened
+    by ``extended_bounds`` when given) appears with doc_count 0; with
+    the default min_doc_count 1, buckets below the threshold drop."""
+    mdc = int(aspec.get("min_doc_count", 1))
+    if mdc > 0:
+        return [(b, c) for b, c in rows if c >= mdc] if mdc > 1 else rows
+    eb = aspec.get("extended_bounds") or {}
+    keys = [b for b, _ in rows]
+    lo_candidates = keys[:1] + (
+        [type(interval)(eb["min"])] if "min" in eb else []
+    )
+    hi_candidates = keys[-1:] + (
+        [type(interval)(eb["max"])] if "max" in eb else []
+    )
+    if not lo_candidates or not hi_candidates:
+        return rows
+    lo = min(lo_candidates)
+    hi = max(hi_candidates)
+    lo = type(interval)(np.floor(lo / interval) * interval)
+    hi = type(interval)(np.floor(hi / interval) * interval)
+    have = dict(rows)
+    out = []
+    b = lo
+    while b <= hi:
+        out.append((b, have.get(b, 0)))
+        b = type(interval)(b + interval)
+    return out
+
+
 def _script_source(spec: dict) -> str:
     s = spec.get("script", "")
     if isinstance(s, dict):
@@ -1314,6 +1345,7 @@ def _aggregations(
             rows = r.facet_histogram(
                 qtext, afield, float(aspec["interval"]), field=f
             )
+            rows = _fill_empty_buckets(rows, float(aspec["interval"]), aspec)
             out[name] = {
                 "buckets": [{"key": b, "doc_count": c} for b, c in rows]
             }
@@ -1350,6 +1382,10 @@ def _aggregations(
                     "calendar_interval of day/hour/minute"
                 )
             rows = r.facet_date_histogram(qtext, afield, int(iv), field=f)
+            rows = [
+                (int(b), c)
+                for b, c in _fill_empty_buckets(rows, int(iv), aspec)
+            ]
             buckets = [{"key": b, "doc_count": c} for b, c in rows]
             if sub_aggs:
                 # metric sub-aggs (the date_histogram + sum/avg
@@ -1369,7 +1405,27 @@ def _aggregations(
                     )
                     per = {b: (n, mn, mx, sm) for b, n, mn, mx, sm in srows}
                     for bkt in buckets:
-                        n, mn, mx, sm = per[bkt["key"]]
+                        # gap-filled empty buckets carry zero metrics
+                        n, mn, mx, sm = per.get(
+                            bkt["key"], (0, None, None, 0)
+                        )
+                        if n == 0:
+                            bkt[sn] = (
+                                {
+                                    "count": 0,
+                                    "min": None,
+                                    "max": None,
+                                    "sum": 0,
+                                    "avg": None,
+                                }
+                                if mk == "stats"
+                                else {
+                                    "value": 0
+                                    if mk in ("sum", "value_count")
+                                    else None
+                                }
+                            )
+                            continue
                         if mk == "stats":
                             bkt[sn] = {
                                 "count": n,

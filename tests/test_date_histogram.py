@@ -124,3 +124,78 @@ def test_auto_date_histogram_dsl(rdr):
     iv, rows = rdr.facet_auto_date_histogram("error", "ts", 3)
     assert a["interval_ms"] == iv
     assert [(b["key"], b["doc_count"]) for b in a["buckets"]] == rows
+
+
+def test_min_doc_count_zero_fills_gaps(rdr):
+    resp = run_query(
+        rdr,
+        {
+            "query": {"match": {"event_type": "error"}},
+            "size": 0,
+            "aggs": {
+                "d": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "fixed_interval_ms": DAY,
+                        "min_doc_count": 0,
+                    }
+                }
+            },
+        },
+    )
+    buckets = resp["aggregations"]["d"]["buckets"]
+    keys = [b["key"] for b in buckets]
+    # contiguous daily keys Jan 1 .. Jan 5 with Jan 3/4 empty
+    assert keys == list(range(keys[0], keys[-1] + DAY, DAY))
+    assert len(keys) == 5
+    empty = [b for b in buckets if b["doc_count"] == 0]
+    assert len(empty) == 2
+
+
+def test_extended_bounds_widen(rdr):
+    base = 1704067200000  # Jan 1
+    resp = run_query(
+        rdr,
+        {
+            "query": {"match": {"event_type": "error"}},
+            "size": 0,
+            "aggs": {
+                "d": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "fixed_interval_ms": DAY,
+                        "min_doc_count": 0,
+                        "extended_bounds": {
+                            "min": base - 2 * DAY,
+                            "max": base + 6 * DAY,
+                        },
+                    }
+                }
+            },
+        },
+    )
+    keys = [b["key"] for b in resp["aggregations"]["d"]["buckets"]]
+    assert keys[0] == base - 2 * DAY and keys[-1] == base + 6 * DAY
+    assert len(keys) == 9
+
+
+def test_min_doc_count_threshold_drops(rdr):
+    resp = run_query(
+        rdr,
+        {
+            "query": {"match": {"event_type": "error"}},
+            "size": 0,
+            "aggs": {
+                "d": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "fixed_interval_ms": DAY,
+                        "min_doc_count": 2,
+                    }
+                }
+            },
+        },
+    )
+    assert all(
+        b["doc_count"] >= 2 for b in resp["aggregations"]["d"]["buckets"]
+    )
