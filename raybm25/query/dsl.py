@@ -2051,14 +2051,25 @@ def run_query_multi(index_dirs: list, body: dict) -> dict:
     import os as _os
 
     size = int(body.get("size", 10))
+    # indices_boost: [{"<index basename>": factor}, ...] — per-index
+    # score multipliers applied before the global merge
+    boosts: dict[str, float] = {}
+    for ib in body.get("indices_boost", []) or []:
+        bn, bv = _one(ib, "indices_boost")
+        boosts[str(bn)] = float(bv)
+    sub_body = {k: v for k, v in body.items() if k != "indices_boost"}
     merged: list[dict] = []
     total = 0
     relation = "eq" if body.get("track_total_hits") else None
     for d in index_dirs:
-        resp = run_query(d, {**body, "size": size})
+        resp = run_query(d, {**sub_body, "size": size})
         name = _os.path.basename(_os.path.normpath(d)) if isinstance(d, str) else (
             _os.path.basename(_os.path.normpath(d.index_dir))
         )
+        boost = boosts.get(name, 1.0)
+        if boost != 1.0:
+            for h in resp["hits"]["hits"]:
+                h["_score"] = h["_score"] * boost
         # per-index total sums to the cross-index total (exact when
         # track_total_hits; otherwise sum of page lengths, the same
         # lower bound run_query reports per index)

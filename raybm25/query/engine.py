@@ -38,6 +38,13 @@ from ..index.build import DOCS_SUBDIR, ORD_MASK, ORD_SHIFT, POSTINGS_SUBDIR
 from ..index.manifest import load_manifest
 
 
+def _strip_keyword(name: str) -> str:
+    """``field.keyword`` sub-field aliasing (the OpenSearch multi-field
+    idiom): keyword fields here ARE the stored column, so the
+    ``.keyword`` suffix resolves to the base name."""
+    return name[:-8] if isinstance(name, str) and name.endswith(".keyword") else name
+
+
 class TermPostings:
     __slots__ = (
         "doc_ids", "tfs", "dls", "block_last", "block_max_tf", "block_min_dl",
@@ -149,6 +156,7 @@ class IndexReader:
         over millions of candidates fans out to per-bucket tasks."""
         import pyarrow.parquet as pq
 
+        column = _strip_keyword(column)
         ordinals = np.asarray(ordinals, dtype=np.uint64)
         buckets = (ordinals >> np.uint64(ORD_SHIFT)).astype(np.int64)
         rows = (ordinals & np.uint64(ORD_MASK)).astype(np.int64)
@@ -2891,6 +2899,7 @@ class IndexReader:
     # ------------------------------------------------------------- keyword/docs
     def term_docs(self, field: str, value: str) -> np.ndarray:
         """Exact-match doc ids for a keyword field term (SURVEY.md B2)."""
+        field = _strip_keyword(field)
         p = self.load_postings([f"{field}:{value}"])
         key = f"{field}:{value}"
         if key not in p:
@@ -2901,6 +2910,7 @@ class IndexReader:
         """OpenSearch ``terms`` query: docs matching ANY of the keyword
         values — one postings load for the whole value list, union in
         ordinal space, ids sorted."""
+        field = _strip_keyword(field)
         keys = sorted({f"{field}:{v}" for v in values})
         postings = self.load_postings(keys)
         parts = [postings[k].doc_ids for k in keys if k in postings]

@@ -91,3 +91,28 @@ def test_source_carried_through_merge(dirs):
         assert "text" in h["_source"]
     by_id = {h["_id"]: h["_source"]["text"] for h in resp["hits"]["hits"]}
     assert by_id[1] == "merge merge merge"
+
+
+def test_indices_boost_reorders_merge(dirs):
+    from raybm25.query.dsl import run_query_multi
+
+    a, b = dirs
+    body = {"query": {"match": {"text": {"query": "merge"}}}, "size": 10}
+    plain = run_query_multi([a, b], body)["hits"]["hits"]
+    import os as _os
+
+    bname = _os.path.basename(_os.path.normpath(b))
+    boosted = run_query_multi(
+        [a, b], {**body, "indices_boost": [{bname: 100.0}]}
+    )["hits"]["hits"]
+    # every hit from the boosted index now outranks the other index
+    first_other = next(
+        (i for i, h in enumerate(boosted) if h["_index"] != bname),
+        len(boosted),
+    )
+    assert all(h["_index"] == bname for h in boosted[:first_other])
+    assert {h["_id"] for h in boosted} == {h["_id"] for h in plain}
+    for h in boosted:
+        if h["_index"] == bname:
+            assert h["_score"] > 1.0  # scaled by 100
+

@@ -241,3 +241,29 @@ def test_multi_terms_needs_two_fields(idx):
     r = IndexReader(idx)
     with pytest.raises(ValueError, match="two term sources"):
         r.facet_multi_terms("merge", ["lang"], size=5)
+
+
+def test_keyword_subfield_alias(idx):
+    from raybm25.query.engine import IndexReader
+
+    r = IndexReader(idx)
+    base = r.term_docs("lang", "en")
+    alias = r.term_docs("lang.keyword", "en")
+    assert np.array_equal(base, alias)
+    a2 = run_query(
+        idx,
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 0,
+            "aggs": {"l": {"terms": {"field": "lang.keyword", "size": 10}}},
+        },
+    )["aggregations"]["l"]["buckets"]
+    b2 = run_query(
+        idx,
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 0,
+            "aggs": {"l": {"terms": {"field": "lang", "size": 10}}},
+        },
+    )["aggregations"]["l"]["buckets"]
+    assert a2 == b2
