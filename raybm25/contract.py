@@ -623,6 +623,40 @@ def q_geo_distance_rings(sf_dir: str):
     )
 
 
+def q_geotile_grid(sf_dir: str):
+    """geotile_grid aggregation: doc counts per web-mercator "z/x/y"
+    tile (zoom 3) over docs matching 'merge' — pure arithmetic on the
+    synthesized geo_point, one vectorized pass
+    (engine.facet_geotile)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _geo_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 0,
+            "aggs": {
+                "tiles": {
+                    "geotile_grid": {
+                        "field": "loc",
+                        "precision": 3,
+                        "size": 10,
+                    }
+                }
+            },
+        },
+    )
+    buckets = resp["aggregations"]["tiles"]["buckets"]
+    return pd.DataFrame(
+        {
+            "key": [b["key"] for b in buckets],
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+        }
+    )
+
+
 def q_span_or(sf_dir: str):
     """Lucene ``span_or``: union of a span_term and an adjacent
     span_near pair — exact at doc level (any matching inner span
@@ -5062,6 +5096,24 @@ ORACLE_SQL: dict[str, str] = {
         " UNION ALL SELECT 9000.0, -1.0,"
         " (SELECT count(*) FROM d WHERE dist >= 9000000)"
     ),
+    # web-mercator tile keys: same clamp + floor arithmetic as
+    # engine.facet_geotile (zoom 3 -> 8x8 grid)
+    "geotile_grid_docs": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
+        " g AS (SELECT doc_id,"
+        " greatest(least(((doc_id * 7919) % 18000) / 100.0 - 90.0,"
+        " 85.05112878), -85.05112878) AS lat,"
+        " ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon"
+        " FROM documents JOIN m USING(doc_id)),"
+        " t AS (SELECT"
+        " greatest(least(CAST(floor(8 * (lon + 180.0) / 360.0) AS BIGINT), 7), 0) AS x,"
+        " greatest(least(CAST(floor(8 * (1.0 - ln(tan(radians(lat)) +"
+        " 1.0 / cos(radians(lat))) / pi()) / 2.0) AS BIGINT), 7), 0) AS y"
+        " FROM g)"
+        " SELECT '3/' || x || '/' || y AS key, count(*) AS doc_count"
+        " FROM t GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10"
+    ),
     # span_term 'filter' OR adjacent "merge sort" (slop 0, ordered)
     "span_or_docs": (
         "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -5988,6 +6040,7 @@ QUERIES = {
     "geo_distance_docs": q_geo_distance,
     "geo_bbox_docs": q_geo_bbox,
     "geo_distance_rings": q_geo_distance_rings,
+    "geotile_grid_docs": q_geotile_grid,
     "terms_set_docs": q_terms_set,
     "pinned_wrapper_topk": q_pinned_wrapper,
     "multi_terms_lang_source": q_multi_terms,

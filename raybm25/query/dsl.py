@@ -1446,6 +1446,19 @@ def _aggregations(
                     sn: s for sn, s in sub_aggs.items() if sn not in metric_subs
                 }
             out[name] = {"buckets": buckets}
+        elif akind == "geotile_grid":
+            rows = r.facet_geotile(
+                qtext,
+                afield,
+                int(aspec.get("precision", 7)),
+                size=int(aspec.get("size", 10)),
+                field=f,
+            )
+            out[name] = {
+                "buckets": [
+                    {"key": k, "doc_count": c} for k, c in rows
+                ]
+            }
         elif akind == "geo_distance":
             unit = {"m": 1.0, "km": 1000.0, "mi": 1609.344}[
                 str(aspec.get("unit", "m"))

@@ -2100,6 +2100,43 @@ class IndexReader:
             out.append((lo, hi, int(np.count_nonzero(m))))
         return out
 
+    def facet_geotile(
+        self,
+        query: str,
+        geo_field: str,
+        precision: int,
+        size: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[str, int]]:
+        """``geotile_grid`` aggregation: doc counts per web-mercator
+        map tile "z/x/y" at zoom ``precision`` — pure arithmetic
+        (x = floor(2^z (lon+180)/360); y from the mercator projection
+        with latitude clamped to +/-85.05112878), one vectorized pass.
+        Returns (key, doc_count) sorted count desc then key asc."""
+        if not 0 <= precision <= 29:
+            raise ValueError("geotile precision must be in [0, 29]")
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        la, lo = self._geo_columns(cand, geo_field)
+        n = np.float64(1 << precision)
+        la = np.clip(la, -85.05112878, 85.05112878)
+        x = np.floor(n * (lo + 180.0) / 360.0).astype(np.int64)
+        x = np.clip(x, 0, (1 << precision) - 1)
+        rad = np.radians(la)
+        y = np.floor(
+            n * (1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / np.pi) / 2.0
+        ).astype(np.int64)
+        y = np.clip(y, 0, (1 << precision) - 1)
+        tiles = x * np.int64(1 << 30) + y  # precision <= 29 => no overlap
+        u, c = np.unique(tiles, return_counts=True)
+        rows = [
+            (f"{precision}/{int(t) >> 30}/{int(t) & ((1 << 30) - 1)}", int(k))
+            for t, k in zip(u, c)
+        ]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[: max(size, 0)]
+
     def facet_multi_terms(
         self,
         query: str,

@@ -162,3 +162,40 @@ def test_parse_distance():
     assert _parse_distance("2mi") == pytest.approx(3218.688)
     with pytest.raises(ValueError):
         _parse_distance("10 parsecs")
+
+
+def test_geotile_grid_vs_brute(idx):
+    resp = run_query(
+        idx,
+        {
+            "query": {"match": {"text": {"query": "point"}}},
+            "size": 0,
+            "aggs": {
+                "t": {"geotile_grid": {"field": "loc", "precision": 2, "size": 20}}
+            },
+        },
+    )
+    from collections import Counter
+
+    want = Counter()
+    for _, _, la, lo in DOCS:
+        la_c = min(max(la, -85.05112878), 85.05112878)
+        x = min(max(int(np.floor(4 * (lo + 180.0) / 360.0)), 0), 3)
+        rad = np.radians(la_c)
+        y = int(np.floor(4 * (1 - np.log(np.tan(rad) + 1 / np.cos(rad)) / np.pi) / 2))
+        want[f"2/{x}/{min(max(y, 0), 3)}"] += 1
+    got = {b["key"]: b["doc_count"] for b in resp["aggregations"]["t"]["buckets"]}
+    assert got == dict(want)
+    counts = [b["doc_count"] for b in resp["aggregations"]["t"]["buckets"]]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_geotile_precision_bounds(idx):
+    from raybm25.query.engine import IndexReader
+
+    r = IndexReader(idx)
+    with pytest.raises(ValueError, match="precision"):
+        r.facet_geotile("point", "loc", 30)
+    # zoom 0 = one world tile holding every matching doc
+    rows = r.facet_geotile("point", "loc", 0)
+    assert rows == [("0/0/0", len(DOCS))]
