@@ -1788,6 +1788,38 @@ def q_update_by_query(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def q_update_by_query_script(sf_dir: str):
+    """_update_by_query with a painless-subset SCRIPT
+    (``ctx._source.n_chars = ctx._source.n_chars * 2 + 1``) on every
+    doc matching 'merge' in a COPY of the index — expressions compile
+    through the whitelisted gate and evaluate vectorized over one
+    gather per referenced column; integral results keep the integer
+    column integer (loader/export.update_by_query)."""
+    import glob
+    import shutil
+
+    from .loader.export import update_by_query
+
+    src = docs_index(sf_dir)
+    work = os.path.join(CACHE_ROOT, f"ubqscr_{_tag(sf_dir)}")
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    shutil.copytree(src, work)
+    update_by_query(
+        work,
+        "merge",
+        script="ctx._source.n_chars = ctx._source.n_chars * 2 + 1",
+    )
+    parts = [
+        pa.parquet.read_table(p, columns=["doc_id", "n_chars"])
+        for p in sorted(glob.glob(os.path.join(work, "docs", "*.parquet")))
+    ]
+    df = pa.concat_tables(parts).to_pandas().sort_values("doc_id")
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def q_delete_by_query(sf_dir: str):
     """OpenSearch _delete_by_query: delete every doc matching 'sort'
     from a copy of the index, rebuild, and return the surviving doc
@@ -5572,6 +5604,13 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT doc_id, CASE WHEN doc_id IN (SELECT doc_id FROM m)"
         " THEN 'xx' ELSE lang END AS lang FROM documents ORDER BY doc_id"
     ),
+    "update_by_query_script": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')"
+        " SELECT doc_id, CASE WHEN doc_id IN (SELECT doc_id FROM m)"
+        " THEN n_chars * 2 + 1 ELSE n_chars END AS n_chars"
+        " FROM documents ORDER BY doc_id"
+    ),
     "delete_by_query": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'sort')"
@@ -6069,6 +6108,7 @@ QUERIES = {
     "match_stats_nchars": q_match_stats_nchars,
     "export_matching": q_export_matching,
     "update_by_query": q_update_by_query,
+    "update_by_query_script": q_update_by_query_script,
     "delete_by_query": q_delete_by_query,
     "force_merge_survivors": q_force_merge_survivors,
     "sort_by_nchars": q_sort_by_nchars,

@@ -176,31 +176,51 @@ def export_matching(
 def update_by_query(
     index_dir: str,
     query: str,
-    set_values: dict,
-    id_field: str,
+    set_values: dict | None = None,
+    id_field: str = "doc_id",
     field: str | None = None,
+    script: str | None = None,
 ) -> dict:
-    """OpenSearch ``_update_by_query`` with a constant "script": set
-    ``set_values`` on every doc matching the query. The matched docs'
-    id column is gathered from the docstore, an updates table is built
-    (constant columns broadcast across the match), and the existing
-    co-partitioned ``apply_updates`` flow does the merge + postings
-    refresh."""
+    """OpenSearch ``_update_by_query``: set ``set_values`` constants
+    and/or run a painless-subset ``script`` of
+    ``ctx._source.<f> = <expr>`` assignments on every doc matching the
+    query. The matched docs' id column is gathered from the docstore,
+    an updates table is built (constants broadcast; script expressions
+    evaluated vectorized over one gather per referenced column), and
+    the existing co-partitioned ``apply_updates`` flow does the merge +
+    postings refresh.  A script result that is integral keeps an
+    integer source column integer; fractional results promote the
+    column to float64."""
+    import numpy as np
+
     from ..query.engine import IndexReader
     from .update import apply_updates
 
+    if not set_values and not script:
+        raise ValueError("update_by_query needs set_values and/or script")
     r = IndexReader(index_dir)
     cand = r._match_ordinals(query, field)
     if cand.size == 0:
         return {"updated": 0, "missing": 0, "skipped_no_id": 0}
     keys = r._gather_column(cand, id_field)
-    tbl = pa.table(
-        {
-            id_field: pa.array(keys.tolist()),
-            **{
-                k: pa.array([v] * cand.size)
-                for k, v in set_values.items()
-            },
-        }
-    )
-    return apply_updates(index_dir, tbl, id_field)
+    cols: dict = {id_field: pa.array(keys.tolist())}
+    for k, v in (set_values or {}).items():
+        cols[k] = pa.array([v] * cand.size)
+    if script:
+        from ..query.script import compile_update_script
+
+        for tgt, compiled in compile_update_script(script):
+            src_vals = {
+                fn: r._gather_column(cand, fn).astype(np.float64)
+                for fn in compiled.fields
+            }
+            out = compiled(np.zeros(cand.size, dtype=np.float64), src_vals)
+            was_int = all(
+                np.issubdtype(r._gather_column(cand, fn).dtype, np.integer)
+                for fn in compiled.fields
+            ) if compiled.fields else False
+            if was_int and np.all(out == np.floor(out)):
+                cols[tgt] = pa.array(out.astype(np.int64), pa.int64())
+            else:
+                cols[tgt] = pa.array(out, pa.float64())
+    return apply_updates(index_dir, pa.table(cols), id_field)

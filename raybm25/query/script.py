@@ -80,6 +80,39 @@ def _var(fname: str) -> str:
 
 _PARAMS_RE = re.compile(r"params\.([A-Za-z_][A-Za-z0-9_]*)")
 
+_CTX_RE = re.compile(r"ctx\._source\.([A-Za-z_][A-Za-z0-9_.]*)")
+_ASSIGN_RE = re.compile(
+    r"^ctx\._source\.([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+)$", re.DOTALL
+)
+
+
+def compile_update_script(source: str) -> list[tuple[str, CompiledScript]]:
+    """``_update_by_query`` scripts: `;`-separated assignments
+    ``ctx._source.<field> = <expr>`` where the expression reads other
+    ``ctx._source.*`` values plus the arithmetic/Math subset — each
+    expression compiles through the same whitelisted gate as
+    script_score (ctx reads rewrite to doc['f'].value).  Returns
+    [(target_field, compiled_expr), ...] in statement order."""
+    if not isinstance(source, str) or not source.strip():
+        raise ValueError("script.source must be a non-empty string")
+    out = []
+    for stmt in source.split(";"):
+        stmt = stmt.strip()
+        if not stmt:
+            continue
+        m = _ASSIGN_RE.match(stmt)
+        if not m:
+            raise ValueError(
+                f"update script statements must be "
+                f"'ctx._source.<field> = <expr>': {stmt!r}"
+            )
+        tgt, expr = m.group(1), m.group(2)
+        expr = _CTX_RE.sub(lambda mm: f"doc['{mm.group(1)}'].value", expr)
+        out.append((tgt, compile_script(expr)))
+    if not out:
+        raise ValueError("update script has no assignments")
+    return out
+
 _BUCKET_EXTRA_NODES = (
     ast.Compare,
     ast.Gt,

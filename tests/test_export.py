@@ -108,3 +108,64 @@ def test_update_by_query_then_search(hash_idx):
     # untouched docs keep their lang
     other = r.search_bool(must="window", filter_term=("lang", "de"), k=10)
     assert {d for d, _ in other} == {5}
+
+
+def test_update_by_query_script(ray_session, tmp_path):
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raybm25.index.build import build_index
+    from raybm25.loader.export import update_by_query
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["hit a", "miss b", "hit c"],
+                "n": [10, 20, 30],
+                "w": [1.0, 2.0, 3.0],
+            }
+        ),
+        str(tmp_path / "d.parquet"),
+    )
+    idx = str(tmp_path / "sidx")
+    build_index(str(tmp_path / "d.parquet"), idx, key_col="doc_id",
+                id_col="doc_id", ts_col=None, text_cols=("text",),
+                stored_cols=["text", "n", "w"], num_buckets=2)
+    out = update_by_query(
+        idx, "hit",
+        script="ctx._source.n = ctx._source.n * 2; "
+               "ctx._source.w = ctx._source.w / 4",
+    )
+    assert out["updated"] == 2
+    parts = [
+        pq.read_table(p, columns=["doc_id", "n", "w"])
+        for p in sorted(glob.glob(f"{idx}/docs/*.parquet"))
+    ]
+    df = pa.concat_tables(parts).to_pandas().sort_values("doc_id")
+    # integral results keep int; fractional promote to float
+    assert df["n"].tolist() == [20, 20, 60]
+    assert df["w"].tolist() == [0.25, 2.0, 0.75]
+
+
+def test_update_script_rejects_bad_statements():
+    import pytest as _pt
+
+    from raybm25.query.script import compile_update_script
+
+    for bad in (
+        "ctx._source.a += 1",
+        "n = 1",
+        "ctx._source.a = __import__('os')",
+        "",
+        "delete ctx._source.a",
+    ):
+        with _pt.raises(ValueError):
+            compile_update_script(bad)
+    steps = compile_update_script(
+        "ctx._source.a = ctx._source.b + 1; ctx._source.c = 2"
+    )
+    assert [t for t, _ in steps] == ["a", "c"]
+    assert steps[0][1].fields == ["b"]
