@@ -8,7 +8,9 @@
       -> eval decontamination       (extras.decontam.decontaminate)
       -> quality gate               (extras.textstats.quality_batch
                                      + repetition_batch signals)
+      -> domain-mixture sampling    (extras.mixture.mixture_sample)
       -> token-window chunk stats   (extras.textstats.chunk_batch)
+      -> sequence packing offsets   (extras.packing.pack_sequences)
       -> full-text index build      (index.build.build_index)
       -> filtered BM25 via the DSL  (query.dsl.run_query)
 
@@ -104,17 +106,41 @@ def main(sf_dir: str, work: str) -> dict:
     ds.map_batches(gate, batch_format="pyarrow").write_parquet(gated_path)
     counts["after_scrub_dedup_gate"] = ray.data.read_parquet(gated_path).count()
 
+    # 4b. domain-mixture sampling: keep all English, half of every
+    # other language (deterministic id-hash rates — shuffle-free,
+    # restart-stable; re-running or re-sharding keeps the same subset)
+    from raybm25.extras.mixture import mixture_sample
+
+    mixed_path = os.path.join(work, "mixed")
+    mixture_sample(
+        ray.data.read_parquet(gated_path),
+        {"en": 1.0},
+        group_col="lang",
+        default_rate=0.5,
+    ).write_parquet(mixed_path)
+    counts["after_mixture"] = ray.data.read_parquet(mixed_path).count()
+
     # 5. chunk accounting for sequence packing (64-token windows)
     counts["train_chunks_64tok"] = (
-        ray.data.read_parquet(gated_path, columns=["doc_id", "text"])
+        ray.data.read_parquet(mixed_path, columns=["doc_id", "text"])
         .map_batches(chunk_batch, batch_format="pyarrow")
         .count()
+    )
+
+    # 5b. concat-and-chop packing layout: global token offsets +
+    # training-sequence spans via the distributed prefix sum
+    from raybm25.extras.packing import pack_sequences
+
+    packed = pack_sequences(mixed_path, 512).to_pandas()
+    counts["packed_sequences_512"] = int(packed["seq_last"].max()) + 1
+    counts["packed_tokens"] = int(
+        (packed["start_tok"] + packed["n_tok"]).max()
     )
 
     # 6. index the surviving corpus; serve a filtered DSL query
     idx = os.path.join(work, "idx")
     build_index(
-        gated_path,
+        mixed_path,
         idx,
         key_col="doc_id",
         id_col="doc_id",

@@ -119,6 +119,24 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_dsl(args) -> int:
+    """Run one OpenSearch-DSL request body (JSON file or '-' = stdin)
+    against an index and print the JSON response — the whole query/agg
+    surface from the shell."""
+    import json
+    import sys as _sys
+
+    from .query.dsl import run_query
+
+    if args.body == "-":
+        body = json.load(_sys.stdin)
+    else:
+        with open(args.body) as f:
+            body = json.load(f)
+    print(json.dumps(run_query(args.index, body), default=str))
+    return 0
+
+
 def cmd_searchfile(args) -> int:
     """Batch serving: a parquet file of queries (query_id, query_text
     [, k]) -> partitioned parquet of (query_id, rank, doc_id, score),
@@ -215,6 +233,15 @@ def main(argv=None) -> int:
     ps.add_argument("-k", type=int, default=10)
     ps.add_argument("--field", default=None)
     ps.set_defaults(fn=cmd_search)
+
+    pq_ = sub.add_parser(
+        "dsl", help="run an OpenSearch-DSL JSON request body"
+    )
+    pq_.add_argument("--index", required=True)
+    pq_.add_argument(
+        "--body", required=True, help="JSON file path, or '-' for stdin"
+    )
+    pq_.set_defaults(fn=cmd_dsl)
 
     pf = sub.add_parser(
         "searchfile", help="score a parquet query set via the actor pool"

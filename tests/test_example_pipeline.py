@@ -26,5 +26,10 @@ def test_training_data_pipeline_example(tmp_path):
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["input"] == 500
     assert 0 < res["after_scrub_dedup_gate"] <= res["input"]
-    assert res["train_chunks_64tok"] >= res["after_scrub_dedup_gate"]
+    # mixture keeps all English and ~half of everything else
+    assert 0 < res["after_mixture"] <= res["after_scrub_dedup_gate"]
+    assert res["train_chunks_64tok"] >= res["after_mixture"]
+    # packing: sequence count consistent with the token stream length
+    assert res["packed_sequences_512"] >= res["packed_tokens"] // 512
+    assert res["packed_tokens"] > 0
     assert res["sample_query_total"] > 0 and len(res["sample_top"]) == 3

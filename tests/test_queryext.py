@@ -267,3 +267,20 @@ def test_keyword_subfield_alias(idx):
         },
     )["aggregations"]["l"]["buckets"]
     assert a2 == b2
+
+
+def test_cli_dsl_subcommand(idx, tmp_path, capsys):
+    import json
+
+    from raybm25.__main__ import main as cli_main
+
+    body = {
+        "query": {"match": {"text": {"query": "merge"}}},
+        "size": 3,
+    }
+    p = tmp_path / "body.json"
+    p.write_text(json.dumps(body))
+    assert cli_main(["dsl", "--index", idx, "--body", str(p)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    direct = run_query(idx, body)["hits"]["hits"]
+    assert [h["_id"] for h in out["hits"]["hits"]] == [h["_id"] for h in direct]
