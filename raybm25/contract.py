@@ -6179,24 +6179,33 @@ _DRIVER_PRIORITY = [
     # the two round-4 reds (HUGEINT cast, fixed) lead so their green
     # re-check is guaranteed a driver row even under the ~50 cap
     "terms_stats_lang", "extended_stats_chars",
-    "pipeline_bucket_math", "pipeline_bucket_selector",
-    "pipeline_stats_buckets", "span_or_docs", "terms_set_docs",
-    "pinned_wrapper_topk", "multi_terms_lang_source",
-    "geo_distance_docs", "geo_bbox_docs", "geo_distance_rings",
+    # the 33 entries round-4 VERDICT named as never-driver-tested —
+    # its explicit "done" criterion, so they outrank everything new
+    "query_string_search", "dsl_search", "wildcard_docs", "fuzzy_docs",
+    "update_by_query", "delete_by_query", "export_matching",
+    "facet_lang", "facet_nchars_ranges", "facet_nchars_histogram",
+    "span_near_docs", "suggest_completion", "suggest_phrase",
+    "mget_docs", "phrase_bm25_topk", "boosting_demote",
+    "agg_filters_lang", "agg_metrics_nchars", "intervals_ordered",
+    "termvectors_doc", "field_stats", "span_first_docs",
+    "significant_terms", "agg_top_hits", "bm25_search_after",
+    "match_stats_nchars", "sort_by_nchars", "cardinality_source",
+    "approx_distinct_users", "prefix_docs_dict", "phrase_match_long",
+    "mlt_terms", "phrase_prefix_docs",
+    # then this round's headline additions, most valuable first
+    "hybrid_bm25_knn", "pack_sequences_docs", "mixture_sample_docs",
+    "pipeline_bucket_math", "geo_distance_docs", "geotile_grid_docs",
+    "significant_text_sampled", "runtime_field_sort",
+    "update_by_query_script", "terms_set_docs", "pinned_wrapper_topk",
+    "multi_terms_lang_source", "sampler_lang", "terms_order_by_avg",
+    "auto_date_histogram_errors", "date_histogram_filled",
+    "ingest_pipeline_docs", "hybrid_rrf_topk", "span_or_docs",
+    "pipeline_bucket_selector", "pipeline_stats_buckets",
+    "geo_bbox_docs", "geo_distance_rings", "terms_key_order",
+    # session-3 additions still without driver rows
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",
     "repetition_signals", "canonical_urls", "percolate_matches",
     "media_meta_mp3", "media_meta_mp4", "force_merge_survivors",
-    "boosting_demote", "agg_filters_lang", "agg_metrics_nchars",
-    "intervals_ordered", "span_near_docs", "suggest_completion",
-    "termvectors_doc", "field_stats", "mget_docs", "suggest_phrase",
-    "span_first_docs", "significant_terms", "agg_top_hits",
-    "bm25_search_after", "facet_lang", "facet_nchars_ranges",
-    "facet_nchars_histogram", "match_stats_nchars", "export_matching",
-    "update_by_query", "delete_by_query", "sort_by_nchars",
-    "cardinality_source", "approx_distinct_users", "wildcard_docs",
-    "fuzzy_docs", "prefix_docs_dict", "phrase_match_long",
-    "phrase_bm25_topk", "query_string_search", "dsl_search",
-    "mlt_terms", "phrase_prefix_docs",
     "search_template_topk", "cat_count_docs", "script_score_topk",
     "highlight_counts",
 ]
