@@ -382,7 +382,14 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
         if "filter" in body:
             fk, fs = _one(body["filter"], "knn.filter")
             filt = _match_docs(r, fk, fs)
-        return r.knn_search(fname, body["vector"], k=min(k, kk), filter_docs=filt)
+        hits = r.knn_search(
+            fname, body["vector"], k=min(k, kk), filter_docs=filt
+        )
+        if "min_score" in body:
+            # radial search: keep only hits at least this similar
+            ms = float(body["min_score"])
+            hits = [(d, s) for d, s in hits if s >= ms]
+        return hits
     if kind == "rank_feature":
         # {"rank_feature": {"field": f, "saturation": {"pivot": p},
         #  "boost": b}} (or "log" / "sigmoid" function bodies)
@@ -1182,22 +1189,26 @@ def _aggregations(
             continue
         if akind == "filters":
             # named filter buckets: each named clause's doc set
-            # intersected with the query's own match set
+            # intersected with the query's own match set; other_bucket
+            # counts match-set docs caught by NO named filter
             qdocs = _match_docs(r, query_kind, query_spec)
-            out[name] = {
-                "buckets": {
-                    fname: {
-                        "doc_count": int(
-                            np.intersect1d(
-                                qdocs,
-                                _match_docs(r, *_one(fc, f"filters.{fname}")),
-                                assume_unique=True,
-                            ).size
-                        )
-                    }
-                    for fname, fc in aspec["filters"].items()
+            caught = np.empty(0, dtype=qdocs.dtype)
+            buckets = {}
+            for fname, fc in aspec["filters"].items():
+                sel = np.intersect1d(
+                    qdocs,
+                    _match_docs(r, *_one(fc, f"filters.{fname}")),
+                    assume_unique=True,
+                )
+                buckets[fname] = {"doc_count": int(sel.size)}
+                if aspec.get("other_bucket"):
+                    caught = np.union1d(caught, sel)
+            if aspec.get("other_bucket"):
+                other = str(aspec.get("other_bucket_key", "_other_"))
+                buckets[other] = {
+                    "doc_count": int(qdocs.size - caught.size)
                 }
-            }
+            out[name] = {"buckets": buckets}
             continue
         if akind == "matrix_stats":
             out[name] = r.matrix_stats_agg(

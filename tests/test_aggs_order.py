@@ -125,3 +125,27 @@ def test_sampler_sub_agg(idx):
     got = {b["key"]: b["doc_count"] for b in s["l"]["buckets"]}
     assert got == dict(want)
     assert sum(got.values()) == 4
+
+
+def test_filters_other_bucket(idx):
+    body = {
+        "query": {"match": {"text": {"query": "word"}}},
+        "size": 0,
+        "aggs": {
+            "f": {
+                "filters": {
+                    "filters": {
+                        "a": {"term": {"lang": "aa"}},
+                        "b": {"term": {"lang": "bb"}},
+                    },
+                    "other_bucket": True,
+                    "other_bucket_key": "rest",
+                }
+            }
+        },
+    }
+    b = run_query(idx, body)["aggregations"]["f"]["buckets"]
+    n = {k: len(v) for k, v in LANGS.items()}
+    assert b["a"]["doc_count"] == n["aa"]
+    assert b["b"]["doc_count"] == n["bb"]
+    assert b["rest"]["doc_count"] == n["cc"] + n["dd"]

@@ -298,3 +298,29 @@ def test_knn_ragged_dims_rejected(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="ragged"):
         IndexReader(out).knn_vectors("embedding")
+
+
+def test_knn_min_score_radial(idx):
+    from raybm25.query.dsl import run_query
+
+    qv = [1.0] + [0.0] * (D - 1)
+    full = run_query(
+        idx,
+        {"query": {"knn": {"embedding": {"vector": qv, "k": 100}}}, "size": 100},
+    )["hits"]["hits"]
+    assert full
+    cut = full[len(full) // 2]["_score"]
+    rad = run_query(
+        idx,
+        {
+            "query": {
+                "knn": {
+                    "embedding": {"vector": qv, "k": 100, "min_score": cut}
+                }
+            },
+            "size": 100,
+        },
+    )["hits"]["hits"]
+    assert [h["_id"] for h in rad] == [
+        h["_id"] for h in full if h["_score"] >= cut
+    ]
