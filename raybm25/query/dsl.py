@@ -1716,6 +1716,9 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
     """Execute one OpenSearch-DSL request body. See module docstring
     for the supported subset; raises ValueError on anything outside
     it (loud, not silently wrong)."""
+    import time as _time
+
+    _t0 = _time.perf_counter()
     r = (
         index_dir_or_reader
         if isinstance(index_dir_or_reader, IndexReader)
@@ -1749,7 +1752,9 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
             {"_id": int(d), "_score": None, "sort": [v]} for d, v in hits
         ]
         return {
-            "hits": {"total": {"value": len(hits_out)}, "hits": hits_out}
+            "hits": {"total": {"value": len(hits_out)}, "hits": hits_out},
+            "took": int((_time.perf_counter() - _t0) * 1000),
+            "timed_out": False,
         }
 
     if after is not None:
@@ -1889,6 +1894,9 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
                     "supported suggesters: term, phrase, completion"
                 )
         resp["suggest"] = sugg
+    # OpenSearch response envelope: wall-clock ms for the request
+    resp["took"] = int((_time.perf_counter() - _t0) * 1000)
+    resp["timed_out"] = False
     return resp
 
 

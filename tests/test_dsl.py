@@ -341,3 +341,9 @@ def test_validate_query(rdr):
         rdr, {"query": {"bool": {"must": [{"wat": {}}]}}}
     )
     assert bad3["valid"] is False
+
+
+def test_response_envelope_took(rdr):
+    resp = run_query(rdr, {"query": {"match": {"text": "merge"}}, "size": 2})
+    assert isinstance(resp["took"], int) and resp["took"] >= 0
+    assert resp["timed_out"] is False
