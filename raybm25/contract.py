@@ -657,6 +657,144 @@ def q_geotile_grid(sf_dir: str):
     )
 
 
+def q_geo_bounds(sf_dir: str):
+    """geo_bounds aggregation: smallest box covering every match's
+    geo_point (engine.geo_bounds_agg — one gather per coordinate
+    column, exact min/max comparisons)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _geo_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 0,
+            "aggs": {"box": {"geo_bounds": {"field": "loc"}}},
+        },
+    )
+    b = resp["aggregations"]["box"]["bounds"]
+    return pd.DataFrame(
+        {
+            "tl_lat": [b["top_left"]["lat"]],
+            "tl_lon": [b["top_left"]["lon"]],
+            "br_lat": [b["bottom_right"]["lat"]],
+            "br_lon": [b["bottom_right"]["lon"]],
+        }
+    )
+
+
+def q_geo_centroid(sf_dir: str):
+    """geo_centroid aggregation: flat average of the matching docs'
+    lat/lon degrees + count (engine.geo_centroid_agg; OpenSearch's
+    documented arithmetic-mean definition)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _geo_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 0,
+            "aggs": {"cen": {"geo_centroid": {"field": "loc"}}},
+        },
+    )
+    c = resp["aggregations"]["cen"]
+    return pd.DataFrame(
+        {
+            "lat": [c["location"]["lat"]],
+            "lon": [c["location"]["lon"]],
+            "n": pd.array([c["count"]], dtype="int64"),
+        }
+    )
+
+
+def q_agg_mad(sf_dir: str):
+    """median_absolute_deviation aggregation over n_chars of docs
+    matching 'merge join' — exact variant, linear-interpolation median
+    == SQL quantile_cont(0.5)
+    (engine.median_absolute_deviation_agg)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge join"}}},
+            "size": 0,
+            "aggs": {
+                "mad": {"median_absolute_deviation": {"field": "n_chars"}}
+            },
+        },
+    )
+    return pd.DataFrame({"mad": [resp["aggregations"]["mad"]["value"]]})
+
+
+def q_agg_boxplot(sf_dir: str):
+    """boxplot aggregation over n_chars of docs matching 'merge join':
+    min/q1/q2/q3/max plus Tukey whiskers clamped to observed values
+    (engine.boxplot_agg, exact quantile_cont interpolation)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge join"}}},
+            "size": 0,
+            "aggs": {"box": {"boxplot": {"field": "n_chars"}}},
+        },
+    )
+    b = resp["aggregations"]["box"]
+    return pd.DataFrame(
+        {
+            "min_v": [b["min"]],
+            "q1": [b["q1"]],
+            "q2": [b["q2"]],
+            "q3": [b["q3"]],
+            "max_v": [b["max"]],
+            "lower": [b["lower"]],
+            "upper": [b["upper"]],
+        }
+    )
+
+
+def q_agg_ttest(sf_dir: str):
+    """t_test aggregation (Welch / heteroscedastic) over n_chars of
+    docs matching 'merge', populations lang='en' vs lang='de' — exact
+    variant returning the t-statistic and Welch-Satterthwaite dof
+    (engine.t_test_agg; the p-value needs the t CDF and is not
+    SQL-reproducible)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 0,
+            "aggs": {
+                "tt": {
+                    "t_test": {
+                        "a": {
+                            "field": "n_chars",
+                            "filter": {"term": {"lang": "en"}},
+                        },
+                        "b": {
+                            "field": "n_chars",
+                            "filter": {"term": {"lang": "de"}},
+                        },
+                        "type": "heteroscedastic",
+                    }
+                }
+            },
+        },
+    )
+    tt = resp["aggregations"]["tt"]
+    return pd.DataFrame(
+        {
+            "t": [tt["t"]],
+            "dof": [tt["dof"]],
+            "n_a": pd.array([tt["n_a"]], dtype="int64"),
+            "n_b": pd.array([tt["n_b"]], dtype="int64"),
+        }
+    )
+
+
 def q_span_or(sf_dir: str):
     """Lucene ``span_or``: union of a span_term and an adjacent
     span_near pair — exact at doc level (any matching inner span
@@ -5146,6 +5284,68 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT '3/' || x || '/' || y AS key, count(*) AS doc_count"
         " FROM t GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10"
     ),
+    "geo_bounds_agg": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
+        " g AS (SELECT"
+        " ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,"
+        " ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon"
+        " FROM documents JOIN m USING(doc_id))"
+        " SELECT max(lat) AS tl_lat, min(lon) AS tl_lon,"
+        " min(lat) AS br_lat, max(lon) AS br_lon FROM g"
+    ),
+    "geo_centroid_agg": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
+        " g AS (SELECT"
+        " ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,"
+        " ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon"
+        " FROM documents JOIN m USING(doc_id))"
+        " SELECT sum(lat) / count(*) AS lat, sum(lon) / count(*) AS lon,"
+        " count(*) AS n FROM g"
+    ),
+    "agg_mad_nchars": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks"
+        " WHERE term IN ('join', 'merge')),"
+        " v AS (SELECT n_chars FROM documents JOIN m USING(doc_id)),"
+        " md AS (SELECT quantile_cont(n_chars, 0.5) AS med FROM v)"
+        " SELECT quantile_cont(abs(n_chars - med), 0.5) AS mad FROM v, md"
+    ),
+    # Tukey whiskers: nearest observed values inside q1/q3 -/+ 1.5*IQR
+    # (any value in [q1, q3] satisfies both fences, so the one-row
+    # quantile CTE keeps the whisker subqueries non-empty)
+    "agg_boxplot_nchars": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks"
+        " WHERE term IN ('join', 'merge')),"
+        " v AS (SELECT CAST(n_chars AS DOUBLE) AS x"
+        " FROM documents JOIN m USING(doc_id)),"
+        " q AS (SELECT min(x) AS mn, max(x) AS mx,"
+        " quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.5) AS q2,"
+        " quantile_cont(x, 0.75) AS q3 FROM v)"
+        " SELECT mn AS min_v, q1, q2, q3, mx AS max_v,"
+        " (SELECT min(x) FROM v, q WHERE x >= q1 - 1.5 * (q3 - q1)"
+        " AND x <= q3 + 1.5 * (q3 - q1)) AS lower,"
+        " (SELECT max(x) FROM v, q WHERE x >= q1 - 1.5 * (q3 - q1)"
+        " AND x <= q3 + 1.5 * (q3 - q1)) AS upper FROM q"
+    ),
+    # Welch t-statistic + Welch-Satterthwaite dof from avg/var_samp
+    # (sample variance, ddof=1 — same estimator as the engine)
+    "agg_ttest_lang": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
+        " d AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v"
+        " FROM documents JOIN m USING(doc_id)),"
+        " a AS (SELECT CAST(count(*) AS DOUBLE) AS na, avg(v) AS ma,"
+        " var_samp(v) AS va FROM d WHERE lang = 'en'),"
+        " b AS (SELECT CAST(count(*) AS DOUBLE) AS nb, avg(v) AS mb,"
+        " var_samp(v) AS vb FROM d WHERE lang = 'de')"
+        " SELECT (ma - mb) / sqrt(va / na + vb / nb) AS t,"
+        " pow(va / na + vb / nb, 2) /"
+        " (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)) AS dof,"
+        " CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b FROM a, b"
+    ),
     # span_term 'filter' OR adjacent "merge sort" (slop 0, ordered)
     "span_or_docs": (
         "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -6167,6 +6367,11 @@ QUERIES = {
     "token_count_quantiles": q_token_count_quantiles,
     "bigram_top20": q_bigram_top20,
     "events_sessions": q_events_sessions,
+    "geo_bounds_agg": q_geo_bounds,
+    "geo_centroid_agg": q_geo_centroid,
+    "agg_mad_nchars": q_agg_mad,
+    "agg_boxplot_nchars": q_agg_boxplot,
+    "agg_ttest_lang": q_agg_ttest,
 }
 
 # Driver-sampling order: the correctness driver checks ~50 entries per

@@ -1274,6 +1274,25 @@ def _aggregations(
             out[name] = sampled
             sub_aggs = None
             continue
+        if akind == "t_test":
+            # two-sample test; populations named by term filters over
+            # one keyword field (the a.filter / b.filter form)
+            a, b = aspec["a"], aspec["b"]
+            if a["field"] != b["field"]:
+                raise ValueError("t_test a/b must share one value field")
+            fk_a, fv_a = _one(a["filter"], "t_test.a.filter")
+            fk_b, fv_b = _one(b["filter"], "t_test.b.filter")
+            if fk_a != "term" or fk_b != "term":
+                raise ValueError("t_test filters support 'term' clauses")
+            (sf_a, sv_a), = fv_a.items()
+            (sf_b, sv_b), = fv_b.items()
+            if sf_a != sf_b:
+                raise ValueError("t_test filters must split one keyword field")
+            out[name] = r.t_test_agg(
+                qtext, a["field"], sf_a, sv_a, sv_b,
+                kind=aspec.get("type", "heteroscedastic"), field=f,
+            )
+            continue
         if akind == "multi_terms":
             flds = [str(t["field"]) for t in aspec["terms"]]
             rows = r.facet_multi_terms(
@@ -1529,6 +1548,18 @@ def _aggregations(
             }
         elif akind == "cardinality":
             out[name] = {"value": r.cardinality_agg(qtext, afield, field=f)}
+        elif akind == "median_absolute_deviation":
+            out[name] = {
+                "value": r.median_absolute_deviation_agg(qtext, afield, field=f)
+            }
+        elif akind == "boxplot":
+            out[name] = r.boxplot_agg(qtext, afield, field=f)
+        elif akind == "geo_bounds":
+            bounds = r.geo_bounds_agg(qtext, afield, field=f)
+            out[name] = {"bounds": bounds}
+        elif akind == "geo_centroid":
+            cen = r.geo_centroid_agg(qtext, afield, field=f)
+            out[name] = cen if cen is not None else {"count": 0}
         elif akind == "significant_text":
             if afield not in (r.primary_field, field):
                 raise ValueError(

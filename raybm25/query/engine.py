@@ -2252,6 +2252,147 @@ class IndexReader:
         n = float(vals.size)
         return {float(v): 100.0 * int(p) / n for v, p in zip(values, pos)}
 
+    def median_absolute_deviation_agg(
+        self, query: str, agg_field: str, field: str | None = None
+    ) -> float | None:
+        """Median-absolute-deviation aggregation (OpenSearch
+        ``median_absolute_deviation``), EXACT variant:
+        ``median(|x - median(x)|)`` with the linear-interpolation
+        median (== SQL ``median`` / ``quantile_cont(0.5)``) — same
+        exact-over-approximate choice as ``percentiles_agg``
+        (OpenSearch estimates both medians with t-digest)."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return None
+        vals = self._gather_column(cand, agg_field).astype(np.float64)
+        med = float(np.median(vals))
+        return float(np.median(np.abs(vals - med)))
+
+    def boxplot_agg(
+        self, query: str, agg_field: str, field: str | None = None
+    ) -> dict:
+        """Boxplot aggregation (OpenSearch ``boxplot``): min / q1 / q2
+        / q3 / max of a numeric doc-value over the match set, with the
+        same exact linear-interpolation quantiles as
+        ``percentiles_agg`` (== SQL ``quantile_cont``). ``lower`` /
+        ``upper`` are the Tukey whisker fences CLAMPED to the observed
+        data range, per the OpenSearch response contract (the nearest
+        actual values inside q1/q3 -/+ 1.5*IQR)."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return {"min": None, "max": None, "q1": None, "q2": None,
+                    "q3": None, "lower": None, "upper": None}
+        vals = np.sort(
+            self._gather_column(cand, agg_field).astype(np.float64)
+        )
+        q1, q2, q3 = (float(v) for v in np.percentile(vals, (25, 50, 75)))
+        iqr = q3 - q1
+        lo_fence, hi_fence = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        inside = vals[(vals >= lo_fence) & (vals <= hi_fence)]
+        return {
+            "min": float(vals[0]),
+            "max": float(vals[-1]),
+            "q1": q1,
+            "q2": q2,
+            "q3": q3,
+            "lower": float(inside[0]) if inside.size else None,
+            "upper": float(inside[-1]) if inside.size else None,
+        }
+
+    def t_test_agg(
+        self,
+        query: str,
+        agg_field: str,
+        split_field: str,
+        value_a: str,
+        value_b: str,
+        kind: str = "heteroscedastic",
+        field: str | None = None,
+    ) -> dict:
+        """Two-sample t-test aggregation (OpenSearch ``t_test``) over a
+        numeric doc-value, the two populations being the match-set docs
+        whose keyword ``split_field`` equals ``value_a`` / ``value_b``
+        (the a.filter / b.filter form). EXACT variant: returns the
+        t-statistic and degrees of freedom instead of OpenSearch's
+        p-value — the p-value needs the Student-t CDF (incomplete
+        beta), which is approximate by construction and not
+        SQL-reproducible; the statistic itself is closed-form
+        (``heteroscedastic`` = Welch with Welch-Satterthwaite dof,
+        ``homoscedastic`` = pooled-variance Student) and matches a SQL
+        re-derivation from avg/var_samp bit-closely. Sample variance
+        (ddof=1) throughout, as in Lucene's TTestAggregator."""
+        if kind not in ("heteroscedastic", "homoscedastic"):
+            raise ValueError(f"unsupported t_test type {kind!r}")
+        cand = self._match_ordinals(query, field)
+        empty = {"t": None, "dof": None, "n_a": 0, "n_b": 0}
+        if cand.size == 0:
+            return empty
+        split = self._gather_column(cand, split_field).astype(str)
+        vals = self._gather_column(cand, agg_field).astype(np.float64)
+        a = vals[split == str(value_a)]
+        b = vals[split == str(value_b)]
+        empty["n_a"], empty["n_b"] = int(a.size), int(b.size)
+        if a.size < 2 or b.size < 2:
+            return empty
+        na, nb = float(a.size), float(b.size)
+        va = float(np.var(a, ddof=1))
+        vb = float(np.var(b, ddof=1))
+        diff = float(np.mean(a)) - float(np.mean(b))
+        if kind == "heteroscedastic":
+            sa, sb = va / na, vb / nb
+            se2 = sa + sb
+            if se2 == 0.0:
+                return empty
+            dof = se2 * se2 / (sa * sa / (na - 1.0) + sb * sb / (nb - 1.0))
+        else:
+            pooled = ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)
+            se2 = pooled * (1.0 / na + 1.0 / nb)
+            if se2 == 0.0:
+                return empty
+            dof = na + nb - 2.0
+        return {
+            "t": diff / math.sqrt(se2),
+            "dof": float(dof),
+            "n_a": int(a.size),
+            "n_b": int(b.size),
+        }
+
+    def geo_bounds_agg(
+        self, query: str, geo_field: str, field: str | None = None
+    ) -> dict | None:
+        """geo_bounds aggregation: the smallest bounding box covering
+        every matching doc's geo_point — top_left = (max lat, min lon),
+        bottom_right = (min lat, max lon). No dateline wrapping (same
+        contract as ``geo_bounding_box_docs``)."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return None
+        la, lo = self._geo_columns(cand, geo_field)
+        return {
+            "top_left": {"lat": float(la.max()), "lon": float(lo.min())},
+            "bottom_right": {"lat": float(la.min()), "lon": float(lo.max())},
+        }
+
+    def geo_centroid_agg(
+        self, query: str, geo_field: str, field: str | None = None
+    ) -> dict | None:
+        """geo_centroid aggregation: arithmetic mean of the matching
+        docs' lat/lon (OpenSearch's documented definition — a flat
+        average of degrees, not a spherical centroid), plus the count.
+        At cluster scale the partials are (sum_lat, sum_lon, n) merged
+        by addition."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return None
+        la, lo = self._geo_columns(cand, geo_field)
+        return {
+            "location": {
+                "lat": float(la.sum()) / cand.size,
+                "lon": float(lo.sum()) / cand.size,
+            },
+            "count": int(cand.size),
+        }
+
     def _feature_candidates(self, field: str) -> tuple[np.ndarray, np.ndarray]:
         """(ordinals, float64 values) of live docs with a non-null
         value for a numeric doc-value field — the candidate set of the

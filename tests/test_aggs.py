@@ -281,3 +281,85 @@ def test_matrix_stats_big_int_no_overflow(ray_session, tmp_path):
     assert m["correlation"]["big"]["small"] == pytest.approx(
         cov / (math.sqrt(varx) * math.sqrt(vary)), rel=1e-9
     )
+
+
+def test_mad_agg_vs_brute(rdr):
+    sizes = np.array([DOCS[i][2] for i in _match("alpha gamma")], dtype=float)
+    med = np.median(sizes)
+    want = np.median(np.abs(sizes - med))
+    assert rdr.median_absolute_deviation_agg("alpha gamma", "size") == pytest.approx(want)
+    assert rdr.median_absolute_deviation_agg("zzz", "size") is None
+
+
+def test_boxplot_agg_vs_brute(rdr):
+    sizes = np.sort(np.array([DOCS[i][2] for i in _match("alpha gamma")], dtype=float))
+    b = rdr.boxplot_agg("alpha gamma", "size")
+    q1, q2, q3 = np.percentile(sizes, (25, 50, 75))
+    assert b["min"] == sizes[0] and b["max"] == sizes[-1]
+    assert b["q1"] == pytest.approx(q1)
+    assert b["q2"] == pytest.approx(q2)
+    assert b["q3"] == pytest.approx(q3)
+    iqr = q3 - q1
+    inside = sizes[(sizes >= q1 - 1.5 * iqr) & (sizes <= q3 + 1.5 * iqr)]
+    assert b["lower"] == inside[0] and b["upper"] == inside[-1]
+    empty = rdr.boxplot_agg("zzz", "size")
+    assert empty["min"] is None and empty["q1"] is None
+
+
+def test_ttest_agg_vs_brute(rdr):
+    # populations: lang == en vs de among docs matching a broad query
+    matched = _match("alpha beta gamma delta nothing only here")
+    a = np.array([DOCS[i][2] for i in matched if DOCS[i][1] == "en"], float)
+    b = np.array([DOCS[i][2] for i in matched if DOCS[i][1] == "de"], float)
+    got = rdr.t_test_agg(
+        "alpha beta gamma delta nothing only here", "size", "lang", "en", "de"
+    )
+    na, nb = a.size, b.size
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / na + vb / nb
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert got["t"] == pytest.approx(t)
+    assert got["dof"] == pytest.approx(dof)
+    # homoscedastic: pooled variance, dof = na+nb-2
+    got2 = rdr.t_test_agg(
+        "alpha beta gamma delta nothing only here", "size", "lang", "en", "de",
+        kind="homoscedastic",
+    )
+    pooled = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    t2 = (a.mean() - b.mean()) / np.sqrt(pooled * (1 / na + 1 / nb))
+    assert got2["t"] == pytest.approx(t2)
+    assert got2["dof"] == na + nb - 2
+    # degenerate population (<2 samples) -> None statistic
+    tiny = rdr.t_test_agg("delta", "size", "lang", "en", "fr")
+    assert tiny["t"] is None and tiny["n_a"] == 1
+    with pytest.raises(ValueError, match="t_test"):
+        rdr.t_test_agg("alpha", "size", "lang", "en", "de", kind="paired")
+
+
+def test_mad_boxplot_ttest_dsl_body(rdr):
+    from raybm25.query.dsl import run_query
+
+    resp = run_query(
+        rdr,
+        {
+            "size": 0,
+            "query": {"match": {"text": "alpha gamma"}},
+            "aggs": {
+                "m": {"median_absolute_deviation": {"field": "size"}},
+                "bx": {"boxplot": {"field": "size"}},
+                "tt": {
+                    "t_test": {
+                        "a": {"field": "size", "filter": {"term": {"lang": "en"}}},
+                        "b": {"field": "size", "filter": {"term": {"lang": "de"}}},
+                        "type": "heteroscedastic",
+                    }
+                },
+            },
+        },
+    )
+    ag = resp["aggregations"]
+    assert ag["m"]["value"] == rdr.median_absolute_deviation_agg("alpha gamma", "size")
+    assert ag["bx"] == rdr.boxplot_agg("alpha gamma", "size")
+    assert ag["tt"] == rdr.t_test_agg("alpha gamma", "size", "lang", "en", "de")

@@ -199,3 +199,43 @@ def test_geotile_precision_bounds(idx):
     # zoom 0 = one world tile holding every matching doc
     rows = r.facet_geotile("point", "loc", 0)
     assert rows == [("0/0/0", len(DOCS))]
+
+
+def test_geo_bounds_centroid_vs_brute(idx):
+    from raybm25.query.engine import IndexReader
+
+    r = IndexReader(idx)
+    pts = [(la, lo) for d, t, la, lo in DOCS if "point" in t]
+    b = r.geo_bounds_agg("point", "loc")
+    assert b["top_left"] == {"lat": max(p[0] for p in pts),
+                             "lon": min(p[1] for p in pts)}
+    assert b["bottom_right"] == {"lat": min(p[0] for p in pts),
+                                 "lon": max(p[1] for p in pts)}
+    c = r.geo_centroid_agg("point", "loc")
+    assert c["count"] == len(pts)
+    assert c["location"]["lat"] == pytest.approx(
+        sum(p[0] for p in pts) / len(pts))
+    assert c["location"]["lon"] == pytest.approx(
+        sum(p[1] for p in pts) / len(pts))
+    assert r.geo_bounds_agg("zzz", "loc") is None
+    assert r.geo_centroid_agg("zzz", "loc") is None
+
+
+def test_geo_bounds_centroid_dsl_body(idx):
+    from raybm25.query.dsl import run_query
+    from raybm25.query.engine import IndexReader
+
+    r = IndexReader(idx)
+    resp = run_query(
+        r,
+        {
+            "size": 0,
+            "query": {"match": {"text": "point"}},
+            "aggs": {
+                "bb": {"geo_bounds": {"field": "loc"}},
+                "cc": {"geo_centroid": {"field": "loc"}},
+            },
+        },
+    )
+    assert resp["aggregations"]["bb"]["bounds"] == r.geo_bounds_agg("point", "loc")
+    assert resp["aggregations"]["cc"] == r.geo_centroid_agg("point", "loc")
