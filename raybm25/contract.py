@@ -2046,6 +2046,29 @@ def q_prefix_docs_dict(sf_dir: str):
     return _ids_frame(r.dict_prefix_docs("s"))
 
 
+def q_terms_enum(sf_dir: str):
+    """``_terms_enum`` endpoint: the FULL term dictionary enumerated as
+    search_after pages of 10 until ``complete`` — exercises the
+    pagination contract for real (dsl.run_terms_enum over the sorted
+    Arrow term dictionary; page concat must equal one sorted DISTINCT
+    pass)."""
+    from .query.dsl import run_terms_enum
+
+    idx = docs_index(sf_dir)
+    terms: list[str] = []
+    after = None
+    while True:
+        body = {"field": "text", "size": 10}
+        if after is not None:
+            body["search_after"] = after
+        page = run_terms_enum(idx, body)
+        terms.extend(page["terms"])
+        if page["complete"] or not page["terms"]:
+            break
+        after = page["terms"][-1]
+    return pd.DataFrame({"term": terms})
+
+
 _MF_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -5974,6 +5997,10 @@ ORACLE_SQL: dict[str, str] = {
         f"WITH {TOKS_CTE}"
         " SELECT DISTINCT doc_id FROM toks WHERE term LIKE 's%' ORDER BY doc_id"
     ),
+    "terms_enum_prefix": (
+        f"WITH {TOKS_CTE}"
+        " SELECT DISTINCT term FROM toks ORDER BY term"
+    ),
     # adjacent-token phrase: any i with toks[i]='hash' and toks[i+1]='join'
     "phrase_docs": (
         "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -6372,6 +6399,7 @@ QUERIES = {
     "agg_mad_nchars": q_agg_mad,
     "agg_boxplot_nchars": q_agg_boxplot,
     "agg_ttest_lang": q_agg_ttest,
+    "terms_enum_prefix": q_terms_enum,
 }
 
 # Driver-sampling order: the correctness driver checks ~50 entries per

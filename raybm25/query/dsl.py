@@ -2302,3 +2302,42 @@ def run_field_caps(index_dirs, fields: list[str] | None = None) -> dict:
                 cap["indices"] = sorted(by_type[t])
             out[fld][t] = cap
     return {"indices": sorted(names), "fields": out}
+
+
+def run_terms_enum(index_dir_or_reader, body: dict) -> dict:
+    """``POST /<index>/_terms_enum``: alphabetically-sorted dictionary
+    terms of one field that start with ``string`` — the index-backed
+    autocomplete endpoint (reference analog: OpenSearch delegates it to
+    Lucene's FST term dictionary; here the sorted Arrow dictionary of
+    :meth:`IndexReader.term_dictionary` plays that role, built from a
+    term-column-only scan of the postings shards and cached per
+    reader — vocabulary-sized, not corpus-sized).
+
+    Supported body keys (the documented surface minus index_filter):
+    ``field`` (required), ``string`` (prefix, default "" = all terms),
+    ``size`` (default 10, the response cap), ``search_after`` (resume
+    strictly after this term — pagination), ``case_insensitive``
+    (accepted but only ``true`` semantics: the analyzer lowercases at
+    build time, so the dictionary is lowercase by construction).
+    Returns ``{"terms": [...], "complete": bool}`` where ``complete``
+    is True iff no matching terms were cut by ``size``."""
+    r = (
+        index_dir_or_reader
+        if isinstance(index_dir_or_reader, IndexReader)
+        else IndexReader(index_dir_or_reader)
+    )
+    if "field" not in body:
+        raise ValueError("terms_enum requires 'field'")
+    fld = str(body["field"])
+    f = None if fld == r.primary_field else fld
+    size = int(body.get("size", 10))
+    prefix = str(body.get("string", "")).lower()
+    terms = r.expand_prefix(prefix, field=f) if prefix else np.asarray(
+        r.term_dictionary(f)
+    ).tolist()
+    after = body.get("search_after")
+    if after is not None:
+        import bisect
+
+        terms = terms[bisect.bisect_right(terms, str(after).lower()):]
+    return {"terms": terms[:size], "complete": len(terms) <= size}
