@@ -133,6 +133,37 @@ def q_bm25_topk_single(sf_dir: str):
     return _bm25_topk(sf_dir, "merge", 12)
 
 
+_RESIZE_CACHE: dict[str, str] = {}
+
+
+def q_resize_split_bm25(sf_dir: str):
+    """``_split`` analog: re-bucket the documents index 16 -> 24
+    buckets (loader/resize.resize_index — one streaming pass of the
+    docstore back through build_index), then run the standard BM25
+    top-12 on the RESIZED index. Same doc ids + same corpus stats =>
+    bit-identical ranking, checked against the same SQL oracle as
+    ``bm25_topk_single``."""
+    from .query.engine import IndexReader
+
+    if sf_dir not in _RESIZE_CACHE:
+        from .loader.resize import resize_index
+
+        dest = os.path.join(CACHE_ROOT, f"docidx_rs_{_tag(sf_dir)}")
+        resize_index(docs_index(sf_dir), dest, 24, overwrite=True)
+        _RESIZE_CACHE[sf_dir] = dest
+    r = IndexReader(_RESIZE_CACHE[sf_dir])
+    hits = r.search_pruned("merge", 12)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array(
+                [int(np.int64(np.uint64(d))) for d, _ in hits], dtype="int64"
+            ),
+            "score": [s for _, s in hits],
+        }
+    )
+
+
 def q_bm25_topk_multi(sf_dir: str):
     return _bm25_topk(sf_dir, "merge join filter", 10)
 
@@ -4991,6 +5022,7 @@ ORACLE_SQL: dict[str, str] = {
     "term_df_top20": _term_stats_sql("df"),
     "term_cf_top20": _term_stats_sql("cf"),
     "bm25_topk_single": _bm25_sql("merge", 12),
+    "resize_split_bm25": _bm25_sql("merge", 12),
     "bm25_topk_multi": _bm25_sql("merge join filter", 10),
     "bm25_filtered": _bm25_sql("merge join", 15, where="lang = 'en'"),
     "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
@@ -6400,6 +6432,7 @@ QUERIES = {
     "agg_boxplot_nchars": q_agg_boxplot,
     "agg_ttest_lang": q_agg_ttest,
     "terms_enum_prefix": q_terms_enum,
+    "resize_split_bm25": q_resize_split_bm25,
 }
 
 # Driver-sampling order: the correctness driver checks ~50 entries per

@@ -1,0 +1,113 @@
+"""Index resize — the OpenSearch ``_shrink`` / ``_split`` analog.
+
+OpenSearch resizes an index by creating a new one with a different
+shard count and hard-linking/rewriting segments; queries against the
+resized index return identical results because doc ids and corpus
+statistics are unchanged.  Here the equivalent is re-bucketing: a new
+index directory with a different ``num_buckets`` (docstore partition
+count) and optionally different ``postings_shards``, built by streaming
+the source docstore back through the normal build pipeline
+(:func:`raybm25.index.build.build_index` over the docstore parquet
+files).  That composition keeps every scale property of the build —
+per-file pruned reads, packed partials, salted merge — and is exactly
+how a 256-node cluster would re-shard a 100-TB index: one streaming
+pass, no driver-side materialization.
+
+Correctness invariant (tested + contract-checked): the resized index
+has the same doc ids, the same BM25 statistics (same corpus), and
+therefore bit-identical search results — only the physical layout
+changes.  Hash-layout only: its docstore holds live rows by
+construction (deletes compact the bucket in place).  A scan-layout
+index must run :func:`raybm25.loader.forcemerge.force_merge` first to
+reclaim tombstones, then its partitions can be re-bucketed the same
+way; reference analog: the reindex-into-new-index idiom
+(/root/reference/opensearch_loader/opensearch_client.py 'recreate'
+path — delete + create with new settings + bulk reload).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from ..index.manifest import load_manifest
+
+_INTERNAL_COLS = ("doc_id", "dl", "ordinal")
+
+
+def resize_index(
+    src_dir: str,
+    dest_dir: str,
+    num_buckets: int,
+    *,
+    postings_shards: int | None = None,
+    overwrite: bool = False,
+) -> dict:
+    """Create a re-bucketed copy of a committed hash-layout index.
+
+    ``num_buckets`` larger than the source = ``_split``; smaller =
+    ``_shrink`` (no divisibility constraint — re-bucketing is a full
+    rehash, unlike OpenSearch's factor rule, which exists only because
+    Lucene moves whole segments).  Returns the ``build_index`` metrics
+    dict plus ``{"src_num_buckets", "dest_num_buckets"}``.
+    """
+    man = load_manifest(src_dir)
+    if man is None or not man.data.get("phases", {}).get("docs", {}).get(
+        "committed"
+    ):
+        raise FileNotFoundError(f"no committed index at {src_dir}")
+    if man.data.get("layout") == "scan":
+        raise ValueError(
+            "resize_index supports the hash layout; run force_merge on a "
+            "scan-layout index and rebuild, or export_matching + build_index"
+        )
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+
+    docs = sorted(glob.glob(os.path.join(src_dir, "docs", "bucket=*.parquet")))
+    if not docs:
+        raise FileNotFoundError(f"no docstore buckets under {src_dir}")
+
+    import pyarrow.parquet as pq
+
+    schema_names = list(pq.read_schema(docs[0]).names)
+    text_cols = tuple(man.data.get("text_cols", ["text"]))
+    for c in text_cols:
+        if c not in schema_names:
+            raise ValueError(
+                f"text column {c!r} is not stored in the docstore — an "
+                "index built without storing its text cannot be resized "
+                "(nothing to re-tokenize); rebuild from the original source"
+            )
+    stored = [
+        c
+        for c in schema_names
+        if c not in _INTERNAL_COLS and not c.startswith("dl_")
+    ]
+
+    from ..index.build import build_index
+
+    metrics = build_index(
+        docs,
+        dest_dir,
+        key_col="doc_id",
+        id_col="doc_id",  # ids pass through unchanged: same doc ids out
+        ts_col=None,  # docstore rows are already deduped (LWW at build)
+        text_cols=text_cols,
+        keyword_cols=tuple(man.data.get("keyword_cols", [])),
+        sayt_cols=tuple(man.data.get("sayt_cols", [])),
+        stored_cols=stored,
+        num_buckets=num_buckets,
+        postings_shards=int(
+            postings_shards
+            if postings_shards is not None
+            else man.data.get("num_shards", 64)
+        ),
+        k1=float(man.data.get("k1", 1.2)),
+        b=float(man.data.get("b", 0.75)),
+        positions=bool(man.data.get("positions", False)),
+        overwrite=overwrite,
+    )
+    metrics["src_num_buckets"] = int(man.data.get("num_buckets", 0))
+    metrics["dest_num_buckets"] = int(num_buckets)
+    return metrics

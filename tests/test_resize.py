@@ -1,0 +1,86 @@
+"""resize_index (the _split / _shrink analog): search invariance
+across re-bucketing, layout checks, error paths."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from raybm25.fixtures import make_pages
+from raybm25.index.build import build_index
+from raybm25.loader.resize import resize_index
+from raybm25.query.engine import IndexReader
+
+
+@pytest.fixture(scope="module")
+def src_index(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("resize")
+    pages_path = str(root / "pages.parquet")
+    pq.write_table(make_pages(n_rows=500, seed=7), pages_path)
+    idx = str(root / "idx")
+    build_index(
+        pages_path,
+        idx,
+        key_col="url",
+        ts_col="warc_ts",
+        extract_html=True,
+        keyword_cols=("lang",),
+        num_buckets=8,
+        postings_shards=16,
+    )
+    return idx
+
+
+def _bucket_count(idx: str) -> int:
+    return len(glob.glob(os.path.join(idx, "docs", "bucket=*.parquet")))
+
+
+def _top(reader: IndexReader, q: str, k: int = 10):
+    return reader.search_pruned(q, k)
+
+
+@pytest.mark.parametrize("dest_buckets", [12, 3])
+def test_resize_preserves_search(src_index, tmp_path_factory, dest_buckets):
+    """Split (8->12) and shrink (8->3): identical corpus stats and
+    bit-identical BM25 rankings; only the physical bucket count moves."""
+    dest = str(tmp_path_factory.mktemp("dst") / f"idx{dest_buckets}")
+    metrics = resize_index(src_index, dest, dest_buckets)
+    assert metrics["src_num_buckets"] == 8
+    assert metrics["dest_num_buckets"] == dest_buckets
+    assert _bucket_count(dest) == dest_buckets
+
+    a, b = IndexReader(src_index), IndexReader(dest)
+    assert b.n_docs == a.n_docs
+    assert b.avgdl == pytest.approx(a.avgdl, abs=0.0)  # bit-identical
+    for q in ("merge", "merge join", "stream filter", "zzz-no-such-term"):
+        assert _top(b, q) == _top(a, q)
+
+
+def test_resize_preserves_keyword_filter(src_index, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("dstkw") / "idx")
+    resize_index(src_index, dest, 5, postings_shards=4)
+    a, b = IndexReader(src_index), IndexReader(dest)
+    assert b.search_filtered("merge join", "lang", "en", 15) == (
+        a.search_filtered("merge join", "lang", "en", 15)
+    )
+
+
+def test_resize_error_paths(src_index, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        resize_index(str(tmp_path / "nope"), str(tmp_path / "out"), 4)
+    with pytest.raises(ValueError):
+        resize_index(src_index, str(tmp_path / "out2"), 0)
+
+
+def test_resize_rejects_scan_layout(ray_session, tmp_path):
+    from raybm25.index.build_scan import build_index_scan
+
+    pages_path = str(tmp_path / "p.parquet")
+    pq.write_table(make_pages(n_rows=120, seed=3), pages_path)
+    idx = str(tmp_path / "scanidx")
+    build_index_scan(
+        pages_path, idx, key_col="url", ts_col="warc_ts", extract_html=True
+    )
+    with pytest.raises(ValueError, match="hash layout"):
+        resize_index(idx, str(tmp_path / "out"), 4)
