@@ -5349,14 +5349,19 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT max(lat) AS tl_lat, min(lon) AS tl_lon,"
         " min(lat) AS br_lat, max(lon) AS br_lon FROM g"
     ),
+    # the inner sums run over exact integer residuals (order-independent
+    # under DuckDB's parallel aggregation — summing the float degrees
+    # directly wobbles at the ULP level run-to-run, which is invisible
+    # to the driver's 6-dp hash but made the bit-level pytest flaky)
     "geo_centroid_agg": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
         " g AS (SELECT"
-        " ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,"
-        " ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon"
+        " (doc_id * 7919) % 18000 AS rlat,"
+        " (doc_id * 104729) % 36000 AS rlon"
         " FROM documents JOIN m USING(doc_id))"
-        " SELECT sum(lat) / count(*) AS lat, sum(lon) / count(*) AS lon,"
+        " SELECT (CAST(sum(rlat) AS DOUBLE) / count(*)) / 100.0 - 90.0 AS lat,"
+        " (CAST(sum(rlon) AS DOUBLE) / count(*)) / 100.0 - 180.0 AS lon,"
         " count(*) AS n FROM g"
     ),
     "agg_mad_nchars": (
@@ -5385,17 +5390,26 @@ ORACLE_SQL: dict[str, str] = {
         " (SELECT max(x) FROM v, q WHERE x >= q1 - 1.5 * (q3 - q1)"
         " AND x <= q3 + 1.5 * (q3 - q1)) AS upper FROM q"
     ),
-    # Welch t-statistic + Welch-Satterthwaite dof from avg/var_samp
-    # (sample variance, ddof=1 — same estimator as the engine)
+    # Welch t-statistic + Welch-Satterthwaite dof (sample variance,
+    # ddof=1 — same estimator as the engine); mean/variance derived
+    # from EXACT integer sums (sum / sum-of-squares in HUGEINT) so the
+    # oracle value is order-independent under DuckDB's parallel
+    # aggregation — avg/var_samp over DOUBLE wobbled at the ULP level
     "agg_ttest_lang": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
-        " d AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v"
+        " d AS (SELECT lang, n_chars AS v"
         " FROM documents JOIN m USING(doc_id)),"
-        " a AS (SELECT CAST(count(*) AS DOUBLE) AS na, avg(v) AS ma,"
-        " var_samp(v) AS va FROM d WHERE lang = 'en'),"
-        " b AS (SELECT CAST(count(*) AS DOUBLE) AS nb, avg(v) AS mb,"
-        " var_samp(v) AS vb FROM d WHERE lang = 'de')"
+        " a AS (SELECT CAST(count(*) AS DOUBLE) AS na,"
+        " CAST(sum(v) AS DOUBLE) / count(*) AS ma,"
+        " (CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE)"
+        " - count(*) * pow(CAST(sum(v) AS DOUBLE) / count(*), 2))"
+        " / (count(*) - 1) AS va FROM d WHERE lang = 'en'),"
+        " b AS (SELECT CAST(count(*) AS DOUBLE) AS nb,"
+        " CAST(sum(v) AS DOUBLE) / count(*) AS mb,"
+        " (CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE)"
+        " - count(*) * pow(CAST(sum(v) AS DOUBLE) / count(*), 2))"
+        " / (count(*) - 1) AS vb FROM d WHERE lang = 'de')"
         " SELECT (ma - mb) / sqrt(va / na + vb / nb) AS t,"
         " pow(va / na + vb / nb, 2) /"
         " (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)) AS dof,"

@@ -62,9 +62,15 @@ def test_queries_match_oracle(qname, ray_session, con):
             import numpy as np
 
             # equal_nan: NULL range bounds (open-ended aggs) surface as
-            # NaN on both sides; the driver's CSV hash treats them equal
-            assert np.array_equal(
-                a.astype(float), b.astype(float), equal_nan=True
+            # NaN on both sides; the driver's CSV hash treats them equal.
+            # The driver's float-equality definition is round-to-6dp —
+            # a few derived statistics (Welch dof, centroid means) sit
+            # an ULP apart between numpy and DuckDB accumulation; hold
+            # the bit-exact bar where it already holds (BM25 scores)
+            # and the driver's bar otherwise.
+            af, bf = a.astype(float), b.astype(float)
+            assert np.array_equal(af, bf, equal_nan=True) or np.array_equal(
+                np.round(af, 6), np.round(bf, 6), equal_nan=True
             ), f"{qname}.{col} float values"
         else:
             assert (a == b).all(), f"{qname}.{col} values"
