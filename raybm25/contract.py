@@ -164,6 +164,44 @@ def q_resize_split_bm25(sf_dir: str):
     )
 
 
+_REINDEX_CACHE: dict[str, str] = {}
+
+
+def q_reindex_query_bm25(sf_dir: str):
+    """``_reindex`` with ``source.query`` (loader/resize.reindex):
+    export the docs matching 'merge' into a new index (export_matching
+    + a streaming rebuild), then BM25 top-10 for 'join filter' scored
+    with the SUBSET-LOCAL statistics of the reindexed corpus — the
+    semantics that distinguish _reindex from a filtered search (the
+    ``bm25_filtered`` entry keeps corpus-global stats). Oracle: the
+    same pinned BM25 SQL with its corpus CTE restricted to docs
+    containing 'merge'."""
+    import shutil
+
+    from .query.engine import IndexReader
+
+    if sf_dir not in _REINDEX_CACHE:
+        from .loader.resize import reindex
+
+        dest = os.path.join(CACHE_ROOT, f"docidx_ri_{_tag(sf_dir)}")
+        # the export dir is resumable by design; a fresh process can't
+        # prove a leftover one matches THIS corpus, so start clean
+        shutil.rmtree(dest + ".export", ignore_errors=True)
+        reindex(docs_index(sf_dir), dest, "merge", overwrite=True)
+        _REINDEX_CACHE[sf_dir] = dest
+    r = IndexReader(_REINDEX_CACHE[sf_dir])
+    hits = r.search_pruned("join filter", 10)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array(
+                [int(np.int64(np.uint64(d))) for d, _ in hits], dtype="int64"
+            ),
+            "score": [s for _, s in hits],
+        }
+    )
+
+
 def q_bm25_topk_multi(sf_dir: str):
     return _bm25_topk(sf_dir, "merge join filter", 10)
 
@@ -4066,15 +4104,38 @@ def _bm25_sql(
     where: str | None = None,
     offset: int = 0,
     score_expr: str | None = None,
+    corpus_terms: list[str] | None = None,
 ) -> str:
     qcounts = Counter(tokenize(query))
     terms = sorted(qcounts)
     in_list = ", ".join(f"'{t}'" for t in terms)
-    parts = [
-        f"WITH {TOKS_CTE},",
-        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),",
-        "stats AS (SELECT (SELECT count(*) FROM documents) AS n,"
-        " (SELECT count(*) FROM toks) / (SELECT count(*) FROM documents) AS avgdl),",
+    if corpus_terms:
+        # subset-local corpus (the _reindex-with-query semantics): the
+        # scored corpus — and therefore n, avgdl, df — is restricted to
+        # docs containing any of corpus_terms, unlike `where` which
+        # filters candidates but keeps corpus-global statistics
+        cin = ", ".join(f"'{t}'" for t in sorted(set(corpus_terms)))
+        parts = [
+            "WITH "
+            + TOKS_CTE.replace("toks AS ", "toks_all AS ", 1)
+            + ",",
+            "corpus AS (SELECT DISTINCT doc_id FROM toks_all"
+            f" WHERE term IN ({cin})),",
+            "toks AS (SELECT toks_all.* FROM toks_all"
+            " JOIN corpus USING(doc_id)),",
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),",
+            "stats AS (SELECT (SELECT count(*) FROM corpus) AS n,"
+            " (SELECT count(*) FROM toks) / (SELECT count(*) FROM corpus)"
+            " AS avgdl),",
+        ]
+    else:
+        parts = [
+            f"WITH {TOKS_CTE},",
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),",
+            "stats AS (SELECT (SELECT count(*) FROM documents) AS n,"
+            " (SELECT count(*) FROM toks) / (SELECT count(*) FROM documents) AS avgdl),",
+        ]
+    parts += [
         f"tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ({in_list})"
         " GROUP BY doc_id, term),",
         "dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),",
@@ -5023,6 +5084,7 @@ ORACLE_SQL: dict[str, str] = {
     "term_cf_top20": _term_stats_sql("cf"),
     "bm25_topk_single": _bm25_sql("merge", 12),
     "resize_split_bm25": _bm25_sql("merge", 12),
+    "reindex_query_bm25": _bm25_sql("join filter", 10, corpus_terms=["merge"]),
     "bm25_topk_multi": _bm25_sql("merge join filter", 10),
     "bm25_filtered": _bm25_sql("merge join", 15, where="lang = 'en'"),
     "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
@@ -6447,6 +6509,7 @@ QUERIES = {
     "agg_ttest_lang": q_agg_ttest,
     "terms_enum_prefix": q_terms_enum,
     "resize_split_bm25": q_resize_split_bm25,
+    "reindex_query_bm25": q_reindex_query_bm25,
 }
 
 # Driver-sampling order: the correctness driver checks ~50 entries per

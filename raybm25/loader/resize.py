@@ -1,4 +1,5 @@
-"""Index resize — the OpenSearch ``_shrink`` / ``_split`` analog.
+"""Index resize + query reindex — the OpenSearch ``_shrink`` /
+``_split`` / ``_reindex`` analogs.
 
 OpenSearch resizes an index by creating a new one with a different
 shard count and hard-linking/rewriting segments; queries against the
@@ -13,14 +14,28 @@ per-file pruned reads, packed partials, salted merge — and is exactly
 how a 256-node cluster would re-shard a 100-TB index: one streaming
 pass, no driver-side materialization.
 
-Correctness invariant (tested + contract-checked): the resized index
-has the same doc ids, the same BM25 statistics (same corpus), and
-therefore bit-identical search results — only the physical layout
-changes.  Hash-layout only: its docstore holds live rows by
-construction (deletes compact the bucket in place).  A scan-layout
-index must run :func:`raybm25.loader.forcemerge.force_merge` first to
-reclaim tombstones, then its partitions can be re-bucketed the same
-way; reference analog: the reindex-into-new-index idiom
+:func:`reindex` is the query-filtered variant (``POST _reindex`` with
+``source.query``): export the matching live docs to partitioned parquet
+(:func:`raybm25.loader.export.export_matching` — per-partition tasks,
+broadcast match set, resumable deterministic filenames), then rebuild.
+Unlike :func:`resize_index`, the destination's BM25 statistics (n_docs,
+avgdl, df) are SUBSET-LOCAL — OpenSearch semantics: a reindexed index
+scores with its own corpus, which is why ``_reindex`` is the idiom for
+carving a focused searchable corpus out of a big one.
+
+Correctness invariants (tested + contract-checked): a resized index has
+the same doc ids and the same BM25 statistics (same corpus), therefore
+bit-identical search results — only the physical layout changes
+(contract entry ``resize_split_bm25``). A reindexed index holds exactly
+the docs matching the query, with ids unchanged and subset-local stats
+(contract entry ``reindex_query_bm25`` checks its BM25 top-k against a
+subset-corpus SQL oracle).
+
+Hash-layout only: its docstore holds live rows by construction (deletes
+compact the bucket in place).  A scan-layout index must run
+:func:`raybm25.loader.forcemerge.force_merge` first to reclaim
+tombstones, then its partitions can be re-bucketed the same way;
+reference analog: the reindex-into-new-index idiom
 (/root/reference/opensearch_loader/opensearch_client.py 'recreate'
 path — delete + create with new settings + bulk reload).
 """
@@ -35,22 +50,7 @@ from ..index.manifest import load_manifest
 _INTERNAL_COLS = ("doc_id", "dl", "ordinal")
 
 
-def resize_index(
-    src_dir: str,
-    dest_dir: str,
-    num_buckets: int,
-    *,
-    postings_shards: int | None = None,
-    overwrite: bool = False,
-) -> dict:
-    """Create a re-bucketed copy of a committed hash-layout index.
-
-    ``num_buckets`` larger than the source = ``_split``; smaller =
-    ``_shrink`` (no divisibility constraint — re-bucketing is a full
-    rehash, unlike OpenSearch's factor rule, which exists only because
-    Lucene moves whole segments).  Returns the ``build_index`` metrics
-    dict plus ``{"src_num_buckets", "dest_num_buckets"}``.
-    """
+def _load_hash_manifest(src_dir: str, op: str):
     man = load_manifest(src_dir)
     if man is None or not man.data.get("phases", {}).get("docs", {}).get(
         "committed"
@@ -58,25 +58,33 @@ def resize_index(
         raise FileNotFoundError(f"no committed index at {src_dir}")
     if man.data.get("layout") == "scan":
         raise ValueError(
-            "resize_index supports the hash layout; run force_merge on a "
+            f"{op} supports the hash layout; run force_merge on a "
             "scan-layout index and rebuild, or export_matching + build_index"
         )
-    if num_buckets < 1:
-        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    return man
 
-    docs = sorted(glob.glob(os.path.join(src_dir, "docs", "bucket=*.parquet")))
-    if not docs:
-        raise FileNotFoundError(f"no docstore buckets under {src_dir}")
 
+def _rebuild_from_docstore(
+    man,
+    files: list[str],
+    dest_dir: str,
+    num_buckets: int,
+    postings_shards: int | None,
+    overwrite: bool,
+) -> dict:
+    """Stream docstore-schema parquet files back through build_index,
+    carrying the source manifest's field/scoring configuration."""
     import pyarrow.parquet as pq
 
-    schema_names = list(pq.read_schema(docs[0]).names)
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    schema_names = list(pq.read_schema(files[0]).names)
     text_cols = tuple(man.data.get("text_cols", ["text"]))
     for c in text_cols:
         if c not in schema_names:
             raise ValueError(
                 f"text column {c!r} is not stored in the docstore — an "
-                "index built without storing its text cannot be resized "
+                "index built without storing its text cannot be rebuilt "
                 "(nothing to re-tokenize); rebuild from the original source"
             )
     stored = [
@@ -87,8 +95,8 @@ def resize_index(
 
     from ..index.build import build_index
 
-    metrics = build_index(
-        docs,
+    return build_index(
+        files,
         dest_dir,
         key_col="doc_id",
         id_col="doc_id",  # ids pass through unchanged: same doc ids out
@@ -108,6 +116,79 @@ def resize_index(
         positions=bool(man.data.get("positions", False)),
         overwrite=overwrite,
     )
+
+
+def resize_index(
+    src_dir: str,
+    dest_dir: str,
+    num_buckets: int,
+    *,
+    postings_shards: int | None = None,
+    overwrite: bool = False,
+) -> dict:
+    """Create a re-bucketed copy of a committed hash-layout index.
+
+    ``num_buckets`` larger than the source = ``_split``; smaller =
+    ``_shrink`` (no divisibility constraint — re-bucketing is a full
+    rehash, unlike OpenSearch's factor rule, which exists only because
+    Lucene moves whole segments).  Returns the ``build_index`` metrics
+    dict plus ``{"src_num_buckets", "dest_num_buckets"}``.
+    """
+    man = _load_hash_manifest(src_dir, "resize_index")
+    docs = sorted(glob.glob(os.path.join(src_dir, "docs", "bucket=*.parquet")))
+    if not docs:
+        raise FileNotFoundError(f"no docstore buckets under {src_dir}")
+    metrics = _rebuild_from_docstore(
+        man, docs, dest_dir, num_buckets, postings_shards, overwrite
+    )
     metrics["src_num_buckets"] = int(man.data.get("num_buckets", 0))
     metrics["dest_num_buckets"] = int(num_buckets)
+    return metrics
+
+
+def reindex(
+    src_dir: str,
+    dest_dir: str,
+    query: str | None = None,
+    field: str | None = None,
+    *,
+    num_buckets: int | None = None,
+    postings_shards: int | None = None,
+    overwrite: bool = False,
+) -> dict:
+    """``POST _reindex`` with ``source.query``: build a new index from
+    the docs of ``src_dir`` matching ``query`` (OR over analyzed terms;
+    ``None`` = whole live corpus, the plain-copy ``_reindex``).
+
+    Two streaming phases, both resumable: (1) export the matching docs
+    to ``<dest_dir>.export`` (one parquet per touched source partition,
+    deterministic filenames — a re-run skips finished partitions);
+    (2) rebuild from the export with the source's field configuration.
+    Doc ids pass through unchanged; BM25 stats become subset-local
+    (the destination scores against ITS corpus — OpenSearch semantics).
+    Returns build metrics plus ``{"exported", "export_dir"}``.
+    """
+    man = _load_hash_manifest(src_dir, "reindex")
+    export_dir = dest_dir.rstrip("/") + ".export"
+
+    from .export import export_matching
+
+    stats = export_matching(src_dir, export_dir, query, field)
+    files = sorted(glob.glob(os.path.join(export_dir, "part=*.parquet")))
+    # drop empty partitions (export writes none for them, but a resumed
+    # run may still see zero-row files from a different query — guard)
+    if not files or stats["exported"] == 0:
+        raise ValueError(
+            f"reindex query {query!r} matches no documents in {src_dir}"
+        )
+    metrics = _rebuild_from_docstore(
+        man,
+        files,
+        dest_dir,
+        int(num_buckets if num_buckets is not None else man.data.get("num_buckets", 32)),
+        postings_shards,
+        overwrite,
+    )
+    metrics["exported"] = int(stats["exported"])
+    metrics["export_dir"] = export_dir
     return metrics

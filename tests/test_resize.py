@@ -53,7 +53,7 @@ def test_resize_preserves_search(src_index, tmp_path_factory, dest_buckets):
     a, b = IndexReader(src_index), IndexReader(dest)
     assert b.n_docs == a.n_docs
     assert b.avgdl == pytest.approx(a.avgdl, abs=0.0)  # bit-identical
-    for q in ("merge", "merge join", "stream filter", "zzz-no-such-term"):
+    for q in ("tosa", "lumpex kenzin", "borzinlum haxsasa dumilum", "zzz-no-such-term"):
         assert _top(b, q) == _top(a, q)
 
 
@@ -61,8 +61,8 @@ def test_resize_preserves_keyword_filter(src_index, tmp_path_factory):
     dest = str(tmp_path_factory.mktemp("dstkw") / "idx")
     resize_index(src_index, dest, 5, postings_shards=4)
     a, b = IndexReader(src_index), IndexReader(dest)
-    assert b.search_filtered("merge join", "lang", "en", 15) == (
-        a.search_filtered("merge join", "lang", "en", 15)
+    assert b.search_filtered("lumpex kenzin", "lang", "en", 15) == (
+        a.search_filtered("lumpex kenzin", "lang", "en", 15)
     )
 
 
@@ -71,6 +71,45 @@ def test_resize_error_paths(src_index, tmp_path):
         resize_index(str(tmp_path / "nope"), str(tmp_path / "out"), 4)
     with pytest.raises(ValueError):
         resize_index(src_index, str(tmp_path / "out2"), 0)
+
+
+def test_reindex_subset_stats(src_index, tmp_path_factory):
+    """reindex with a query: destination holds exactly the matching
+    docs, ids unchanged, BM25 stats subset-local (n_docs shrinks)."""
+    from raybm25.loader.resize import reindex
+
+    a = IndexReader(src_index)
+    match_ids = {d for d, _ in a.search("kenzin", k=a.n_docs)}
+    assert 0 < len(match_ids) < a.n_docs
+
+    dest = str(tmp_path_factory.mktemp("ri") / "idx")
+    m = reindex(src_index, dest, "kenzin", num_buckets=4)
+    assert m["exported"] == len(match_ids)
+    b = IndexReader(dest)
+    assert b.n_docs == len(match_ids)
+    assert b.avgdl != a.avgdl  # subset-local statistics
+    hits = b.search_pruned("kenzin tosa", 10)
+    assert hits and all(d in match_ids for d, _ in hits)
+    # subset idf: same candidate docs, different scores than the source
+    assert hits != a.search_pruned("kenzin tosa", 10)
+
+
+def test_reindex_full_copy_matches_resize(src_index, tmp_path_factory):
+    from raybm25.loader.resize import reindex
+
+    dest = str(tmp_path_factory.mktemp("rifull") / "idx")
+    m = reindex(src_index, dest, None, num_buckets=6)
+    a, b = IndexReader(src_index), IndexReader(dest)
+    assert m["exported"] == a.n_docs
+    assert b.n_docs == a.n_docs and b.avgdl == a.avgdl
+    assert b.search_pruned("kenzin tosa", 10) == a.search_pruned("kenzin tosa", 10)
+
+
+def test_reindex_no_match_raises(src_index, tmp_path):
+    from raybm25.loader.resize import reindex
+
+    with pytest.raises(ValueError, match="matches no documents"):
+        reindex(src_index, str(tmp_path / "out"), "zzz-no-such-term")
 
 
 def test_resize_rejects_scan_layout(ray_session, tmp_path):
