@@ -77,6 +77,8 @@ def test_inline_search_template(env):
     )
     direct = run_query(r, {"query": {"match": {"text": "merge"}},
                            "size": 2})
+    # `took` is wall-clock ms — drop it before comparing responses
+    out.pop("took", None), direct.pop("took", None)
     assert out == direct
 
 
