@@ -76,6 +76,18 @@ def main(sf_dir: str, work: str) -> dict:
     ds = exact_dedup(ds)
     ds = neardup_dedup(ds, threshold=0.9, work_dir=os.path.join(work, "lsh"))
 
+    # 3a. duplicated-passage scrub (Lee-et-al. substring dedup at
+    # 8-token windows): corpus-level dup-hash set broadcast once, the
+    # covered spans dropped from surviving docs' text
+    from raybm25.extras.substring import scrub_dup_spans
+
+    def _drop_span_counters(b):
+        return b.drop_columns([c for c in ("dl", "n_covered") if c in b.column_names])
+
+    ds = scrub_dup_spans(ds, w=8).map_batches(
+        _drop_span_counters, batch_format="pyarrow"
+    )
+
     # 3b. train/test decontamination: docs sharing a 13-gram with the
     # held-out eval slice (every 97th doc stands in for a benchmark
     # suite here) are dropped — broadcast membership, no shuffle

@@ -2629,6 +2629,49 @@ def q_fingerprint_stats(sf_dir: str):
     return out[["doc_id", "n_fingerprints"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dup_ngrams_top20(sf_dir: str):
+    """Corpus-wide duplicated 8-grams (extras/substring.ngram_stats —
+    the map-reduce form of Lee-et-al. exact substring dedup): top 20
+    by (n_docs desc, n_total desc, h asc). The window hash is the same
+    SQL-expressible polynomial/Horner construction as the winnowing
+    fingerprints, so the oracle reproduces it bit-exactly; the hash
+    travels as its two's-complement int64 on both sides."""
+    import pyarrow.compute as pc
+
+    from .extras.substring import ngram_stats
+
+    stats = ngram_stats(_docs_ds(sf_dir), w=8).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_docs"), 2)),
+        batch_format="pyarrow",
+    )
+    out = (
+        stats.sort(["n_docs", "n_total", "h"], descending=[True, True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    for c in ("h", "n_docs", "n_total"):
+        out[c] = out[c].astype("int64")
+    return out[["h", "n_docs", "n_total"]]
+
+
+def q_dup_span_coverage(sf_dir: str):
+    """Per-doc duplicated-passage coverage (extras/substring.
+    dup_span_coverage): token positions inside at least one 8-window
+    shared with another doc. Docs with coverage > 0, ordered by
+    doc_id."""
+    from .extras.substring import dup_span_coverage
+
+    out = dup_span_coverage(_docs_ds(sf_dir), w=8).to_pandas()
+    out = out[out["n_covered"] > 0]
+    for c in ("doc_id", "dl", "n_covered"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "dl", "n_covered"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_multimodal_meta(sf_dir: str):
     """Opaque-payload plumbing: text bytes as a binary media column,
     stats via an actor-pool stage."""
@@ -6299,6 +6342,54 @@ ORACLE_SQL: dict[str, str] = {
     # Congruence note: SQL reduces mod 2^64 once per step on exact
     # HUGEINTs; numpy wraps every op — identical residues (ring
     # homomorphism), verified value-exact in tests.
+    # Duplicated 8-grams, bit-exact in SQL: same token hash as
+    # fingerprint_stats, window hash = Horner list_reduce over the
+    # 8-token slice; emitted as two's-complement BIGINT, the engine's
+    # transport form through Ray's shuffle
+    "dup_ngrams_top20": (
+        "WITH t AS (SELECT doc_id,"
+        " list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),"
+        " tok -> list_reduce(list_transform(regexp_extract_all(tok, '[a-z0-9]'),"
+        " c -> CAST(unicode(c) AS HUGEINT)),"
+        " (h, c) -> (h * 1000003::HUGEINT + c) % 18446744073709551616::HUGEINT)) AS th"
+        " FROM documents),"
+        " w AS (SELECT doc_id, unnest(list_transform(range(1, len(th) - 6),"
+        " i -> list_reduce(th[i:i+7],"
+        " (a, b) -> (a * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT))) AS wh"
+        " FROM t WHERE len(th) >= 8),"
+        " d AS (SELECT wh, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total"
+        " FROM w GROUP BY wh)"
+        " SELECT CAST(CASE WHEN wh >= 9223372036854775808::HUGEINT"
+        " THEN wh - 18446744073709551616::HUGEINT ELSE wh END AS BIGINT) AS h,"
+        " CAST(n_docs AS BIGINT) AS n_docs, CAST(n_total AS BIGINT) AS n_total"
+        " FROM d WHERE n_docs >= 2"
+        " ORDER BY n_docs DESC, n_total DESC, h LIMIT 20"
+    ),
+    # Per-doc duplicated-span coverage: union of [i, i+8) over windows
+    # whose hash appears in >= 2 distinct docs (count DISTINCT pos)
+    "dup_span_coverage": (
+        "WITH t AS (SELECT doc_id,"
+        " list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),"
+        " tok -> list_reduce(list_transform(regexp_extract_all(tok, '[a-z0-9]'),"
+        " c -> CAST(unicode(c) AS HUGEINT)),"
+        " (h, c) -> (h * 1000003::HUGEINT + c) % 18446744073709551616::HUGEINT)) AS th"
+        " FROM documents),"
+        " w0 AS (SELECT doc_id, unnest(list_transform(range(1, len(th) - 6),"
+        " i -> {'i': i, 'wh': list_reduce(th[i:i+7],"
+        " (a, b) -> (a * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT)}))"
+        " AS s FROM t WHERE len(th) >= 8),"
+        " w AS (SELECT doc_id, s.i AS i, s.wh AS wh FROM w0),"
+        " d AS (SELECT wh FROM w GROUP BY wh"
+        " HAVING count(DISTINCT doc_id) >= 2),"
+        " cov AS (SELECT doc_id, unnest(range(i, i + 8)) AS pos"
+        " FROM w JOIN d USING(wh)),"
+        " c2 AS (SELECT doc_id, count(DISTINCT pos) AS n_covered"
+        " FROM cov GROUP BY doc_id),"
+        " dl AS (SELECT doc_id, len(th) AS dl FROM t)"
+        " SELECT c2.doc_id, CAST(dl.dl AS BIGINT) AS dl,"
+        " CAST(c2.n_covered AS BIGINT) AS n_covered"
+        " FROM c2 JOIN dl USING(doc_id) ORDER BY doc_id"
+    ),
     "fingerprint_stats": (
         "WITH t AS (SELECT doc_id,"
         " list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),"
@@ -6465,6 +6556,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "fingerprint_stats": q_fingerprint_stats,
+    "dup_ngrams_top20": q_dup_ngrams_top20,
+    "dup_span_coverage": q_dup_span_coverage,
     "multimodal_meta": q_multimodal_meta,
     "media_meta_mp3": q_media_meta_mp3,
     "media_meta_mp4": q_media_meta_mp4,
