@@ -6629,6 +6629,8 @@ _DRIVER_PRIORITY = [
     "approx_distinct_users", "prefix_docs_dict", "phrase_match_long",
     "mlt_terms", "phrase_prefix_docs",
     # then this round's headline additions, most valuable first
+    "resize_split_bm25", "reindex_query_bm25",
+    "dup_ngrams_top20", "dup_span_coverage",
     "hybrid_bm25_knn", "pack_sequences_docs", "mixture_sample_docs",
     "pipeline_bucket_math", "geo_distance_docs", "geotile_grid_docs",
     "significant_text_sampled", "runtime_field_sort",
