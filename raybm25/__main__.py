@@ -175,6 +175,36 @@ def cmd_forcemerge(args) -> int:
     return 0
 
 
+def cmd_resize(args) -> int:
+    """Re-bucket an index (the ``_split`` / ``_shrink`` analog) or
+    reindex a query-matched subset (``_reindex`` with source.query);
+    prints the build metrics JSON."""
+    _ray_session()
+    from .loader.resize import reindex, resize_index
+
+    if args.query is not None:
+        m = reindex(
+            args.index,
+            args.dest,
+            args.query,
+            num_buckets=args.buckets,
+            postings_shards=args.shards,
+            overwrite=args.overwrite,
+        )
+    else:
+        if args.buckets is None:
+            raise SystemExit("resize without --query requires --buckets")
+        m = resize_index(
+            args.index,
+            args.dest,
+            args.buckets,
+            postings_shards=args.shards,
+            overwrite=args.overwrite,
+        )
+    print(json.dumps({k: v for k, v in m.items() if not isinstance(v, dict)}))
+    return 0
+
+
 def cmd_snapshot(args) -> int:
     """Point-in-time snapshot ops (the ``_snapshot`` repository
     analog): create / restore / list / delete on an index dir."""
@@ -264,6 +294,22 @@ def main(argv=None) -> int:
         help="skip the postings rebuild (batch maintenance ops)",
     )
     pm.set_defaults(fn=cmd_forcemerge)
+
+    pr = sub.add_parser(
+        "resize",
+        help="re-bucket an index (_split/_shrink) or reindex a "
+        "query subset (_reindex with source.query)",
+    )
+    pr.add_argument("--index", required=True, help="source index dir")
+    pr.add_argument("--dest", required=True, help="destination index dir")
+    pr.add_argument("--buckets", type=int, default=None,
+                    help="destination docstore bucket count")
+    pr.add_argument("--shards", type=int, default=None,
+                    help="destination postings shard count")
+    pr.add_argument("--query", default=None,
+                    help="reindex only docs matching this query")
+    pr.add_argument("--overwrite", action="store_true")
+    pr.set_defaults(fn=cmd_resize)
 
     pn = sub.add_parser(
         "snapshot", help="point-in-time index snapshots (hardlink repo)"

@@ -112,6 +112,32 @@ def test_reindex_no_match_raises(src_index, tmp_path):
         reindex(src_index, str(tmp_path / "out"), "zzz-no-such-term")
 
 
+def test_resize_cli(src_index, tmp_path, capsys):
+    """CLI subcommands: resize JSON metrics, reindex via --query."""
+    import json
+
+    from raybm25.__main__ import main as cli_main
+
+    dest = str(tmp_path / "cli_rs")
+    rc = cli_main(["resize", "--index", src_index, "--dest", dest,
+                   "--buckets", "4"])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["dest_num_buckets"] == 4
+    assert IndexReader(dest).n_docs == IndexReader(src_index).n_docs
+
+    dest2 = str(tmp_path / "cli_ri")
+    rc = cli_main(["resize", "--index", src_index, "--dest", dest2,
+                   "--query", "kenzin"])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["exported"] == IndexReader(dest2).n_docs > 0
+
+    with pytest.raises(SystemExit, match="requires --buckets"):
+        cli_main(["resize", "--index", src_index,
+                  "--dest", str(tmp_path / "x")])
+
+
 def test_resize_rejects_scan_layout(ray_session, tmp_path):
     from raybm25.index.build_scan import build_index_scan
 
