@@ -2853,6 +2853,31 @@ def q_ann_ivf_topk(sf_dir: str):
     )
 
 
+def q_ann_lsh_topk(sf_dir: str):
+    """LSH ANN top-10 for the vec_id=0 query (multi-probe, nprobe=16
+    of 64 signature buckets); rows-only check here, full-probe
+    exactness vs brute force is pytest-gated
+    (tests/test_extras.py::test_lsh_recall_published)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .extras.similarity import lsh_build, lsh_search
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q0 = emb.filter(pc_eq(emb.column("vec_id"), 0)).column("embedding").to_pylist()[0]
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    lsh = lsh_build(
+        ds, n_bits=6, index_dir=os.path.join(CACHE_ROOT, f"lsh_{_tag(sf_dir)}")
+    )
+    hits = lsh_search(lsh, np.array(q0, dtype=np.float64), k=10, nprobe=16)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "vec_id": pd.array([v for v, _ in hits], dtype="int64"),
+        }
+    )
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct (extras/sketch): shuffle-free
     per-block sketches (2^14 B each) folded by register max, vs the
@@ -6553,6 +6578,7 @@ QUERIES = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "fingerprint_stats": q_fingerprint_stats,

@@ -15,6 +15,11 @@
   parquet bucket file. Queries read ONLY the probed bucket files (the
   postings-shard reader pattern). nprobe=C degrades to exact search
   (tested equal to brute force).
+- Random-hyperplane LSH ANN — the brief's alternative scale path:
+  fixed-seed hyperplanes (no training pass), signature-keyed parquet
+  buckets via the same groupby(blk) sink, multi-probe search in
+  least-confident-bit-flip order (Lv et al. 2007); nprobe=2^n_bits
+  probes every bucket and equals brute force (pytest-gated).
 """
 
 from __future__ import annotations
@@ -394,6 +399,125 @@ def ivf_search(ivf: dict, query: np.ndarray, k: int = 10, nprobe: int = 2):
         if not os.path.exists(path):
             continue  # centroid won no vectors
         ids, mat = _load_block(buckets_dir, int(b))
+        ids_parts.append(ids)
+        sim_parts.append(mat @ q)
+    if not ids_parts:
+        return []
+    ids = np.concatenate(ids_parts)
+    sims = np.concatenate(sim_parts)
+    order = np.lexsort((ids, -sims))[:k]
+    return [(int(ids[i]), float(sims[i])) for i in order]
+
+
+class _LshAssignStage:
+    """map_batches stage: random-hyperplane signature against the
+    broadcast hyperplane matrix (ray.put once, read per actor). Bucket
+    key = the sign-bit signature packed into an int32."""
+
+    def __init__(self, hp_ref, vec_col: str):
+        import ray
+
+        self.hp = ray.get(hp_ref) if not isinstance(hp_ref, np.ndarray) else hp_ref
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_emb_matrix(batch, self.vec_col)) if batch.num_rows else np.empty((0, 0))
+        if len(ids):
+            bits = (mat @ self.hp.T) > 0  # (n, n_bits)
+            blk = (bits @ (1 << np.arange(self.hp.shape[0]))).astype(np.int32)
+        else:
+            blk = np.empty(0, np.int32)
+        offsets = _list_offsets(len(ids), mat.shape[1])
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "blk": pa.array(blk, pa.int32()),
+                "vec": pa.LargeListArray.from_arrays(
+                    offsets, pa.array(mat.ravel(), pa.float64())
+                ),
+            }
+        )
+
+
+def lsh_build(
+    ds,
+    n_bits: int = 6,
+    vec_col: str = "embedding",
+    index_dir: str | None = None,
+    seed: int = 0,
+) -> dict:
+    """Random-hyperplane LSH ANN index — the brief's alternative to
+    IVF as the at-scale similarity path. Hyperplanes are drawn from a
+    fixed-seed generator (deterministic index for a given corpus +
+    seed, no training pass at all — the LSH advantage over IVF when no
+    sample is representative); vectors land in one parquet bucket file
+    per signature (<= 2^n_bits buckets), written by the same
+    groupby(blk) sink as IVF. Queries read ONLY probed buckets."""
+    import ray
+    import ray.data  # noqa: F401
+
+    if not 1 <= n_bits <= 16:
+        raise ValueError(f"n_bits must be in [1, 16], got {n_bits}")
+    index_dir = index_dir or tempfile.mkdtemp(prefix="raybm25_lsh_", dir="/tmp")
+    buckets_dir = os.path.join(index_dir, "buckets")
+    if os.path.isdir(buckets_dir):
+        import shutil
+
+        shutil.rmtree(buckets_dir)
+    os.makedirs(buckets_dir, exist_ok=True)
+
+    dim = len(_lowest_id_sample(ds, vec_col, 1)[vec_col].iloc[0])
+    rng = np.random.default_rng(seed)
+    hp = rng.standard_normal((n_bits, dim))
+    hp /= np.linalg.norm(hp, axis=1, keepdims=True)
+    hp_ref = ray.put(hp)
+
+    ds.map_batches(
+        _LshAssignStage,
+        fn_constructor_kwargs={"hp_ref": hp_ref, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=auto_concurrency(),
+    ).groupby("blk").map_groups(
+        _WriteVecBlock(buckets_dir), batch_format="pyarrow"
+    ).materialize()
+
+    np.save(os.path.join(index_dir, "hyperplanes.npy"), hp)
+    return {"index_dir": index_dir, "hyperplanes": hp, "n_bits": n_bits}
+
+
+def _probe_order(margins: np.ndarray, n_bits: int, nprobe: int) -> np.ndarray:
+    """Multi-probe LSH bucket order: XOR masks sorted by the summed
+    |margin| of the flipped bits — flipping the bits the query was
+    least sure about first (Lv et al. 2007 multi-probe LSH). For small
+    n_bits the full 2^n_bits mask ranking is exact; nprobe = 2^n_bits
+    therefore probes every bucket (exactness gate)."""
+    masks = np.arange(1 << n_bits, dtype=np.int64)
+    flip_cost = np.zeros(masks.size)
+    for b in range(n_bits):
+        flip_cost += np.where((masks >> b) & 1 == 1, np.abs(margins[b]), 0.0)
+    order = np.lexsort((masks, flip_cost))
+    return masks[order][: max(1, nprobe)]
+
+
+def lsh_search(lsh: dict, query: np.ndarray, k: int = 10, nprobe: int = 4):
+    """Probe nprobe buckets in multi-probe order — reading ONLY those
+    bucket files — exact cosine within. Returns [(vec_id, score)],
+    ties broken vec_id asc; nprobe=2^n_bits is exact (== brute force,
+    pytest-gated)."""
+    hp = lsh["hyperplanes"]
+    n_bits = int(lsh["n_bits"])
+    buckets_dir = os.path.join(lsh["index_dir"], "buckets")
+    q = query / (np.linalg.norm(query) or 1.0)
+    margins = hp @ q
+    base = int(((margins > 0) @ (1 << np.arange(n_bits))))
+    ids_parts, sim_parts = [], []
+    for mask in _probe_order(margins, n_bits, nprobe):
+        b = base ^ int(mask)
+        path = os.path.join(buckets_dir, f"blk={b:05d}.parquet")
+        if not os.path.exists(path):
+            continue  # signature won no vectors
+        ids, mat = _load_block(buckets_dir, b)
         ids_parts.append(ids)
         sim_parts.append(mat @ q)
     if not ids_parts:

@@ -606,6 +606,50 @@ def test_ivf_recall_published(ray_session):
     assert recalls[1] <= recalls[2] <= recalls[4] <= recalls[8]
 
 
+def test_lsh_recall_published(ray_session):
+    """Random-hyperplane LSH ANN gate (the IVF table's sibling): on
+    the near-isotropic driver embeddings, recall@10 at n_bits=5 is
+    exactly 1.0 at full probe (every bucket = brute force), and the
+    mean recall is non-decreasing in nprobe along the multi-probe
+    order. Also pins determinism: two builds with the same seed
+    produce identical search results."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raybm25.extras.similarity import lsh_build, lsh_search
+
+    p = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = pq.read_table(p)
+    ids = emb.column("vec_id").to_numpy()
+    mat = np.stack(emb.column("embedding").to_pylist()).astype(np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    import ray.data
+
+    lsh = lsh_build(ray.data.read_parquet(p), n_bits=5)
+    rng = np.random.default_rng(0)
+    qidx = rng.choice(len(ids), size=25, replace=False)
+    recalls = {}
+    for nprobe in (1, 4, 16, 32):
+        rs = []
+        for qi in qidx:
+            q = mat[qi]
+            sims = mat_n @ (q / np.linalg.norm(q))
+            brute = set(ids[np.lexsort((ids, -sims))[:10]].tolist())
+            got = {v for v, _ in lsh_search(lsh, q, k=10, nprobe=nprobe)}
+            rs.append(len(got & brute) / 10)
+        recalls[nprobe] = sum(rs) / len(rs)
+    assert recalls[32] == 1.0  # full probe == brute force
+    assert recalls[1] <= recalls[4] <= recalls[16] <= recalls[32]
+
+    lsh2 = lsh_build(ray.data.read_parquet(p), n_bits=5)
+    q = mat[int(qidx[0])]
+    assert lsh_search(lsh2, q, k=10, nprobe=4) == lsh_search(
+        lsh, q, k=10, nprobe=4
+    )
+    with pytest.raises(ValueError, match="n_bits"):
+        lsh_build(ray.data.read_parquet(p), n_bits=0)
+
+
 def test_scrub_batch_patterns(ray_session):
     import pyarrow as pa
 
