@@ -3079,6 +3079,24 @@ def q_multi_index_search(sf_dir: str):
     return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
 
 
+def q_dfs_multi_bm25(sf_dir: str):
+    """``search_type=dfs_query_then_fetch`` scatter-gather
+    (query/engine.search_dfs via dsl.run_query_multi_dfs): the same
+    corpus hash-split across two indices, scored with GLOBAL BM25
+    statistics gathered in a pre-query DFS phase — so the hits (ids
+    AND scores) are bit-identical to the UNSPLIT index, pinned against
+    the very same SQL oracle as ``bm25_topk_single``. This is the
+    cross-shard-stable ranking a multi-node deployment needs; contrast
+    ``multi_index_search``, the per-index-stats default."""
+    from .query.dsl import run_query_multi_dfs
+
+    resp = run_query_multi_dfs(
+        [docs_index_half(sf_dir, 0), docs_index_half(sf_dir, 1)],
+        {"query": {"match": {"text": {"query": "merge"}}}, "size": 12},
+    )
+    return _hits_frame([(h["_id"], h["_score"]) for h in resp["hits"]["hits"]])
+
+
 def _bm25_half_union_sql(query: str, k: int) -> str:
     """Oracle for multi-index search: one full pinned BM25 chain per
     parity partition (stats computed over THAT half only — the
@@ -5189,6 +5207,9 @@ ORACLE_SQL: dict[str, str] = {
         " ELSE 64 END AS BIGINT) AS n_tokens FROM x ORDER BY doc_id, chunk_id"
     ),
     "multi_index_search": _bm25_half_union_sql("merge join", 20),
+    # dfs_query_then_fetch over the SAME split must equal the unsplit
+    # corpus oracle exactly — global stats make the split invisible
+    "dfs_multi_bm25": _bm25_sql("merge", 12),
     "percentile_ranks_nchars": (
         f"WITH {TOKS_CTE},\n"
         "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),\n"
@@ -6483,6 +6504,7 @@ QUERIES = {
     "scrub_text": q_scrub_text,
     "chunk_tokens": q_chunk_tokens,
     "multi_index_search": q_multi_index_search,
+    "dfs_multi_bm25": q_dfs_multi_bm25,
     "percentile_ranks_nchars": q_percentile_ranks,
     "matrix_stats_agg": q_matrix_stats,
     "weighted_avg_agg": q_weighted_avg,
@@ -6656,7 +6678,7 @@ _DRIVER_PRIORITY = [
     "mlt_terms", "phrase_prefix_docs",
     # then this round's headline additions, most valuable first
     "resize_split_bm25", "reindex_query_bm25",
-    "dup_ngrams_top20", "dup_span_coverage",
+    "dup_ngrams_top20", "dup_span_coverage", "dfs_multi_bm25",
     "hybrid_bm25_knn", "pack_sequences_docs", "mixture_sample_docs",
     "pipeline_bucket_math", "geo_distance_docs", "geotile_grid_docs",
     "significant_text_sampled", "runtime_field_sort",

@@ -10,6 +10,7 @@ from .dsl import (  # noqa: F401
     run_msearch,
     run_query,
     run_query_multi,
+    run_query_multi_dfs,
     run_scroll,
     run_stats,
     run_termvectors,

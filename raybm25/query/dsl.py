@@ -2100,6 +2100,52 @@ def run_scroll(
     return resp
 
 
+def run_query_multi_dfs(index_dirs: list, body: dict) -> dict:
+    """Multi-index search with ``search_type=dfs_query_then_fetch``:
+    global BM25 statistics gathered across every index before scoring
+    (engine.search_dfs), so a corpus split across indices ranks — and
+    scores — exactly as the unsplit index would. Supports the plain
+    ``match`` body (the clause global-stats scoring is defined over
+    here); richer bodies take the per-index-stats ``run_query_multi``
+    path, OpenSearch's default."""
+    import os as _os
+
+    from .engine import search_dfs
+
+    size = int(body.get("size", 10))
+    q = body.get("query", {"match_all": {}})
+    if list(q) != ["match"]:
+        raise ValueError(
+            "dfs_query_then_fetch supports a 'match' query body"
+        )
+    fname, spec = _one(q["match"], "match")
+    text = spec["query"] if isinstance(spec, dict) else spec
+    readers = [
+        d if isinstance(d, IndexReader) else IndexReader(d) for d in index_dirs
+    ]
+    hits = search_dfs(readers, str(text), size)
+    names = {
+        id(r): _os.path.basename(_os.path.normpath(r.index_dir)) for r in readers
+    }
+    # attribute each hit to the index that holds the doc: one grouped
+    # docstore probe per reader (disjoint split: exactly one owner;
+    # duplicates keep the first index listed)
+    owner: dict[int, str] = {}
+    hit_ids = np.array([d for d, _ in hits], dtype=np.uint64)
+    for r in readers:
+        if hit_ids.size == 0:
+            break
+        tbl = r.get_docs(hit_ids)
+        for d in tbl.column("doc_id").to_pylist():
+            owner.setdefault(int(d), names[id(r)])
+    out_hits = [
+        {"_id": int(np.int64(np.uint64(d))), "_score": float(s),
+         "_index": owner.get(int(d))}
+        for d, s in hits
+    ]
+    return {"hits": {"total": {"value": len(out_hits)}, "hits": out_hits}}
+
+
 def run_query_multi(index_dirs: list, body: dict) -> dict:
     """Multi-index search — the ``GET /logs-*/_search`` scatter-gather
     idiom (time-partitioned indices are THE way a 100-TB corpus is

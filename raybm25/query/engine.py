@@ -567,6 +567,43 @@ class IndexReader:
                 parts_scores.append(contrib)
         return self._combine_rank(parts_ids, parts_scores, k)
 
+    def search_with_stats(
+        self,
+        query: str,
+        k: int,
+        n_docs: int,
+        avgdl: float,
+        dfs: dict[str, int],
+        field: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Exact BM25 top-k scored with EXTERNAL corpus statistics —
+        the per-shard query phase of ``dfs_query_then_fetch``
+        (:func:`search_dfs`). Identical float chain to :meth:`search`
+        (sorted-term left-to-right accumulation, cached tf-norms keyed
+        by the avgdl actually used), so a corpus split across indices
+        scores bit-identically to the unsplit index."""
+        qcounts = Counter(self.field_terms(query, field))
+        postings = self.load_postings(sorted(qcounts))
+        parts_ids, parts_scores = [], []
+        for term in sorted(qcounts):
+            p = postings.get(term)
+            if p is None:
+                continue
+            df = int(dfs.get(term, p.df))
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            contrib = qcounts[term] * idf * self._norm_cached(p, avgdl)
+            parts_ids.append(p.doc_ids)
+            parts_scores.append(contrib)
+        return self._combine_rank(parts_ids, parts_scores, k)
+
+    def term_dfs(self, query: str, field: str | None = None) -> dict[str, int]:
+        """Per-term document frequencies for a query's analyzed terms —
+        the DFS (pre-query statistics) phase of dfs_query_then_fetch.
+        Terms absent from this index report 0."""
+        terms = sorted(set(self.field_terms(query, field)))
+        postings = self.load_postings(terms)
+        return {t: (postings[t].df if t in postings else 0) for t in terms}
+
     def search_dismax(
         self,
         query: str,
@@ -3798,6 +3835,49 @@ class IndexReader:
             return pa.table({})
         dset = pads.dataset(paths)
         return dset.to_table(filter=pads.field("doc_id").isin(ids))
+
+
+def search_dfs(
+    index_dirs, query: str, k: int = 10, field: str | None = None
+) -> list[tuple[int, float]]:
+    """``dfs_query_then_fetch`` scatter-gather: exact BM25 top-k over a
+    corpus SPLIT across indices, scored with GLOBAL statistics.
+
+    Phase 1 (DFS): gather per-term df from every index plus global
+    n_docs / sum_dl — a handful of integers per shard, the cheap
+    pre-query exchange OpenSearch's dfs_query_then_fetch does. Global
+    avgdl is one float division of exact integer sums, so it equals
+    the unsplit index's avgdl bit-for-bit.
+
+    Phase 2 (query): each index ranks its own top-k under the global
+    stats (:meth:`IndexReader.search_with_stats`); since scoring is
+    globally consistent, merging the per-index top-k by (score desc,
+    doc_id asc) IS the exact global top-k. A corpus hash-split across
+    N indices therefore returns bit-identical hits to the single
+    index (contract entry ``dfs_multi_bm25`` pins this against the
+    same SQL oracle as ``bm25_topk_single``) — the semantics a
+    256-node deployment needs for stable cross-shard ranking, vs the
+    default per-index-stats ``run_query_multi`` merge."""
+    readers = [
+        d if isinstance(d, IndexReader) else IndexReader(d) for d in index_dirs
+    ]
+    n_docs = sum(r.n_docs for r in readers)
+    if field is None:
+        sum_dl = sum(int(r.manifest["corpus"]["sum_dl"]) for r in readers)
+    else:
+        sum_dl = sum(
+            int(r.manifest["corpus"]["sum_dl_fields"][field]) for r in readers
+        )
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    dfs: dict[str, int] = {}
+    for r in readers:
+        for t, df in r.term_dfs(query, field).items():
+            dfs[t] = dfs.get(t, 0) + int(df)
+    merged: list[tuple[int, float]] = []
+    for r in readers:
+        merged.extend(r.search_with_stats(query, k, n_docs, avgdl, dfs, field))
+    merged.sort(key=lambda h: (-h[1], h[0]))
+    return merged[:k]
 
 
 class BatchSearcher:

@@ -116,3 +116,58 @@ def test_indices_boost_reorders_merge(dirs):
         if h["_index"] == bname:
             assert h["_score"] > 1.0  # scaled by 100
 
+
+
+def test_dfs_equals_unsplit_index(dirs, tmp_path_factory, ray_session):
+    """dfs_query_then_fetch: the split corpus scores bit-identically
+    to one index holding all six docs (global n/avgdl/df)."""
+    import pyarrow.parquet as pq
+
+    from raybm25.query.engine import IndexReader, search_dfs
+
+    tmp = tmp_path_factory.mktemp("dfsfull")
+    docs = sorted(DOCS_A + DOCS_B)
+    pq.write_table(
+        pa.table({"doc_id": [i for i, _ in docs], "text": [t for _, t in docs]}),
+        str(tmp / "all.parquet"),
+    )
+    full = str(tmp / "idx_all")
+    build_index(str(tmp / "all.parquet"), full, key_col="doc_id",
+                id_col="doc_id", ts_col=None, num_buckets=2)
+    for q in ("merge", "merge sort", "sort unrelated", "absentterm"):
+        assert search_dfs(dirs, q, k=10) == IndexReader(full).search(q, k=10)
+
+
+def test_dfs_differs_from_per_index_stats(dirs):
+    """The default per-index merge and the dfs merge disagree on
+    scores for a skewed split (that is the point of dfs)."""
+    from raybm25.query.dsl import run_query_multi_dfs
+
+    body = {"query": {"match": {"text": {"query": "merge"}}}, "size": 10}
+    dfs_hits = [
+        (h["_id"], h["_score"])
+        for h in run_query_multi_dfs(dirs, body)["hits"]["hits"]
+    ]
+    plain_hits = [
+        (h["_id"], h["_score"])
+        for h in run_query_multi(dirs, body)["hits"]["hits"]
+    ]
+    assert {i for i, _ in dfs_hits} == {i for i, _ in plain_hits}
+    assert dfs_hits != plain_hits  # scores (and order) shift under dfs
+
+
+def test_dfs_index_attribution_and_errors(dirs):
+    from raybm25.query.dsl import run_query_multi_dfs
+
+    body = {"query": {"match": {"text": {"query": "merge"}}}, "size": 10}
+    resp = run_query_multi_dfs(dirs, body)
+    import os
+
+    names = {os.path.basename(d) for d in dirs}
+    a_ids = {i for i, _ in DOCS_A}
+    for h in resp["hits"]["hits"]:
+        assert h["_index"] in names
+        expect = "idx_a" if h["_id"] in a_ids else "idx_b"
+        assert h["_index"] == expect
+    with pytest.raises(ValueError, match="match"):
+        run_query_multi_dfs(dirs, {"query": {"term": {"text": "merge"}}})
