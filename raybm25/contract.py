@@ -1811,6 +1811,79 @@ def q_composite_after(sf_dir: str):
     )
 
 
+def q_composite_multi_after(sf_dir: str):
+    """Multi-source composite aggregation (dsl run_query): compound
+    (lang, source) keys in lexicographic order with after-key cursor
+    pagination — page 2 of size 4
+    (engine.facet_composite_multi)."""
+    from .query.dsl import run_query
+
+    body = {
+        "size": 0,
+        "query": {"match": {"text": {"query": "merge"}}},
+        "aggs": {
+            "c": {
+                "composite": {
+                    "size": 4,
+                    "sources": [
+                        {"lang": {"terms": {"field": "lang"}}},
+                        {"src": {"terms": {"field": "source"}}},
+                    ],
+                }
+            }
+        },
+    }
+    r = _reader(sf_dir)
+    p1 = run_query(r, body)["aggregations"]["c"]
+    body["aggs"]["c"]["composite"]["after"] = p1["after_key"]
+    p2 = run_query(r, body)["aggregations"]["c"]
+    return pd.DataFrame(
+        {
+            "lang": [b["key"]["lang"] for b in p2["buckets"]],
+            "source": [b["key"]["src"] for b in p2["buckets"]],
+            "doc_count": pd.array(
+                [b["doc_count"] for b in p2["buckets"]], dtype="int64"
+            ),
+        }
+    )
+
+
+def q_composite_hist_after(sf_dir: str):
+    """Multi-source composite with a histogram source: (lang,
+    floor(n_chars/150)*150) compound buckets, page 2 of size 6."""
+    from .query.dsl import run_query
+
+    body = {
+        "size": 0,
+        "query": {"match": {"text": {"query": "merge"}}},
+        "aggs": {
+            "c": {
+                "composite": {
+                    "size": 6,
+                    "sources": [
+                        {"lang": {"terms": {"field": "lang"}}},
+                        {"nb": {"histogram": {"field": "n_chars",
+                                              "interval": 150}}},
+                    ],
+                }
+            }
+        },
+    }
+    r = _reader(sf_dir)
+    p1 = run_query(r, body)["aggregations"]["c"]
+    body["aggs"]["c"]["composite"]["after"] = p1["after_key"]
+    p2 = run_query(r, body)["aggregations"]["c"]
+    return pd.DataFrame(
+        {
+            "lang": [b["key"]["lang"] for b in p2["buckets"]],
+            "bucket": [float(b["key"]["nb"]) for b in p2["buckets"]],
+            "doc_count": pd.array(
+                [b["doc_count"] for b in p2["buckets"]], dtype="int64"
+            ),
+        }
+    )
+
+
 def q_terms_stats(sf_dir: str):
     """terms agg + stats sub-agg: per-lang count/min/max/sum/avg of
     n_chars over docs matching 'merge join'
@@ -5735,6 +5808,24 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT lang, count(*) AS doc_count FROM documents JOIN m USING(doc_id)"
         " GROUP BY lang ORDER BY lang"
     ),
+    # multi-source composite: page 2 (after-key pagination == key-order
+    # OFFSET in SQL — compound keys sort lexicographically by source)
+    "composite_multi_after": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')"
+        " SELECT lang, source, CAST(count(*) AS BIGINT) AS doc_count"
+        " FROM documents JOIN m USING(doc_id)"
+        " GROUP BY lang, source ORDER BY lang, source LIMIT 4 OFFSET 4"
+    ),
+    "composite_hist_after": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
+        " g AS (SELECT lang, floor(n_chars / 150) * 150 AS bucket"
+        " FROM documents JOIN m USING(doc_id))"
+        " SELECT lang, bucket, CAST(count(*) AS BIGINT) AS doc_count"
+        " FROM g GROUP BY lang, bucket ORDER BY lang, bucket"
+        " LIMIT 6 OFFSET 6"
+    ),
     "terms_stats_lang": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks"
@@ -6524,6 +6615,8 @@ QUERIES = {
     "agg_percentiles_nchars": q_agg_percentiles,
     "term_suggest": q_term_suggest,
     "composite_lang_after": q_composite_after,
+    "composite_multi_after": q_composite_multi_after,
+    "composite_hist_after": q_composite_hist_after,
     "terms_stats_lang": q_terms_stats,
     "date_histogram_errors": q_date_histogram,
     "pipeline_cumsum_daily": q_pipeline_cumsum,

@@ -1110,25 +1110,43 @@ def _aggregations(
                 )
             continue
         if isinstance(agg, dict) and "composite" in agg:
+            # multi-source composite: compound keys in lexicographic
+            # source order, after-key cursor pagination, dict keys —
+            # the OpenSearch export idiom for cross-product buckets
             comp = agg["composite"]
             srcs = comp.get("sources", [])
-            if len(srcs) != 1:
-                raise ValueError("composite supports exactly one source")
-            _, sspec = _one(srcs[0], "composite source")
-            skind, sbody = _one(sspec, "composite source body")
-            if skind != "terms":
-                raise ValueError("composite supports a terms source")
+            if not srcs:
+                raise ValueError("composite requires at least one source")
+            parsed: list[tuple[str, str, dict]] = []
+            for s in srcs:
+                sname, sspec = _one(s, "composite source")
+                skind, sbody = _one(sspec, "composite source body")
+                if skind not in ("terms", "histogram"):
+                    raise ValueError(
+                        "composite supports terms and histogram sources"
+                    )
+                parsed.append((sname, skind, sbody))
             after = comp.get("after")
-            rows = r.facet_composite(
+            after_t = None
+            if after is not None:
+                after_t = tuple(
+                    (str(after[sn]) if sk == "terms" else float(after[sn]))
+                    for sn, sk, _ in parsed
+                )
+            rows = r.facet_composite_multi(
                 qtext,
-                sbody["field"],
+                parsed,
                 size=int(comp.get("size", 10)),
-                after=None if after is None else str(next(iter(after.values()))),
+                after=after_t,
                 field=f,
             )
+            names_ = [sn for sn, _, _ in parsed]
             out[name] = {
-                "buckets": [{"key": k, "doc_count": c} for k, c in rows],
-                "after_key": {sbody["field"]: rows[-1][0]} if rows else None,
+                "buckets": [
+                    {"key": dict(zip(names_, k)), "doc_count": c}
+                    for k, c in rows
+                ],
+                "after_key": dict(zip(names_, rows[-1][0])) if rows else None,
             }
             continue
         akind, aspec = _one(agg, f"agg {name}")

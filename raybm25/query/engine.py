@@ -2043,6 +2043,53 @@ class IndexReader:
             u, c = u[cut:], c[cut:]
         return [(str(k), int(n)) for k, n in zip(u[:size], c[:size])]
 
+    def facet_composite_multi(
+        self,
+        query: str,
+        sources: list[tuple[str, str, dict]],
+        size: int = 10,
+        after: tuple | None = None,
+        field: str | None = None,
+    ) -> list[tuple[tuple, int]]:
+        """Composite aggregation over MULTIPLE sources — the OpenSearch
+        compound-key export idiom: buckets are (source1, source2, ...)
+        tuples in lexicographic key order with ``after``-tuple cursor
+        pagination, so a client can stream EVERY bucket of a
+        high-cardinality cross product without deep paging.
+
+        ``sources``: ``(name, kind, spec)`` per source, kind ``terms``
+        (keyword doc-value, string key) or ``histogram`` (numeric
+        doc-value bucketed to ``floor(v / interval) * interval``, float
+        key). One vectorized grouped count over the gathered doc-value
+        columns; per-shard at scale, merged by the coordinator exactly
+        like the single-source path."""
+        import pandas as pd
+
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        cols: dict[str, np.ndarray] = {}
+        for name, kind, spec in sources:
+            v = self._gather_column(cand, spec["field"])
+            if kind == "terms":
+                cols[name] = v.astype(str)
+            elif kind == "histogram":
+                interval = float(spec["interval"])
+                cols[name] = np.floor(v.astype(np.float64) / interval) * interval
+            else:
+                raise ValueError(
+                    f"composite source kind {kind!r}; supported: terms, histogram"
+                )
+        g = pd.DataFrame(cols).groupby(list(cols), sort=True).size()
+        rows = [
+            ((k if isinstance(k, tuple) else (k,)), int(n))
+            for k, n in g.items()
+        ]
+        if after is not None:
+            af = tuple(after)
+            rows = [rw for rw in rows if rw[0] > af]
+        return rows[:size]
+
     # ------------------------------------------------------------- geo
     # A geo_point field `f` is stored as two float64 doc-value columns
     # `{f}_lat` / `{f}_lon` (flat Arrow columns — no struct type in the

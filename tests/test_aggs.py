@@ -123,6 +123,31 @@ def test_composite_pagination(rdr):
     assert [k for k, _ in full] == sorted(k for k, _ in full)
 
 
+def test_composite_multi_pagination(rdr):
+    """Multi-source composite: paging with the after tuple reproduces
+    the full lexicographic compound-key list exactly once; bucket
+    counts sum to the match count; histogram keys are floored."""
+    r = rdr
+    srcs = [
+        ("lang", "terms", {"field": "lang"}),
+        ("sz", "histogram", {"field": "size", "interval": 10}),
+    ]
+    full = r.facet_composite_multi("alpha", srcs, size=1000)
+    assert [k for k, _ in full] == sorted(k for k, _ in full)
+    assert all(float(k[1]) % 10 == 0 for k, _ in full)
+    assert sum(c for _, c in full) == r._match_ordinals("alpha", None).size
+    paged, after = [], None
+    while True:
+        page = r.facet_composite_multi("alpha", srcs, size=2, after=after)
+        if not page:
+            break
+        paged.extend(page)
+        after = page[-1][0]
+    assert paged == full
+    with pytest.raises(ValueError, match="terms, histogram"):
+        r.facet_composite_multi("alpha", [("x", "range", {"field": "size"})])
+
+
 def test_terms_stats_vs_brute(rdr):
     r = rdr
     rows = r.facet_terms_stats("alpha", "lang", "size")
