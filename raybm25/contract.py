@@ -2702,6 +2702,57 @@ def q_fingerprint_stats(sf_dir: str):
     return out[["doc_id", "n_fingerprints"]].sort_values("doc_id").reset_index(drop=True)
 
 
+_M64 = "18446744073709551616::HUGEINT"
+
+
+def _mulmod64_sql(expr: str, c: int) -> str:
+    """SQL for ``(expr * c) mod 2^64`` over HUGEINT in [0, 2^64):
+    32-bit limb decomposition — a straight product of two ~2^64
+    HUGEINTs overflows INT128, so combine a0*c0 with the cross terms'
+    low 32 bits shifted back up (the a1*c1 term is all >= 2^64 and
+    vanishes under the modulus)."""
+    c0, c1 = c & 0xFFFFFFFF, c >> 32
+    a0 = f"(({expr}) % 4294967296::HUGEINT)"
+    a1 = f"(({expr}) // 4294967296::HUGEINT)"
+    cross = f"(({a1} * {c0}::HUGEINT + {a0} * {c1}::HUGEINT) % 4294967296::HUGEINT)"
+    return f"(({a0} * {c0}::HUGEINT + {cross} * 4294967296::HUGEINT) % {_M64})"
+
+
+def _splitmix64_signed_sql(expr: str, seed: int) -> str:
+    """SQL reproducing extras.shuffle.shuffle_key(expr, seed) exactly:
+    splitmix64 over ``expr XOR seed`` with the result as signed BIGINT
+    (the engine's int64 transport form)."""
+    h = f"xor({expr}, {seed}::HUGEINT)"
+    h = f"xor({h}, ({h}) // 1073741824::HUGEINT)"  # >> 30
+    h = _mulmod64_sql(h, 0xBF58476D1CE4E5B9)
+    h = f"xor({h}, ({h}) // 134217728::HUGEINT)"  # >> 27
+    h = _mulmod64_sql(h, 0x94D049BB133111EB)
+    h = f"xor({h}, ({h}) // 2147483648::HUGEINT)"  # >> 31
+    return (
+        f"CAST(CASE WHEN ({h}) >= 9223372036854775808::HUGEINT"
+        f" THEN ({h}) - {_M64} ELSE ({h}) END AS BIGINT)"
+    )
+
+
+def q_shuffle_head_docs(sf_dir: str):
+    """Deterministic distributed shuffle (extras/shuffle): first 20
+    docs in the (doc_id, seed=7)-determined pseudo-random order — sort
+    by the splitmix64 key, the reproducible-training-order idiom
+    (same corpus + seed => same order at any cluster size, unlike
+    random_shuffle). Oracle reproduces the key bit-exactly with
+    HUGEINT xor / multiply-mod-2^64 / shift-as-division."""
+    from .extras.shuffle import deterministic_shuffle
+
+    ds = deterministic_shuffle(_docs_ds(sf_dir, columns=("doc_id",)), seed=7)
+    head = ds.limit(20).to_pandas()
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(head) + 1), dtype="int64"),
+            "doc_id": head["doc_id"].astype("int64"),
+        }
+    )
+
+
 def q_dup_ngrams_top20(sf_dir: str):
     """Corpus-wide duplicated 8-grams (extras/substring.ngram_stats —
     the map-reduce form of Lee-et-al. exact substring dedup): top 20
@@ -6479,6 +6530,17 @@ ORACLE_SQL: dict[str, str] = {
     # Congruence note: SQL reduces mod 2^64 once per step on exact
     # HUGEINTs; numpy wraps every op — identical residues (ring
     # homomorphism), verified value-exact in tests.
+    # splitmix64 shuffle key, bit-exact in SQL (_splitmix64_sql): xor
+    # on HUGEINT, 64x64 multiply mod 2^64 in 32-bit limbs (a straight
+    # HUGEINT product of two ~2^64 values overflows INT128), logical
+    # right shift = floor division; signed BIGINT on both sides
+    "shuffle_head_docs": (
+        "WITH k AS (SELECT doc_id,"
+        f" {_splitmix64_signed_sql('CAST(doc_id AS HUGEINT)', 7)} AS key"
+        " FROM documents)"
+        " SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT)"
+        " AS rank, doc_id FROM k ORDER BY key, doc_id LIMIT 20"
+    ),
     # Duplicated 8-grams, bit-exact in SQL: same token hash as
     # fingerprint_stats, window hash = Horner list_reduce over the
     # 8-token slice; emitted as two's-complement BIGINT, the engine's
@@ -6698,6 +6760,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "fingerprint_stats": q_fingerprint_stats,
     "dup_ngrams_top20": q_dup_ngrams_top20,
+    "shuffle_head_docs": q_shuffle_head_docs,
     "dup_span_coverage": q_dup_span_coverage,
     "multimodal_meta": q_multimodal_meta,
     "media_meta_mp3": q_media_meta_mp3,
