@@ -139,6 +139,16 @@ def main(sf_dir: str, work: str) -> dict:
         .count()
     )
 
+    # 5a. deterministic shuffle: the training order is a pure function
+    # of (doc_id, seed) — identical on any cluster size, resumable
+    from raybm25.extras.shuffle import deterministic_shuffle
+
+    shuffled_path = os.path.join(work, "shuffled")
+    deterministic_shuffle(
+        ray.data.read_parquet(mixed_path), seed=42
+    ).write_parquet(shuffled_path)
+    counts["shuffled_docs"] = ray.data.read_parquet(shuffled_path).count()
+
     # 5b. concat-and-chop packing layout: global token offsets +
     # training-sequence spans via the distributed prefix sum
     from raybm25.extras.packing import pack_sequences
