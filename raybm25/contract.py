@@ -2388,6 +2388,47 @@ def q_knn_dsl(sf_dir: str):
     )
 
 
+def q_hybrid_minmax(sf_dir: str):
+    """Hybrid lexical+semantic with min-max SCORE normalization (the
+    OpenSearch normalization-processor pipeline, vs the rank-only RRF
+    of ``hybrid_bm25_knn``): each sub-query's top-50 scores normalize
+    to [0,1], combined as the weighted arithmetic mean (0.25 lexical /
+    0.75 semantic — exact binary floats so the weight sum is exactly
+    1.0 on both sides)."""
+    import pyarrow.parquet as pq
+
+    from .query.dsl import run_query
+    from .query.engine import IndexReader
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = (
+        emb.filter(pc_eq(emb.column("vec_id"), 7))
+        .column("embedding")
+        .to_pylist()[0]
+    )
+    r = IndexReader(docs_index_knn(sf_dir))
+    resp = run_query(
+        r,
+        {
+            "size": 12,
+            "query": {
+                "hybrid": {
+                    "queries": [
+                        {"match": {"text": {"query": "merge join"}}},
+                        {"knn": {"embedding": {"vector": qv, "k": 50}}},
+                    ],
+                    "normalization": "min_max",
+                    "weights": [0.25, 0.75],
+                    "window_size": 50,
+                }
+            },
+        },
+    )
+    return _hits_frame(
+        [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    )
+
+
 def q_hybrid_bm25_knn(sf_dir: str):
     """Hybrid lexical+semantic search: BM25 'merge join' fused with an
     exact-cosine knn ranking by reciprocal-rank fusion (1/(60+rank)
@@ -5420,6 +5461,34 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,"
         " doc_id, score FROM f ORDER BY rank LIMIT 12"
     ),
+    # min-max normalized hybrid: same candidate windows as the RRF
+    # entry, but score-based fusion — (s - min)/(max - min) within
+    # each window, weighted arithmetic mean across sub-queries
+    "hybrid_minmax_topk": (
+        "WITH a AS ("
+        + _bm25_sql("merge join", 50, cols="doc_id, score")
+        + "), astat AS (SELECT min(score) AS lo, max(score) AS hi FROM a),"
+        " an AS (SELECT doc_id, (score - lo) / (hi - lo) AS n FROM a, astat),"
+        # DOUBLE[] cast: float64 cosine like the engine (the bare
+        # float32 column diverges ~2e-8, which min-max amplification
+        # could push across the 6-dp hash boundary)
+        " qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+        " WHERE vec_id = 7),"
+        " ks AS (SELECT d.doc_id,"
+        " list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),"
+        " (SELECT v FROM qv)) AS s"
+        " FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),"
+        " b AS (SELECT doc_id, s FROM (SELECT doc_id, s,"
+        " row_number() OVER (ORDER BY s DESC, doc_id) AS rr FROM ks)"
+        " WHERE rr <= 50),"
+        " bstat AS (SELECT min(s) AS lo, max(s) AS hi FROM b),"
+        " bn AS (SELECT doc_id, (s - lo) / (hi - lo) AS n FROM b, bstat),"
+        " f AS (SELECT COALESCE(an.doc_id, bn.doc_id) AS doc_id,"
+        " (0.25 * COALESCE(an.n, 0) + 0.75 * COALESCE(bn.n, 0)) / 1.0 AS score"
+        " FROM an FULL JOIN bn USING(doc_id))"
+        " SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,"
+        " doc_id, score FROM f ORDER BY rank LIMIT 12"
+    ),
     "bm25_dismax": _bm25_dismax_sql(
         "merge src3 join", 15, ["text", "source"], tie_breaker=0.3
     ),
@@ -6713,6 +6782,7 @@ QUERIES = {
     "multi_terms_lang_source": q_multi_terms,
     "pack_sequences_docs": q_pack_sequences,
     "hybrid_rrf_topk": q_hybrid_rrf,
+    "hybrid_minmax_topk": q_hybrid_minmax,
     "hybrid_bm25_knn": q_hybrid_bm25_knn,
     "auto_date_histogram_errors": q_auto_date_histogram,
     "ingest_pipeline_docs": q_ingest_pipeline,

@@ -332,9 +332,48 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
         # contributes 1/(rank_constant + rank) over its top window_size
         # hits; contributions accumulate in sub-query order (pinned
         # float association), fused order = score desc, doc_id asc.
-        rc = int(spec.get("rank_constant", 60))
         window = int(spec.get("window_size", max(k, 100)))
-        fused: dict[int, float] = {}
+        if spec.get("normalization") == "min_max":
+            # score-based fusion (the OpenSearch normalization-processor
+            # pipeline): each sub-query's top-window scores are min-max
+            # normalized to [0, 1] — (s - min) / (max - min), a single
+            # surviving hit normalizes to 1.0 — then combined as the
+            # weighted arithmetic mean over ALL sub-queries (a doc
+            # absent from a sub-result contributes 0 there), weights
+            # defaulting to 1. Accumulation is in sub-query order
+            # (pinned float association).
+            weights = [
+                float(w)
+                for w in spec.get(
+                    "weights", [1.0] * len(spec["queries"])
+                )
+            ]
+            if len(weights) != len(spec["queries"]):
+                raise ValueError("hybrid weights must match queries 1:1")
+            wsum = 0.0
+            for w in weights:
+                wsum += w
+            fused = {}
+            for sq, w in zip(spec["queries"], weights):
+                sk, ss = _one(sq, "hybrid sub-query")
+                hits = _scored_hits(r, sk, ss, window)
+                if not hits:
+                    continue
+                scores = [s for _, s in hits]
+                lo, hi = min(scores), max(scores)
+                rng = hi - lo
+                for d, s in hits:
+                    norm = 1.0 if rng == 0.0 else (s - lo) / rng
+                    fused[d] = fused.get(d, 0.0) + w * norm
+            ranked = sorted(
+                ((d, s / wsum) for d, s in fused.items()),
+                key=lambda t: (-t[1], t[0]),
+            )
+            return ranked[:k]
+        # reciprocal-rank fusion (the default): each sub-query
+        # contributes 1/(rank_constant + rank) over its top window
+        rc = int(spec.get("rank_constant", 60))
+        fused = {}
         for sq in spec["queries"]:
             sk, ss = _one(sq, "hybrid sub-query")
             hits = _scored_hits(r, sk, ss, window)

@@ -237,6 +237,66 @@ def test_hybrid_rrf_fuses_rankings(idx):
         assert got[0]["_id"] in both
 
 
+def test_hybrid_minmax_normalization(idx):
+    """Score-based fusion: min-max within each sub-window, weighted
+    arithmetic mean across sub-queries (absent = 0)."""
+    q1 = {"match": {"text": {"query": "merge"}}}
+    q2 = {"match": {"text": {"query": "quick"}}}
+    h1 = run_query(idx, {"query": q1, "size": 100})["hits"]["hits"]
+    h2 = run_query(idx, {"query": q2, "size": 100})["hits"]["hits"]
+    w = [0.25, 0.75]
+    fused = {}
+    for hits, wi in zip((h1, h2), w):
+        scores = [h["_score"] for h in hits]
+        lo, hi = min(scores), max(scores)
+        for h in hits:
+            n = 1.0 if hi == lo else (h["_score"] - lo) / (hi - lo)
+            fused[h["_id"]] = fused.get(h["_id"], 0.0) + wi * n
+    want = sorted(
+        ((d, s / 1.0) for d, s in fused.items()), key=lambda t: (-t[1], t[0])
+    )[:5]
+    got = run_query(
+        idx,
+        {
+            "query": {
+                "hybrid": {
+                    "queries": [q1, q2],
+                    "normalization": "min_max",
+                    "weights": w,
+                    "window_size": 100,
+                }
+            },
+            "size": 5,
+        },
+    )["hits"]["hits"]
+    assert [(h["_id"], h["_score"]) for h in got] == want
+    # each sub-query's own top hit carries normalized score 1.0, so a
+    # lexical-only weighting returns exactly the lexical ranking head
+    only1 = run_query(
+        idx,
+        {
+            "query": {
+                "hybrid": {
+                    "queries": [q1, q2],
+                    "normalization": "min_max",
+                    "weights": [1.0, 0.0],
+                    "window_size": 100,
+                }
+            },
+            "size": 1,
+        },
+    )["hits"]["hits"]
+    assert only1[0]["_id"] == h1[0]["_id"]
+    assert only1[0]["_score"] == 1.0
+    with pytest.raises(ValueError, match="weights"):
+        run_query(
+            idx,
+            {"query": {"hybrid": {"queries": [q1, q2],
+                                  "normalization": "min_max",
+                                  "weights": [1.0]}}},
+        )
+
+
 def test_multi_terms_needs_two_fields(idx):
     r = IndexReader(idx)
     with pytest.raises(ValueError, match="two term sources"):
