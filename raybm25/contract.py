@@ -6906,6 +6906,7 @@ _DRIVER_PRIORITY = [
     "resize_split_bm25", "reindex_query_bm25",
     "dup_ngrams_top20", "dup_span_coverage", "dfs_multi_bm25",
     "shuffle_head_docs", "composite_multi_after", "composite_hist_after",
+    "hybrid_minmax_topk",
     "hybrid_bm25_knn", "pack_sequences_docs", "mixture_sample_docs",
     "pipeline_bucket_math", "geo_distance_docs", "geotile_grid_docs",
     "significant_text_sampled", "runtime_field_sort",
