@@ -176,17 +176,14 @@ def q_reindex_query_bm25(sf_dir: str):
     ``bm25_filtered`` entry keeps corpus-global stats). Oracle: the
     same pinned BM25 SQL with its corpus CTE restricted to docs
     containing 'merge'."""
-    import shutil
-
     from .query.engine import IndexReader
 
     if sf_dir not in _REINDEX_CACHE:
         from .loader.resize import reindex
 
         dest = os.path.join(CACHE_ROOT, f"docidx_ri_{_tag(sf_dir)}")
-        # the export dir is resumable by design; a fresh process can't
-        # prove a leftover one matches THIS corpus, so start clean
-        shutil.rmtree(dest + ".export", ignore_errors=True)
+        # reindex's own sidecar guard clears a leftover export dir
+        # whose query/source doesn't match this run
         reindex(docs_index(sf_dir), dest, "merge", overwrite=True)
         _REINDEX_CACHE[sf_dir] = dest
     r = IndexReader(_REINDEX_CACHE[sf_dir])

@@ -163,7 +163,10 @@ class BloomLookup:
     def __init__(self, hashes: np.ndarray, bits_per_key: int = 12, k: int = 4):
         n_bits = max(64, int(bits_per_key) * max(1, hashes.size))
         self.n_bits = 1 << int(np.ceil(np.log2(n_bits)))
-        self.mask = np.uint64(self.n_bits - 1)
+        # Fibonacci-hash addressing: take the TOP log2(n_bits) bits of
+        # the 64-bit product (a fixed >>40 would cap usable addresses
+        # at 2^24 and saturate any larger table)
+        self.shift = np.uint64(64 - int(np.log2(self.n_bits)))
         self.k = int(k)
         self.bits = np.zeros(self.n_bits // 8, dtype=np.uint8)
         for i in range(self.k):
@@ -172,7 +175,7 @@ class BloomLookup:
 
     def _probe(self, h: np.ndarray, i: int) -> np.ndarray:
         c = np.uint64(0x9E3779B97F4A7C15 + 2 * i + 1)
-        return ((h * c) >> np.uint64(40)) & self.mask
+        return (h * c) >> self.shift
 
     def contains(self, h: np.ndarray) -> np.ndarray:
         out = np.ones(h.size, dtype=bool)
@@ -200,7 +203,13 @@ class DupSpanStage:
     ``lookup_ref`` is a ``ray.put`` handle to an :class:`_ExactLookup`
     or :class:`BloomLookup` — fetched ONCE per actor, shared zero-copy
     by every batch. Emits ``(doc_id, dl, n_covered)`` and, when
-    ``scrub=True``, ``text`` with the covered tokens removed."""
+    ``scrub=True``, ``text`` with the covered spans CUT FROM THE
+    ORIGINAL text (character spans of the covered tokens' runs, the
+    Lee-et-al. semantics): untouched docs come back byte-identical,
+    and casing/punctuation outside the cut spans survives. (One edge:
+    a ``str.lower()`` that changes the string LENGTH — e.g. U+0130 —
+    breaks span alignment; such docs fall back to a lowercased
+    token-join of the kept tokens.)"""
 
     def __init__(
         self,
@@ -216,6 +225,29 @@ class DupSpanStage:
         self.w = int(w)
         self.scrub = bool(scrub)
 
+    @staticmethod
+    def _cut_spans(t: str, lowered: str, cov: np.ndarray) -> str:
+        """Original text with each covered token RUN's character span
+        removed (run start-char .. run end-char; separators between
+        kept segments survive as-is)."""
+        matches = list(TOKEN_RE.finditer(lowered))
+        parts: list[str] = []
+        pos = 0
+        i = 0
+        n = len(matches)
+        while i < n:
+            if cov[i]:
+                j = i
+                while j + 1 < n and cov[j + 1]:
+                    j += 1
+                parts.append(t[pos:matches[i].start()])
+                pos = matches[j].end()
+                i = j + 1
+            else:
+                i += 1
+        parts.append(t[pos:])
+        return "".join(parts)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         findall = TOKEN_RE.findall
@@ -223,17 +255,16 @@ class DupSpanStage:
         covered = np.zeros(len(texts), dtype=np.int64)
         scrubbed: list[str] = []
         for di, t in enumerate(texts):
-            toks = findall(t.lower()) if isinstance(t, str) else []
+            if not isinstance(t, str):
+                t = ""
+            lowered = t.lower()
+            toks = findall(lowered)
             dls[di] = len(toks)
             h = window_hashes(toks, self.w)
-            if h.size == 0:
+            member = self.lookup.contains(h) if h.size else None
+            if member is None or not member.any():
                 if self.scrub:
-                    scrubbed.append(" ".join(toks))
-                continue
-            member = self.lookup.contains(h)
-            if not member.any():
-                if self.scrub:
-                    scrubbed.append(" ".join(toks))
+                    scrubbed.append(t)  # untouched docs stay byte-identical
                 continue
             starts = np.flatnonzero(member)
             # union of [i, i+W) via a boundary diff-array
@@ -243,11 +274,19 @@ class DupSpanStage:
             cov = np.cumsum(diff[:-1]) > 0
             covered[di] = int(cov.sum())
             if self.scrub:
-                keep = ~cov
-                scrubbed.append(" ".join(tok for tok, k in zip(toks, keep) if k))
+                if len(lowered) == len(t):
+                    scrubbed.append(self._cut_spans(t, lowered, cov))
+                else:  # length-changing lower() (rare): lossy fallback
+                    scrubbed.append(
+                        " ".join(tok for tok, c in zip(toks, cov) if not c)
+                    )
         # pass every input column through (downstream stages keep their
-        # lang/meta columns); replace the text only when scrubbing
-        out = batch
+        # lang/meta columns); replace the text only when scrubbing.
+        # Pre-existing dl / n_covered columns (e.g. a docstore export)
+        # are replaced, not duplicated.
+        out = batch.drop_columns(
+            [c for c in ("dl", "n_covered") if c in batch.column_names]
+        )
         if self.scrub:
             out = out.set_column(
                 out.column_names.index(self.text_col),

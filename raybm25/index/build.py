@@ -1105,6 +1105,9 @@ def _commit_build(
     man.data["corpus"] = {
         "n_docs": n_docs,
         "sum_dl": sum_dl,
+        # exact integer per-field sums: dfs_query_then_fetch merges
+        # these across indices so global avgdl is bit-exact
+        "sum_dl_fields": {c: int(v) for c, v in sum_dl_fields.items()},
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
         "avgdl_fields": {
             c: (v / n_docs) if n_docs else 0.0 for c, v in sum_dl_fields.items()

@@ -171,6 +171,35 @@ def reindex(
     man = _load_hash_manifest(src_dir, "reindex")
     export_dir = dest_dir.rstrip("/") + ".export"
 
+    # resume guard: export_matching skips any existing part file purely
+    # by name, so a leftover export from a DIFFERENT query (or an
+    # updated source index) would silently feed stale docs into the
+    # rebuild. A sidecar records what the export dir holds; mismatch
+    # (or files with no sidecar) clears it and re-exports.
+    import json
+    import shutil
+
+    meta = {
+        "src_dir": os.path.abspath(src_dir),
+        "query": query,
+        "field": field,
+        "src_docs_phase": man.data.get("phases", {}).get("docs", {}),
+    }
+    meta_path = os.path.join(export_dir, "_reindex_meta.json")
+    if os.path.isdir(export_dir):
+        prior = None
+        try:
+            with open(meta_path) as fh:
+                prior = json.load(fh)
+        except (OSError, ValueError):
+            prior = None
+        if prior != meta:
+            shutil.rmtree(export_dir)
+    os.makedirs(export_dir, exist_ok=True)
+    with open(meta_path + ".tmp", "w") as fh:
+        json.dump(meta, fh)
+    os.replace(meta_path + ".tmp", meta_path)
+
     from .export import export_matching
 
     stats = export_matching(src_dir, export_dir, query, field)

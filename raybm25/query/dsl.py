@@ -353,6 +353,8 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
             wsum = 0.0
             for w in weights:
                 wsum += w
+            if wsum == 0.0:
+                raise ValueError("hybrid weights must not all be zero")
             fused = {}
             for sq, w in zip(spec["queries"], weights):
                 sk, ss = _one(sq, "hybrid sub-query")
@@ -2170,8 +2172,8 @@ def run_query_multi_dfs(index_dirs: list, body: dict) -> dict:
     from .engine import search_dfs
 
     size = int(body.get("size", 10))
-    q = body.get("query", {"match_all": {}})
-    if list(q) != ["match"]:
+    q = body.get("query")
+    if not isinstance(q, dict) or list(q) != ["match"]:
         raise ValueError(
             "dfs_query_then_fetch supports a 'match' query body"
         )
@@ -2180,7 +2182,10 @@ def run_query_multi_dfs(index_dirs: list, body: dict) -> dict:
     readers = [
         d if isinstance(d, IndexReader) else IndexReader(d) for d in index_dirs
     ]
-    hits = search_dfs(readers, str(text), size)
+    # field wired through: a non-primary match field scores against its
+    # own per-field postings/avgdl, same as the single-index path
+    field = None if fname == readers[0].primary_field else fname
+    hits = search_dfs(readers, str(text), size, field=field)
     names = {
         id(r): _os.path.basename(_os.path.normpath(r.index_dir)) for r in readers
     }
@@ -2200,7 +2205,10 @@ def run_query_multi_dfs(index_dirs: list, body: dict) -> dict:
          "_index": owner.get(int(d))}
         for d, s in hits
     ]
-    return {"hits": {"total": {"value": len(out_hits)}, "hits": out_hits}}
+    # exact match total: per-index match counts sum (disjoint corpora),
+    # not the page length
+    total = sum(int(r._match_ordinals(str(text), field).size) for r in readers)
+    return {"hits": {"total": {"value": total}, "hits": out_hits}}
 
 
 def run_query_multi(index_dirs: list, body: dict) -> dict:

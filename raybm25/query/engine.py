@@ -3912,9 +3912,18 @@ def search_dfs(
     if field is None:
         sum_dl = sum(int(r.manifest["corpus"]["sum_dl"]) for r in readers)
     else:
-        sum_dl = sum(
-            int(r.manifest["corpus"]["sum_dl_fields"][field]) for r in readers
-        )
+
+        def _field_sum(r: IndexReader) -> int:
+            corpus = r.manifest["corpus"]
+            sdf = corpus.get("sum_dl_fields")
+            if sdf is not None:
+                return int(sdf[field])
+            # pre-sum_dl_fields manifest: the stored per-field avgdl is
+            # the exact integer sum / n_docs in one float64 division,
+            # which round() inverts exactly at any plausible corpus size
+            return round(float(corpus["avgdl_fields"][field]) * r.n_docs)
+
+        sum_dl = sum(_field_sum(r) for r in readers)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
     dfs: dict[str, int] = {}
     for r in readers:

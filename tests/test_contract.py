@@ -10,6 +10,17 @@ import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# Entries whose oracle can only match to the driver's 6-dp bar (see the
+# float-compare comment below); everything else must match bit-exactly.
+ULP_TOLERANT = {
+    "agg_ttest_lang",      # Welch dof: numpy vs DuckDB accumulation order
+    "geo_centroid_agg",    # float means of derived degrees
+    "hybrid_minmax_topk",  # cosine over float32-stored vectors
+    "knn_dsl",             # same float32-storage cosine
+    "embedding_cosine_topk",
+    "embedding_neardup",
+}
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -63,15 +74,22 @@ def test_queries_match_oracle(qname, ray_session, con):
 
             # equal_nan: NULL range bounds (open-ended aggs) surface as
             # NaN on both sides; the driver's CSV hash treats them equal.
-            # The driver's float-equality definition is round-to-6dp —
-            # a few derived statistics (Welch dof, centroid means) sit
-            # an ULP apart between numpy and DuckDB accumulation; hold
-            # the bit-exact bar where it already holds (BM25 scores)
-            # and the driver's bar otherwise.
+            # Bit-exactness is the bar for every entry EXCEPT the
+            # allowlisted few whose engine-vs-DuckDB accumulation
+            # differs structurally at the ULP level (Welch dof /
+            # centroid means: parallel-agg order; min-max hybrid:
+            # float32-storage cosine) — those get the driver's
+            # round-to-6dp definition. A BM25-score regression of 1e-7
+            # still fails here.
             af, bf = a.astype(float), b.astype(float)
-            assert np.array_equal(af, bf, equal_nan=True) or np.array_equal(
-                np.round(af, 6), np.round(bf, 6), equal_nan=True
-            ), f"{qname}.{col} float values"
+            if qname in ULP_TOLERANT:
+                assert np.array_equal(
+                    np.round(af, 6), np.round(bf, 6), equal_nan=True
+                ), f"{qname}.{col} float values (6dp)"
+            else:
+                assert np.array_equal(
+                    af, bf, equal_nan=True
+                ), f"{qname}.{col} float values (bit-exact)"
         else:
             assert (a == b).all(), f"{qname}.{col} values"
 

@@ -171,3 +171,61 @@ def test_dfs_index_attribution_and_errors(dirs):
         assert h["_index"] == expect
     with pytest.raises(ValueError, match="match"):
         run_query_multi_dfs(dirs, {"query": {"term": {"text": "merge"}}})
+    with pytest.raises(ValueError, match="match"):
+        run_query_multi_dfs(dirs, {"size": 5})  # missing query
+
+
+def test_dfs_total_is_match_count(dirs):
+    from raybm25.query.dsl import run_query_multi_dfs
+
+    resp = run_query_multi_dfs(
+        dirs, {"query": {"match": {"text": {"query": "merge"}}}, "size": 2}
+    )
+    assert len(resp["hits"]["hits"]) == 2
+    # 4 of the 6 fixture docs contain 'merge'
+    assert resp["hits"]["total"]["value"] == 4
+
+
+def test_dfs_multifield_uses_named_field(ray_session, tmp_path_factory):
+    """The match field must be wired through to per-field postings and
+    stats, not silently fall back to the primary field."""
+    import pyarrow.parquet as pq
+
+    from raybm25.query.dsl import run_query_multi_dfs
+    from raybm25.query.engine import IndexReader, search_dfs
+
+    tmp = tmp_path_factory.mktemp("dfsmf")
+    rows = [
+        (0, "apple banana", "cherry plum"),
+        (1, "cherry cherry", "apple apple apple"),
+        (2, "plum plum", "apple orange"),
+        (3, "apple plum", "orange orange"),
+    ]
+    dirs2, full = [], None
+    for name, sel in (("x", (0, 1)), ("y", (2, 3)), ("all", (0, 1, 2, 3))):
+        sub = [rows[i] for i in sel]
+        p = str(tmp / f"{name}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": [r[0] for r in sub],
+                      "text": [r[1] for r in sub],
+                      "title": [r[2] for r in sub]}),
+            p,
+        )
+        idx = str(tmp / f"idx_{name}")
+        build_index(p, idx, key_col="doc_id", id_col="doc_id", ts_col=None,
+                    text_cols=("text", "title"), num_buckets=2)
+        if name == "all":
+            full = idx
+        else:
+            dirs2.append(idx)
+    # title-field search differs from text-field search AND matches the
+    # unsplit index's title-field ranking bit-for-bit
+    want = IndexReader(full).search("apple", k=10, field="title")
+    got = search_dfs(dirs2, "apple", k=10, field="title")
+    assert got == want
+    assert got != search_dfs(dirs2, "apple", k=10)
+    resp = run_query_multi_dfs(
+        dirs2,
+        {"query": {"match": {"title": {"query": "apple"}}}, "size": 10},
+    )
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == want

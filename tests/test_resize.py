@@ -105,6 +105,26 @@ def test_reindex_full_copy_matches_resize(src_index, tmp_path_factory):
     assert b.search_pruned("kenzin tosa", 10) == a.search_pruned("kenzin tosa", 10)
 
 
+def test_reindex_stale_export_cleared(src_index, tmp_path):
+    """The export dir's sidecar guard: a leftover export from a
+    DIFFERENT query must not leak its docs into a new reindex."""
+    from raybm25.loader.resize import reindex
+
+    dest = str(tmp_path / "idx")
+    m1 = reindex(src_index, dest, "kenzin")
+    # same dest (=> same export dir), different query: without the
+    # guard, export_matching would skip the existing part files and
+    # rebuild from the 'kenzin' docs
+    m2 = reindex(src_index, dest, "tosa", overwrite=True)
+    a = IndexReader(src_index)
+    tosa_ids = {d for d, _ in a.search("tosa", k=a.n_docs)}
+    assert m2["exported"] == len(tosa_ids) != m1["exported"]
+    assert IndexReader(dest).n_docs == len(tosa_ids)
+    # rerunning the SAME query resumes (sidecar matches, export kept)
+    m3 = reindex(src_index, dest, "tosa", overwrite=True)
+    assert m3["exported"] == m2["exported"]
+
+
 def test_reindex_no_match_raises(src_index, tmp_path):
     from raybm25.loader.resize import reindex
 

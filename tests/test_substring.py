@@ -77,17 +77,44 @@ def test_dup_span_coverage_exact(ray_session):
 
 
 def test_scrub_removes_exactly_covered(ray_session):
+    """Covered spans are cut from the ORIGINAL text (separators around
+    the cut survive); untouched docs come back byte-identical."""
+    from raybm25.extras.textstats import TOKEN_RE
+
+    src = dict(zip(_corpus().column("doc_id").to_pylist(),
+                   _corpus().column("text").to_pylist()))
     ds = ray.data.from_arrow(_corpus())
     out = scrub_dup_spans(ds, w=8).to_pandas().set_index("doc_id")
-    assert out.loc[1, "text"] == "alpha beta gamma delta"
-    assert out.loc[2, "text"] == "omega psi chi phi upsilon"
-    assert out.loc[3, "text"] == "one two three four five six"
-    # untouched docs keep every token (normalized to analyzer form)
+    assert out.loc[1, "text"] == "alpha beta  gamma delta"
+    assert out.loc[2, "text"] == " omega psi chi phi upsilon"
+    assert out.loc[3, "text"] == "one two three four five six "
+    # untouched docs are byte-identical to the input
     for d in (4, 5):
-        assert len(out.loc[d, "text"].split()) == out.loc[d, "dl"]
+        assert out.loc[d, "text"] == src[d]
     assert (
-        out["dl"] - out["n_covered"] == out["text"].str.split().map(len)
+        out["dl"] - out["n_covered"]
+        == out["text"].map(lambda t: len(TOKEN_RE.findall(t.lower())))
     ).all()
+
+
+def test_scrub_preserves_case_and_punctuation(ray_session):
+    """The kept text keeps its original bytes: casing, punctuation and
+    whitespace outside the cut spans survive."""
+    shared = "one two three four five six seven eight"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": [
+                f"U.S. GDP grew 3.1%! {shared} (see Fig. 2)",
+                f"{shared} -- unrelated TAIL here, ok?",
+            ],
+        }
+    )
+    out = scrub_dup_spans(ray.data.from_arrow(tbl), w=8).to_pandas()
+    t1 = out.set_index("doc_id").loc[1, "text"]
+    assert t1 == "U.S. GDP grew 3.1%!  (see Fig. 2)"
+    t2 = out.set_index("doc_id").loc[2, "text"]
+    assert t2 == " -- unrelated TAIL here, ok?"
 
 
 def test_bloom_lookup_no_false_negatives():
@@ -112,6 +139,36 @@ def test_bloom_coverage_superset_of_exact(ray_session):
     bl_stage = DupSpanStage(_ray.put(BloomLookup(dup)), w=8)
     bloom = bl_stage(_corpus()).to_pandas().set_index("doc_id")
     assert (bloom["n_covered"] >= exact["n_covered"]).all()
+
+
+def test_bloom_addresses_full_table():
+    """Fibonacci-hash probes must reach the WHOLE bit array — a fixed
+    shift capped addressing at 2^24 bits and saturated bigger tables."""
+    rng = np.random.default_rng(5)
+    members = rng.integers(0, 2**64, 64, dtype=np.uint64)
+    bl = BloomLookup(members, bits_per_key=2**21)  # n_bits = 2^27
+    assert bl.n_bits == 2**27
+    probes = bl._probe(rng.integers(0, 2**64, 20000, dtype=np.uint64), 0)
+    assert int(probes.max()) > 2**24  # top region actually addressed
+    assert int(probes.max()) < bl.n_bits
+    assert bl.contains(members).all()
+
+
+def test_dup_span_stage_replaces_existing_counter_columns(ray_session):
+    """Input already carrying dl / n_covered (a docstore export) gets
+    them REPLACED, not duplicated."""
+    import ray as _ray
+
+    tbl = _corpus().append_column(
+        "dl", pa.array([99] * 5, pa.int64())
+    )
+    from raybm25.extras.substring import dup_hashes
+
+    dup = dup_hashes(ray.data.from_arrow(_corpus()), w=8)
+    stage = DupSpanStage(_ray.put(_ExactLookup(dup)), w=8)
+    out = stage(tbl)
+    assert out.column_names.count("dl") == 1
+    assert out.column("dl").to_pylist()[0] != 99  # recomputed
 
 
 def test_empty_and_null_text(ray_session):
