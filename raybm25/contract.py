@@ -612,6 +612,135 @@ def _geo_index(sf_dir: str) -> str:
     return idx
 
 
+# ------------------------------------------------------- analyzer chains
+_STEM_INDEX_CACHE: dict[str, str] = {}
+
+# The synthetic corpus vocabulary has no inflected forms, so the
+# stemmer entries index a derived text with a deterministic plural
+# variant: every standalone token ``row`` becomes ``rows``. The same
+# rewrite is one regexp_replace in the oracle SQL, so engine and
+# oracle stay derivable from the shared input table.
+_STEM_REWRITE_RE = r"\brow\b"
+
+
+def _stem_index(sf_dir: str) -> str:
+    """documents (with the plural rewrite) indexed under the
+    english-stopword + S-stemmer analyzer chain
+    (analysis.analyzer_spec; SURVEY.md §2.B B1 — OpenSearch custom
+    analyzers with ``stop`` + ``stemmer`` token filters)."""
+    if sf_dir in _STEM_INDEX_CACHE:
+        return _STEM_INDEX_CACHE[sf_dir]
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .analysis import analyzer_spec
+
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    src = os.path.join(CACHE_ROOT, f"stemdocs_{_tag(sf_dir)}.parquet")
+    if not os.path.exists(src):
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+        )
+        t = t.set_column(
+            t.schema.get_field_index("text"),
+            "text",
+            pc.replace_substring_regex(t.column("text"), _STEM_REWRITE_RE, "rows"),
+        )
+        tmp = src + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, src)
+    idx = os.path.join(CACHE_ROOT, f"stemidx_{_tag(sf_dir)}")
+    build_index(
+        src,
+        idx,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("text",),
+        keyword_cols=("lang",),
+        stored_cols=["text", "lang"],
+        num_buckets=8,
+        analyzer=analyzer_spec(stopwords="_english_", stemmer="s"),
+    )
+    _STEM_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def _stem_toks_cte() -> str:
+    """Token-stream CTE matching the _stem_index analyzer chain:
+    plural rewrite -> standard tokenizer -> english stop filter ->
+    Harman S-stemmer (analysis.SQL_S_STEM_EXPR is generated from the
+    same rule table as analysis.s_stem)."""
+    from .analysis import SQL_S_STEM_EXPR, STOPWORDS_EN
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN))
+    stem = SQL_S_STEM_EXPR.format(t="tok")
+    return (
+        f"toks AS (SELECT doc_id, {stem} AS term FROM ("
+        "SELECT doc_id, unnest(regexp_extract_all(lower("
+        f"regexp_replace(text, '{_STEM_REWRITE_RE}', 'rows', 'g')), '[a-z0-9]+'))"
+        " AS tok FROM documents)"
+        f" WHERE tok NOT IN ({stoplist}))"
+    )
+
+
+_STOP_DL_TOKS = _stem_toks_cte()
+
+
+def q_stem_bm25_topk(sf_dir: str):
+    """BM25 top-20 over the stop+S-stem analyzer index. The query
+    carries a stopword ('the', dropped by the chain) and the stemmed
+    family probe ('row' matches the rewritten 'rows' corpus tokens);
+    stop removal also changes every dl/avgdl, so the whole analyzed
+    scoring chain is oracle-checked, not just the match set."""
+    from .query.engine import IndexReader
+
+    r = IndexReader(_stem_index(sf_dir))
+    return _hits_frame(r.search("the row merge", k=20))
+
+
+def q_stem_match_docs(sf_dir: str):
+    """Filter-context stemmed match: the PLURAL query 'rows' stems to
+    'row', matching every doc whose original text held 'row' (the
+    rewrite made them all plural)."""
+    from .query.engine import IndexReader
+
+    r = IndexReader(_stem_index(sf_dir))
+    hits = r.search("rows", k=r.n_docs)
+    ids = np.sort(np.array([d for d, _ in hits], dtype=np.int64))
+    return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
+
+
+def q_stop_dl(sf_dir: str):
+    """Per-doc analyzed token count (dl) on the analyzer index:
+    stopword removal must be reflected in the stored BM25 norms."""
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        os.path.join(_stem_index(sf_dir), "docs"), columns=["doc_id", "dl"]
+    ).to_pandas()
+    docs["doc_id"] = docs["doc_id"].astype("int64")
+    docs["dl"] = docs["dl"].astype("int64")
+    return docs.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_synonym_match_docs(sf_dir: str):
+    """Query-time synonym group, filter context (Lucene SynonymQuery's
+    match set): docs containing ANY of the group's analyzed variants.
+    'matrix' is absent from the corpus vocabulary — absent members
+    must not disturb the union."""
+    r = _reader(sf_dir)
+    ids = r.synonym_docs(["vector", "matrix", "spark"]).astype(np.int64)
+    return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
+
+
+def q_synonym_blended_topk(sf_dir: str):
+    """Blended synonym scoring (Lucene SynonymQuery: one pseudo-term
+    with docFreq = max member df, per-doc tf = sum of member tfs)."""
+    r = _reader(sf_dir)
+    return _hits_frame(r.search_synonym(["vector", "stream"], k=20))
+
+
 def q_geo_distance(sf_dir: str):
     """``geo_distance`` query: docs within 3000 km of (10, 20) —
     one gather per coordinate column over the live ordinal set, one
@@ -4353,8 +4482,13 @@ def _bm25_sql(
     offset: int = 0,
     score_expr: str | None = None,
     corpus_terms: list[str] | None = None,
+    toks_cte: str | None = None,
+    qterms: list[str] | None = None,
 ) -> str:
-    qcounts = Counter(tokenize(query))
+    # toks_cte: replacement token-stream CTE (must be named ``toks``)
+    # for non-default analyzer chains; qterms: the pre-analyzed query
+    # token list matching that chain (default: standard tokenize).
+    qcounts = Counter(tokenize(query) if qterms is None else qterms)
     terms = sorted(qcounts)
     in_list = ", ".join(f"'{t}'" for t in terms)
     if corpus_terms:
@@ -4378,7 +4512,7 @@ def _bm25_sql(
         ]
     else:
         parts = [
-            f"WITH {TOKS_CTE},",
+            f"WITH {toks_cte or TOKS_CTE},",
             "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),",
             "stats AS (SELECT (SELECT count(*) FROM documents) AS n,"
             " (SELECT count(*) FROM toks) / (SELECT count(*) FROM documents) AS avgdl),",
@@ -4432,6 +4566,34 @@ def _bm25_sql(
         f" AS rank, doc_id, score FROM {src}) ORDER BY rank{limit}"
     )
     return "\n".join(parts)
+
+
+def _synonym_sql(variants: list[str], k: int) -> str:
+    """Oracle for Lucene SynonymQuery blended scoring: one pseudo-term
+    whose df is the MAX member df and whose per-doc tf is the SUM of
+    member tfs (same float association as IndexReader.search_synonym:
+    idf * (tf / (tf + k1*((1-b) + (b*dl)/avgdl))); the tf sum is
+    integer-valued so summation order cannot wobble)."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(variants)))
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),\n"
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n,"
+        " (SELECT count(*) FROM toks) / (SELECT count(*) FROM documents) AS avgdl),\n"
+        "tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks"
+        f" WHERE term IN ({in_list}) GROUP BY doc_id, term),\n"
+        "dfm AS (SELECT max(df) AS df FROM"
+        " (SELECT term, count(*) AS df FROM tfq GROUP BY term)),\n"
+        "agg AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS tf FROM tfq"
+        " GROUP BY doc_id),\n"
+        "scored AS (SELECT agg.doc_id,"
+        " ln(1 + (stats.n - dfm.df + 0.5)/(dfm.df + 0.5)) *"
+        f" (agg.tf/(agg.tf + {BM25_K1}*(1 - {BM25_B} + {BM25_B}*dl.dl/stats.avgdl)))"
+        " AS score FROM agg JOIN dl USING(doc_id), stats, dfm)\n"
+        "SELECT rank, doc_id, score FROM"
+        " (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,"
+        f" doc_id, score FROM scored) ORDER BY rank LIMIT {k}"
+    )
 
 
 def _match_bool_prefix_sql(query: str, k: int) -> str:
@@ -5334,6 +5496,29 @@ ORACLE_SQL: dict[str, str] = {
     "resize_split_bm25": _bm25_sql("merge", 12),
     "reindex_query_bm25": _bm25_sql("join filter", 10, corpus_terms=["merge"]),
     "bm25_topk_multi": _bm25_sql("merge join filter", 10),
+    # analyzer-chain entries: the toks CTE applies the identical
+    # rewrite -> tokenize -> stop -> S-stem chain the index was built
+    # with; the query-side chain drops 'the' and keeps row/merge
+    "stem_bm25_topk": _bm25_sql(
+        "the row merge", 20, toks_cte=_stem_toks_cte(), qterms=["row", "merge"]
+    ),
+    # plural query 'rows' S-stems to 'row'; the rewritten corpus docs
+    # that match are exactly the docs whose ORIGINAL text held 'row'
+    "stem_match_docs": (
+        f"WITH {TOKS_CTE} SELECT DISTINCT doc_id FROM toks WHERE term = 'row'"
+        " ORDER BY doc_id"
+    ),
+    "stop_dl": (
+        f"WITH {_STOP_DL_TOKS} SELECT d.doc_id,"
+        " CAST(COALESCE(c.dl, 0) AS BIGINT) AS dl FROM documents d"
+        " LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) c"
+        " USING (doc_id) ORDER BY doc_id"
+    ),
+    "synonym_match_docs": (
+        f"WITH {TOKS_CTE} SELECT DISTINCT doc_id FROM toks"
+        " WHERE term IN ('matrix', 'spark', 'vector') ORDER BY doc_id"
+    ),
+    "synonym_blended_topk": _synonym_sql(["vector", "stream"], 20),
     "bm25_filtered": _bm25_sql("merge join", 15, where="lang = 'en'"),
     "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
     "bm25_multifield": _bm25_multi_sql("merge src3 join", 15, ["text", "source"]),
@@ -6809,6 +6994,11 @@ QUERIES = {
     "sort_by_nchars": q_sort_by_nchars,
     "cardinality_source": q_cardinality_source,
     "keyword_lang": q_keyword_lang,
+    "stem_bm25_topk": q_stem_bm25_topk,
+    "stem_match_docs": q_stem_match_docs,
+    "stop_dl": q_stop_dl,
+    "synonym_match_docs": q_synonym_match_docs,
+    "synonym_blended_topk": q_synonym_blended_topk,
     "dedup_lastwins_events": q_dedup_lastwins_events,
     "token_count": q_token_count,
     "extract_roundtrip_count": q_extract_roundtrip_count,
@@ -6900,6 +7090,8 @@ _DRIVER_PRIORITY = [
     "approx_distinct_users", "prefix_docs_dict", "phrase_match_long",
     "mlt_terms", "phrase_prefix_docs",
     # then this round's headline additions, most valuable first
+    "stem_bm25_topk", "stem_match_docs", "stop_dl",
+    "synonym_match_docs", "synonym_blended_topk",
     "resize_split_bm25", "reindex_query_bm25",
     "dup_ngrams_top20", "dup_span_coverage", "dfs_multi_bm25",
     "shuffle_head_docs", "composite_multi_after", "composite_hist_after",

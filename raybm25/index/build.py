@@ -55,7 +55,13 @@ import pyarrow.compute as pc
 import ray.data
 
 from .. import BM25_B, BM25_K1
-from ..analysis import ANALYZER_VERSION, TOKEN_RE, arrow_tokenize
+from ..analysis import (
+    ANALYZER_VERSION,
+    TOKEN_RE,
+    analyzer_version,
+    arrow_tokenize,
+    filter_tokens_np,
+)
 from ..extract import extract_batch
 from ..hashing import HASH_IMPL, hash64
 from .encode import encode_posting_groups
@@ -527,8 +533,10 @@ class _DedupTokenizeBucket:
         sayt_cols: tuple[str, ...] = (),
         partials_dir: str | None = None,
         positions: bool = False,
+        analyzer: dict | None = None,
     ):
         self.__name__ = "DedupTokenizeBucket"
+        self.analyzer = analyzer
         self.positions = positions
         self.docs_dir = docs_dir
         self.stats_dir = stats_dir
@@ -572,6 +580,9 @@ class _DedupTokenizeBucket:
                 g[col].tolist() if col in g.columns else [None] * len(g), pa.string()
             )
             tid, terms, doc_pos, dl = arrow_tokenize(texts)
+            tid, terms, doc_pos, dl = filter_tokens_np(
+                tid, terms, doc_pos, dl, self.analyzer
+            )
             out["dl" if fi == 0 else f"dl_{col}"] = dl
             sums[col] = int(dl.sum())
             partial_tables.append(
@@ -636,7 +647,9 @@ class _PartialPostings:
         key_col: str = "ordinal",
         sayt_cols: tuple[str, ...] = (),
         positions: bool = False,
+        analyzer: dict | None = None,
     ):
+        self.analyzer = analyzer
         self.text_cols = text_cols
         self.range_shift = range_shift
         self.keyword_cols = keyword_cols
@@ -657,6 +670,9 @@ class _PartialPostings:
             dls = batch.column(dl_name).to_numpy(zero_copy_only=False).astype(np.int32)
             texts = batch.column(col).take(take)
             tid, terms, doc_pos, dl = arrow_tokenize(texts)
+            tid, terms, doc_pos, dl = filter_tokens_np(
+                tid, terms, doc_pos, dl, self.analyzer
+            )
             kw_vals = (
                 {
                     c: (
@@ -896,6 +912,7 @@ def build_index(
     checkpoint_partials: bool = False,
     positions: bool = False,
     ingest: list[dict] | None = None,
+    analyzer: dict | None = None,
 ) -> dict:
     """Build (or resume) a full-text index at ``index_dir``.
 
@@ -915,6 +932,11 @@ def build_index(
     (OpenSearch ``text`` fields store positions by default —
     /root/reference/opensearch_loader/loader.py:311-312). Costs extra
     postings bytes (~1 varbyte per token occurrence); off by default.
+
+    ``analyzer``: optional analyzer spec from
+    :func:`raybm25.analysis.analyzer_spec` (stopword removal and/or an
+    ``s`` / ``porter`` stemmer after the standard tokenizer). Recorded
+    in the manifest; readers apply the identical chain to query text.
     """
     t0 = time.perf_counter()
     metrics: dict = {"index_dir": index_dir}
@@ -937,7 +959,8 @@ def build_index(
     man.data.update(
         {
             "version": 2,
-            "analyzer": ANALYZER_VERSION,
+            "analyzer": analyzer_version(analyzer),
+            "analyzer_spec": analyzer,
             "hash_impl": HASH_IMPL,
             "k1": k1,
             "b": b,
@@ -1067,6 +1090,7 @@ def build_index(
                 sayt_cols=sayt_cols,
                 partials_dir=partials_dir,
                 positions=positions,
+                analyzer=analyzer,
             ),
             batch_format="pandas",
         )
@@ -1155,6 +1179,7 @@ def rebuild_postings(index_dir: str, batch_size: int = 1024) -> dict:
         sayt_cols=sayt_cols,
         num_shards=postings_shards,
         positions=bool(man.data.get("positions")),
+        analyzer=man.data.get("analyzer_spec"),
     )
     if man.data.get("checkpoint_partials"):
         # touch-only re-index: one task per bucket; buckets whose

@@ -53,7 +53,13 @@ import pyarrow.parquet as pq
 import ray.data
 
 from .. import BM25_B, BM25_K1
-from ..analysis import ANALYZER_VERSION, TOKEN_RE, arrow_tokenize
+from ..analysis import (
+    ANALYZER_VERSION,
+    TOKEN_RE,
+    analyzer_version,
+    arrow_tokenize,
+    filter_tokens_np,
+)
 from ..extract import extract_column_hashed
 from ..hashing import HASH_IMPL, hash64
 from .build import (
@@ -291,7 +297,9 @@ class _TokenizePart:
         sayt_cols: tuple[str, ...] = (),
         partials_dir: str | None = None,
         positions: bool = False,
+        analyzer: dict | None = None,
     ):
+        self.analyzer = analyzer
         self.docs_dir = docs_dir
         self.dead_dir = dead_dir
         self.stats_dir = stats_dir
@@ -384,6 +392,9 @@ class _TokenizePart:
                     else pa.nulls(tbl.num_rows, pa.string())
                 )
                 tid, terms, doc_pos, dl = arrow_tokenize(texts)
+                tid, terms, doc_pos, dl = filter_tokens_np(
+                    tid, terms, doc_pos, dl, self.analyzer
+                )
                 sums[col] = int(dl.sum())
                 part_tables.append(
                     build_partials_codes(
@@ -534,6 +545,7 @@ def build_index_scan(
     overwrite: bool = False,
     checkpoint_partials: bool = False,
     positions: bool = False,
+    analyzer: dict | None = None,
 ) -> dict:
     """Scan-layout build over a list of parquet files (or a directory).
 
@@ -597,7 +609,8 @@ def build_index_scan(
         {
             "version": 2,
             "layout": "scan",
-            "analyzer": ANALYZER_VERSION,
+            "analyzer": analyzer_version(analyzer),
+            "analyzer_spec": analyzer,
             "hash_impl": HASH_IMPL,
             "k1": k1,
             "b": b,
@@ -666,6 +679,7 @@ def build_index_scan(
             sayt_cols=sayt_cols,
             partials_dir=partials_dir,
             positions=positions,
+            analyzer=analyzer,
         ),
         batch_format="pyarrow",
     )
@@ -731,6 +745,7 @@ def rebuild_postings_scan(index_dir: str) -> dict:
             sayt_cols=sayt_cols,
             partials_dir=partials_dir,
             positions=bool(man.data.get("positions")),
+            analyzer=man.data.get("analyzer_spec"),
         ),
         batch_format="pyarrow",
     )

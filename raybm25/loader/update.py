@@ -30,7 +30,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..analysis import TOKEN_RE
 from ..hashing import hash64
 from ..index.build import DOCS_STATS_SUBDIR, DOCS_SUBDIR, ORD_SHIFT, rebuild_postings
 from ..index.manifest import atomic_write_parquet, load_manifest
@@ -58,7 +57,9 @@ class _ApplyUpdateBucket:
         id_field: str,
         text_cols: tuple[str, ...],
         id_is_int: bool,
+        analyzer: dict | None = None,
     ):
+        self.analyzer = analyzer
         self.__name__ = "ApplyUpdateBucket"
         self.docs_dir = docs_dir
         self.stats_dir = stats_dir
@@ -111,14 +112,16 @@ class _ApplyUpdateBucket:
                 text_changed = True
 
         if text_changed:
-            findall = TOKEN_RE.findall
+            from ..analysis import analyze
+
+            spec = self.analyzer
             for fi, col in enumerate(self.text_cols):
                 if col not in docs.columns:
                     continue
                 dl_name = "dl" if fi == 0 else f"dl_{col}"
                 texts = docs[col].iloc[rows].tolist()
                 new_dl = [
-                    len(findall(t.lower())) if isinstance(t, str) else 0 for t in texts
+                    len(analyze(t, spec)) if isinstance(t, str) else 0 for t in texts
                 ]
                 docs.loc[docs.index[rows], dl_name] = np.array(new_dl, dtype=np.int32)
                 docs[dl_name] = docs[dl_name].astype(np.int32)
@@ -328,6 +331,7 @@ def _group_apply(
             id_field=id_field,
             text_cols=text_cols,
             id_is_int=id_is_int,
+            analyzer=load_manifest(index_dir).data.get("analyzer_spec"),
         )
         stats = ds.groupby("__bucket").map_groups(fn, batch_format="pandas").to_pandas()
     result = {
@@ -484,8 +488,10 @@ def _insert_document(index_dir: str, row: dict, id_field: str) -> None:
     text_cols = tuple(man.data.get("text_cols", ["text"]))
     doc_id = _doc_ids_for([row[id_field]], id_is_int)[0]
     docs_dir = os.path.join(index_dir, DOCS_SUBDIR)
+    from ..analysis import analyze
+
     dls = {
-        col: len(TOKEN_RE.findall(str(row.get(col) or "").lower()))
+        col: len(analyze(str(row.get(col) or ""), man.data.get("analyzer_spec")))
         for col in text_cols
     }
 

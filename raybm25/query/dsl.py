@@ -174,6 +174,15 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
         ).astype(np.uint64)
     if kind == "ids":
         return r.ids_docs([int(v) for v in spec["values"]])
+    if kind == "synonym":
+        # engine extension: query-time synonym group ({"synonym":
+        # {field: [variants...]}}), the filter-context face of
+        # Lucene's SynonymQuery (see IndexReader.search_synonym)
+        sfield, variants = _one(spec, "synonym")
+        return r.synonym_docs(
+            [str(v) for v in variants],
+            None if sfield == r.primary_field else sfield,
+        )
     field, body = _field_query(spec)
     q = body.get("query", body.get("value", ""))
     f = None if field == r.primary_field else field
@@ -642,6 +651,13 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
         # reach _field_query)
         ids = _match_docs(r, kind, spec)
         return [(int(d), 1.0) for d in ids[:k]]
+    if kind == "synonym":
+        sfield, variants = _one(spec, "synonym")
+        return r.search_synonym(
+            [str(v) for v in variants],
+            k,
+            None if sfield == r.primary_field else sfield,
+        )
     field, body = _field_query(spec)
     q = str(body.get("query", body.get("value", "")))
     f = None if field == r.primary_field else field

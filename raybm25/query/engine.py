@@ -94,6 +94,7 @@ class IndexReader:
         self.b = float(man.data["b"])
         self.num_buckets = int(man.data["num_buckets"])
         self.layout = man.data.get("layout", "hash")
+        self.analyzer_spec = man.data.get("analyzer_spec")
         self.docstore_prefix = man.data.get("docstore_prefix", "bucket")
         self.key_buckets = int(man.data.get("key_buckets", 0))
         self.num_shards = int(man.data.get("num_shards", 0))
@@ -434,8 +435,19 @@ class IndexReader:
             raise KeyError(f"unknown text field {field!r}; indexed: {sorted(fields)}")
         return float(fields[field])
 
+    def _analyze(self, query: str) -> list[str]:
+        """Query-side analyzer: the identical chain the index was
+        built with (manifest ``analyzer_spec``; stopwords + stemmer
+        after the standard tokenizer). Default indexes take the plain
+        tokenize fast path."""
+        if self.analyzer_spec is None:
+            return tokenize(query)
+        from ..analysis import analyze
+
+        return analyze(query, self.analyzer_spec)
+
     def field_terms(self, query: str, field: str | None) -> list[str]:
-        toks = tokenize(query)
+        toks = self._analyze(query)
         if field is None or field == self.primary_field:
             return toks
         return [f"{field}:{t}" for t in toks]
@@ -474,6 +486,54 @@ class IndexReader:
         qcounts = Counter(self.field_terms(query, field))
         postings = self.load_postings(sorted(qcounts))
         return self._exact_topk(qcounts, postings, avgdl, k)
+
+    def _synonym_group(
+        self, variants: list[str], field: str | None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """Union a synonym group's postings into one pseudo-term:
+        (ordinals, tf_sum, dl, df_blend). Each variant is analyzed with
+        the index's chain; per Lucene's SynonymQuery the pseudo-term's
+        docFreq is the MAX member docFreq and per-doc tf is the SUM of
+        member tfs (org.apache.lucene.search.SynonymQuery — query-time
+        synonym expansion without re-indexing)."""
+        terms: list[str] = []
+        for v in variants:
+            terms.extend(self.field_terms(str(v), field))
+        present = [
+            p for t, p in sorted(self.load_postings(sorted(set(terms))).items())
+        ]
+        if not present:
+            e = np.empty(0, np.uint64)
+            return e, np.empty(0, np.float64), np.empty(0, np.float64), 0
+        union = self._merge_unique([p.doc_ids for p in present])
+        tf = np.zeros(union.size, np.float64)
+        dl = np.zeros(union.size, np.float64)
+        for p in present:
+            idx = np.searchsorted(union, p.doc_ids)
+            tf[idx] += p.tfs
+            dl[idx] = p.dls
+        return union, tf, dl, max(p.df for p in present)
+
+    def search_synonym(
+        self, variants: list[str], k: int = 10, field: str | None = None
+    ) -> list[tuple[int, float]]:
+        """Blended top-k over a synonym group (Lucene SynonymQuery
+        scoring: ``idf(max df) * tf_norm(sum tf, dl)``)."""
+        union, tf, dl, df = self._synonym_group(variants, field)
+        if union.size == 0:
+            return []
+        avgdl = self.field_avgdl(field)
+        scores = self.idf(df) * self._norm(tf, dl, avgdl)
+        ids, sc = self._rank(union, scores, k)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def synonym_docs(self, variants: list[str], field: str | None = None) -> np.ndarray:
+        """Filter-context synonym match: sorted doc ids where ANY
+        variant's analyzed term occurs."""
+        union, _, _, _ = self._synonym_group(variants, field)
+        if union.size == 0:
+            return np.empty(0, np.uint64)
+        return np.sort(self._map_ordinals(union).astype(np.uint64))
 
     def _combine_rank(
         self, parts_ids: list[np.ndarray], parts_scores: list[np.ndarray], k: int
