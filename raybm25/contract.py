@@ -2381,6 +2381,19 @@ def q_bm25_multifield(sf_dir: str):
     )
 
 
+def q_combined_fields_topk(sf_dir: str):
+    """``combined_fields`` over (text, source^2): BM25F "simple"
+    weighted-field combination — ONE pseudo-field whose tf/dl/avgdl
+    are weighted sums and whose df is the any-field doc count
+    (query/engine.search_combined; Lucene CombinedFieldQuery)."""
+    from .query.engine import IndexReader
+
+    r = IndexReader(docs_index_multifield(sf_dir))
+    return _hits_frame(
+        r.search_combined("merge src3 join", {"text": 1.0, "source": 2.0}, k=15)
+    )
+
+
 def q_bm25_dismax(sf_dir: str):
     """multi_match best_fields (dis_max) over (text, source): per-field
     BM25, score = best field + 0.3 x sum of the rest
@@ -4568,6 +4581,60 @@ def _bm25_sql(
     return "\n".join(parts)
 
 
+def _combined_sql(query: str, k: int, w_text: float = 1.0, w_src: float = 2.0) -> str:
+    """Oracle for ``combined_fields`` (BM25F simple combination) over
+    (text, source): tf~ = w_t*tf_text + w_s*tf_source (left-to-right,
+    the engine's field-items order), dl~ and avgdl~ likewise, df =
+    any-field doc count; per-term scores summed in sorted-term
+    FULL-JOIN order like _bm25_sql."""
+    terms = sorted(set(tokenize(query)))
+    tokexpr = "unnest(regexp_extract_all(lower({c}), '[a-z0-9]+'))"
+    parts = [
+        f"WITH tt AS (SELECT doc_id, {tokexpr.format(c='text')} AS term FROM documents),",
+        f"ts AS (SELECT doc_id, {tokexpr.format(c='source')} AS term FROM documents),",
+        "dlt AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY doc_id),",
+        "dlsrc AS (SELECT doc_id, count(*) AS dl FROM ts GROUP BY doc_id),",
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n,"
+        f" {w_text}*((SELECT count(*) FROM tt)/(SELECT count(*) FROM documents))"
+        f" + {w_src}*((SELECT count(*) FROM ts)/(SELECT count(*) FROM documents))"
+        " AS avgdlc),",
+        f"dlc AS (SELECT d.doc_id, {w_text}*COALESCE(dlt.dl, 0)"
+        f" + {w_src}*COALESCE(dlsrc.dl, 0) AS dlw FROM documents d"
+        " LEFT JOIN dlt USING(doc_id) LEFT JOIN dlsrc USING(doc_id)),",
+    ]
+    for i, t in enumerate(terms):
+        parts.append(
+            f"u{i} AS (SELECT doc_id FROM tt WHERE term = '{t}'"
+            f" UNION SELECT doc_id FROM ts WHERE term = '{t}'),"
+        )
+        parts.append(
+            f"tf{i} AS (SELECT u{i}.doc_id, {w_text}*COALESCE(a.tf, 0)"
+            f" + {w_src}*COALESCE(b.tf, 0) AS tfw FROM u{i}"
+            " LEFT JOIN (SELECT doc_id, count(*) AS tf FROM tt"
+            f" WHERE term = '{t}' GROUP BY doc_id) a USING(doc_id)"
+            " LEFT JOIN (SELECT doc_id, count(*) AS tf FROM ts"
+            f" WHERE term = '{t}' GROUP BY doc_id) b USING(doc_id)),"
+        )
+        parts.append(
+            f"p{i} AS (SELECT tf{i}.doc_id, 1.0 * ln(1 +"
+            f" (stats.n - (SELECT count(*) FROM u{i}) + 0.5)"
+            f"/((SELECT count(*) FROM u{i}) + 0.5)) *"
+            f" (tfw/(tfw + {BM25_K1}*(1 - {BM25_B} + {BM25_B}*dlc.dlw/stats.avgdlc)))"
+            f" AS c FROM tf{i} JOIN dlc USING(doc_id), stats),"
+        )
+    joins = "p0"
+    for i in range(1, len(terms)):
+        joins += f" FULL JOIN p{i} USING(doc_id)"
+    add = " + ".join(f"COALESCE(p{i}.c, 0)" for i in range(len(terms)))
+    parts.append(f"scored AS (SELECT doc_id, {add} AS score FROM {joins})")
+    parts.append(
+        "SELECT rank, doc_id, score FROM"
+        " (SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,"
+        f" doc_id, score FROM scored) ORDER BY rank LIMIT {k}"
+    )
+    return "\n".join(parts)
+
+
 def _synonym_sql(variants: list[str], k: int) -> str:
     """Oracle for Lucene SynonymQuery blended scoring: one pseudo-term
     whose df is the MAX member df and whose per-doc tf is the SUM of
@@ -5519,6 +5586,7 @@ ORACLE_SQL: dict[str, str] = {
         " WHERE term IN ('matrix', 'spark', 'vector') ORDER BY doc_id"
     ),
     "synonym_blended_topk": _synonym_sql(["vector", "stream"], 20),
+    "combined_fields_topk": _combined_sql("merge src3 join", 15),
     "bm25_filtered": _bm25_sql("merge join", 15, where="lang = 'en'"),
     "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
     "bm25_multifield": _bm25_multi_sql("merge src3 join", 15, ["text", "source"]),
@@ -6995,6 +7063,7 @@ QUERIES = {
     "cardinality_source": q_cardinality_source,
     "keyword_lang": q_keyword_lang,
     "stem_bm25_topk": q_stem_bm25_topk,
+    "combined_fields_topk": q_combined_fields_topk,
     "stem_match_docs": q_stem_match_docs,
     "stop_dl": q_stop_dl,
     "synonym_match_docs": q_synonym_match_docs,
@@ -7091,7 +7160,7 @@ _DRIVER_PRIORITY = [
     "mlt_terms", "phrase_prefix_docs",
     # then this round's headline additions, most valuable first
     "stem_bm25_topk", "stem_match_docs", "stop_dl",
-    "synonym_match_docs", "synonym_blended_topk",
+    "synonym_match_docs", "synonym_blended_topk", "combined_fields_topk",
     "resize_split_bm25", "reindex_query_bm25",
     "dup_ngrams_top20", "dup_span_coverage", "dfs_multi_bm25",
     "shuffle_head_docs", "composite_multi_after", "composite_hist_after",

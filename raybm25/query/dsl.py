@@ -70,6 +70,16 @@ def _one(d: dict, what: str) -> tuple[str, Any]:
     return next(iter(d.items()))
 
 
+def _parse_boost_fields(fields) -> dict[str, float]:
+    """``["text", "source^2"]`` -> ``{"text": 1.0, "source": 2.0}``
+    (OpenSearch's field^boost list syntax, order preserved)."""
+    out: dict[str, float] = {}
+    for f in fields:
+        name, _, boost = str(f).partition("^")
+        out[name] = float(boost) if boost else 1.0
+    return out
+
+
 def _field_query(spec) -> tuple[str, dict]:
     """Normalize ``{field: "text"}`` / ``{field: {..opts}}``."""
     field, body = _one(spec, "query clause")
@@ -174,6 +184,13 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
         ).astype(np.uint64)
     if kind == "ids":
         return r.ids_docs([int(v) for v in spec["values"]])
+    if kind == "combined_fields":
+        # filter context: docs matching ANY analyzed term in ANY of
+        # the listed fields (OR, the combined_fields default operator)
+        hits = r.search_combined(
+            str(spec["query"]), _parse_boost_fields(spec["fields"]), k=r.n_docs
+        )
+        return np.sort(np.array([d for d, _ in hits], dtype=np.uint64))
     if kind == "synonym":
         # engine extension: query-time synonym group ({"synonym":
         # {field: [variants...]}}), the filter-context face of
@@ -651,6 +668,10 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
         # reach _field_query)
         ids = _match_docs(r, kind, spec)
         return [(int(d), 1.0) for d in ids[:k]]
+    if kind == "combined_fields":
+        return r.search_combined(
+            str(spec["query"]), _parse_boost_fields(spec["fields"]), k
+        )
     if kind == "synonym":
         sfield, variants = _one(spec, "synonym")
         return r.search_synonym(

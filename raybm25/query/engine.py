@@ -627,6 +627,70 @@ class IndexReader:
                 parts_scores.append(contrib)
         return self._combine_rank(parts_ids, parts_scores, k)
 
+    def search_combined(
+        self, query: str, fields, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """OpenSearch ``combined_fields`` — Lucene CombinedFieldQuery's
+        BM25F "simple" weighted-field combination (Robertson & Zaragoza
+        2009 §3.3): the listed fields are scored as ONE pseudo-field
+        whose per-doc term frequency, length and average length are the
+        weighted sums
+
+            tf~(t,d)  = sum_f w_f * tf_f(t,d)
+            dl~(d)    = sum_f w_f * dl_f(d)
+            avgdl~    = sum_f w_f * avgdl_f
+
+        and whose document frequency is |{d : t in ANY listed field}|.
+        Per-term score = idf(df) * tf~/(tf~ + k1*((1-b) + (b*dl~)/avgdl~)),
+        summed over sorted query terms (the oracle's FULL-JOIN order).
+
+        ``fields``: a list of names (weight 1.0) or ``{name: weight}``.
+        dl~ needs every field's length for every CANDIDATE doc (not just
+        docs matching in that field), so lengths come from the docstore
+        dl doc-values via one pruned per-bucket read, not the postings.
+        """
+        items = (
+            list(fields.items())
+            if isinstance(fields, dict)
+            else [(f, 1.0) for f in fields]
+        )
+        qcounts = Counter(self._analyze(query))
+        terms = sorted(qcounts)
+        avgdlc = 0.0
+        for f, w in items:
+            avgdlc += w * self.field_avgdl(f)
+
+        def _key(t: str, f: str) -> str:
+            return t if f == self.primary_field else f"{f}:{t}"
+
+        postings = self.load_postings(
+            sorted({_key(t, f) for t in terms for f, _ in items})
+        )
+        parts_ids: list[np.ndarray] = []
+        parts_scores: list[np.ndarray] = []
+        for t in terms:
+            present = [
+                (f, w, postings[_key(t, f)])
+                for f, w in items
+                if _key(t, f) in postings
+            ]
+            if not present:
+                continue
+            union = self._merge_unique([p.doc_ids for _, _, p in present])
+            tfw = np.zeros(union.size, np.float64)
+            for _, w, p in present:
+                tfw[np.searchsorted(union, p.doc_ids)] += w * p.tfs
+            dlw = np.zeros(union.size, np.float64)
+            for f, w in items:
+                col = "dl" if f == self.primary_field else f"dl_{f}"
+                dlw += w * self._gather_column(union, col).astype(np.float64)
+            contrib = (
+                qcounts[t] * self.idf(union.size) * self._norm(tfw, dlw, avgdlc)
+            )
+            parts_ids.append(union)
+            parts_scores.append(contrib)
+        return self._combine_rank(parts_ids, parts_scores, k)
+
     def search_with_stats(
         self,
         query: str,

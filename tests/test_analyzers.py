@@ -290,3 +290,64 @@ def test_synonym_dsl_kinds(ray_session, tmp_path):
 def test_stopword_set_is_lucene_classic():
     assert "the" in STOPWORDS_EN and "with" in STOPWORDS_EN
     assert len(STOPWORDS_EN) == 33
+
+
+def test_combined_fields_bm25f(ray_session, tmp_path):
+    """combined_fields = BM25F simple combination: hand-check one doc's
+    score; field^boost DSL syntax; single field w=1 == plain search."""
+    import math
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": [
+                "alpha beta beta",
+                "alpha gamma",
+                "delta delta delta",
+                "beta gamma",
+            ],
+            "title": ["alpha", "beta beta", "gamma", "delta"],
+        }
+    )
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(tbl, src)
+    from raybm25.index.build import build_index
+    from raybm25.query.dsl import run_query
+    from raybm25.query.engine import IndexReader
+
+    idx = str(tmp_path / "idx")
+    build_index(
+        src, idx, key_col="doc_id", id_col="doc_id", ts_col=None,
+        text_cols=("text", "title"), num_buckets=2, postings_shards=4,
+    )
+    r = IndexReader(idx)
+    hits = dict(r.search_combined("beta", {"text": 1.0, "title": 2.0}, k=10))
+    # candidates: docs with 'beta' in any field = {0, 1(title), 3}
+    assert set(hits) == {0, 1, 3}
+    # hand-score doc 0: tf~ = 1*2 + 2*0 = 2; dl~ = 1*3 + 2*1 = 5
+    n = 4
+    avgdl_t = (3 + 2 + 3 + 2) / 4
+    avgdl_ti = (1 + 2 + 1 + 1) / 4
+    avgdlc = 1.0 * avgdl_t + 2.0 * avgdl_ti
+    df = 3
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    want0 = idf * (2.0 / (2.0 + r.k1 * (1.0 - r.b + r.b * 5.0 / avgdlc)))
+    assert hits[0] == pytest.approx(want0, rel=0, abs=0)
+    # doc 1: tf~ = 0 + 2*2 = 4; dl~ = 1*2 + 2*2 = 6
+    want1 = idf * (4.0 / (4.0 + r.k1 * (1.0 - r.b + r.b * 6.0 / avgdlc)))
+    assert hits[1] == pytest.approx(want1, rel=0, abs=0)
+    # DSL face with ^boost syntax
+    resp = run_query(
+        idx,
+        {
+            "query": {
+                "combined_fields": {"query": "beta", "fields": ["text", "title^2"]}
+            },
+            "size": 10,
+        },
+    )
+    assert {h["_id"]: h["_score"] for h in resp["hits"]["hits"]} == hits
+    # single field at weight 1 degenerates to plain BM25 over that field
+    assert r.search_combined("alpha beta", ["text"], k=10) == r.search(
+        "alpha beta", k=10
+    )
