@@ -724,6 +724,70 @@ def q_stop_dl(sf_dir: str):
     return docs.sort_values("doc_id").reset_index(drop=True)
 
 
+_PIT_CACHE: dict[str, str] = {}
+
+
+def _pit_fixture(sf_dir: str) -> str:
+    """A PIT opened over a work copy of the docs index BEFORE a bulk
+    update clobbered ~10% of the corpus. The PIT must keep serving the
+    pre-update state (loader/pit.py — hardlink snapshot isolation), so
+    its hits hash-compare against the oracle over the ORIGINAL
+    documents table."""
+    if sf_dir in _PIT_CACHE:
+        return _PIT_CACHE[sf_dir]
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .loader.pit import open_pit
+    from .loader.snapshot import create_snapshot
+    from .loader.update import apply_updates
+
+    repo = os.path.join(CACHE_ROOT, f"pitrepo_{_tag(sf_dir)}")
+    shutil.rmtree(repo, ignore_errors=True)
+    create_snapshot(docs_index(sf_dir), repo, "work")
+    work = os.path.join(repo, "work", "files")
+    shutil.rmtree(work + ".pits", ignore_errors=True)
+    pit = open_pit(work, keep_alive="1m")
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy()
+    )
+    victims = np.sort(ids)[: max(1, ids.size // 10)]
+    apply_updates(
+        work,
+        pa.table(
+            {
+                "doc_id": pa.array(victims, pa.int64()),
+                "text": ["updated placeholder text"] * victims.size,
+            }
+        ),
+        id_field="doc_id",
+    )
+    _PIT_CACHE[sf_dir] = pit["pit_id"]
+    return pit["pit_id"]
+
+
+def q_pit_search(sf_dir: str):
+    """Search THROUGH the PIT after the live index was bulk-updated:
+    results must equal BM25 over the original corpus (OpenSearch
+    point-in-time semantics; loader/pit.py)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        None,
+        {
+            "pit": {"id": _pit_fixture(sf_dir)},
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 12,
+        },
+    )
+    return _hits_frame(
+        [(int(h["_id"]), float(h["_score"])) for h in resp["hits"]["hits"]]
+    )
+
+
 def q_synonym_match_docs(sf_dir: str):
     """Query-time synonym group, filter context (Lucene SynonymQuery's
     match set): docs containing ANY of the group's analyzed variants.
@@ -2626,6 +2690,39 @@ def q_scroll_pages(sf_dir: str):
         hits.extend((h["_id"], h["_score"]) for h in resp["hits"]["hits"])
         resp = run_scroll(r, scroll_id=resp["_scroll_id"])
     return _hits_frame(hits)
+
+
+def q_sliced_scroll(sf_dir: str):
+    """Sliced scroll (query/dsl.run_scroll ``slice``): three slices of
+    the 'merge' match set, each scrolled to exhaustion in 7-hit pages.
+    Slices must be disjoint and complete — the concatenation equals
+    the full BM25 match set partitioned by doc_id % 3."""
+    from .query.dsl import run_scroll
+
+    r = _reader(sf_dir)
+    slice_ids, doc_ids, scores = [], [], []
+    for sid in range(3):
+        resp = run_scroll(
+            r,
+            body={
+                "query": {"match": {"text": {"query": "merge"}}},
+                "size": 7,
+                "slice": {"id": sid, "max": 3},
+            },
+        )
+        while resp["hits"]["hits"]:
+            for h in resp["hits"]["hits"]:
+                slice_ids.append(sid)
+                doc_ids.append(int(h["_id"]))
+                scores.append(float(h["_score"]))
+            resp = run_scroll(r, scroll_id=resp["_scroll_id"])
+    return pd.DataFrame(
+        {
+            "slice_id": pd.array(slice_ids, dtype="int64"),
+            "doc_id": pd.array(doc_ids, dtype="int64"),
+            "score": scores,
+        }
+    )
 
 
 def q_keyword_lang(sf_dir: str):
@@ -5587,6 +5684,13 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "synonym_blended_topk": _synonym_sql(["vector", "stream"], 20),
     "combined_fields_topk": _combined_sql("merge src3 join", 15),
+    # PIT isolation: the live index was bulk-updated AFTER the PIT
+    # opened, so matching the plain BM25 oracle over the unmodified
+    # documents table IS the point-in-time guarantee
+    "pit_search": _bm25_sql("merge", 12),
+    "sliced_scroll_docs": _bm25_sql(
+        "merge", None, cols="doc_id % 3 AS slice_id, doc_id, score"
+    ),
     "bm25_filtered": _bm25_sql("merge join", 15, where="lang = 'en'"),
     "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
     "bm25_multifield": _bm25_multi_sql("merge src3 join", 15, ["text", "source"]),
@@ -7064,6 +7168,8 @@ QUERIES = {
     "keyword_lang": q_keyword_lang,
     "stem_bm25_topk": q_stem_bm25_topk,
     "combined_fields_topk": q_combined_fields_topk,
+    "pit_search": q_pit_search,
+    "sliced_scroll_docs": q_sliced_scroll,
     "stem_match_docs": q_stem_match_docs,
     "stop_dl": q_stop_dl,
     "synonym_match_docs": q_synonym_match_docs,
@@ -7161,6 +7267,7 @@ _DRIVER_PRIORITY = [
     # then this round's headline additions, most valuable first
     "stem_bm25_topk", "stem_match_docs", "stop_dl",
     "synonym_match_docs", "synonym_blended_topk", "combined_fields_topk",
+    "pit_search", "sliced_scroll_docs",
     "resize_split_bm25", "reindex_query_bm25",
     "dup_ngrams_top20", "dup_span_coverage", "dfs_multi_bm25",
     "shuffle_head_docs", "composite_multi_after", "composite_hist_after",

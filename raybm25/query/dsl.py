@@ -1846,11 +1846,20 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
     import time as _time
 
     _t0 = _time.perf_counter()
-    r = (
-        index_dir_or_reader
-        if isinstance(index_dir_or_reader, IndexReader)
-        else IndexReader(index_dir_or_reader)
-    )
+    if "pit" in body:
+        # point-in-time context: the body names the search state; the
+        # index argument is ignored (OpenSearch PIT requests go to
+        # /_search with no index)
+        from ..loader.pit import pit_reader
+
+        r = pit_reader(str(body["pit"]["id"]))
+        body = {k: v for k, v in body.items() if k != "pit"}
+    else:
+        r = (
+            index_dir_or_reader
+            if isinstance(index_dir_or_reader, IndexReader)
+            else IndexReader(index_dir_or_reader)
+        )
     size = int(body.get("size", 10))
     offset = int(body.get("from", 0))
     qspec = body.get("query", {"match_all": {}})
@@ -2132,8 +2141,26 @@ def run_scroll(
     )
     if (body is None) == (scroll_id is None):
         raise ValueError("pass exactly one of body / scroll_id")
+    if body is not None and "slice" in body:
+        # sliced scroll (parallel-export idiom): slice membership is
+        # doc_id % max == id — disjoint and complete by construction
+        # (simpler than Lucene's hash slicing, same contract); each
+        # slice scrolls independently via a filtering wrapper over the
+        # unsliced scroll
+        sl = body["slice"]
+        sid, smax = int(sl["id"]), int(sl["max"])
+        if not 0 <= sid < smax:
+            raise ValueError(f"slice.id must be in [0, {smax}), got {sid}")
+        st = {
+            "slice": {"id": sid, "max": smax},
+            "b": {k: v for k, v in body.items() if k != "slice"},
+            "n": int(body.get("size", 10)),
+        }
+        return _sliced_scroll_step(r, st)
     if scroll_id is not None:
         st = _json.loads(base64.urlsafe_b64decode(scroll_id.encode()).decode())
+        if "slice" in st:
+            return _sliced_scroll_step(r, st)
         body = st["b"]
         size = int(st["n"])
         if st.get("done"):
@@ -2194,6 +2221,42 @@ def run_scroll(
         _json.dumps(next_st, sort_keys=True).encode()
     ).decode()
     return resp
+
+
+def _sliced_scroll_step(r: IndexReader, st: dict) -> dict:
+    """One page of a sliced scroll: pull inner (unsliced) pages, keep
+    the slice's members (doc_id % max == id), emit exactly ``n`` hits
+    and carry any overflow in the continuation token (bounded by one
+    inner page). The inner scroll rides its own fast path."""
+    import base64
+    import json as _json
+
+    sid, smax = int(st["slice"]["id"]), int(st["slice"]["max"])
+    size = int(st["n"])
+    hits = list(st.get("pend", []))
+    it = st.get("it")
+    idone = bool(st.get("idone", False))
+    while len(hits) < size and not idone:
+        if it is None:
+            resp = run_scroll(r, body={**st["b"], "size": size})
+        else:
+            resp = run_scroll(r, scroll_id=it)
+        it = resp["_scroll_id"]
+        page = resp["hits"]["hits"]
+        hits.extend(h for h in page if int(h["_id"]) % smax == sid)
+        if len(page) < size:
+            idone = True
+    out, pend = hits[:size], hits[size:]
+    nst = {
+        "slice": st["slice"], "b": st["b"], "n": size,
+        "pend": pend, "it": it, "idone": idone,
+    }
+    return {
+        "hits": {"total": {"value": len(out)}, "hits": out},
+        "_scroll_id": base64.urlsafe_b64encode(
+            _json.dumps(nst, sort_keys=True).encode()
+        ).decode(),
+    }
 
 
 def run_query_multi_dfs(index_dirs: list, body: dict) -> dict:
