@@ -2725,6 +2725,44 @@ def q_sliced_scroll(sf_dir: str):
     )
 
 
+def q_diversified_sampler(sf_dir: str):
+    """diversified_sampler aggregation: walk the full 'merge join'
+    ranking keeping at most 2 docs per source (the de-biased sample),
+    stop at shard_size=30, then a lang terms sub-agg over the sample.
+    Kept-set equivalence used by the oracle: a doc survives iff its
+    row_number within its source BY GLOBAL RANK is <= max_docs_per_value
+    (earlier same-source docs were either kept and counted, or skipped
+    only when the cap was already full)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge join"}}},
+            "size": 0,
+            "aggs": {
+                "smp": {
+                    "diversified_sampler": {
+                        "shard_size": 30,
+                        "field": "source",
+                        "max_docs_per_value": 2,
+                    },
+                    "aggs": {"langs": {"terms": {"field": "lang", "size": 10}}},
+                }
+            },
+        },
+    )
+    s = resp["aggregations"]["smp"]
+    buckets = s["langs"]["buckets"]
+    return pd.DataFrame(
+        {
+            "lang": [b["key"] for b in buckets],
+            "doc_count": pd.array([b["doc_count"] for b in buckets], dtype="int64"),
+            "sample_size": pd.array([s["doc_count"]] * len(buckets), dtype="int64"),
+        }
+    )
+
+
 def q_keyword_lang(sf_dir: str):
     r = _reader(sf_dir)
     ids = np.sort(r.term_docs("lang", "de")).astype(np.int64)
@@ -5691,6 +5729,16 @@ ORACLE_SQL: dict[str, str] = {
     "sliced_scroll_docs": _bm25_sql(
         "merge", None, cols="doc_id % 3 AS slice_id, doc_id, score"
     ),
+    "diversified_sampler_lang": (
+        f"WITH base AS ({_bm25_sql('merge join', None)}),\n"
+        "keep AS (SELECT base.rank, base.doc_id, d.source, d.lang,"
+        " row_number() OVER (PARTITION BY d.source ORDER BY base.rank) AS rn"
+        " FROM base JOIN documents d USING(doc_id)),\n"
+        "samp AS (SELECT * FROM keep WHERE rn <= 2 ORDER BY rank LIMIT 30)\n"
+        "SELECT lang, count(*) AS doc_count,"
+        " (SELECT count(*) FROM samp) AS sample_size"
+        " FROM samp GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10"
+    ),
     "bm25_filtered": _bm25_sql("merge join", 15, where="lang = 'en'"),
     "bm25_all_single": _bm25_sql("stream", None, cols="doc_id, score"),
     "bm25_multifield": _bm25_multi_sql("merge src3 join", 15, ["text", "source"]),
@@ -7170,6 +7218,7 @@ QUERIES = {
     "combined_fields_topk": q_combined_fields_topk,
     "pit_search": q_pit_search,
     "sliced_scroll_docs": q_sliced_scroll,
+    "diversified_sampler_lang": q_diversified_sampler,
     "stem_match_docs": q_stem_match_docs,
     "stop_dl": q_stop_dl,
     "synonym_match_docs": q_synonym_match_docs,
@@ -7267,7 +7316,7 @@ _DRIVER_PRIORITY = [
     # then this round's headline additions, most valuable first
     "stem_bm25_topk", "stem_match_docs", "stop_dl",
     "synonym_match_docs", "synonym_blended_topk", "combined_fields_topk",
-    "pit_search", "sliced_scroll_docs",
+    "pit_search", "sliced_scroll_docs", "diversified_sampler_lang",
     "resize_split_bm25", "reindex_query_bm25",
     "dup_ngrams_top20", "dup_span_coverage", "dfs_multi_bm25",
     "shuffle_head_docs", "composite_multi_after", "composite_hist_after",

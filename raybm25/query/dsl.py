@@ -1339,14 +1339,45 @@ def _aggregations(
                 )
             }
             continue
-        if akind == "sampler":
+        if akind in ("sampler", "diversified_sampler"):
             # sub-aggs run over only the shard_size BEST-scoring docs
             # of the query (deterministic: score desc, doc_id asc) —
             # the sample is small by design, so its keyword values
             # come from one docstore point-read
             shard_size = int(aspec.get("shard_size", 100))
-            hits = r.search_pruned(qtext, shard_size, field=f)
-            ids = np.array([d for d, _ in hits], dtype=np.uint64)
+            if akind == "sampler":
+                hits = r.search_pruned(qtext, shard_size, field=f)
+                ids = np.array([d for d, _ in hits], dtype=np.uint64)
+            else:
+                # diversified_sampler: walk the full ranking in order,
+                # keeping at most max_docs_per_value docs per distinct
+                # value of the dedup field (OpenSearch's de-biased
+                # sample). The walk stops as soon as the sample fills,
+                # so its cost is sample-bounded except under
+                # pathological single-value skew.
+                dfield = str(aspec["field"])
+                maxper = int(aspec.get("max_docs_per_value", 1))
+                ranked = r.search_pruned(qtext, r.n_docs, field=f)
+                ids_all = np.array([d for d, _ in ranked], dtype=np.uint64)
+                picked: list[int] = []
+                if ids_all.size:
+                    tbl = r.get_docs(ids_all)
+                    vmap = dict(
+                        zip(
+                            tbl.column("doc_id").to_pylist(),
+                            (str(v) for v in tbl.column(dfield).to_pylist()),
+                        )
+                    )
+                    per: dict[str, int] = {}
+                    for d in ids_all.tolist():
+                        v = vmap.get(d, "")
+                        if per.get(v, 0) >= maxper:
+                            continue
+                        per[v] = per.get(v, 0) + 1
+                        picked.append(d)
+                        if len(picked) >= shard_size:
+                            break
+                ids = np.array(picked, dtype=np.uint64)
             sampled: dict[str, Any] = {"doc_count": int(ids.size)}
             for sn, s in (sub_aggs or {}).items():
                 sk, sspec2 = _one(s, f"sub-agg {sn}")

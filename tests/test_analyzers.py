@@ -351,3 +351,49 @@ def test_combined_fields_bm25f(ray_session, tmp_path):
     assert r.search_combined("alpha beta", ["text"], k=10) == r.search(
         "alpha beta", k=10
     )
+
+
+def test_diversified_sampler(ray_session, tmp_path):
+    """max_docs_per_value caps per-value picks in global rank order;
+    shard_size bounds the sample."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": [
+                "merge " * (8 - i) + "pad" for i in range(8)
+            ],  # rank order = doc_id order
+            "grp": ["a", "a", "a", "b", "b", "c", "c", "c"],
+        }
+    )
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(tbl, src)
+    from raybm25.index.build import build_index
+    from raybm25.query.dsl import run_query
+
+    idx = str(tmp_path / "idx")
+    build_index(
+        src, idx, key_col="doc_id", id_col="doc_id", ts_col=None,
+        keyword_cols=("grp",), stored_cols=["text", "grp"],
+        num_buckets=2, postings_shards=4,
+    )
+    resp = run_query(
+        idx,
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 0,
+            "aggs": {
+                "smp": {
+                    "diversified_sampler": {
+                        "shard_size": 5, "field": "grp", "max_docs_per_value": 2,
+                    },
+                    "aggs": {"g": {"terms": {"field": "grp", "size": 10}}},
+                }
+            },
+        },
+    )
+    s = resp["aggregations"]["smp"]
+    # picks in rank order: 0(a) 1(a) [2 skipped] 3(b) 4(b) 5(c) -> full at 5
+    assert s["doc_count"] == 5
+    assert {b["key"]: b["doc_count"] for b in s["g"]["buckets"]} == {
+        "a": 2, "b": 2, "c": 1,
+    }
