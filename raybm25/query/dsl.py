@@ -1791,12 +1791,35 @@ def run_analyze(body: dict) -> dict:
     analyzer (the same chain every indexed field goes through) and
     return positioned tokens. ``analyzer``: 'standard' (default) or
     'sayt' (adds the search_as_you_type shingle/prefix expansion,
-    positionless — expansion terms are index-side artifacts)."""
-    from ..analysis import sayt_expand, tokenize
+    positionless — expansion terms are index-side artifacts).
+    ``filter``: optional token-filter chain run after the standard
+    tokenizer — any of 'stop' (Lucene's classic english set),
+    's_stem', 'porter_stem' — the custom-analyzer face
+    (analysis.analyzer_spec) of the same chain build_index accepts.
+    Positions are the SURVIVING token stream's (the convention the
+    index itself uses for phrase positions under an analyzer)."""
+    from ..analysis import analyzer_spec, analyze, sayt_expand, tokenize
 
     text = str(body["text"])
     analyzer = str(body.get("analyzer", "standard"))
-    toks = tokenize(text)
+    filters = [str(x) for x in body.get("filter", [])]
+    if filters:
+        if analyzer != "standard":
+            raise ValueError("filter chains apply to the standard analyzer")
+        known = {"stop", "s_stem", "porter_stem"}
+        bad = set(filters) - known
+        if bad:
+            raise ValueError(f"unsupported filters {sorted(bad)}; known: {sorted(known)}")
+        stemmers = [f for f in filters if f.endswith("_stem")]
+        if len(stemmers) > 1:
+            raise ValueError("at most one stemmer filter")
+        spec = analyzer_spec(
+            stopwords="_english_" if "stop" in filters else None,
+            stemmer=stemmers[0].removesuffix("_stem") if stemmers else None,
+        )
+        toks = analyze(text, spec)
+    else:
+        toks = tokenize(text)
     out = [
         {"token": t, "position": i, "type": "word"}
         for i, t in enumerate(toks)

@@ -397,3 +397,22 @@ def test_diversified_sampler(ray_session, tmp_path):
     assert {b["key"]: b["doc_count"] for b in s["g"]["buckets"]} == {
         "a": 2, "b": 2, "c": 1,
     }
+
+
+def test_analyze_endpoint_filter_chain():
+    from raybm25.query.dsl import run_analyze
+
+    out = run_analyze(
+        {"text": "The ponies are running", "filter": ["stop", "porter_stem"]}
+    )
+    assert [(t["token"], t["position"]) for t in out["tokens"]] == [
+        ("poni", 0), ("run", 1),
+    ]
+    out = run_analyze({"text": "the ponies", "filter": ["s_stem"]})
+    assert [t["token"] for t in out["tokens"]] == ["the", "pony"]
+    with pytest.raises(ValueError):
+        run_analyze({"text": "x", "filter": ["snowball"]})
+    with pytest.raises(ValueError):
+        run_analyze({"text": "x", "filter": ["s_stem", "porter_stem"]})
+    # default path unchanged
+    assert [t["token"] for t in run_analyze({"text": "A b"})["tokens"]] == ["a", "b"]
