@@ -1086,6 +1086,81 @@ def q_span_or(sf_dir: str):
     )
 
 
+def q_span_not(sf_dir: str):
+    """Lucene ``span_not``: docs with a 'merge' occurrence that has no
+    'sort' within the 3 positions after it (post=3, pre=0) — include
+    spans and exclude occurrences keyed into one d_idx*M+pos space,
+    blocked spans found with two searchsorted calls
+    (engine.span_not_docs via dsl._match_docs 'span_not')."""
+    from .query.dsl import _match_docs
+
+    r = _IndexReader()(_pos_index(sf_dir))
+    ids = _match_docs(
+        r,
+        "span_not",
+        {
+            "include": {"span_term": {"text": "merge"}},
+            "exclude": {"span_term": {"text": "sort"}},
+            "post": 3,
+        },
+    )
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
+def q_span_within(sf_dir: str):
+    """Lucene ``span_within``: docs where a 'value' occurrence lies
+    inside an enclosing ordered merge..sort span with gap total <= 6
+    (greedy-chain enumeration; containment = two searchsorted calls
+    over the shared key space — engine.span_within_docs).
+    ``span_containing`` matches the same documents (the operators
+    differ only in which span they RETURN)."""
+    from .query.dsl import _match_docs
+
+    r = _IndexReader()(_pos_index(sf_dir))
+    ids = _match_docs(
+        r,
+        "span_within",
+        {
+            "little": {"span_term": {"text": "value"}},
+            "big": {
+                "span_near": {
+                    "clauses": [
+                        {"span_term": {"text": "merge"}},
+                        {"span_term": {"text": "sort"}},
+                    ],
+                    "slop": 6,
+                    "in_order": True,
+                }
+            },
+        },
+    )
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
+def q_fuzzy_osa(sf_dir: str):
+    """``fuzzy`` with ``transpositions: true`` (the OpenSearch
+    default): 'mrege'~1 under OSA counts the adjacent swap as ONE edit
+    and so matches 'merge', which plain Levenshtein (distance 2) does
+    not — the vectorized DP gains a prev2 row closing swaps from
+    ``prev2[:, j-2] + 1`` (engine.expand_fuzzy transpositions=True).
+    Oracled exactly at max_edits=1, where OSA and DuckDB's
+    unrestricted damerau_levenshtein coincide."""
+    from .query.dsl import _match_docs
+
+    ids = _match_docs(
+        _IndexReader()(docs_index(sf_dir)),
+        "fuzzy",
+        {"text": {"value": "mrege", "fuzziness": 1, "transpositions": True}},
+    )
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
 def q_terms_set(sf_dir: str):
     """``terms_set`` query: docs containing at least 2 of 3 analyzed
     terms, the threshold from a ``params.num_terms`` script through
@@ -6019,6 +6094,41 @@ ORACLE_SQL: dict[str, str] = {
         "range(i+1, least(i+4, len(toks)+1)), j -> toks[j] = 'sort')) > 0)) > 0"
         " ORDER BY doc_id"
     ),
+    # a 'merge' with no 'sort' in the 3 positions after it (post=3):
+    # window [i, i+3] in 1-based list positions mirrors the engine's
+    # [start, end+post] inclusive blocked test
+    "span_not_docs": (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
+        " AS toks FROM documents)"
+        " SELECT doc_id FROM t WHERE len(list_filter(range(1, len(toks)+1),"
+        " i -> toks[i] = 'merge' AND len(list_filter("
+        "range(i, least(i+4, len(toks)+1)), j -> toks[j] = 'sort')) = 0)) > 0"
+        " ORDER BY doc_id"
+    ),
+    # a 'value' inside an enclosing merge..sort greedy chain (earliest
+    # 'sort' after each 'merge' seed — the engine's pinned span
+    # enumeration) whose internal gap is <= 6, containment inclusive
+    "span_within_docs": (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
+        " AS toks FROM documents)"
+        " SELECT doc_id FROM t WHERE len(list_filter(range(1, len(toks)+1),"
+        " i -> toks[i] = 'merge' AND len(list_filter(range(i+1, len(toks)+1),"
+        " j -> toks[j] = 'sort'"
+        " AND len(list_filter(range(i+1, j), jj -> toks[jj] = 'sort')) = 0"
+        " AND j - i - 1 <= 6"
+        " AND len(list_filter(range(i, j+1), m -> toks[m] = 'value')) > 0"
+        ")) > 0)) > 0 ORDER BY doc_id"
+    ),
+    # OSA fuzzy at max_edits=1: lev<=1 OR one adjacent transposition;
+    # DuckDB's damerau_levenshtein (unrestricted) == OSA below 2, so
+    # `lev<=1 OR dl=1` is exact at this distance
+    "fuzzy_osa_docs": (
+        f"WITH {TOKS_CTE}"
+        " SELECT DISTINCT doc_id FROM toks"
+        " WHERE levenshtein(term, 'mrege') <= 1"
+        " OR damerau_levenshtein(term, 'mrege') = 1"
+        " ORDER BY doc_id"
+    ),
     # first occurrence of 'merge' within the first 3 positions
     "span_first_docs": (
         "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -7175,6 +7285,9 @@ QUERIES = {
     "intervals_ordered": q_intervals_ordered,
     "span_near_docs": q_span_near,
     "span_or_docs": q_span_or,
+    "span_not_docs": q_span_not,
+    "span_within_docs": q_span_within,
+    "fuzzy_osa_docs": q_fuzzy_osa,
     "geo_distance_docs": q_geo_distance,
     "geo_bbox_docs": q_geo_bbox,
     "geo_distance_rings": q_geo_distance_rings,

@@ -150,6 +150,68 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
         from .querystring import query_string_docs
 
         return query_string_docs(r, spec)
+
+    def _span_clause_terms(c: dict, what: str) -> tuple[list[str], int, str | None]:
+        """(raw terms, slop, field) of a span_term or span_near clause
+        — the two span shapes the algebra operators compose."""
+        ck, cs = _one(c, what)
+        if ck == "span_term":
+            cf, cb = _field_query(cs)
+            return (
+                [str(cb.get("query", cb.get("value", "")))],
+                0,
+                None if cf == r.primary_field else cf,
+            )
+        if ck == "span_near":
+            texts, sfield = [], None
+            for cc in cs["clauses"]:
+                cck, ccs = _one(cc, "span_near clause")
+                if cck != "span_term":
+                    raise ValueError("span_near supports span_term clauses")
+                cf, cb = _field_query(ccs)
+                if sfield is not None and cf != sfield:
+                    raise ValueError("span_near clauses must share one field")
+                sfield = cf
+                texts.append(str(cb.get("query", cb.get("value", ""))))
+            if not bool(cs.get("in_order", True)):
+                raise ValueError(f"{what}: unordered span_near is unsupported")
+            return (
+                texts,
+                int(cs.get("slop", 0)),
+                None if sfield == r.primary_field else sfield,
+            )
+        raise ValueError(f"{what} supports span_term / span_near clauses")
+
+    if kind == "span_not":
+        inc, slop, sfield = _span_clause_terms(spec["include"], "span_not include")
+        exk, exs = _one(spec["exclude"], "span_not exclude")
+        if exk != "span_term":
+            raise ValueError("span_not exclude supports a span_term clause")
+        ef, eb = _field_query(exs)
+        dist = int(spec.get("dist", 0))
+        return r.span_not_docs(
+            inc,
+            str(eb.get("query", eb.get("value", ""))),
+            slop=slop,
+            pre=int(spec.get("pre", dist)),
+            post=int(spec.get("post", dist)),
+            field=sfield,
+        ).astype(np.uint64)
+    if kind in ("span_within", "span_containing"):
+        # the two operators swap which span is RETURNED (little vs
+        # big) but match the same documents — one doc-level kernel
+        big_key, little_key = ("big", "little")
+        big, slop, sfield = _span_clause_terms(
+            spec[big_key], f"{kind} {big_key}"
+        )
+        little, lslop, _ = _span_clause_terms(
+            spec[little_key], f"{kind} {little_key}"
+        )
+        if len(little) != 1 or lslop:
+            raise ValueError(f"{kind} little supports a span_term clause")
+        return r.span_within_docs(
+            little[0], big, slop=slop, field=sfield
+        ).astype(np.uint64)
     if kind == "span_near":
         # Lucene span_near(slop, in_order) == intervals all_of with
         # max_gaps=slop: both accept a window whose internal gap total
@@ -256,6 +318,11 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
             max_edits=_fuzziness(body.get("fuzziness", 1), str(q)),
             prefix_length=int(body.get("prefix_length", 0)),
             field=f,
+            # OpenSearch defaults transpositions=true; this engine
+            # defaults false (plain Levenshtein, exact SQL oracle at
+            # every distance) and honors an explicit flag with the
+            # OSA kernel (IndexReader.expand_fuzzy docstring)
+            transpositions=bool(body.get("transpositions", False)),
         ).astype(np.uint64)
     if kind == "terms_set":
         # docs containing >= m of the given analyzed terms (text
@@ -663,7 +730,10 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
                     c[inner][next(iter(c[inner]))]["slop"] = int(spec["slop"])
             return _scored_hits(r, "dis_max", sub, k)
         raise ValueError(f"unsupported multi_match type {mtype!r}")
-    if kind in ("span_near", "span_first", "span_or"):
+    if kind in (
+        "span_near", "span_first", "span_or",
+        "span_not", "span_within", "span_containing",
+    ):
         # span queries: constant-score rewrite (multi-key specs never
         # reach _field_query)
         ids = _match_docs(r, kind, spec)

@@ -2857,10 +2857,19 @@ class IndexReader:
 
     def expand_fuzzy(
         self, term: str, max_edits: int = 1, prefix_length: int = 0,
-        field: str | None = None,
+        field: str | None = None, transpositions: bool = False,
     ) -> list[str]:
-        """Dictionary terms within Levenshtein ``max_edits`` of
-        ``term`` (OpenSearch ``fuzzy`` query; Lucene's automaton walk).
+        """Dictionary terms within ``max_edits`` edits of ``term``
+        (OpenSearch ``fuzzy`` query; Lucene's automaton walk).
+
+        ``transpositions=True`` counts an adjacent-character swap as
+        ONE edit (Lucene's OSA / restricted Damerau-Levenshtein — the
+        OpenSearch ``fuzzy.transpositions`` flag, default true there;
+        default false HERE because the pre-existing contract entries
+        pin plain Levenshtein, whose DuckDB oracle is exact at every
+        distance. DuckDB's ``damerau_levenshtein`` is the UNRESTRICTED
+        variant, which agrees with OSA only below distance 2 — the
+        ``fuzzy_osa_docs`` oracle therefore pins ``max_edits=1``).
 
         Vectorized: candidates are pre-cut to the |len - len(q)| <=
         max_edits band (and a shared ``prefix_length`` head, Lucene's
@@ -2899,15 +2908,29 @@ class IndexReader:
         mat = np.zeros((n, L), dtype=np.uint8)
         mat[rows, cols] = data[offs[0] : offs[-1]]
         # Levenshtein DP, all candidates at once: prev[r, j] = distance
-        # between q[:i] and cand_r[:j]
+        # between q[:i] and cand_r[:j]; with transpositions, prev2 is
+        # the i-2 row and an adjacent swap closes from prev2[:, j-2]+1
+        # (OSA recurrence — a transposed pair may not be edited again)
         prev = np.broadcast_to(np.arange(L + 1), (n, L + 1)).astype(np.int32)
         cur = np.empty_like(prev)
+        prev2 = np.empty_like(prev) if transpositions else None
         for i in range(1, m + 1):
             cur[:, 0] = i
             np.minimum(prev[:, 1:] + 1, prev[:, :-1] + (mat != q[i - 1]), out=cur[:, 1:])
+            if transpositions and i >= 2:
+                # cur[:, j] <= prev2[:, j-2] + 1 where q[i-2:i] swapped
+                # equals cand[j-2:j]: q[i-1]==cand[j-2] and q[i-2]==cand[j-1]
+                swap = (mat[:, :-1] == q[i - 1]) & (mat[:, 1:] == q[i - 2])
+                np.minimum(
+                    cur[:, 2:], np.where(swap, prev2[:, :-2] + 1, np.int32(2**30)),
+                    out=cur[:, 2:],
+                )
             for j in range(1, L + 1):  # insertion chain: L is tiny (term len)
                 np.minimum(cur[:, j], cur[:, j - 1] + 1, out=cur[:, j])
-            prev, cur = cur, prev
+            if transpositions:
+                prev2, prev, cur = prev, cur, prev2
+            else:
+                prev, cur = cur, prev
         dist = prev[np.arange(n), clens]
         return [cand[i].as_py() for i in np.flatnonzero(dist <= max_edits)]
 
@@ -2929,11 +2952,12 @@ class IndexReader:
 
     def fuzzy_docs(
         self, term: str, max_edits: int = 1, prefix_length: int = 0,
-        field: str | None = None,
+        field: str | None = None, transpositions: bool = False,
     ) -> np.ndarray:
         """Doc ids matching a ``fuzzy`` query (sorted unsigned)."""
         return self._expanded_docs(
-            self.expand_fuzzy(term, max_edits, prefix_length, field), field
+            self.expand_fuzzy(term, max_edits, prefix_length, field, transpositions),
+            field,
         )
 
     def dict_prefix_docs(self, prefix: str, field: str | None = None) -> np.ndarray:
@@ -3626,8 +3650,33 @@ class IndexReader:
         return cand[d_idx], tf.astype(np.int64), cand_dls[d_idx], terms
 
     @staticmethod
+    def _occurrence_keys(tp: TermPostings, cand: np.ndarray, M: int) -> np.ndarray:
+        """Sorted ``d_idx * M + position`` keys for every occurrence of
+        ``tp`` inside the candidate doc set ``cand`` (sorted ordinal
+        ids; docs of ``cand`` absent from the posting contribute no
+        keys). ``d_idx`` indexes INTO ``cand`` so different terms'
+        keys live in one comparable space — the span-algebra kernel
+        shared by span_not / span_within / span_containing."""
+        docs = np.intersect1d(cand, tp.doc_ids, assume_unique=True)
+        if docs.size == 0:
+            return np.empty(0, np.int64)
+        sel = np.searchsorted(tp.doc_ids, docs)
+        off = tp.pos_offsets()
+        sizes = tp.tfs[sel].astype(np.int64)
+        starts = off[sel]
+        total = int(sizes.sum())
+        run_off = np.zeros(docs.size + 1, dtype=np.int64)
+        np.cumsum(sizes, out=run_off[1:])
+        gather = (
+            np.repeat(starts - run_off[:-1], sizes)
+            + np.arange(total, dtype=np.int64)
+        )
+        d_idx = np.repeat(np.searchsorted(cand, docs), sizes)
+        return d_idx * M + tp.poss[gather].astype(np.int64)
+
+    @staticmethod
     def _greedy_chains(
-        terms: list[str], postings: dict, cand: np.ndarray
+        terms: list[str], postings: dict, cand: np.ndarray, M: int | None = None
     ) -> tuple[np.ndarray, np.ndarray, int] | None:
         """Greedy ordered position chains over candidate docs — the
         shared kernel of ``intervals_docs`` and ``_sloppy_phrase_hits``.
@@ -3636,9 +3685,12 @@ class IndexReader:
         searchsorted per term; the greedy step minimizes each chain's
         end, so downstream span-gap tests are exact). Returns
         ``(start_keys, end_keys, M)`` in ``doc_idx * M + position`` key
-        space, or ``None`` if no chain survives."""
+        space, or ``None`` if no chain survives. ``M`` may be supplied
+        by a caller that needs OTHER terms' keys in the same space
+        (span containment / exclusion tests)."""
         uniq = sorted(set(terms))
-        M = int(max(int(postings[t].poss.max()) for t in uniq)) + 2
+        if M is None:
+            M = int(max(int(postings[t].poss.max()) for t in uniq)) + 2
 
         def keys_of(tp: TermPostings) -> np.ndarray:
             sel = np.searchsorted(tp.doc_ids, cand)
@@ -3757,6 +3809,140 @@ class IndexReader:
         first = tp.poss[tp.pos_offsets()[:-1]]
         hit = tp.doc_ids[first + 1 <= end]
         return np.sort(self._map_ordinals(hit))
+
+    def _span_postings(self, terms: list[str], field: str | None):
+        """(postings, analyzed) for a span-algebra operator: every term
+        analyzed on ``field``, positional postings loaded in one read.
+        Raises if the index has no positions."""
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                "index was built without positions=True; span queries "
+                "need positional postings"
+            )
+        analyzed: list[str] = []
+        for t in terms:
+            ts = self.field_terms(t, field)
+            if len(ts) != 1:
+                raise ValueError(
+                    f"span clauses take single terms; {t!r} analyzed to "
+                    f"{len(ts)} terms"
+                )
+            analyzed.append(ts[0])
+        return self.load_postings(sorted(set(analyzed)), positions=True), analyzed
+
+    def span_not_docs(
+        self,
+        include_terms: list[str],
+        exclude_term: str,
+        slop: int = 0,
+        pre: int = 0,
+        post: int = 0,
+        field: str | None = None,
+    ) -> np.ndarray:
+        """Lucene ``span_not``: docs with an include span no occurrence
+        of ``exclude_term`` overlaps, the overlap window widened by
+        ``pre`` positions before the span start and ``post`` after its
+        end (the ``pre``/``post``/``dist`` knobs). The include span is
+        a single term (one-position span) or an ordered ``span_near``
+        chain of terms with internal gap total <= ``slop`` — span
+        enumeration is this engine's pinned greedy-chain semantics
+        (see ``_sloppy_phrase_hits``: each start advances to every
+        later term's earliest strictly-later occurrence).
+
+        Fully vectorized: include spans and exclude occurrences are
+        keyed into one ``d_idx * M + pos`` space; a span is blocked
+        iff ``searchsorted`` finds an exclude key in
+        ``[start - pre, end + post]`` (clamped to the span's doc) —
+        no per-doc Python. Docs without the exclude term pass by
+        construction (they contribute no exclude keys)."""
+        postings, inc = self._span_postings(include_terms, field)
+        ex_terms = self.field_terms(exclude_term, field)
+        if len(ex_terms) != 1:
+            raise ValueError("span_not exclude takes a single term")
+        if any(t not in postings for t in inc):
+            return np.empty(0, np.uint64)
+        ex_post = self.load_postings(ex_terms, positions=True)
+        cand = postings[inc[0]].doc_ids
+        for t in inc[1:]:
+            cand = np.intersect1d(cand, postings[t].doc_ids, assume_unique=True)
+        if cand.size == 0:
+            return np.empty(0, np.uint64)
+        maxpos = max(int(postings[t].poss.max()) for t in set(inc))
+        if ex_terms[0] in ex_post:
+            maxpos = max(maxpos, int(ex_post[ex_terms[0]].poss.max()))
+        M = maxpos + max(post, 0) + 2
+        if len(inc) == 1:
+            start = self._occurrence_keys(postings[inc[0]], cand, M)
+            end = start
+        else:
+            chains = self._greedy_chains(inc, postings, cand, M)
+            if chains is None:
+                return np.empty(0, np.uint64)
+            start, end, _ = chains
+            gap = (end % M) - (start % M) - (len(inc) - 1)
+            start, end = start[gap <= slop], end[gap <= slop]
+        if start.size == 0:
+            return np.empty(0, np.uint64)
+        if ex_terms[0] in ex_post:
+            ke = self._occurrence_keys(ex_post[ex_terms[0]], cand, M)
+            lo = np.maximum(start - max(pre, 0), (start // M) * M)
+            hi = end + max(post, 0)
+            blocked = np.searchsorted(ke, lo, "left") < np.searchsorted(
+                ke, hi, "right"
+            )
+            start = start[~blocked]
+            if start.size == 0:
+                return np.empty(0, np.uint64)
+        hit = np.unique(start // M)
+        return np.sort(self._map_ordinals(cand[hit]))
+
+    def span_within_docs(
+        self,
+        little_term: str,
+        big_terms: list[str],
+        slop: int = 0,
+        field: str | None = None,
+    ) -> np.ndarray:
+        """Lucene ``span_within`` / ``span_containing`` doc set: docs
+        where an occurrence of ``little_term`` lies INSIDE an enclosing
+        ordered ``span_near`` chain of ``big_terms`` with internal gap
+        total <= ``slop`` (positions ``start <= p <= end`` inclusive).
+        The two Lucene operators return different SPANS (the little vs
+        the big one) but the same documents, which is what a doc-level
+        filter needs — both DSL kinds route here. Enumeration is the
+        pinned greedy-chain semantics; the containment test is two
+        ``searchsorted`` calls over the shared key space."""
+        postings, big = self._span_postings(big_terms, field)
+        li_terms = self.field_terms(little_term, field)
+        if len(li_terms) != 1:
+            raise ValueError("span_within little takes a single term")
+        li_post = self.load_postings(li_terms, positions=True)
+        if any(t not in postings for t in big) or li_terms[0] not in li_post:
+            return np.empty(0, np.uint64)
+        lp = li_post[li_terms[0]]
+        cand = postings[big[0]].doc_ids
+        for t in big[1:]:
+            cand = np.intersect1d(cand, postings[t].doc_ids, assume_unique=True)
+        cand = np.intersect1d(cand, lp.doc_ids, assume_unique=True)
+        if cand.size == 0:
+            return np.empty(0, np.uint64)
+        maxpos = max(int(postings[t].poss.max()) for t in set(big))
+        maxpos = max(maxpos, int(lp.poss.max()))
+        M = maxpos + 2
+        chains = self._greedy_chains(big, postings, cand, M)
+        if chains is None:
+            return np.empty(0, np.uint64)
+        start, end, _ = chains
+        gap = (end % M) - (start % M) - (len(big) - 1)
+        start, end = start[gap <= slop], end[gap <= slop]
+        if start.size == 0:
+            return np.empty(0, np.uint64)
+        kl = self._occurrence_keys(lp, cand, M)
+        contained = np.searchsorted(kl, start, "left") < np.searchsorted(
+            kl, end, "right"
+        )
+        hit = np.unique(start[contained] // M)
+        return np.sort(self._map_ordinals(cand[hit]))
 
     def match_phrase_prefix(
         self, phrase: str, field: str | None = None, max_expansions: int = 50

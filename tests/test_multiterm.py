@@ -146,3 +146,77 @@ def test_fuzzy_auto_in_dsl(rdr):
     auto = _match_docs(rdr, "fuzzy", {"text": {"value": "mergX", "fuzziness": "AUTO"}})
     one = _match_docs(rdr, "fuzzy", {"text": {"value": "mergX", "fuzziness": 1}})
     assert np.array_equal(auto, one)  # len 5 -> 1 edit
+
+
+# ------------------------------------------------------------- OSA fuzzy
+# (transpositions=True, round 5)
+
+
+def _osa(a: str, b: str) -> int:
+    """Reference restricted Damerau-Levenshtein (optimal string
+    alignment) — Lucene's transpositions=true distance."""
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = a[i - 1] != b[j - 1]
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]
+
+
+def test_expand_fuzzy_osa_vs_brute(rdr):
+    for probe, d in [("mrege", 1), ("merge", 1), ("part", 1), ("aprt", 1),
+                     ("stream", 2), ("sterma", 2), ("partitio", 2)]:
+        want = sorted(t for t in _vocab() if _osa(probe, t) <= d)
+        got = sorted(rdr.expand_fuzzy(probe, max_edits=d, transpositions=True))
+        assert got == want, (probe, d)
+
+
+def test_osa_counts_swap_as_one_edit(rdr):
+    # 'mrege' -> 'merge' is one adjacent swap: OSA matches at 1 edit,
+    # plain Levenshtein (distance 2) does not
+    assert "merge" in rdr.expand_fuzzy("mrege", max_edits=1, transpositions=True)
+    assert "merge" not in rdr.expand_fuzzy("mrege", max_edits=1)
+
+
+def test_osa_random_strings_vs_reference():
+    # kernel-level check over random alphabet-3 strings (dense edit /
+    # swap interactions, incl. the OSA != unrestricted-DL cases)
+    import random
+
+    import pyarrow as pa
+
+    from raybm25.query.engine import IndexReader
+
+    rng = random.Random(7)
+    vocab = sorted(
+        {
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(160)
+        }
+    )
+
+    class _Stub(IndexReader):
+        def __init__(self, terms):
+            self._terms = pa.array(terms, pa.string())
+
+        def term_dictionary(self, field=None):
+            return self._terms
+
+    stub = _Stub(vocab)
+    for probe in ["ab", "ba", "abc", "cab", "ca", "acb", "bca", "aabbcc"]:
+        for d in (1, 2):
+            want = sorted(t for t in vocab if _osa(probe, t) <= d)
+            got = sorted(stub.expand_fuzzy(probe, max_edits=d, transpositions=True))
+            assert got == want, (probe, d)

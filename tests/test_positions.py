@@ -339,3 +339,139 @@ def test_simple_query_string(pos_built):
     for badq in ["a | b", "(a b)", "pre*", "fuzz~2"]:
         with pytest.raises(ValueError):
             run_query(r, {"query": {"simple_query_string": {"query": badq}}})
+
+
+# ---------------------------------------------------------------- span_not /
+# span_within (round-5 span algebra)
+
+
+def _brute_span_not(docs, inc, exc, pre=0, post=0):
+    """Docs with an `inc` occurrence having no `exc` occurrence in
+    [p - pre, p + post] (single-term include spans)."""
+    out = []
+    for did, text in docs.items():
+        toks = tokenize(text)
+        epos = {i for i, t in enumerate(toks) if t == exc}
+        for p, t in enumerate(toks):
+            if t == inc and not any(
+                q in epos for q in range(max(p - pre, 0), p + post + 1)
+            ):
+                out.append(did)
+                break
+    return np.sort(np.array(out, dtype=np.uint64))
+
+
+def _brute_span_within(docs, little, t1, t2, slop):
+    """Docs where `little` lies inside a greedy t1->earliest-t2 chain
+    with gap <= slop (the engine's pinned enumeration)."""
+    out = []
+    for did, text in docs.items():
+        toks = tokenize(text)
+        hit = False
+        for i, t in enumerate(toks):
+            if t != t1:
+                continue
+            nxt = [j for j in range(i + 1, len(toks)) if toks[j] == t2]
+            if not nxt:
+                continue
+            j = nxt[0]
+            if j - i - 1 <= slop and any(
+                toks[m] == little for m in range(i, j + 1)
+            ):
+                hit = True
+                break
+        if hit:
+            out.append(did)
+    return np.sort(np.array(out, dtype=np.uint64))
+
+
+def test_span_not_vs_brute_force(pos_built):
+    index_dir, docs = pos_built
+    r = IndexReader(index_dir)
+    # kengul / fisraqua are the fixture's two highest-df terms, so the
+    # windows genuinely overlap; fox/lazy pin the df=2 tail
+    for inc, exc, pre, post in [
+        ("kengul", "fisraqua", 0, 3),
+        ("kengul", "fisraqua", 2, 0),
+        ("fisraqua", "kengul", 1, 1),
+        ("fox", "lazy", 0, 3),
+        ("kengul", "zzzabsent", 0, 5),
+    ]:
+        got = r.span_not_docs([inc], exc, pre=pre, post=post)
+        want = _brute_span_not(docs, inc, exc, pre, post)
+        assert got.tolist() == want.tolist(), (inc, exc, pre, post)
+    # the exclusion must actually fire: a huge window drops docs a
+    # no-op exclude keeps
+    full = r.span_not_docs(["kengul"], "zzzabsent", post=1000)
+    assert len(r.span_not_docs(["kengul"], "fisraqua", post=1000)) < len(full)
+
+
+def test_span_not_multi_term_include(pos_built):
+    index_dir, docs = pos_built
+    r = IndexReader(index_dir)
+    # include = span_near(quick, fox, slop=2): blocked when exclude
+    # falls within [start, end + post]
+    got = r.span_not_docs(["quick", "fox"], "lazy", slop=2, post=2)
+    out = []
+    for did, text in docs.items():
+        toks = tokenize(text)
+        for i, t in enumerate(toks):
+            if t != "quick":
+                continue
+            nxt = [j for j in range(i + 1, len(toks)) if toks[j] == "fox"]
+            if not nxt or nxt[0] - i - 1 > 2:
+                continue
+            j = nxt[0]
+            if not any(toks[m] == "lazy" for m in range(i, min(j + 3, len(toks)))):
+                out.append(did)
+                break
+    assert got.tolist() == sorted(out)
+
+
+def test_span_within_vs_brute_force(pos_built):
+    index_dir, docs = pos_built
+    r = IndexReader(index_dir)
+    for little, t1, t2, slop in [
+        ("quick", "quick", "dog", 8),
+        ("fox", "quick", "lazy", 6),
+        ("lazy", "fox", "dog", 4),
+    ]:
+        got = r.span_within_docs(little, [t1, t2], slop=slop)
+        want = _brute_span_within(docs, little, t1, t2, slop)
+        assert got.tolist() == want.tolist(), (little, t1, t2, slop)
+
+
+def test_span_not_within_dsl_kinds(pos_built):
+    from raybm25.query.dsl import _match_docs
+
+    index_dir, docs = pos_built
+    r = IndexReader(index_dir)
+    got = _match_docs(
+        r,
+        "span_not",
+        {
+            "include": {"span_term": {"text": "fox"}},
+            "exclude": {"span_term": {"text": "lazy"}},
+            "dist": 2,
+        },
+    )
+    assert got.tolist() == _brute_span_not(docs, "fox", "lazy", 2, 2).tolist()
+    big = {
+        "span_near": {
+            "clauses": [
+                {"span_term": {"text": "quick"}},
+                {"span_term": {"text": "lazy"}},
+            ],
+            "slop": 6,
+            "in_order": True,
+        }
+    }
+    w = _match_docs(
+        r, "span_within", {"little": {"span_term": {"text": "fox"}}, "big": big}
+    )
+    c = _match_docs(
+        r, "span_containing", {"little": {"span_term": {"text": "fox"}}, "big": big}
+    )
+    # span_within and span_containing match the same DOCUMENTS
+    assert w.tolist() == c.tolist()
+    assert w.tolist() == _brute_span_within(docs, "fox", "quick", "lazy", 6).tolist()
