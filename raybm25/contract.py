@@ -5754,6 +5754,185 @@ ORDER BY tg.doc_id
 """
 
 
+def q_string_stats(sf_dir: str):
+    """string_stats aggregation over the ``source`` keyword of docs
+    matching 'merge join': count / min / max / avg length plus the
+    Shannon entropy (bits) of the character distribution across all
+    values (engine.string_stats_agg — lengths via np.char.str_len, one
+    utf-32 histogram for entropy, no per-doc loop)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge join"}}},
+            "size": 0,
+            "aggs": {"ss": {"string_stats": {"field": "source"}}},
+        },
+    )
+    s = resp["aggregations"]["ss"]
+    return pd.DataFrame(
+        {
+            "count_v": pd.array([s["count"]], dtype="int64"),
+            "min_length": pd.array([s["min_length"]], dtype="int64"),
+            "max_length": pd.array([s["max_length"]], dtype="int64"),
+            "avg_length": [s["avg_length"]],
+            "entropy": [s["entropy"]],
+        }
+    )
+
+
+def q_scripted_metric(sf_dir: str):
+    """scripted_metric aggregation (vectorized subset: init
+    ``state.<v> = c``, map ``state.<v> += expr``, distributed-safe
+    sum reduce) computing the sum of squared n_chars over docs
+    matching 'merge join' (engine.scripted_metric_agg — the map
+    script compiles through the script_score expression grammar and
+    evaluates as ONE numpy expression)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge join"}}},
+            "size": 0,
+            "aggs": {
+                "sumsq": {
+                    "scripted_metric": {
+                        "init_script": "state.acc = 0",
+                        "map_script": (
+                            "state.acc += doc['n_chars'].value"
+                            " * doc['n_chars'].value"
+                        ),
+                    }
+                }
+            },
+        },
+    )
+    return pd.DataFrame({"sumsq": [resp["aggregations"]["sumsq"]["value"]]})
+
+
+def q_rate_errors_hourly(sf_dir: str):
+    """rate sub-aggregation under a daily date_histogram over events
+    matching 'error': per-day doc_count re-expressed as an hourly
+    rate — value = doc_count * unit_ms / interval_ms with an integer
+    numerator so the single float division is oracle-reproducible
+    (dsl rate_subs path)."""
+    from .query.dsl import run_query
+
+    body = {
+        "query": {"match": {"event_type": {"query": "error"}}},
+        "size": 0,
+        "aggs": {
+            "daily": {
+                "date_histogram": {"field": "ts", "fixed_interval_ms": 86400000},
+                "aggs": {"hourly": {"rate": {"unit": "hour"}}},
+            }
+        },
+    }
+    buckets = run_query(_events_index(sf_dir), body)["aggregations"]["daily"][
+        "buckets"
+    ]
+    return pd.DataFrame(
+        {
+            "bucket_ms": pd.array([b["key"] for b in buckets], dtype="int64"),
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+            "hourly_rate": [b["hourly"]["value"] for b in buckets],
+        }
+    )
+
+
+def q_cum_cardinality_users(sf_dir: str):
+    """Exact cardinality sub-agg + cumulative_cardinality pipeline
+    under a daily date_histogram over events matching 'error': per
+    day, the distinct user_id count within the day and the cumulative
+    distinct count since the start — one vectorized engine pass
+    (engine.facet_date_histogram_cardinality: factorized values,
+    unique (bucket,code) pairs, first-seen bincount + cumsum)."""
+    from .query.dsl import run_query
+
+    body = {
+        "query": {"match": {"event_type": {"query": "error"}}},
+        "size": 0,
+        "aggs": {
+            "daily": {
+                "date_histogram": {"field": "ts", "fixed_interval_ms": 86400000},
+                "aggs": {
+                    "uniq": {"cardinality": {"field": "user_id"}},
+                    "cum_uniq": {
+                        "cumulative_cardinality": {"buckets_path": "uniq"}
+                    },
+                },
+            }
+        },
+    }
+    buckets = run_query(_events_index(sf_dir), body)["aggregations"]["daily"][
+        "buckets"
+    ]
+    return pd.DataFrame(
+        {
+            "bucket_ms": pd.array([b["key"] for b in buckets], dtype="int64"),
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+            "uniq": pd.array(
+                [b["uniq"]["value"] for b in buckets], dtype="int64"
+            ),
+            "cum_uniq": pd.array(
+                [b["cum_uniq"]["value"] for b in buckets], dtype="int64"
+            ),
+        }
+    )
+
+
+def q_mtermvectors(sf_dir: str):
+    """_mtermvectors over the lowest- and highest-id documents with
+    term_statistics: one reader resolve, N point lookups
+    (dsl.run_mtermvectors); rows are (req doc, term, tf, df, ttf)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .query.dsl import run_mtermvectors
+
+    ids_col = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).column("doc_id")
+    lo, hi = pc.min(ids_col).as_py(), pc.max(ids_col).as_py()
+    resp = run_mtermvectors(
+        _IndexReader()(docs_index(sf_dir)),
+        {
+            "ids": [lo, hi],
+            "term_statistics": True,
+            "positions": False,
+            "field_statistics": False,
+        },
+    )
+    rows = []
+    for tv in resp["docs"]:
+        terms = tv["term_vectors"]["text"]["terms"]
+        for t in sorted(terms):
+            rows.append(
+                (
+                    int(tv["_id"]),
+                    t,
+                    terms[t]["term_freq"],
+                    terms[t]["doc_freq"],
+                    terms[t]["ttf"],
+                )
+            )
+    return pd.DataFrame(
+        {
+            "req_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "term": [r[1] for r in rows],
+            "term_freq": pd.array([r[2] for r in rows], dtype="int64"),
+            "doc_freq": pd.array([r[3] for r in rows], dtype="int64"),
+            "ttf": pd.array([r[4] for r in rows], dtype="int64"),
+        }
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "rank_eval_prf": _rank_eval_prf_sql(),
     "rank_eval_ndcg": _rank_eval_ndcg_sql(),
@@ -6626,6 +6805,65 @@ ORACLE_SQL: dict[str, str] = {
         " - (CAST(sum_v AS DOUBLE) / n) * (CAST(sum_v AS DOUBLE) / n))"
         " AS std_dev FROM s"
     ),
+    "string_stats_source": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks"
+        " WHERE term IN ('join', 'merge')),"
+        " v AS (SELECT source AS s FROM documents JOIN m USING(doc_id)),"
+        " h AS (SELECT c, count(*) AS cnt FROM"
+        " (SELECT unnest(string_split(s, '')) AS c FROM v) GROUP BY c),"
+        " t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM h)"
+        " SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS count_v,"
+        " (SELECT CAST(min(length(s)) AS BIGINT) FROM v) AS min_length,"
+        " (SELECT CAST(max(length(s)) AS BIGINT) FROM v) AS max_length,"
+        " (SELECT CAST(sum(length(s)) AS DOUBLE) / count(*) FROM v)"
+        " AS avg_length,"
+        " (SELECT round(-sum((CAST(cnt AS DOUBLE) / t.tot)"
+        " * log2(CAST(cnt AS DOUBLE) / t.tot)), 10) FROM h, t) AS entropy"
+    ),
+    "scripted_metric_sumsq": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks"
+        " WHERE term IN ('join', 'merge'))"
+        " SELECT CAST(sum(n_chars * n_chars) AS DOUBLE) AS sumsq"
+        " FROM documents JOIN m USING(doc_id)"
+    ),
+    "rate_errors_hourly": (
+        "WITH t AS (SELECT ts,"
+        " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk"
+        " FROM events),"
+        " g AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS bucket_ms,"
+        " count(*) AS doc_count FROM t WHERE list_contains(tk, 'error')"
+        " GROUP BY bucket_ms)"
+        " SELECT bucket_ms, CAST(doc_count AS BIGINT) AS doc_count,"
+        " CAST(doc_count * 3600000 AS DOUBLE) / 86400000 AS hourly_rate"
+        " FROM g ORDER BY bucket_ms"
+    ),
+    "cum_cardinality_users": (
+        "WITH t AS (SELECT ts, user_id,"
+        " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk"
+        " FROM events),"
+        " m AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS b, user_id"
+        " FROM t WHERE list_contains(tk, 'error')),"
+        " g AS (SELECT b, count(*) AS doc_count,"
+        " count(DISTINCT user_id) AS uniq FROM m GROUP BY b),"
+        " fs AS (SELECT user_id, min(b) AS fb FROM m GROUP BY user_id)"
+        " SELECT g.b AS bucket_ms, CAST(g.doc_count AS BIGINT) AS doc_count,"
+        " CAST(g.uniq AS BIGINT) AS uniq,"
+        " CAST((SELECT count(*) FROM fs WHERE fs.fb <= g.b) AS BIGINT)"
+        " AS cum_uniq FROM g ORDER BY g.b"
+    ),
+    "mtermvectors_docs": (
+        f"WITH {TOKS_CTE},"
+        " req AS (SELECT min(doc_id) AS d FROM documents"
+        " UNION ALL SELECT max(doc_id) FROM documents),"
+        " tf AS (SELECT doc_id, term, count(*) AS term_freq"
+        " FROM toks JOIN req ON doc_id = req.d GROUP BY doc_id, term),"
+        " stats AS (SELECT term, count(DISTINCT doc_id) AS doc_freq,"
+        " count(*) AS ttf FROM toks GROUP BY term)"
+        " SELECT tf.doc_id AS req_id, tf.term, term_freq, doc_freq, ttf"
+        " FROM tf JOIN stats USING(term) ORDER BY req_id, tf.term"
+    ),
     "rare_terms_source": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup')"
@@ -7401,6 +7639,11 @@ QUERIES = {
     "terms_enum_prefix": q_terms_enum,
     "resize_split_bm25": q_resize_split_bm25,
     "reindex_query_bm25": q_reindex_query_bm25,
+    "string_stats_source": q_string_stats,
+    "scripted_metric_sumsq": q_scripted_metric,
+    "rate_errors_hourly": q_rate_errors_hourly,
+    "cum_cardinality_users": q_cum_cardinality_users,
+    "mtermvectors_docs": q_mtermvectors,
 }
 
 # Driver-sampling order: the correctness driver checks ~50 entries per

@@ -1506,6 +1506,16 @@ def _aggregations(
                 ]
             }
             continue
+        if akind == "scripted_metric":
+            out[name] = {
+                "value": r.scripted_metric_agg(
+                    qtext,
+                    aspec["init_script"],
+                    aspec["map_script"],
+                    field=f,
+                )
+            }
+            continue
         afield = aspec["field"]
         if (
             runtime
@@ -1672,6 +1682,84 @@ def _aggregations(
                 sub_aggs = {
                     sn: s for sn, s in sub_aggs.items() if sn not in metric_subs
                 }
+                # rate sub-agg: per-bucket doc_count (or field sum)
+                # re-expressed per time unit — value * unit_ms /
+                # interval_ms with an integer numerator, so the
+                # division is one exact-operand float op (oracle-
+                # reproducible). Default unit = the histogram's own
+                # interval (factor 1), OpenSearch semantics.
+                rate_subs = {
+                    sn: s["rate"]
+                    for sn, s in sub_aggs.items()
+                    if isinstance(s, dict) and len(s) == 1 and "rate" in s
+                }
+                for sn, rspec in rate_subs.items():
+                    unit = rspec.get("unit")
+                    unit_ms = (
+                        int(iv)
+                        if unit is None
+                        else {
+                            "second": 1000,
+                            "minute": 60000,
+                            "hour": 3600000,
+                            "day": 86400000,
+                            "week": 604800000,
+                        }[str(unit)]
+                    )
+                    if "field" in rspec:
+                        srows = r.facet_date_histogram_stats(
+                            qtext, afield, int(iv), rspec["field"], field=f
+                        )
+                        per = {b: sm for b, _n, _mn, _mx, sm in srows}
+                        for bkt in buckets:
+                            v = per.get(bkt["key"], 0)
+                            bkt[sn] = {"value": float(v * unit_ms) / float(iv)}
+                    else:
+                        for bkt in buckets:
+                            bkt[sn] = {
+                                "value": float(bkt["doc_count"] * unit_ms)
+                                / float(iv)
+                            }
+                # exact cardinality sub-agg + the cumulative_cardinality
+                # pipeline referencing it — one engine pass computes
+                # both; gap-filled empty buckets carry the cumulative
+                # value forward (no new distincts in an empty bucket)
+                card_subs = {
+                    sn: s["cardinality"]["field"]
+                    for sn, s in sub_aggs.items()
+                    if isinstance(s, dict)
+                    and len(s) == 1
+                    and "cardinality" in s
+                }
+                cum_subs = {
+                    sn: s["cumulative_cardinality"]["buckets_path"]
+                    for sn, s in sub_aggs.items()
+                    if isinstance(s, dict)
+                    and len(s) == 1
+                    and "cumulative_cardinality" in s
+                }
+                for sn, vf in card_subs.items():
+                    crows = r.facet_date_histogram_cardinality(
+                        qtext, afield, int(iv), vf, field=f
+                    )
+                    percard = {b: (cd, cm) for b, _n, cd, cm in crows}
+                    run_cm = 0
+                    for bkt in buckets:
+                        cd, cm = percard.get(bkt["key"], (0, None))
+                        if cm is None:
+                            cm = run_cm
+                        run_cm = cm
+                        bkt[sn] = {"value": int(cd)}
+                        for cn, path in cum_subs.items():
+                            if path == sn:
+                                bkt[cn] = {"value": int(cm)}
+                handled = (
+                    set(rate_subs) | set(card_subs)
+                    | {cn for cn, p in cum_subs.items() if p in card_subs}
+                )
+                sub_aggs = {
+                    sn: s for sn, s in sub_aggs.items() if sn not in handled
+                }
             out[name] = {"buckets": buckets}
         elif akind == "geotile_grid":
             rows = r.facet_geotile(
@@ -1745,6 +1833,8 @@ def _aggregations(
             }
         elif akind == "cardinality":
             out[name] = {"value": r.cardinality_agg(qtext, afield, field=f)}
+        elif akind == "string_stats":
+            out[name] = r.string_stats_agg(qtext, afield, field=f)
         elif akind == "median_absolute_deviation":
             out[name] = {
                 "value": r.median_absolute_deviation_agg(qtext, afield, field=f)
@@ -2235,6 +2325,33 @@ def run_termvectors(index_dir_or_reader, doc_id: int, body: dict | None = None) 
         term_statistics=bool(body.get("term_statistics", False)),
         field_statistics=bool(body.get("field_statistics", True)),
     )
+
+
+def run_mtermvectors(index_dir_or_reader, body: dict) -> dict:
+    """OpenSearch ``_mtermvectors``: term vectors for many docs in one
+    call. Accepts ``{"ids": [...]}`` (shared options in the body) or
+    ``{"docs": [{"_id": ..., ...per-doc options}, ...]}``; each doc's
+    vector is the same shape ``run_termvectors`` returns, wrapped as
+    ``{"docs": [...]}`` in request order. The reader is resolved ONCE
+    for the whole batch (one manifest/docstore handle, N point
+    lookups), which is the entire point of the m-endpoint."""
+    r = (
+        index_dir_or_reader
+        if isinstance(index_dir_or_reader, IndexReader)
+        else IndexReader(index_dir_or_reader)
+    )
+    shared = {
+        k: v for k, v in (body or {}).items() if k not in ("ids", "docs")
+    }
+    reqs: list[tuple[int, dict]] = []
+    for i in body.get("ids", []) or []:
+        reqs.append((int(i), shared))
+    for d in body.get("docs", []) or []:
+        opts = {**shared, **{k: v for k, v in d.items() if k != "_id"}}
+        reqs.append((int(d["_id"]), opts))
+    return {
+        "docs": [run_termvectors(r, did, opts) for did, opts in reqs]
+    }
 
 
 def run_scroll(

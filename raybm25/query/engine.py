@@ -2786,6 +2786,150 @@ class IndexReader:
             vals = vals.astype(str)
         return int(np.unique(vals).size)
 
+    def string_stats_agg(
+        self, query: str, agg_field: str, field: str | None = None
+    ) -> dict:
+        """String-stats aggregation (OpenSearch ``string_stats``):
+        count / min_length / max_length / avg_length of a stored
+        string doc-value over the match set, plus the Shannon entropy
+        (bits, log2) of the CHARACTER distribution across all values —
+        the OpenSearch definition. Lengths are vectorized
+        (np.char.str_len); the character histogram is one utf-32
+        decode of the concatenated values + np.unique — no per-doc
+        loop. ``entropy`` is rounded to 10 decimals so the value is
+        reproducible against a SQL oracle that accumulates the same
+        histogram in a different floating-point order."""
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return {"count": 0, "min_length": None, "max_length": None,
+                    "avg_length": None, "entropy": 0.0}
+        vals = self._gather_column(cand, agg_field).astype(str)
+        lens = np.char.str_len(vals)
+        chars = np.frombuffer(
+            "".join(vals.tolist()).encode("utf-32-le"), dtype=np.uint32
+        )
+        if chars.size == 0:
+            ent = 0.0
+        else:
+            _, counts = np.unique(chars, return_counts=True)
+            p = counts / float(chars.size)
+            ent = float(-(p * np.log2(p)).sum())
+        return {
+            "count": int(lens.size),
+            "min_length": int(lens.min()),
+            "max_length": int(lens.max()),
+            "avg_length": float(lens.sum()) / float(lens.size),
+            "entropy": round(ent, 10),
+        }
+
+    def scripted_metric_agg(
+        self,
+        query: str,
+        init_script: str,
+        map_script: str,
+        field: str | None = None,
+    ) -> float:
+        """Scripted-metric aggregation (OpenSearch ``scripted_metric``),
+        vectorized subset: ``init_script`` must be
+        ``state.<v> = <number>`` and ``map_script`` must be
+        ``state.<v> += <expr>`` where ``<expr>`` is the script_score
+        expression grammar (``doc['f'].value`` arithmetic +
+        Math.* — query/script.py). The combine/reduce phases are
+        pinned to per-partition partial sums + a global sum: the only
+        reduction whose result is invariant to how docs are
+        partitioned across shards/blocks, which is the honest subset a
+        distributed engine can offer (an order-dependent
+        ``reduce_script`` has no deterministic distributed meaning).
+        Returns ``init + sum(expr over matching docs)`` — evaluated as
+        ONE numpy expression over the gathered doc-values."""
+        import re as _re
+
+        from .script import compile_script
+
+        m_init = _re.fullmatch(
+            r"\s*state\.([A-Za-z_]\w*)\s*=\s*(-?\d+(?:\.\d+)?)\s*",
+            str(init_script),
+        )
+        if not m_init:
+            raise ValueError(
+                "scripted_metric init_script must be 'state.<v> = <number>'"
+            )
+        var, init_v = m_init.group(1), float(m_init.group(2))
+        m_map = _re.fullmatch(
+            r"\s*state\.([A-Za-z_]\w*)\s*\+=\s*(.+?)\s*", str(map_script)
+        )
+        if not m_map or m_map.group(1) != var:
+            raise ValueError(
+                "scripted_metric map_script must be 'state.<v> += <expr>' "
+                "over the init_script's state variable"
+            )
+        fn = compile_script(m_map.group(2))
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return init_v
+        values = {
+            fl: self._gather_column(cand, fl).astype(np.float64)
+            for fl in fn.fields
+        }
+        out = fn(np.zeros(cand.size, dtype=np.float64), values)
+        return float(init_v + out.sum())
+
+    def facet_date_histogram_cardinality(
+        self,
+        query: str,
+        ts_field: str,
+        interval_ms: int,
+        value_field: str,
+        field: str | None = None,
+    ) -> list[tuple[int, int, int, int]]:
+        """date_histogram with an exact ``cardinality`` sub-agg and the
+        ``cumulative_cardinality`` pipeline in one pass: per time
+        bucket, (bucket_ms, doc_count, distinct value_field count
+        within the bucket, cumulative distinct count up to and
+        including the bucket). Vectorized: values factorize once
+        (np.unique codes), per-bucket distincts are unique
+        (bucket, code) pairs, and the cumulative curve is a bincount
+        of each code's FIRST bucket + cumsum — no per-bucket set
+        objects, so the cost is O(n log n) in matching docs
+        regardless of bucket count."""
+        if interval_ms <= 0:
+            raise ValueError("interval_ms must be positive")
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        ms = (
+            self._gather_column(cand, ts_field)
+            .astype("datetime64[ms]")
+            .astype(np.int64)
+        )
+        keys = (ms // interval_ms) * interval_ms
+        vals = self._gather_column(cand, value_field)
+        if vals.dtype == object:
+            vals = vals.astype(str)
+        uvals, codes = np.unique(vals, return_inverse=True)
+        order = np.argsort(keys, kind="stable")
+        k = keys[order]
+        c = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        counts = np.diff(np.append(starts, k.size))
+        bucket_keys = k[starts]
+        bidx = np.searchsorted(bucket_keys, k)
+        pair = bidx.astype(np.int64) * np.int64(uvals.size) + c
+        upair = np.unique(pair)
+        card = np.bincount(
+            (upair // np.int64(uvals.size)).astype(np.int64),
+            minlength=bucket_keys.size,
+        )
+        first_b = np.full(uvals.size, bucket_keys.size, dtype=np.int64)
+        np.minimum.at(first_b, c, bidx)
+        cum = np.cumsum(np.bincount(first_b, minlength=bucket_keys.size + 1))[
+            : bucket_keys.size
+        ]
+        return [
+            (int(b), int(n), int(cd), int(cm))
+            for b, n, cd, cm in zip(bucket_keys, counts, card, cum)
+        ]
+
     # ------------------------------------------------- term dictionary
     def term_dictionary(self, field: str | None = None) -> pa.Array:
         """Sorted unique analyzed terms of one text field (the Lucene

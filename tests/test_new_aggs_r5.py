@@ -1,0 +1,247 @@
+"""Round-5 aggregation additions: string_stats, scripted_metric
+(vectorized subset), rate sub-agg, cardinality + cumulative_cardinality
+under date_histogram, and the _mtermvectors endpoint — checked against
+brute force computed in-test. Reference behavior: OpenSearch
+aggs.{string_stats,scripted_metric,rate,cumulative_cardinality} and
+the _mtermvectors API."""
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raybm25.index.build import build_index
+from raybm25.query.dsl import run_mtermvectors, run_query
+from raybm25.query.engine import IndexReader
+
+TOK = re.compile(r"[a-z0-9]+")
+
+DOCS = [
+    ("alpha beta", "web", 10),
+    ("beta gamma", "wiki", 250),
+    ("alpha gamma delta", "web", 250),
+    ("delta only", "forum", 400),
+    ("alpha alpha", "web", 999),
+    ("nothing here", "wiki", 50),
+]
+
+# ts (epoch ms, two days) / user_id / text for the events-shaped index
+EVENTS = [
+    (0 * 86400000 + 1000, 7, "error disk"),
+    (0 * 86400000 + 2000, 8, "error net"),
+    (0 * 86400000 + 3000, 7, "error disk"),
+    (1 * 86400000 + 1000, 8, "error cpu"),
+    (1 * 86400000 + 2000, 9, "error cpu"),
+    (2 * 86400000 + 1000, 9, "ok boot"),
+]
+
+
+@pytest.fixture(scope="module")
+def rdr(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("newaggs")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(DOCS))),
+                "text": [t for t, _, _ in DOCS],
+                "source": [s for _, s, _ in DOCS],
+                "size": [n for _, _, n in DOCS],
+            }
+        ),
+        str(tmp / "d.parquet"),
+    )
+    idx = str(tmp / "idx")
+    build_index(str(tmp / "d.parquet"), idx, key_col="doc_id", id_col="doc_id",
+                ts_col=None, keyword_cols=("source",),
+                stored_cols=["text", "source", "size"], num_buckets=2)
+    return IndexReader(idx)
+
+
+@pytest.fixture(scope="module")
+def evt_rdr(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("newaggs_evt")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": list(range(len(EVENTS))),
+                "ts": pa.array(
+                    [ms * 1000 for ms, _, _ in EVENTS],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": [u for _, u, _ in EVENTS],
+                "text": [t for _, _, t in EVENTS],
+            }
+        ),
+        str(tmp / "e.parquet"),
+    )
+    idx = str(tmp / "idx")
+    build_index(str(tmp / "e.parquet"), idx, key_col="event_id",
+                id_col="event_id", ts_col=None,
+                stored_cols=["ts", "user_id", "text"], num_buckets=2)
+    return IndexReader(idx)
+
+
+def _match(query):
+    terms = set(TOK.findall(query.lower()))
+    return [i for i, (t, _, _) in enumerate(DOCS)
+            if set(TOK.findall(t.lower())) & terms]
+
+
+def test_string_stats(rdr):
+    got = rdr.string_stats_agg("alpha gamma", "source")
+    vals = [DOCS[i][1] for i in _match("alpha gamma")]
+    lens = [len(v) for v in vals]
+    counts = Counter("".join(vals))
+    total = sum(counts.values())
+    ent = -sum((c / total) * math.log2(c / total) for c in counts.values())
+    assert got["count"] == len(vals)
+    assert got["min_length"] == min(lens)
+    assert got["max_length"] == max(lens)
+    assert got["avg_length"] == pytest.approx(sum(lens) / len(lens))
+    assert got["entropy"] == pytest.approx(ent, abs=1e-9)
+
+
+def test_string_stats_empty(rdr):
+    got = rdr.string_stats_agg("zzznomatch", "source")
+    assert got == {"count": 0, "min_length": None, "max_length": None,
+                   "avg_length": None, "entropy": 0.0}
+
+
+def test_scripted_metric_sum_expr(rdr):
+    got = rdr.scripted_metric_agg(
+        "alpha gamma",
+        "state.acc = 5",
+        "state.acc += doc['size'].value * doc['size'].value",
+    )
+    want = 5 + sum(DOCS[i][2] ** 2 for i in _match("alpha gamma"))
+    assert got == pytest.approx(want)
+
+
+def test_scripted_metric_rejects_non_subset(rdr):
+    with pytest.raises(ValueError):
+        rdr.scripted_metric_agg("alpha", "state.acc = []",
+                                "state.acc += doc['size'].value")
+    with pytest.raises(ValueError):
+        # map must accumulate into the SAME state variable
+        rdr.scripted_metric_agg("alpha", "state.acc = 0",
+                                "state.other += doc['size'].value")
+    with pytest.raises(ValueError):
+        # no order-dependent reduce shapes: '=' (overwrite) is not +=
+        rdr.scripted_metric_agg("alpha", "state.acc = 0",
+                                "state.acc = doc['size'].value")
+
+
+def test_scripted_metric_empty_match_returns_init(rdr):
+    got = rdr.scripted_metric_agg("zzznomatch", "state.acc = 3",
+                                  "state.acc += doc['size'].value")
+    assert got == 3.0
+
+
+def test_scripted_metric_via_dsl(rdr):
+    resp = run_query(rdr, {
+        "query": {"match": {"text": {"query": "alpha gamma"}}},
+        "size": 0,
+        "aggs": {"m": {"scripted_metric": {
+            "init_script": "state.acc = 0",
+            "map_script": "state.acc += doc['size'].value"}}},
+    })
+    want = sum(DOCS[i][2] for i in _match("alpha gamma"))
+    assert resp["aggregations"]["m"]["value"] == pytest.approx(want)
+
+
+def test_date_histogram_cardinality_engine(evt_rdr):
+    rows = evt_rdr.facet_date_histogram_cardinality(
+        "error", "ts", 86400000, "user_id"
+    )
+    # day 0: users {7,8} of 3 error events; day 1: {8,9}; cumulative
+    # distinct after day 1 = {7,8,9}
+    assert rows == [
+        (0, 3, 2, 2),
+        (86400000, 2, 2, 3),
+    ]
+
+
+def test_rate_and_cumulative_cardinality_dsl(evt_rdr):
+    resp = run_query(evt_rdr, {
+        "query": {"match": {"text": {"query": "error"}}},
+        "size": 0,
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts", "fixed_interval_ms": 86400000},
+            "aggs": {
+                "hourly": {"rate": {"unit": "hour"}},
+                "uniq": {"cardinality": {"field": "user_id"}},
+                "cum": {"cumulative_cardinality": {"buckets_path": "uniq"}},
+            },
+        }},
+    })
+    b = resp["aggregations"]["daily"]["buckets"]
+    assert [x["key"] for x in b] == [0, 86400000]
+    assert [x["doc_count"] for x in b] == [3, 2]
+    assert [x["hourly"]["value"] for x in b] == [3 / 24, 2 / 24]
+    assert [x["uniq"]["value"] for x in b] == [2, 2]
+    assert [x["cum"]["value"] for x in b] == [2, 3]
+
+
+def test_rate_default_unit_is_interval(evt_rdr):
+    resp = run_query(evt_rdr, {
+        "query": {"match": {"text": {"query": "error"}}},
+        "size": 0,
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts", "fixed_interval_ms": 86400000},
+            "aggs": {"r": {"rate": {}}},
+        }},
+    })
+    b = resp["aggregations"]["daily"]["buckets"]
+    assert [x["r"]["value"] for x in b] == [3.0, 2.0]
+
+
+def test_rate_on_field_sum(evt_rdr):
+    resp = run_query(evt_rdr, {
+        "query": {"match": {"text": {"query": "error"}}},
+        "size": 0,
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts", "fixed_interval_ms": 86400000},
+            "aggs": {"r": {"rate": {"field": "user_id", "unit": "day"}}}},
+        },
+    })
+    b = resp["aggregations"]["daily"]["buckets"]
+    # sum(user_id): day0 = 7+8+7 = 22, day1 = 8+9 = 17; unit == interval
+    assert [x["r"]["value"] for x in b] == [22.0, 17.0]
+
+
+def test_mtermvectors(rdr):
+    resp = run_mtermvectors(rdr, {
+        "ids": [0, 4],
+        "term_statistics": True,
+        "positions": False,
+        "field_statistics": False,
+    })
+    assert [d["_id"] for d in resp["docs"]] == [0, 4]
+    t0 = resp["docs"][0]["term_vectors"]["text"]["terms"]
+    assert t0["alpha"]["term_freq"] == 1
+    assert t0["alpha"]["doc_freq"] == 3  # docs 0, 2, 4
+    assert t0["alpha"]["ttf"] == 4  # doc 4 has it twice
+    t4 = resp["docs"][1]["term_vectors"]["text"]["terms"]
+    assert t4["alpha"]["term_freq"] == 2
+    assert set(t4) == {"alpha"}
+
+
+def test_mtermvectors_docs_form_overrides(rdr):
+    resp = run_mtermvectors(rdr, {
+        "docs": [
+            {"_id": 0, "term_statistics": True, "positions": False,
+             "field_statistics": False},
+            {"_id": 1, "positions": False, "field_statistics": False},
+        ],
+    })
+    t0 = resp["docs"][0]["term_vectors"]["text"]["terms"]
+    assert "doc_freq" in t0["alpha"]
+    t1 = resp["docs"][1]["term_vectors"]["text"]["terms"]
+    assert "doc_freq" not in t1["beta"]  # per-doc options differ
