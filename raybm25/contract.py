@@ -5754,6 +5754,79 @@ ORDER BY tg.doc_id
 """
 
 
+def q_geohash_grid(sf_dir: str):
+    """geohash_grid aggregation: doc counts per base-32 geohash cell
+    (precision 2) over docs matching 'merge' — lon/lat quantization +
+    bit interleave on the synthesized geo_point, one vectorized pass
+    (engine.facet_geohash)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _geo_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 0,
+            "aggs": {
+                "cells": {
+                    "geohash_grid": {
+                        "field": "loc",
+                        "precision": 2,
+                        "size": 15,
+                    }
+                }
+            },
+        },
+    )
+    buckets = resp["aggregations"]["cells"]["buckets"]
+    return pd.DataFrame(
+        {
+            "key": [b["key"] for b in buckets],
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+        }
+    )
+
+
+def _geohash_grid_sql(precision: int, term: str, size: int) -> str:
+    """Oracle for ``geohash_grid``: the same quantize + interleave +
+    base-32 render, generated as pure SQL (5*precision bit terms, one
+    substr per output char) over the shared synthesized geo_point —
+    identical float expression order to engine.facet_geohash, so the
+    cell assignment is bit-identical."""
+    bits = 5 * precision
+    nlon, nlat = (bits + 1) // 2, bits // 2
+    terms_sql = []
+    for j in range(bits):
+        src, sh = ("lx", nlon - 1 - j // 2) if j % 2 == 0 else (
+            "ly", nlat - 1 - j // 2
+        )
+        terms_sql.append(f"((({src} >> {sh}) & 1) << {bits - 1 - j})")
+    g_expr = " + ".join(terms_sql)
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{b32}', 1 + CAST((g >> {5 * (precision - 1 - k)}) & 31"
+        " AS INT), 1)"
+        for k in range(precision)
+    )
+    return (
+        f"WITH {TOKS_CTE},"
+        f" m AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{term}'),"
+        " pt AS (SELECT"
+        " ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,"
+        " ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon"
+        " FROM documents JOIN m USING(doc_id)),"
+        " q AS (SELECT"
+        f" greatest(least(CAST(floor({1 << nlon} * (lon + 180.0) / 360.0)"
+        f" AS BIGINT), {(1 << nlon) - 1}), 0) AS lx,"
+        f" greatest(least(CAST(floor({1 << nlat} * (lat + 90.0) / 180.0)"
+        f" AS BIGINT), {(1 << nlat) - 1}), 0) AS ly FROM pt),"
+        f" gh AS (SELECT {g_expr} AS g FROM q)"
+        f" SELECT {chars} AS key, count(*) AS doc_count FROM gh"
+        f" GROUP BY 1 ORDER BY doc_count DESC, key LIMIT {size}"
+    )
+
+
 def q_string_stats(sf_dir: str):
     """string_stats aggregation over the ``source`` keyword of docs
     matching 'merge join': count / min / max / avg length plus the
@@ -6805,6 +6878,7 @@ ORACLE_SQL: dict[str, str] = {
         " - (CAST(sum_v AS DOUBLE) / n) * (CAST(sum_v AS DOUBLE) / n))"
         " AS std_dev FROM s"
     ),
+    "geohash_grid_docs": _geohash_grid_sql(2, "merge", 15),
     "string_stats_source": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks"
@@ -7639,6 +7713,7 @@ QUERIES = {
     "terms_enum_prefix": q_terms_enum,
     "resize_split_bm25": q_resize_split_bm25,
     "reindex_query_bm25": q_reindex_query_bm25,
+    "geohash_grid_docs": q_geohash_grid,
     "string_stats_source": q_string_stats,
     "scripted_metric_sumsq": q_scripted_metric,
     "rate_errors_hourly": q_rate_errors_hourly,

@@ -1774,6 +1774,19 @@ def _aggregations(
                     {"key": k, "doc_count": c} for k, c in rows
                 ]
             }
+        elif akind == "geohash_grid":
+            rows = r.facet_geohash(
+                qtext,
+                afield,
+                int(aspec.get("precision", 5)),
+                size=int(aspec.get("size", 10)),
+                field=f,
+            )
+            out[name] = {
+                "buckets": [
+                    {"key": k, "doc_count": c} for k, c in rows
+                ]
+            }
         elif akind == "geo_distance":
             unit = {"m": 1.0, "km": 1000.0, "mi": 1609.344}[
                 str(aspec.get("unit", "m"))

@@ -2345,6 +2345,57 @@ class IndexReader:
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[: max(size, 0)]
 
+    def facet_geohash(
+        self,
+        query: str,
+        geo_field: str,
+        precision: int,
+        size: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[str, int]]:
+        """``geohash_grid`` aggregation: doc counts per geohash cell at
+        ``precision`` chars — the standard base-32 geohash (lon/lat
+        interval halving, bits interleaved lon-first, MSB first).
+        Vectorized: both coordinates quantize in one expression
+        (``floor(2^n * (coord + off) / span)`` — written in exactly
+        that operation order so a SQL oracle computing the same
+        expression is bit-identical), the interleave is 5*precision
+        vectorized shift-and-or steps over the whole match set, and
+        only the UNIQUE cell integers are rendered to strings.
+        Returns (hash, doc_count) sorted count desc then key asc."""
+        if not 1 <= precision <= 12:
+            raise ValueError("geohash precision must be in [1, 12]")
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        la, lo = self._geo_columns(cand, geo_field)
+        bits = 5 * precision
+        nlon, nlat = (bits + 1) // 2, bits // 2
+        lx = np.floor((1 << nlon) * (lo + 180.0) / 360.0).astype(np.int64)
+        lx = np.clip(lx, 0, (1 << nlon) - 1)
+        ly = np.floor((1 << nlat) * (la + 90.0) / 180.0).astype(np.int64)
+        ly = np.clip(ly, 0, (1 << nlat) - 1)
+        g = np.zeros(cand.size, dtype=np.int64)
+        for j in range(bits):
+            src, sh = (lx, nlon - 1 - j // 2) if j % 2 == 0 else (
+                ly, nlat - 1 - j // 2
+            )
+            g |= ((src >> sh) & 1) << (bits - 1 - j)
+        u, c = np.unique(g, return_counts=True)
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        rows = [
+            (
+                "".join(
+                    b32[(int(gv) >> (5 * (precision - 1 - k))) & 31]
+                    for k in range(precision)
+                ),
+                int(n),
+            )
+            for gv, n in zip(u, c)
+        ]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[: max(size, 0)]
+
     def facet_multi_terms(
         self,
         query: str,

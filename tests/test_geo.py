@@ -239,3 +239,42 @@ def test_geo_bounds_centroid_dsl_body(idx):
     )
     assert resp["aggregations"]["bb"]["bounds"] == r.geo_bounds_agg("point", "loc")
     assert resp["aggregations"]["cc"] == r.geo_centroid_agg("point", "loc")
+
+
+def test_geohash_known_cells(ray_session, tmp_path_factory):
+    # canonical geohash test vector: (57.64911, 10.40744) -> u4pruydqqvj
+    tmp = tmp_path_factory.mktemp("geohash")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["alpha", "alpha", "alpha"],
+                "loc_lat": [57.64911, 57.64911, -25.382708],
+                "loc_lon": [10.40744, 10.40744, -49.265506],
+            }
+        ),
+        str(tmp / "d.parquet"),
+    )
+    out = str(tmp / "idx")
+    build_index(str(tmp / "d.parquet"), out, key_col="doc_id",
+                id_col="doc_id", ts_col=None, text_cols=("text",),
+                stored_cols=["text", "loc_lat", "loc_lon"], num_buckets=2)
+    r = IndexReader(out)
+    for p, want in [(1, "u"), (5, "u4pru"), (11, "u4pruydqqvj")]:
+        rows = r.facet_geohash("alpha", "loc", p)
+        assert rows[0] == (want, 2), (p, rows)
+    # second known vector: Curitiba -> 6gkzwgjz (precision 8)
+    rows = r.facet_geohash("alpha", "loc", 8)
+    assert ("6gkzwgjz", 1) in rows
+    # DSL body + precision bounds
+    resp = run_query(out, {
+        "query": {"match": {"text": {"query": "alpha"}}}, "size": 0,
+        "aggs": {"c": {"geohash_grid": {"field": "loc", "precision": 5}}},
+    })
+    assert resp["aggregations"]["c"]["buckets"][0]["key"] == "u4pru"
+    with pytest.raises(ValueError):
+        r.facet_geohash("alpha", "loc", 0)
+    with pytest.raises(ValueError):
+        r.facet_geohash("alpha", "loc", 13)
