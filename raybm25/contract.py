@@ -5827,6 +5827,47 @@ def _geohash_grid_sql(precision: int, term: str, size: int) -> str:
     )
 
 
+def q_moving_median(sf_dir: str):
+    """moving_percentiles pipeline (exact variant, window 3 / shift 1
+    / p50) over the daily doc_count of events matching 'error' — per
+    bucket, the linear-interpolation median of the trailing 3-bucket
+    window, equal to SQL windowed quantile_cont
+    (dsl._apply_parent_pipelines moving_percentiles branch)."""
+    from .query.dsl import run_query
+
+    body = {
+        "query": {"match": {"event_type": {"query": "error"}}},
+        "size": 0,
+        "aggs": {
+            "daily": {
+                "date_histogram": {"field": "ts", "fixed_interval_ms": 86400000},
+                "aggs": {
+                    "med3": {
+                        "moving_percentiles": {
+                            "buckets_path": "_count",
+                            "window": 3,
+                            "shift": 1,
+                            "percents": [50.0],
+                        }
+                    }
+                },
+            }
+        },
+    }
+    buckets = run_query(_events_index(sf_dir), body)["aggregations"]["daily"][
+        "buckets"
+    ]
+    return pd.DataFrame(
+        {
+            "bucket_ms": pd.array([b["key"] for b in buckets], dtype="int64"),
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+            "med3": [b["med3"]["values"]["50.0"] for b in buckets],
+        }
+    )
+
+
 def q_string_stats(sf_dir: str):
     """string_stats aggregation over the ``source`` keyword of docs
     matching 'merge join': count / min / max / avg length plus the
@@ -6902,6 +6943,18 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT CAST(sum(n_chars * n_chars) AS DOUBLE) AS sumsq"
         " FROM documents JOIN m USING(doc_id)"
     ),
+    "moving_median_daily": (
+        "WITH t AS (SELECT ts,"
+        " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk"
+        " FROM events),"
+        " g AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS bucket_ms,"
+        " count(*) AS doc_count FROM t WHERE list_contains(tk, 'error')"
+        " GROUP BY bucket_ms)"
+        " SELECT bucket_ms, CAST(doc_count AS BIGINT) AS doc_count,"
+        " quantile_cont(CAST(doc_count AS DOUBLE), 0.5) OVER"
+        " (ORDER BY bucket_ms ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        " AS med3 FROM g ORDER BY bucket_ms"
+    ),
     "rate_errors_hourly": (
         "WITH t AS (SELECT ts,"
         " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk"
@@ -7717,6 +7770,7 @@ QUERIES = {
     "string_stats_source": q_string_stats,
     "scripted_metric_sumsq": q_scripted_metric,
     "rate_errors_hourly": q_rate_errors_hourly,
+    "moving_median_daily": q_moving_median,
     "cum_cardinality_users": q_cum_cardinality_users,
     "mtermvectors_docs": q_mtermvectors,
 }

@@ -965,11 +965,39 @@ def _apply_parent_pipelines(result: dict, sub_aggs: dict) -> None:
             out_v = _normalize_values(vs, method) if len(vs) else vs
             for b, v in zip(buckets, out_v):
                 b[sname] = {"value": float(v)}
+        elif skind == "moving_percentiles":
+            # EXACT variant: linear-interpolation percentiles of the
+            # raw metric values in the moving window (OpenSearch
+            # merges the t-digest sketches of a percentiles sub-agg;
+            # the exact form is SQL-oracle-able via windowed
+            # quantile_cont). Window semantics match moving_fn:
+            # ``window`` buckets before the current one, shifted
+            # right by ``shift`` (shift=1 == the SQL frame
+            # ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``).
+            window = int(sspec["window"])
+            shift = int(sspec.get("shift", 0))
+            pcts = tuple(
+                sspec.get("percents", (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0))
+            )
+            vs = [_bucket_metric(b, path) for b in buckets]
+            for i in range(len(buckets)):
+                lo = max(0, i - window + shift)
+                hi = min(len(vs), i + shift)
+                win = np.asarray(vs[lo:hi], dtype=np.float64)
+                buckets[i][sname] = {
+                    "values": {
+                        str(float(p)): (
+                            float(np.percentile(win, p)) if win.size else None
+                        )
+                        for p in pcts
+                    }
+                }
         else:
             raise ValueError(
                 f"unsupported parent pipeline agg {skind!r} (supported: "
                 "cumulative_sum, derivative, bucket_sort, bucket_script, "
-                "bucket_selector, serial_diff, moving_fn, normalize)"
+                "bucket_selector, serial_diff, moving_fn, normalize, "
+                "moving_percentiles)"
             )
 
 

@@ -245,3 +245,37 @@ def test_mtermvectors_docs_form_overrides(rdr):
     assert "doc_freq" in t0["alpha"]
     t1 = resp["docs"][1]["term_vectors"]["text"]["terms"]
     assert "doc_freq" not in t1["beta"]  # per-doc options differ
+
+
+def test_moving_percentiles(evt_rdr):
+    resp = run_query(evt_rdr, {
+        "query": {"match": {"text": {"query": "error"}}},
+        "size": 0,
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts", "fixed_interval_ms": 86400000},
+            "aggs": {"mp": {"moving_percentiles": {
+                "buckets_path": "_count", "window": 2, "shift": 1,
+                "percents": [50.0, 100.0]}}},
+        }},
+    })
+    b = resp["aggregations"]["daily"]["buckets"]
+    # doc counts per day: [3, 2]; trailing-2 windows incl. current:
+    # [3] then [3, 2]
+    assert b[0]["mp"]["values"]["50.0"] == 3.0
+    assert b[1]["mp"]["values"]["50.0"] == 2.5
+    assert b[1]["mp"]["values"]["100.0"] == 3.0
+
+
+def test_moving_percentiles_default_shift_excludes_current(evt_rdr):
+    resp = run_query(evt_rdr, {
+        "query": {"match": {"text": {"query": "error"}}},
+        "size": 0,
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts", "fixed_interval_ms": 86400000},
+            "aggs": {"mp": {"moving_percentiles": {
+                "buckets_path": "_count", "window": 2, "percents": [50.0]}}},
+        }},
+    })
+    b = resp["aggregations"]["daily"]["buckets"]
+    assert b[0]["mp"]["values"]["50.0"] is None  # empty window
+    assert b[1]["mp"]["values"]["50.0"] == 3.0
