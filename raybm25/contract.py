@@ -7798,6 +7798,11 @@ _DRIVER_PRIORITY = [
     "match_stats_nchars", "sort_by_nchars", "cardinality_source",
     "approx_distinct_users", "prefix_docs_dict", "phrase_match_long",
     "mlt_terms", "phrase_prefix_docs",
+    # session-6 additions: new agg kinds + _mtermvectors — right after
+    # the named 33 so this round's new operators get driver rows
+    "string_stats_source", "scripted_metric_sumsq", "rate_errors_hourly",
+    "cum_cardinality_users", "moving_median_daily", "geohash_grid_docs",
+    "mtermvectors_docs",
     # then this round's headline additions, most valuable first
     "stem_bm25_topk", "stem_match_docs", "stop_dl",
     "synonym_match_docs", "synonym_blended_topk", "combined_fields_topk",
