@@ -1602,6 +1602,128 @@ def _events_index(sf_dir: str) -> str:
     return idx
 
 
+_IP_INDEX_CACHE: dict[str, str] = {}
+
+# deterministic synthetic IPv4 per event (same integer arithmetic in
+# the DuckDB oracle: four independent multiply-mod octets)
+_IP_MULS = (131, 251, 17, 89)
+
+
+def _ip_index(sf_dir: str) -> str:
+    """events + a synthesized dotted-quad ``client_ip`` string
+    doc-value for the ip_range aggregation."""
+    if sf_dir in _IP_INDEX_CACHE:
+        return _IP_INDEX_CACHE[sf_dir]
+    import pyarrow.parquet as pq
+
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    src = os.path.join(CACHE_ROOT, f"ipevents_{_tag(sf_dir)}.parquet")
+    if not os.path.exists(src):
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type"],
+        )
+        eid = t.column("event_id").to_numpy()
+        octs = [(eid * m) % 256 for m in _IP_MULS]
+        ips = [
+            f"{a}.{b}.{c}.{d}"
+            for a, b, c, d in zip(*octs)
+        ]
+        t = t.append_column("client_ip", pa.array(ips, pa.string()))
+        tmp = src + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, src)
+    idx = os.path.join(CACHE_ROOT, f"ipidx_{_tag(sf_dir)}")
+    build_index(
+        src,
+        idx,
+        key_col="event_id",
+        id_col="event_id",
+        ts_col=None,
+        text_cols=("event_type",),
+        stored_cols=["event_type", "client_ip"],
+        num_buckets=8,
+    )
+    _IP_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_ip_range(sf_dir: str):
+    """ip_range aggregation over the synthesized client_ip of events
+    matching 'error': two explicit half-open [from, to) windows plus a
+    CIDR mask (192.0.0.0/2), parsed and counted fully vectorized
+    (engine.facet_ip_ranges — three np.char.partition passes build
+    every doc's uint32 key at once)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _ip_index(sf_dir),
+        {
+            "query": {"match": {"event_type": {"query": "error"}}},
+            "size": 0,
+            "aggs": {
+                "ips": {
+                    "ip_range": {
+                        "field": "client_ip",
+                        "ranges": [
+                            {"to": "64.0.0.0"},
+                            {"from": "64.0.0.0", "to": "192.0.0.0"},
+                            {"mask": "192.0.0.0/2"},
+                        ],
+                    }
+                }
+            },
+        },
+    )
+    buckets = resp["aggregations"]["ips"]["buckets"]
+    return pd.DataFrame(
+        {
+            "from_ip": [b.get("from") for b in buckets],
+            "to_ip": [b.get("to") for b in buckets],
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+        }
+    )
+
+
+def q_vwh_nchars(sf_dir: str):
+    """variable_width_histogram (buckets=5) over n_chars of docs
+    matching 'merge join' — the pinned order-independent agglomerative
+    variant (engine.variable_width_histogram_agg; OpenSearch's own is
+    a collection-order-dependent heuristic, so there is no SQL oracle:
+    the driver records the rows-only check and the pytest suite pins
+    the exact merge sequence on a hand-computed fixture)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge join"}}},
+            "size": 0,
+            "aggs": {
+                "vwh": {
+                    "variable_width_histogram": {
+                        "field": "n_chars",
+                        "buckets": 5,
+                    }
+                }
+            },
+        },
+    )
+    buckets = resp["aggregations"]["vwh"]["buckets"]
+    return pd.DataFrame(
+        {
+            "min_v": [b["min"] for b in buckets],
+            "key": [b["key"] for b in buckets],
+            "max_v": [b["max"] for b in buckets],
+            "doc_count": pd.array(
+                [b["doc_count"] for b in buckets], dtype="int64"
+            ),
+        }
+    )
+
+
 def q_date_histogram(sf_dir: str):
     """date_histogram aggregation (fixed_interval = 1 day) over the
     timestamps of events matching 'error' — bucket key = epoch ms
@@ -6943,6 +7065,25 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT CAST(sum(n_chars * n_chars) AS DOUBLE) AS sumsq"
         " FROM documents JOIN m USING(doc_id)"
     ),
+    "ip_range_clients": (
+        "WITH ip AS (SELECT"
+        " ((event_id * 131) % 256) * 16777216"
+        " + ((event_id * 251) % 256) * 65536"
+        " + ((event_id * 17) % 256) * 256"
+        " + ((event_id * 89) % 256) AS ipi,"
+        " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk"
+        " FROM events),"
+        " m AS (SELECT ipi FROM ip WHERE list_contains(tk, 'error'))"
+        " SELECT CAST(NULL AS VARCHAR) AS from_ip,"
+        " '64.0.0.0' AS to_ip,"
+        " CAST((SELECT count(*) FROM m WHERE ipi < 1073741824) AS BIGINT)"
+        " AS doc_count"
+        " UNION ALL SELECT '64.0.0.0', '192.0.0.0',"
+        " CAST((SELECT count(*) FROM m WHERE ipi >= 1073741824"
+        " AND ipi < 3221225472) AS BIGINT)"
+        " UNION ALL SELECT '192.0.0.0', CAST(NULL AS VARCHAR),"
+        " CAST((SELECT count(*) FROM m WHERE ipi >= 3221225472) AS BIGINT)"
+    ),
     "moving_median_daily": (
         "WITH t AS (SELECT ts,"
         " regexp_extract_all(lower(event_type), '[a-z0-9]+') AS tk"
@@ -7771,6 +7912,8 @@ QUERIES = {
     "scripted_metric_sumsq": q_scripted_metric,
     "rate_errors_hourly": q_rate_errors_hourly,
     "moving_median_daily": q_moving_median,
+    "ip_range_clients": q_ip_range,
+    "vwh_nchars": q_vwh_nchars,
     "cum_cardinality_users": q_cum_cardinality_users,
     "mtermvectors_docs": q_mtermvectors,
 }
@@ -7802,7 +7945,7 @@ _DRIVER_PRIORITY = [
     # the named 33 so this round's new operators get driver rows
     "string_stats_source", "scripted_metric_sumsq", "rate_errors_hourly",
     "cum_cardinality_users", "moving_median_daily", "geohash_grid_docs",
-    "mtermvectors_docs",
+    "mtermvectors_docs", "ip_range_clients",
     # then this round's headline additions, most valuable first
     "stem_bm25_topk", "stem_match_docs", "stop_dl",
     "synonym_match_docs", "synonym_blended_topk", "combined_fields_topk",

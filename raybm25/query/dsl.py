@@ -1606,6 +1606,25 @@ def _aggregations(
                     {"from": lo, "to": hi, "doc_count": c} for lo, hi, c in rows
                 ]
             }
+        elif akind == "ip_range":
+            rows = r.facet_ip_ranges(qtext, afield, aspec["ranges"], field=f)
+            out[name] = {
+                "buckets": [
+                    {
+                        **({"from": lo} if lo is not None else {}),
+                        **({"to": hi} if hi is not None else {}),
+                        "key": f"{lo or '*'}-{hi or '*'}",
+                        "doc_count": c,
+                    }
+                    for lo, hi, c in rows
+                ]
+            }
+        elif akind == "variable_width_histogram":
+            out[name] = {
+                "buckets": r.variable_width_histogram_agg(
+                    qtext, afield, int(aspec.get("buckets", 10)), field=f
+                )
+            }
         elif akind == "histogram":
             rows = r.facet_histogram(
                 qtext, afield, float(aspec["interval"]), field=f

@@ -45,6 +45,59 @@ def _strip_keyword(name: str) -> str:
     return name[:-8] if isinstance(name, str) and name.endswith(".keyword") else name
 
 
+def _ipv4_to_uint32(vals: np.ndarray) -> np.ndarray:
+    """Vectorized dotted-quad -> uint32: three np.char.partition
+    passes peel the octets for the whole array at once."""
+    rest = np.char.asarray(vals)
+    octets = []
+    for _ in range(3):
+        part = np.char.partition(rest, ".")
+        octets.append(part[:, 0].astype(np.uint32))
+        rest = part[:, 2]
+    octets.append(rest.astype(np.uint32))
+    if any(int(o.max(initial=0)) > 255 for o in octets):
+        raise ValueError("ip_range field holds a non-IPv4 octet > 255")
+    return (
+        (octets[0] << np.uint32(24))
+        | (octets[1] << np.uint32(16))
+        | (octets[2] << np.uint32(8))
+        | octets[3]
+    )
+
+
+def _uint32_to_ipv4(v: int) -> str:
+    return f"{(v >> 24) & 255}.{(v >> 16) & 255}.{(v >> 8) & 255}.{v & 255}"
+
+
+def _ip_range_bounds(rg: dict) -> tuple[str | None, str | None, int | None, int | None]:
+    """One ip_range request entry -> (from_str, to_str, lo_int,
+    hi_int); half-open [from, to). A CIDR ``mask`` expands to its
+    enclosing block, with /0 yielding fully open bounds (OpenSearch
+    reports them as absent)."""
+    if "mask" in rg:
+        base, _, plen_s = str(rg["mask"]).partition("/")
+        plen = int(plen_s)
+        if not 0 <= plen <= 32:
+            raise ValueError(f"bad CIDR prefix length in {rg['mask']!r}")
+        base_i = int(_ipv4_to_uint32(np.array([base], dtype=str))[0])
+        if plen == 0:
+            return None, None, None, None
+        mask = ((1 << plen) - 1) << (32 - plen)
+        lo = base_i & mask
+        hi = lo + (1 << (32 - plen))
+        return (
+            _uint32_to_ipv4(lo),
+            _uint32_to_ipv4(hi) if hi <= 0xFFFFFFFF else None,
+            lo,
+            hi if hi <= 0xFFFFFFFF else None,
+        )
+    fs = rg.get("from")
+    ts = rg.get("to")
+    lo = int(_ipv4_to_uint32(np.array([fs], dtype=str))[0]) if fs else None
+    hi = int(_ipv4_to_uint32(np.array([ts], dtype=str))[0]) if ts else None
+    return (fs, ts, lo, hi)
+
+
 class TermPostings:
     __slots__ = (
         "doc_ids", "tfs", "dls", "block_last", "block_max_tf", "block_min_dl",
@@ -1368,6 +1421,127 @@ class IndexReader:
                 m &= vals < hi
             out.append((lo, hi, int(np.count_nonzero(m))))
         return out
+
+    def facet_ip_ranges(
+        self,
+        query: str,
+        ip_field: str,
+        ranges: list[dict],
+        field: str | None = None,
+    ) -> list[tuple[str | None, str | None, int]]:
+        """ip_range aggregation (OpenSearch ``aggs.ip_range``): doc
+        counts per half-open ``[from, to)`` IPv4 window of a stored
+        dotted-quad string doc-value. Each range is either
+        ``{"from": ..., "to": ...}`` (``None``/absent bounds open) or
+        a CIDR ``{"mask": "a.b.c.d/p"}`` (the enclosing block).
+        Parsing is fully vectorized: three ``np.char.partition``
+        passes split all docs' octets at once, one shift-or builds the
+        uint32 keys, then two comparisons per range — no per-doc
+        loop. Returns (from_ip, to_ip, doc_count) in request order,
+        CIDR masks expanded to their bounds."""
+        cand = self._match_ordinals(query, field)
+        bounds = [_ip_range_bounds(rg) for rg in ranges]
+        if cand.size == 0:
+            return [(fs, ts, 0) for fs, ts, _, _ in bounds]
+        vals = self._gather_column(cand, ip_field).astype(str)
+        ip = _ipv4_to_uint32(vals)
+        out = []
+        for fs, ts, lo, hi in bounds:
+            m = np.ones(ip.size, dtype=bool)
+            if lo is not None:
+                m &= ip >= np.uint32(lo)
+            if hi is not None:
+                m &= ip < np.uint32(hi)
+            out.append((fs, ts, int(np.count_nonzero(m))))
+        return out
+
+    def variable_width_histogram_agg(
+        self,
+        query: str,
+        agg_field: str,
+        buckets: int,
+        field: str | None = None,
+    ) -> list[dict]:
+        """variable_width_histogram aggregation, EXACT deterministic
+        variant: bottom-up agglomerative clustering of the sorted
+        DISTINCT doc-values — repeatedly merge the adjacent cluster
+        pair with the smallest centroid gap (ties: leftmost) until
+        ``buckets`` clusters remain. OpenSearch's version is a
+        streaming heuristic whose buckets depend on shard/collection
+        order; this pinned variant is order-independent (same input
+        set => same buckets regardless of partitioning), which is the
+        property a distributed engine actually needs. Lazy-deletion
+        heap over adjacent gaps: O(D log D) in distinct values.
+        Returns [{"min", "key" (centroid), "max", "doc_count"}, ...]
+        ascending."""
+        import heapq
+
+        if buckets < 1:
+            raise ValueError("variable_width_histogram needs buckets >= 1")
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        vals = self._gather_column(cand, agg_field).astype(np.float64)
+        uv, counts = np.unique(vals, return_counts=True)
+        d = uv.size
+        # cluster state: centroid-sum / count / min / max, linked list
+        # of live neighbors; entries die on merge (lazy heap deletion)
+        csum = (uv * counts).astype(np.float64)
+        ccnt = counts.astype(np.int64)
+        cmin = uv.copy()
+        cmax = uv.copy()
+        left = np.arange(d) - 1
+        right = np.arange(d) + 1
+        alive = np.ones(d, dtype=bool)
+        ver = np.zeros(d, dtype=np.int64)
+
+        def _gap(i: int, j: int) -> float:
+            return (csum[j] / ccnt[j]) - (csum[i] / ccnt[i])
+
+        heap = [
+            (_gap(i, i + 1), i, int(ver[i]), int(ver[i + 1]))
+            for i in range(d - 1)
+        ]
+        heapq.heapify(heap)
+        live = d
+        while live > buckets and heap:
+            g, i, vi, vj = heapq.heappop(heap)
+            j = right[i]
+            if not alive[i] or j >= d or not alive[j]:
+                continue
+            if ver[i] != vi or ver[j] != vj:
+                continue
+            # merge j into i
+            csum[i] += csum[j]
+            ccnt[i] += ccnt[j]
+            cmax[i] = cmax[j]
+            alive[j] = False
+            right[i] = right[j]
+            if right[j] < d:
+                left[right[j]] = i
+            ver[i] += 1
+            live -= 1
+            if left[i] >= 0:
+                heapq.heappush(
+                    heap,
+                    (_gap(left[i], i), int(left[i]), int(ver[left[i]]),
+                     int(ver[i])),
+                )
+            if right[i] < d:
+                heapq.heappush(
+                    heap,
+                    (_gap(i, right[i]), i, int(ver[i]), int(ver[right[i]])),
+                )
+        idx = np.flatnonzero(alive)
+        return [
+            {
+                "min": float(cmin[i]),
+                "key": float(csum[i] / ccnt[i]),
+                "max": float(cmax[i]),
+                "doc_count": int(ccnt[i]),
+            }
+            for i in idx
+        ]
 
     def facet_histogram(
         self,

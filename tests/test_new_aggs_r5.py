@@ -279,3 +279,109 @@ def test_moving_percentiles_default_shift_excludes_current(evt_rdr):
     b = resp["aggregations"]["daily"]["buckets"]
     assert b[0]["mp"]["values"]["50.0"] is None  # empty window
     assert b[1]["mp"]["values"]["50.0"] == 3.0
+
+
+def test_ip_range_engine_and_dsl(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("iprange")
+    import pyarrow.parquet as pq
+
+    ips = ["10.0.0.1", "10.0.0.255", "63.255.255.255", "64.0.0.0",
+           "128.1.2.3", "191.255.255.255", "192.0.0.0", "255.255.255.255"]
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(ips))),
+            "text": ["hit"] * len(ips),
+            "client_ip": ips,
+        }),
+        str(tmp / "d.parquet"),
+    )
+    idx = str(tmp / "idx")
+    build_index(str(tmp / "d.parquet"), idx, key_col="doc_id",
+                id_col="doc_id", ts_col=None, text_cols=("text",),
+                stored_cols=["text", "client_ip"], num_buckets=2)
+    r = IndexReader(idx)
+    rows = r.facet_ip_ranges("hit", "client_ip", [
+        {"to": "64.0.0.0"},
+        {"from": "64.0.0.0", "to": "192.0.0.0"},
+        {"mask": "192.0.0.0/2"},
+        {"mask": "10.0.0.0/24"},
+        {"mask": "0.0.0.0/0"},
+    ])
+    assert rows == [
+        (None, "64.0.0.0", 3),
+        ("64.0.0.0", "192.0.0.0", 3),
+        ("192.0.0.0", None, 2),        # /2 top block: hi overflows -> open
+        ("10.0.0.0", "10.0.1.0", 2),
+        (None, None, 8),               # /0 fully open
+    ]
+    resp = run_query(idx, {
+        "query": {"match": {"text": {"query": "hit"}}}, "size": 0,
+        "aggs": {"a": {"ip_range": {"field": "client_ip",
+                 "ranges": [{"from": "64.0.0.0"}]}}},
+    })
+    b = resp["aggregations"]["a"]["buckets"][0]
+    assert b["doc_count"] == 5 and b["from"] == "64.0.0.0" and "to" not in b
+
+
+def test_ip_range_rejects_bad_octet(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ipbad")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": [0], "text": ["hit"], "client_ip": ["300.0.0.1"]}),
+        str(tmp / "d.parquet"),
+    )
+    idx = str(tmp / "idx")
+    build_index(str(tmp / "d.parquet"), idx, key_col="doc_id",
+                id_col="doc_id", ts_col=None, text_cols=("text",),
+                stored_cols=["text", "client_ip"], num_buckets=2)
+    with pytest.raises(ValueError):
+        IndexReader(idx).facet_ip_ranges("hit", "client_ip",
+                                         [{"to": "64.0.0.0"}])
+
+
+def test_variable_width_histogram_hand_merge(rdr):
+    # matching docs for 'alpha gamma': sizes [10, 250, 250, 999]
+    # distinct: 10, 250(x2), 999 -> buckets=2 merges the smallest
+    # centroid gap first (10<->250 = 240 < 250<->999 = 749)
+    got = rdr.variable_width_histogram_agg("alpha gamma", "size", 2)
+    assert got == [
+        {"min": 10.0, "key": 170.0, "max": 250.0, "doc_count": 3},
+        {"min": 999.0, "key": 999.0, "max": 999.0, "doc_count": 1},
+    ]
+    # buckets >= distinct values: one bucket per distinct value
+    got = rdr.variable_width_histogram_agg("alpha gamma", "size", 10)
+    assert [(b["min"], b["doc_count"]) for b in got] == [
+        (10.0, 1), (250.0, 2), (999.0, 1)]
+    # full merge down to one bucket
+    got = rdr.variable_width_histogram_agg("alpha gamma", "size", 1)
+    assert got[0]["doc_count"] == 4 and got[0]["min"] == 10.0
+    assert got[0]["max"] == 999.0
+    assert got[0]["key"] == pytest.approx((10 + 250 + 250 + 999) / 4)
+    with pytest.raises(ValueError):
+        rdr.variable_width_histogram_agg("alpha", "size", 0)
+
+
+def test_variable_width_histogram_order_independent(rdr):
+    # the pinned variant must give the same buckets regardless of doc
+    # order; compare against a brute-force reimplementation on the
+    # sorted distinct values
+    got = rdr.variable_width_histogram_agg("alpha beta gamma delta", "size", 3)
+    sizes = sorted(DOCS[i][2] for i in _match("alpha beta gamma delta"))
+    # brute force: greedy adjacent merge on centroid gap
+    clusters = []
+    for s in sizes:
+        if clusters and clusters[-1][0][-1] == s:
+            clusters[-1][0].append(s)
+        else:
+            clusters.append(([s],))
+    clusters = [c[0] for c in clusters]
+    while len(clusters) > 3:
+        gaps = [sum(clusters[i + 1]) / len(clusters[i + 1])
+                - sum(clusters[i]) / len(clusters[i])
+                for i in range(len(clusters) - 1)]
+        i = gaps.index(min(gaps))
+        clusters[i: i + 2] = [clusters[i] + clusters[i + 1]]
+    want = [{"min": float(c[0]), "key": sum(c) / len(c),
+             "max": float(c[-1]), "doc_count": len(c)} for c in clusters]
+    assert got == want
