@@ -5990,6 +5990,39 @@ def q_moving_median(sf_dir: str):
     )
 
 
+def q_filter_stats(sf_dir: str):
+    """Single ``filter`` aggregation with a stats metric sub-agg: docs
+    matching 'merge' restricted to lang='en', then n_chars stats over
+    the intersection via one pruned (doc_id, n_chars) docstore scan
+    (dsl filter branch + engine.stats_over_ids)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge"}}},
+            "size": 0,
+            "aggs": {
+                "en_only": {
+                    "filter": {"term": {"lang": "en"}},
+                    "aggs": {"chars": {"stats": {"field": "n_chars"}}},
+                }
+            },
+        },
+    )
+    b = resp["aggregations"]["en_only"]
+    return pd.DataFrame(
+        {
+            "doc_count": pd.array([b["doc_count"]], dtype="int64"),
+            "count_v": pd.array([b["chars"]["count"]], dtype="int64"),
+            "min_v": pd.array([b["chars"]["min"]], dtype="int64"),
+            "max_v": pd.array([b["chars"]["max"]], dtype="int64"),
+            "sum_v": pd.array([b["chars"]["sum"]], dtype="int64"),
+            "avg_v": [b["chars"]["avg"]],
+        }
+    )
+
+
 def q_string_stats(sf_dir: str):
     """string_stats aggregation over the ``source`` keyword of docs
     matching 'merge join': count / min / max / avg length plus the
@@ -7065,6 +7098,18 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT CAST(sum(n_chars * n_chars) AS DOUBLE) AS sumsq"
         " FROM documents JOIN m USING(doc_id)"
     ),
+    "filter_stats_nchars": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
+        " sel AS (SELECT d.n_chars FROM documents d JOIN m USING(doc_id)"
+        " WHERE d.lang = 'en')"
+        " SELECT CAST(count(*) AS BIGINT) AS doc_count,"
+        " CAST(count(*) AS BIGINT) AS count_v,"
+        " CAST(min(n_chars) AS BIGINT) AS min_v,"
+        " CAST(max(n_chars) AS BIGINT) AS max_v,"
+        " CAST(sum(n_chars) AS BIGINT) AS sum_v,"
+        " CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_v FROM sel"
+    ),
     "ip_range_clients": (
         "WITH ip AS (SELECT"
         " ((event_id * 131) % 256) * 16777216"
@@ -7914,6 +7959,7 @@ QUERIES = {
     "moving_median_daily": q_moving_median,
     "ip_range_clients": q_ip_range,
     "vwh_nchars": q_vwh_nchars,
+    "filter_stats_nchars": q_filter_stats,
     "cum_cardinality_users": q_cum_cardinality_users,
     "mtermvectors_docs": q_mtermvectors,
 }
@@ -7945,7 +7991,7 @@ _DRIVER_PRIORITY = [
     # the named 33 so this round's new operators get driver rows
     "string_stats_source", "scripted_metric_sumsq", "rate_errors_hourly",
     "cum_cardinality_users", "moving_median_daily", "geohash_grid_docs",
-    "mtermvectors_docs", "ip_range_clients",
+    "mtermvectors_docs", "ip_range_clients", "filter_stats_nchars",
     # then this round's headline additions, most valuable first
     "stem_bm25_topk", "stem_match_docs", "stop_dl",
     "synonym_match_docs", "synonym_blended_topk", "combined_fields_topk",

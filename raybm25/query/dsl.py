@@ -1381,6 +1381,31 @@ def _aggregations(
                 ]
             }
             continue
+        if akind == "filter":
+            # single filter bucket: the query's match set intersected
+            # with the filter clause's doc set; metric sub-aggs run
+            # over the intersection via one pruned (doc_id, field)
+            # docstore scan (engine.stats_over_ids) — the
+            # "filter + stats" OpenSearch idiom
+            qdocs = _match_docs(r, query_kind, query_spec)
+            fdocs = _match_docs(r, *_one(aspec, f"agg {name}.filter"))
+            sel = np.intersect1d(qdocs, fdocs, assume_unique=True)
+            res: dict[str, Any] = {"doc_count": int(sel.size)}
+            for sn, s in (sub_aggs or {}).items():
+                mk, mspec = _one(s, f"sub-agg {sn}")
+                if mk not in (
+                    "sum", "avg", "min", "max", "value_count", "stats"
+                ):
+                    raise ValueError(
+                        "filter agg sub-aggs support the metric kinds "
+                        "(sum/avg/min/max/value_count/stats)"
+                    )
+                st = r.stats_over_ids(sel, str(mspec["field"]))
+                res[sn] = st if mk == "stats" else {
+                    "value": st["count" if mk == "value_count" else mk]
+                }
+            out[name] = res
+            continue
         if akind == "filters":
             # named filter buckets: each named clause's doc set
             # intersected with the query's own match set; other_bucket

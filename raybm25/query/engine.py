@@ -3011,6 +3011,49 @@ class IndexReader:
             vals = vals.astype(str)
         return int(np.unique(vals).size)
 
+    def stats_over_ids(self, doc_ids: np.ndarray, agg_field: str) -> dict:
+        """count / min / max / sum / avg of a stored numeric doc-value
+        over an EXPLICIT doc-id set (the single ``filter`` agg's metric
+        sub-agg shape, where the candidate set comes from arbitrary
+        filter algebra rather than one match query). One
+        predicate-pushdown docstore scan reading only (doc_id,
+        agg_field): row-group statistics prune partitions whose id
+        range misses the set; each partition is an independent task at
+        cluster scale."""
+        import glob as _glob
+
+        import pyarrow.dataset as pds
+        import pyarrow.parquet as _pq
+
+        ids = np.asarray(doc_ids, dtype=np.uint64)
+        if ids.size == 0:
+            return {"count": 0, "min": None, "max": None, "sum": 0,
+                    "avg": None}
+        expr = pds.field("doc_id").isin(ids)
+        parts = []
+        for path in sorted(
+            _glob.glob(os.path.join(self._docs_dir, "*.parquet"))
+        ):
+            t = pds.dataset(path).to_table(
+                columns=["doc_id", agg_field], filter=expr
+            )
+            if t.num_rows:
+                parts.append(t.column(agg_field).to_numpy(
+                    zero_copy_only=False
+                ))
+        if not parts:
+            return {"count": 0, "min": None, "max": None, "sum": 0,
+                    "avg": None}
+        vals = np.concatenate(parts)
+        s = vals.sum()
+        return {
+            "count": int(vals.size),
+            "min": vals.min().item(),
+            "max": vals.max().item(),
+            "sum": s.item(),
+            "avg": float(s) / float(vals.size),
+        }
+
     def string_stats_agg(
         self, query: str, agg_field: str, field: str | None = None
     ) -> dict:

@@ -385,3 +385,43 @@ def test_variable_width_histogram_order_independent(rdr):
     want = [{"min": float(c[0]), "key": sum(c) / len(c),
              "max": float(c[-1]), "doc_count": len(c)} for c in clusters]
     assert got == want
+
+
+def test_single_filter_agg_with_stats(rdr):
+    resp = run_query(rdr, {
+        "query": {"match": {"text": {"query": "alpha gamma delta"}}},
+        "size": 0,
+        "aggs": {"web_only": {
+            "filter": {"term": {"source": "web"}},
+            "aggs": {"sz": {"stats": {"field": "size"}},
+                     "mx": {"max": {"field": "size"}}},
+        }},
+    })
+    b = resp["aggregations"]["web_only"]
+    # match set: docs 0,1,2,3,4 minus those without terms -> ids with
+    # alpha/gamma/delta = {0,1,2,3,4}; source == web -> {0,2,4}
+    want = [DOCS[i][2] for i in (0, 2, 4)]
+    assert b["doc_count"] == 3
+    assert b["sz"] == {"count": 3, "min": min(want), "max": max(want),
+                       "sum": sum(want), "avg": sum(want) / 3}
+    assert b["mx"] == {"value": max(want)}
+
+
+def test_single_filter_agg_empty_and_bad_sub(rdr):
+    resp = run_query(rdr, {
+        "query": {"match": {"text": {"query": "alpha"}}},
+        "size": 0,
+        "aggs": {"none": {
+            "filter": {"term": {"source": "nosuch"}},
+            "aggs": {"sz": {"stats": {"field": "size"}}},
+        }},
+    })
+    b = resp["aggregations"]["none"]
+    assert b["doc_count"] == 0
+    assert b["sz"]["count"] == 0 and b["sz"]["min"] is None
+    with pytest.raises(ValueError):
+        run_query(rdr, {
+            "query": {"match": {"text": {"query": "alpha"}}}, "size": 0,
+            "aggs": {"x": {"filter": {"term": {"source": "web"}},
+                           "aggs": {"p": {"percentiles": {"field": "size"}}}}},
+        })
