@@ -5990,6 +5990,34 @@ def q_moving_median(sf_dir: str):
     )
 
 
+def q_sort_after(sf_dir: str):
+    """Field-sorted search_after (the deep-pagination idiom): page 1
+    of docs matching 'merge' sorted by (n_chars asc, doc_id asc), then
+    page 2 resumed strictly after page 1's last sort key — each page
+    costs the same as the first (engine.search_sort_by(after=...)
+    maps ids only for the equal-value tiebreak band). Returns page 2."""
+    from .query.dsl import run_query
+
+    idx = docs_index(sf_dir)
+    base = {
+        "query": {"match": {"text": {"query": "merge"}}},
+        "sort": [{"n_chars": "asc"}],
+        "size": 10,
+    }
+    p1 = run_query(idx, base)["hits"]["hits"]
+    p2 = run_query(idx, {**base, "search_after": p1[-1]["sort"]})["hits"][
+        "hits"
+    ]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(h["_id"]) for h in p2], dtype="int64"),
+            "n_chars": pd.array(
+                [int(h["sort"][0]) for h in p2], dtype="int64"
+            ),
+        }
+    )
+
+
 def q_filter_stats(sf_dir: str):
     """Single ``filter`` aggregation with a stats metric sub-agg: docs
     matching 'merge' restricted to lang='en', then n_chars stats over
@@ -7098,6 +7126,15 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT CAST(sum(n_chars * n_chars) AS DOUBLE) AS sumsq"
         " FROM documents JOIN m USING(doc_id)"
     ),
+    "sort_after_nchars": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
+        " o AS (SELECT d.doc_id, d.n_chars,"
+        " row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS rn"
+        " FROM documents d JOIN m USING(doc_id))"
+        " SELECT doc_id, n_chars FROM o WHERE rn > 10 AND rn <= 20"
+        " ORDER BY rn"
+    ),
     "filter_stats_nchars": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
@@ -7960,6 +7997,7 @@ QUERIES = {
     "ip_range_clients": q_ip_range,
     "vwh_nchars": q_vwh_nchars,
     "filter_stats_nchars": q_filter_stats,
+    "sort_after_nchars": q_sort_after,
     "cum_cardinality_users": q_cum_cardinality_users,
     "mtermvectors_docs": q_mtermvectors,
 }
@@ -7992,6 +8030,7 @@ _DRIVER_PRIORITY = [
     "string_stats_source", "scripted_metric_sumsq", "rate_errors_hourly",
     "cum_cardinality_users", "moving_median_daily", "geohash_grid_docs",
     "mtermvectors_docs", "ip_range_clients", "filter_stats_nchars",
+    "sort_after_nchars",
     # then this round's headline additions, most valuable first
     "stem_bm25_topk", "stem_match_docs", "stop_dl",
     "synonym_match_docs", "synonym_blended_topk", "combined_fields_topk",

@@ -2167,12 +2167,19 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
     runtime = _compile_runtime(body)
     sort = body.get("sort")
     after = body.get("search_after")
-    if sort not in (None, "_score", ["_score", "_id"]) and not after:
-        # numeric doc-value sort (runtime fields sort by their script)
+    if sort not in (None, "_score", ["_score", "_id"]):
+        # numeric doc-value sort (runtime fields sort by their script);
+        # with search_after this is the field-sorted deep-pagination
+        # idiom — each page resumes strictly after (value, doc_id)
         s = sort[0] if isinstance(sort, list) else sort
         sfield, sdir = _one(s, "sort")
         if kind != "match":
             raise ValueError("field sort is supported over 'match' queries")
+        if after is not None and offset:
+            raise ValueError(
+                "'from' cannot combine with search_after (OpenSearch "
+                "rejects the pair too) — page via search_after alone"
+            )
         field, qb = _field_query(spec)
         hits = r.search_sort_by(
             str(qb.get("query", "")),
@@ -2182,9 +2189,11 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
                         or (isinstance(sdir, dict) and sdir.get("order") == "desc")),
             field=None if field == r.primary_field else field,
             script=runtime.get(str(sfield)),
+            after=(after[0], int(after[1])) if after is not None else None,
         )[offset:]
         hits_out = [
-            {"_id": int(d), "_score": None, "sort": [v]} for d, v in hits
+            {"_id": int(d), "_score": None, "sort": [v, int(d)]}
+            for d, v in hits
         ]
         return {
             "hits": {"total": {"value": len(hits_out)}, "hits": hits_out},

@@ -1849,12 +1849,20 @@ class IndexReader:
         descending: bool = False,
         field: str | None = None,
         script=None,
+        after: tuple | None = None,
     ) -> list[tuple[int, object]]:
         """Match query with a field ``sort`` clause instead of
         relevance (OpenSearch ``sort: [{field: asc|desc}]``): top ``k``
         matching docs by doc-value, ties broken by doc_id ascending
         (OpenSearch's implicit final tiebreak). Returns ``(doc_id,
         sort_value)``.
+
+        ``after=(value, doc_id)`` resumes strictly after that sort key
+        — field-sorted ``search_after``, THE deep-pagination idiom (a
+        100-TB export pages this way, never via ``from`` offsets whose
+        cost grows per page). Docs strictly past the value cut keep
+        their ordinals unmapped; only the equal-value band maps ids for
+        the tiebreak, so each page costs the same as the first.
 
         Same shape as ``_rank``: an argpartition pre-cut keeps only
         candidates that can make the top ``k`` (boundary ties
@@ -1872,6 +1880,17 @@ class IndexReader:
                 f"sort field {sort_field!r} is not numeric; keyword sort is "
                 "not supported (use facet_terms / search for keyword access)"
             )
+        if after is not None:
+            av, aid = after
+            strictly = vals < av if descending else vals > av
+            band = np.flatnonzero(vals == av)
+            if band.size:
+                bdids = self._map_ordinals(cand[band]).astype(np.uint64)
+                band = band[bdids > np.uint64(int(aid))]
+            keep = np.concatenate([np.flatnonzero(strictly), band])
+            if keep.size == 0:
+                return []
+            cand, vals = cand[keep], vals[keep]
         key = -vals if descending else vals
         if key.size > 4 * k > 0:
             top = np.argpartition(key, k - 1)[:k]

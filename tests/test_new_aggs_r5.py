@@ -425,3 +425,59 @@ def test_single_filter_agg_empty_and_bad_sub(rdr):
             "aggs": {"x": {"filter": {"term": {"source": "web"}},
                            "aggs": {"p": {"percentiles": {"field": "size"}}}}},
         })
+
+
+def test_field_sorted_search_after_pages_cover_exactly(rdr):
+    base = {
+        "query": {"match": {"text": {"query": "alpha beta gamma delta"}}},
+        "sort": [{"size": "asc"}],
+        "size": 2,
+    }
+    seen = []
+    body = dict(base)
+    for _ in range(5):
+        hits = run_query(rdr, body)["hits"]["hits"]
+        if not hits:
+            break
+        seen.extend((h["_id"], h["sort"][0]) for h in hits)
+        body = {**base, "search_after": hits[-1]["sort"]}
+    ids = _match("alpha beta gamma delta")
+    want = sorted(((i, DOCS[i][2]) for i in ids), key=lambda t: (t[1], t[0]))
+    assert seen == want  # every match exactly once, in sort order
+
+
+def test_field_sorted_search_after_tie_band(ray_session, tmp_path_factory):
+    # equal sort values must tiebreak on doc_id across the page edge
+    tmp = tmp_path_factory.mktemp("sorttie")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "doc_id": [3, 1, 7, 5, 2],
+            "text": ["x"] * 5,
+            "v": [9, 9, 9, 9, 9],
+        }),
+        str(tmp / "d.parquet"),
+    )
+    idx = str(tmp / "idx")
+    build_index(str(tmp / "d.parquet"), idx, key_col="doc_id",
+                id_col="doc_id", ts_col=None, text_cols=("text",),
+                stored_cols=["text", "v"], num_buckets=2)
+    base = {"query": {"match": {"text": {"query": "x"}}},
+            "sort": [{"v": "asc"}], "size": 2}
+    p1 = run_query(idx, base)["hits"]["hits"]
+    assert [h["_id"] for h in p1] == [1, 2]
+    p2 = run_query(idx, {**base, "search_after": p1[-1]["sort"]})
+    assert [h["_id"] for h in p2["hits"]["hits"]] == [3, 5]
+    with pytest.raises(ValueError):
+        run_query(idx, {**base, "from": 2, "search_after": p1[-1]["sort"]})
+
+
+def test_field_sorted_search_after_desc(rdr):
+    base = {"query": {"match": {"text": {"query": "alpha beta gamma delta"}}},
+            "sort": [{"size": "desc"}], "size": 2}
+    p1 = run_query(rdr, base)["hits"]["hits"]
+    p2 = run_query(rdr, {**base, "search_after": p1[-1]["sort"]})["hits"]["hits"]
+    vals = [h["sort"][0] for h in p1 + p2]
+    assert vals == sorted(vals, reverse=True)
+    assert len({h["_id"] for h in p1 + p2}) == len(p1 + p2)
