@@ -2788,6 +2788,38 @@ def q_knn_dsl(sf_dir: str):
     )
 
 
+def q_knn_radial(sf_dir: str):
+    """Radial vector search (OpenSearch knn ``min_score`` WITHOUT k):
+    every doc whose cosine to the query vector clears the threshold,
+    page-capped — not top-k-then-filter. The threshold (0.1) sits far
+    from any doc's cosine at float64 ULP scale, so the cut is
+    oracle-stable; rank/id compared (score convention as knn_dsl)."""
+    import pyarrow.parquet as pq
+
+    from .query.dsl import run_query
+    from .query.engine import IndexReader
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = emb.filter(pc_eq(emb.column("vec_id"), 7)).column("embedding").to_pylist()[0]
+    r = IndexReader(docs_index_knn(sf_dir))
+    resp = run_query(
+        r,
+        {
+            "size": 50,
+            "query": {
+                "knn": {"embedding": {"vector": qv, "min_score": 0.1}}
+            },
+        },
+    )
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array([int(h["_id"]) for h in hits], dtype="int64"),
+        }
+    )
+
+
 def q_hybrid_minmax(sf_dir: str):
     """Hybrid lexical+semantic with min-max SCORE normalization (the
     OpenSearch normalization-processor pipeline, vs the rank-only RRF
@@ -6397,6 +6429,15 @@ ORACLE_SQL: dict[str, str] = {
         " (ORDER BY s DESC, doc_id) AS rank, doc_id FROM scored)"
         " ORDER BY rank LIMIT 20"
     ),
+    "knn_radial_docs": (
+        "WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),\n"
+        "scored AS (SELECT d.doc_id,"
+        " list_cosine_similarity(e.embedding, (SELECT v FROM qv)) AS s\n"
+        " FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id)\n"
+        "SELECT rank, doc_id FROM (SELECT row_number() OVER"
+        " (ORDER BY s DESC, doc_id) AS rank, doc_id FROM scored"
+        " WHERE s >= 0.1) ORDER BY rank LIMIT 50"
+    ),
     "hybrid_bm25_knn": (
         "WITH a AS ("
         + _bm25_sql("merge join", 50, cols="rank AS arank, doc_id")
@@ -7998,6 +8039,7 @@ QUERIES = {
     "vwh_nchars": q_vwh_nchars,
     "filter_stats_nchars": q_filter_stats,
     "sort_after_nchars": q_sort_after,
+    "knn_radial_docs": q_knn_radial,
     "cum_cardinality_users": q_cum_cardinality_users,
     "mtermvectors_docs": q_mtermvectors,
 }
@@ -8030,7 +8072,7 @@ _DRIVER_PRIORITY = [
     "string_stats_source", "scripted_metric_sumsq", "rate_errors_hourly",
     "cum_cardinality_users", "moving_median_daily", "geohash_grid_docs",
     "mtermvectors_docs", "ip_range_clients", "filter_stats_nchars",
-    "sort_after_nchars",
+    "sort_after_nchars", "knn_radial_docs",
     # then this round's headline additions, most valuable first
     "stem_bm25_topk", "stem_match_docs", "stop_dl",
     "synonym_match_docs", "synonym_blended_topk", "combined_fields_topk",

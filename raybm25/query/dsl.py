@@ -511,19 +511,29 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
         # column; an optional filter clause restricts candidates before
         # the cut (filtered exact search)
         fname, body = _one(spec, "knn field")
-        kk = int(body.get("k", k))
         filt = None
         if "filter" in body:
             fk, fs = _one(body["filter"], "knn.filter")
             filt = _match_docs(r, fk, fs)
-        hits = r.knn_search(
-            fname, body["vector"], k=min(k, kk), filter_docs=filt
-        )
+        radial = "min_score" in body or "max_distance" in body
+        if radial and "k" not in body:
+            # radial search proper (OpenSearch 2.14 min_score /
+            # max_distance WITHOUT k): every doc above the similarity
+            # threshold, page-capped by size — not top-k-then-filter.
+            # The exact matvec scores all candidates anyway, so the
+            # wide cut costs nothing extra.
+            kk = 1 << 62
+        else:
+            kk = min(k, int(body.get("k", k)))
+        hits = r.knn_search(fname, body["vector"], k=kk, filter_docs=filt)
+        if "max_distance" in body:
+            # cosinesimil space: distance = 1 - cosine
+            ms = 1.0 - float(body["max_distance"])
+            hits = [(d, s) for d, s in hits if s >= ms]
         if "min_score" in body:
-            # radial search: keep only hits at least this similar
             ms = float(body["min_score"])
             hits = [(d, s) for d, s in hits if s >= ms]
-        return hits
+        return hits[:k]
     if kind == "rank_feature":
         # {"rank_feature": {"field": f, "saturation": {"pivot": p},
         #  "boost": b}} (or "log" / "sigmoid" function bodies)

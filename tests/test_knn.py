@@ -324,3 +324,27 @@ def test_knn_min_score_radial(idx):
     assert [h["_id"] for h in rad] == [
         h["_id"] for h in full if h["_score"] >= cut
     ]
+
+def test_knn_radial_min_score_and_max_distance(idx):
+    from raybm25.query.dsl import run_query
+    from raybm25.query.engine import IndexReader
+
+    r = IndexReader(idx)
+    vecs = _vectors()
+    qv = vecs[3].tolist()
+    full = run_query(r, {"size": 1000, "query": {"knn": {"embedding": {
+        "vector": qv, "k": 1000}}}})["hits"]["hits"]
+    thr = full[len(full) // 2]["_score"] - 1e-9
+    radial = run_query(r, {"size": 1000, "query": {"knn": {"embedding": {
+        "vector": qv, "min_score": thr}}}})["hits"]["hits"]
+    want = [h for h in full if h["_score"] >= thr]
+    assert [(h["_id"], h["_score"]) for h in radial] == [
+        (h["_id"], h["_score"]) for h in want]
+    # max_distance: distance = 1 - cosine, the same cut as a distance
+    rad2 = run_query(r, {"size": 1000, "query": {"knn": {"embedding": {
+        "vector": qv, "max_distance": 1.0 - thr}}}})["hits"]["hits"]
+    assert [h["_id"] for h in rad2] == [h["_id"] for h in want]
+    # with k given, min_score filters WITHIN the top-k page
+    topk = run_query(r, {"size": 1000, "query": {"knn": {"embedding": {
+        "vector": qv, "k": 3, "min_score": thr}}}})["hits"]["hits"]
+    assert [h["_id"] for h in topk] == [h["_id"] for h in want[:3]]
