@@ -1257,6 +1257,45 @@ def q_ingest_pipeline(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_ingest_json(sf_dir: str):
+    """``json`` ingest processor over the events ``props`` JSON-string
+    column (add_to_root) in a streaming Ray Data pipeline: each batch
+    parses in ONE pyarrow.json C++ NDJSON pass (no per-row json.loads),
+    then the extracted ``k`` aggregates into decade buckets — the
+    'parse semi-structured payloads at ingest' idiom."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from .loader.ingest import IngestStage
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "props"],
+    )
+    ds = ds.map_batches(
+        IngestStage([{"json": {"field": "props", "add_to_root": True}}]),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "bucket",
+            pc.multiply(pc.floor(pc.divide(pc.cast(t.column("k"),
+                                                   pa.float64()), 10.0)), 10.0)
+            .cast(pa.int64()),
+        ).select(["bucket"]),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby("bucket")
+        .aggregate(Count(alias_name="doc_count"))
+        .sort("bucket")
+        .to_pandas()
+    )
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return out
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-and-chop sequence packing (seq_len=512) over documents:
     a distributed global prefix sum — token counts from one tokenize
@@ -7167,6 +7206,11 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT CAST(sum(n_chars * n_chars) AS DOUBLE) AS sumsq"
         " FROM documents JOIN m USING(doc_id)"
     ),
+    "ingest_json_props": (
+        "SELECT (CAST(json_extract(props, '$.k') AS BIGINT) // 10) * 10"
+        " AS bucket, count(*) AS doc_count FROM events"
+        " GROUP BY bucket ORDER BY bucket"
+    ),
     "sort_after_nchars": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
@@ -8040,6 +8084,7 @@ QUERIES = {
     "filter_stats_nchars": q_filter_stats,
     "sort_after_nchars": q_sort_after,
     "knn_radial_docs": q_knn_radial,
+    "ingest_json_props": q_ingest_json,
     "cum_cardinality_users": q_cum_cardinality_users,
     "mtermvectors_docs": q_mtermvectors,
 }

@@ -16,6 +16,13 @@ Supported processors (the common transform set):
 - ``gsub``       {field, pattern, replacement}  (RE2-style regex)
 - ``split``      {field, separator}  -> list<string> column
 - ``convert``    {field, type: integer|float|string|boolean}
+- ``json``       {field [, target_field | add_to_root=True]} — parse a
+  JSON-string column; the whole batch parses in ONE
+  ``pyarrow.json.read_json`` C++ pass (rows joined as NDJSON, so
+  values must be single-line JSON — embedded newlines fail loudly).
+  ``add_to_root`` appends each parsed key as a top-level column
+  (conflicts error); otherwise the result is a struct column at
+  ``target_field`` (default: the source field).
 
 Unknown processors and missing fields raise ``ValueError`` loudly
 (set ``ignore_missing: true`` on a processor to skip absent fields,
@@ -58,6 +65,47 @@ def _set_col(table: pa.Table, name: str, arr) -> pa.Table:
     return table.append_column(name, arr)
 
 
+def _apply_json(table: pa.Table, f: str, spec: dict) -> pa.Table:
+    """The ``json`` processor body: one NDJSON parse for the whole
+    batch (pyarrow.json C++ reader), then either a struct column or
+    root-level key columns."""
+    import io
+
+    import pyarrow.json as pa_json
+
+    if len(table) == 0:
+        return table
+    col = pc.fill_null(table.column(f), "{}")
+    vals = col.to_pylist()
+    if any("\n" in v for v in vals):
+        raise ValueError(
+            f"json processor field {f!r} holds multi-line JSON; the "
+            "batched NDJSON parse needs single-line values"
+        )
+    parsed = pa_json.read_json(
+        io.BytesIO(("\n".join(vals) or "{}").encode())
+    ).combine_chunks()
+    if len(parsed) != len(table):
+        raise ValueError(
+            f"json processor parsed {len(parsed)} rows from {len(table)}"
+        )
+    if spec.get("add_to_root"):
+        for name in parsed.column_names:
+            if name in table.column_names:
+                raise ValueError(
+                    f"json add_to_root key {name!r} collides with an "
+                    "existing column"
+                )
+            table = table.append_column(name, parsed.column(name))
+        return table
+    tgt = str(spec.get("target_field", f))
+    struct = pa.StructArray.from_arrays(
+        [parsed.column(n).combine_chunks() for n in parsed.column_names],
+        names=parsed.column_names,
+    )
+    return _set_col(table, tgt, struct)
+
+
 def compile_pipeline(processors: list[dict]):
     """Validate the processor list eagerly (bad pipelines fail at
     compile time, not mid-build) and return a table transform."""
@@ -88,6 +136,13 @@ def compile_pipeline(processors: list[dict]):
                 )
             if "field" not in spec:
                 raise ValueError("convert needs field")
+        elif kind == "json":
+            if "field" not in spec:
+                raise ValueError("json needs field")
+            if spec.get("add_to_root") and "target_field" in spec:
+                raise ValueError(
+                    "json takes target_field OR add_to_root, not both"
+                )
         else:
             raise ValueError(f"unsupported ingest processor {kind!r}")
         steps.append((kind, dict(spec)))
@@ -145,6 +200,8 @@ def compile_pipeline(processors: list[dict]):
                     f,
                     pc.cast(table.column(f), _CONVERT_TYPES[str(spec["type"])]),
                 )
+            elif kind == "json":
+                table = _apply_json(table, f, spec)
         return table
 
     return _apply

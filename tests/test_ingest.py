@@ -133,3 +133,51 @@ def test_build_index_with_ingest_pipeline(ray_session, tmp_path):
     assert sorted(d for d, _ in hits) == [0, 2]
     stored = r.get_docs(np.array([0], dtype=np.uint64))
     assert stored.column("text").to_pylist() == ["quick fox"]
+
+
+def test_json_processor_struct_and_root(ray_session):
+    import pyarrow as pa
+
+    from raybm25.loader.ingest import compile_pipeline
+
+    t = pa.table({
+        "id": [1, 2, 3],
+        "props": ['{"k": 5, "tag": "a"}', '{"k": 7, "tag": "b"}', None],
+    })
+    # add_to_root: keys become top-level columns; null rows parse as {}
+    out = compile_pipeline(
+        [{"json": {"field": "props", "add_to_root": True}}]
+    )(t)
+    assert out.column("k").to_pylist() == [5, 7, None]
+    assert out.column("tag").to_pylist() == ["a", "b", None]
+    # target_field: struct column
+    out2 = compile_pipeline(
+        [{"json": {"field": "props", "target_field": "p"}}]
+    )(t)
+    assert out2.column("p").to_pylist()[0] == {"k": 5, "tag": "a"}
+    # in-place (default target = source field)
+    out3 = compile_pipeline([{"json": {"field": "props"}}])(t)
+    assert out3.column("props").to_pylist()[1] == {"k": 7, "tag": "b"}
+
+
+def test_json_processor_errors(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    from raybm25.loader.ingest import compile_pipeline
+
+    with pytest.raises(ValueError):
+        compile_pipeline([{"json": {"field": "p", "add_to_root": True,
+                                    "target_field": "x"}}])
+    t = pa.table({"k": [1], "props": ['{"k": 2}']})
+    with pytest.raises(ValueError):
+        # add_to_root key collides with existing column
+        compile_pipeline([{"json": {"field": "props",
+                                    "add_to_root": True}}])(t)
+    t2 = pa.table({"props": ['{"a":\n 1}']})
+    with pytest.raises(ValueError):
+        compile_pipeline([{"json": {"field": "props"}}])(t2)
+    # empty batch passes through
+    t3 = pa.table({"props": pa.array([], pa.string())})
+    out = compile_pipeline([{"json": {"field": "props"}}])(t3)
+    assert len(out) == 0
