@@ -1257,6 +1257,23 @@ def q_ingest_pipeline(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_lm_xent_topk(sf_dir: str):
+    """CCNet-style LM quality scoring (extras/lm): bigram MLE fit on
+    the corpus in one combiner-first count pass, every doc scored with
+    its per-token cross entropy in a second broadcast-LM pass, top-20
+    most surprising docs returned. Rank/id compared (float xent
+    excluded — same convention as the knn entries)."""
+    from .extras.lm import bigram_lm_topk
+
+    df = bigram_lm_topk(sf_dir, k=20)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(df["rank"], dtype="int64"),
+            "doc_id": pd.array(df["doc_id"], dtype="int64"),
+        }
+    )
+
+
 def q_ingest_json(sf_dir: str):
     """``json`` ingest processor over the events ``props`` JSON-string
     column (add_to_root) in a streaming Ray Data pipeline: each batch
@@ -7206,6 +7223,23 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT CAST(sum(n_chars * n_chars) AS DOUBLE) AS sumsq"
         " FROM documents JOIN m USING(doc_id)"
     ),
+    "lm_xent_topk": (
+        "WITH tl AS (SELECT doc_id,"
+        " regexp_extract_all(lower(text), '[a-z0-9]+') AS toks"
+        " FROM documents),"
+        " bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2"
+        " FROM (SELECT doc_id, toks,"
+        " unnest(generate_series(1, len(toks) - 1)) AS i FROM tl)),"
+        " c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),"
+        " c1 AS (SELECT w1, sum(c) AS t FROM c12 GROUP BY w1),"
+        " sc AS (SELECT bg.doc_id,"
+        " avg(-ln(CAST(c12.c AS DOUBLE) / c1.t)) AS xent"
+        " FROM bg JOIN c12 USING(w1, w2) JOIN c1 USING(w1)"
+        " GROUP BY bg.doc_id)"
+        " SELECT rank, doc_id FROM (SELECT row_number() OVER"
+        " (ORDER BY xent DESC, doc_id) AS rank, doc_id FROM sc)"
+        " ORDER BY rank LIMIT 20"
+    ),
     "ingest_json_props": (
         "SELECT (CAST(json_extract(props, '$.k') AS BIGINT) // 10) * 10"
         " AS bucket, count(*) AS doc_count FROM events"
@@ -8085,6 +8119,7 @@ QUERIES = {
     "sort_after_nchars": q_sort_after,
     "knn_radial_docs": q_knn_radial,
     "ingest_json_props": q_ingest_json,
+    "lm_xent_topk": q_lm_xent_topk,
     "cum_cardinality_users": q_cum_cardinality_users,
     "mtermvectors_docs": q_mtermvectors,
 }
