@@ -1257,6 +1257,38 @@ def q_ingest_pipeline(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_docvalue_script_fields(sf_dir: str):
+    """docvalue_fields + script_fields on the hit page: BM25 top-10
+    for 'merge join' with the n_chars doc-value and a computed script
+    field (n_chars * 2 + 10) attached per hit — one batched docstore
+    gather for the page, the script compiled once through the
+    script_score grammar (dsl run_query fields block)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {"match": {"text": {"query": "merge join"}}},
+            "size": 10,
+            "docvalue_fields": ["n_chars"],
+            "script_fields": {
+                "n2": {"script": {"source": "doc['n_chars'].value * 2 + 10"}}
+            },
+        },
+    )
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array([int(h["_id"]) for h in hits], dtype="int64"),
+            "n_chars": pd.array(
+                [int(h["fields"]["n_chars"][0]) for h in hits], dtype="int64"
+            ),
+            "n2": [float(h["fields"]["n2"][0]) for h in hits],
+        }
+    )
+
+
 def q_lm_xent_topk(sf_dir: str):
     """CCNet-style LM quality scoring (extras/lm): bigram MLE fit on
     the corpus in one combiner-first count pass, every doc scored with
@@ -7223,6 +7255,12 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT CAST(sum(n_chars * n_chars) AS DOUBLE) AS sumsq"
         " FROM documents JOIN m USING(doc_id)"
     ),
+    "docvalue_script_fields": (
+        "WITH b AS (" + _bm25_sql("merge join", 10, cols="rank, doc_id")
+        + ") SELECT rank, b.doc_id, d.n_chars,"
+        " CAST(d.n_chars * 2 + 10 AS DOUBLE) AS n2"
+        " FROM b JOIN documents d ON d.doc_id = b.doc_id ORDER BY rank"
+    ),
     "lm_xent_topk": (
         "WITH tl AS (SELECT doc_id,"
         " regexp_extract_all(lower(text), '[a-z0-9]+') AS toks"
@@ -8120,6 +8158,7 @@ QUERIES = {
     "knn_radial_docs": q_knn_radial,
     "ingest_json_props": q_ingest_json,
     "lm_xent_topk": q_lm_xent_topk,
+    "docvalue_script_fields": q_docvalue_script_fields,
     "cum_cardinality_users": q_cum_cardinality_users,
     "mtermvectors_docs": q_mtermvectors,
 }
@@ -8152,7 +8191,8 @@ _DRIVER_PRIORITY = [
     "string_stats_source", "scripted_metric_sumsq", "rate_errors_hourly",
     "cum_cardinality_users", "moving_median_daily", "geohash_grid_docs",
     "mtermvectors_docs", "ip_range_clients", "filter_stats_nchars",
-    "sort_after_nchars", "knn_radial_docs",
+    "sort_after_nchars", "knn_radial_docs", "ingest_json_props",
+    "lm_xent_topk",
     # then this round's headline additions, most valuable first
     "stem_bm25_topk", "stem_match_docs", "stop_dl",
     "synonym_match_docs", "synonym_blended_topk", "combined_fields_topk",

@@ -1991,6 +1991,44 @@ def _aggregations(
     return out
 
 
+def _attach_page_fields(r: IndexReader, hits_out: list[dict], body: dict):
+    """docvalue_fields / script_fields on a hit page: one batched
+    docstore gather for the whole page (get_docs groups by bucket
+    file), script fields compiled once per request through the
+    script_score grammar. Field-sorted hits carry ``_score: None``;
+    scripts reading ``_score`` see 0.0 there (pinned)."""
+    dvf = body.get("docvalue_fields")
+    sfields = body.get("script_fields")
+    if not (dvf or sfields) or not hits_out:
+        return
+    from .script import compile_script as _compile_script
+
+    names = [
+        (str(f["field"]) if isinstance(f, dict) else str(f))
+        for f in (dvf or [])
+    ]
+    compiled = {
+        n: _compile_script(_script_source(s))
+        for n, s in (sfields or {}).items()
+    }
+    ids = np.array([h["_id"] for h in hits_out], dtype=np.uint64)
+    tbl = r.get_docs(ids)
+    by_id_row = {int(rr["doc_id"]): rr for rr in tbl.to_pylist()}
+    for h in hits_out:
+        row = by_id_row.get(int(h["_id"]), {})
+        flds = h.setdefault("fields", {})
+        for nm in names:
+            if nm in row:
+                flds[nm] = [row[nm]]
+        sc = np.array([float(h["_score"] or 0.0)])
+        for nm, fn in compiled.items():
+            vals = {
+                f: np.array([float(row[f])], dtype=np.float64)
+                for f in fn.fields
+            }
+            flds[nm] = [float(fn(sc, vals)[0])]
+
+
 def run_count(index_dir_or_reader, body: dict) -> dict:
     """OpenSearch ``_count``: total docs matching the query, no
     scoring, no hits. Supports every unscored clause ``_match_docs``
@@ -2205,6 +2243,7 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
             {"_id": int(d), "_score": None, "sort": [v, int(d)]}
             for d, v in hits
         ]
+        _attach_page_fields(r, hits_out, body)
         return {
             "hits": {"total": {"value": len(hits_out)}, "hits": hits_out},
             "took": int((_time.perf_counter() - _t0) * 1000),
@@ -2292,6 +2331,7 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
         }
         for h in resp["hits"]["hits"]:
             h["_source"] = by_id.get(h["_id"], {})
+    _attach_page_fields(r, resp["hits"]["hits"], body)
     hl = body.get("highlight")
     if hl and hits:
         if kind != "match":

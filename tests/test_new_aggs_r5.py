@@ -481,3 +481,33 @@ def test_field_sorted_search_after_desc(rdr):
     vals = [h["sort"][0] for h in p1 + p2]
     assert vals == sorted(vals, reverse=True)
     assert len({h["_id"] for h in p1 + p2}) == len(p1 + p2)
+
+
+def test_docvalue_and_script_fields(rdr):
+    resp = run_query(rdr, {
+        "query": {"match": {"text": {"query": "alpha"}}},
+        "size": 10,
+        "docvalue_fields": ["size", {"field": "source"}],
+        "script_fields": {
+            "half": {"script": {"source": "doc['size'].value / 2"}},
+            "boosted": {"script": {"source": "_score * 0 + doc['size'].value"}},
+        },
+    })
+    for h in resp["hits"]["hits"]:
+        did = int(h["_id"])
+        assert h["fields"]["size"] == [DOCS[did][2]]
+        assert h["fields"]["source"] == [DOCS[did][1]]
+        assert h["fields"]["half"] == [DOCS[did][2] / 2]
+        assert h["fields"]["boosted"] == [float(DOCS[did][2])]
+
+
+def test_script_fields_with_null_score_sort(rdr):
+    # field-sorted hits carry _score None; script fields using _score
+    # see 0.0 (pinned), doc-value-only scripts are unaffected
+    resp = run_query(rdr, {
+        "query": {"match": {"text": {"query": "alpha"}}},
+        "sort": [{"size": "asc"}], "size": 3,
+        "script_fields": {"s2": {"script": {"source": "doc['size'].value"}}},
+    })
+    for h in resp["hits"]["hits"]:
+        assert h["fields"]["s2"] == [float(DOCS[int(h["_id"])][2])]
