@@ -1257,6 +1257,67 @@ def q_ingest_pipeline(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_decay_gauss(sf_dir: str):
+    """function_score gauss decay over n_chars (origin 300, scale 200,
+    decay 0.5): BM25 * exp(d^2 ln(decay)/scale^2)
+    (engine.search_decay). Ranks compared, not score bytes — exp() is
+    not correctly rounded across libms (the function_score_nchars
+    convention note)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "size": 15,
+            "query": {
+                "function_score": {
+                    "query": {"match": {"text": {"query": "merge sort"}}},
+                    "gauss": {
+                        "n_chars": {"origin": 300, "scale": 200, "decay": 0.5}
+                    },
+                }
+            },
+        },
+    )
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array([int(h["_id"]) for h in hits], dtype="int64"),
+        }
+    )
+
+
+def q_random_sample_topk(sf_dir: str):
+    """function_score random_score (seed 42): the seeded deterministic
+    uniform sample of the match set — score = (splitmix64(doc_id XOR
+    seed) >> 11) / 2^53, an exact dyadic float64 the oracle reproduces
+    bit-identically (engine.search_random_score; same generator as the
+    extras/shuffle training-order key)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "size": 15,
+            "query": {
+                "function_score": {
+                    "query": {"match": {"text": {"query": "merge"}}},
+                    "random_score": {"seed": 42},
+                }
+            },
+        },
+    )
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array([int(h["_id"]) for h in hits], dtype="int64"),
+            "score": [h["_score"] for h in hits],
+        }
+    )
+
+
 def q_docvalue_script_fields(sf_dir: str):
     """docvalue_fields + script_fields on the hit page: BM25 top-10
     for 'merge join' with the n_chars doc-value and a computed script
@@ -3350,20 +3411,35 @@ def _mulmod64_sql(expr: str, c: int) -> str:
     return f"(({a0} * {c0}::HUGEINT + {cross} * 4294967296::HUGEINT) % {_M64})"
 
 
-def _splitmix64_signed_sql(expr: str, seed: int) -> str:
-    """SQL reproducing extras.shuffle.shuffle_key(expr, seed) exactly:
-    splitmix64 over ``expr XOR seed`` with the result as signed BIGINT
-    (the engine's int64 transport form)."""
+def _splitmix64_hugeint_sql(expr: str, seed: int) -> str:
+    """The raw splitmix64(expr XOR seed) chain as an unsigned HUGEINT
+    SQL expression (xor / multiply-mod-2^64 / shift-as-division)."""
     h = f"xor({expr}, {seed}::HUGEINT)"
     h = f"xor({h}, ({h}) // 1073741824::HUGEINT)"  # >> 30
     h = _mulmod64_sql(h, 0xBF58476D1CE4E5B9)
     h = f"xor({h}, ({h}) // 134217728::HUGEINT)"  # >> 27
     h = _mulmod64_sql(h, 0x94D049BB133111EB)
     h = f"xor({h}, ({h}) // 2147483648::HUGEINT)"  # >> 31
+    return h
+
+
+def _splitmix64_signed_sql(expr: str, seed: int) -> str:
+    """SQL reproducing extras.shuffle.shuffle_key(expr, seed) exactly:
+    splitmix64 over ``expr XOR seed`` with the result as signed BIGINT
+    (the engine's int64 transport form)."""
+    h = _splitmix64_hugeint_sql(expr, seed)
     return (
         f"CAST(CASE WHEN ({h}) >= 9223372036854775808::HUGEINT"
         f" THEN ({h}) - {_M64} ELSE ({h}) END AS BIGINT)"
     )
+
+
+def _splitmix64_unit_sql(expr: str, seed: int) -> str:
+    """SQL reproducing engine.search_random_score's pseudo-score
+    exactly: (splitmix64(expr XOR seed) >> 11) / 2^53 — an exact
+    dyadic float64 in [0, 1), so the division is bit-identical."""
+    h = _splitmix64_hugeint_sql(expr, seed)
+    return f"CAST(({h}) // 2048::HUGEINT AS DOUBLE) / 9007199254740992.0"
 
 
 def q_shuffle_head_docs(sf_dir: str):
@@ -7255,6 +7331,22 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT CAST(sum(n_chars * n_chars) AS DOUBLE) AS sumsq"
         " FROM documents JOIN m USING(doc_id)"
     ),
+    "decay_gauss_nchars": _bm25_sql(
+        "merge sort", 15, cols="rank, doc_id",
+        score_expr=(
+            "score * exp(power(greatest(abs(n_chars - 300.0) - 0.0, 0.0), 2)"
+            " * ln(0.5) / 40000.0)"
+        ),
+    ),
+    "random_sample_topk": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
+        " sc AS (SELECT doc_id,"
+        f" {_splitmix64_unit_sql('CAST(doc_id AS HUGEINT)', 42)} AS score"
+        " FROM m)"
+        " SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,"
+        " doc_id, score FROM sc ORDER BY rank LIMIT 15"
+    ),
     "docvalue_script_fields": (
         "WITH b AS (" + _bm25_sql("merge join", 10, cols="rank, doc_id")
         + ") SELECT rank, b.doc_id, d.n_chars,"
@@ -8159,6 +8251,8 @@ QUERIES = {
     "ingest_json_props": q_ingest_json,
     "lm_xent_topk": q_lm_xent_topk,
     "docvalue_script_fields": q_docvalue_script_fields,
+    "decay_gauss_nchars": q_decay_gauss,
+    "random_sample_topk": q_random_sample_topk,
     "cum_cardinality_users": q_cum_cardinality_users,
     "mtermvectors_docs": q_mtermvectors,
 }

@@ -572,18 +572,47 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
         ik, ispec = _one(spec["query"], "function_score.query")
         if ik != "match":
             raise ValueError("function_score supports a 'match' inner query")
+        ifield, ibody = _field_query(ispec)
+        f_ = None if ifield == r.primary_field else ifield
+        qtext_ = str(ibody.get("query", ""))
+        if "random_score" in spec:
+            # deterministic seeded uniform score, boost_mode replace —
+            # the seeded-sample idiom
+            return r.search_random_score(
+                qtext_,
+                seed=int(spec["random_score"].get("seed", 0)),
+                k=k,
+                field=f_,
+            )
+        for dfn in ("gauss", "exp", "linear"):
+            if dfn in spec:
+                dfield, dspec = _one(spec[dfn], f"function_score.{dfn}")
+                return r.search_decay(
+                    qtext_,
+                    str(dfield),
+                    origin=float(dspec["origin"]),
+                    scale=float(dspec["scale"]),
+                    offset=float(dspec.get("offset", 0.0)),
+                    decay=float(dspec.get("decay", 0.5)),
+                    function=dfn,
+                    boost_mode=str(spec.get("boost_mode", "multiply")),
+                    k=k,
+                    field=f_,
+                )
         fvf = spec.get("field_value_factor")
         if not fvf:
-            raise ValueError("function_score requires field_value_factor")
-        ifield, ibody = _field_query(ispec)
+            raise ValueError(
+                "function_score requires field_value_factor, a decay "
+                "function (gauss/exp/linear) or random_score"
+            )
         return r.search_function_score(
-            str(ibody.get("query", "")),
+            qtext_,
             str(fvf["field"]),
             factor=float(fvf.get("factor", 1.0)),
             modifier=str(fvf.get("modifier", "log1p")),
             boost_mode=str(spec.get("boost_mode", "multiply")),
             k=k,
-            field=None if ifield == r.primary_field else ifield,
+            field=f_,
         )
     if kind == "script_score":
         # {"script_score": {"query": {"match": ...}, "script":

@@ -2974,6 +2974,100 @@ class IndexReader:
         ids, sc = self._rank(uniq, scores, k)
         return list(zip(ids.tolist(), sc.tolist()))
 
+    def search_decay(
+        self,
+        query: str,
+        decay_field: str,
+        origin: float,
+        scale: float,
+        offset: float = 0.0,
+        decay: float = 0.5,
+        function: str = "gauss",
+        boost_mode: str = "multiply",
+        k: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """``function_score`` decay functions over a numeric doc-value
+        (OpenSearch ``gauss`` / ``exp`` / ``linear``): final score =
+        BM25 <boost_mode> decay(|v - origin|). Pinned to the published
+        formulas with d = max(0, |v - origin| - offset):
+
+        - gauss:  exp(d^2 * ln(decay) / scale^2)
+        - exp:    exp(d * ln(decay) / scale)
+        - linear: max(0, 1 - d * (1 - decay) / scale)
+
+        One doc-value gather over the combined match set, one
+        vectorized kernel — same pass shape as field_value_factor.
+        exp() is not correctly rounded across libms, so oracle entries
+        compare ranks, not score bytes (the function_score_nchars
+        convention note)."""
+        avgdl = self.field_avgdl(field)
+        qcounts = Counter(self.field_terms(query, field))
+        postings = self.load_postings(sorted(qcounts))
+        parts_ids, parts_scores = [], []
+        for term in sorted(qcounts):
+            p = postings.get(term)
+            if p is None:
+                continue
+            contrib = qcounts[term] * self.idf(p.df) * self._norm_cached(p, avgdl)
+            parts_ids.append(p.doc_ids)
+            parts_scores.append(contrib)
+        if not parts_ids:
+            return []
+        if not 0.0 < decay < 1.0:
+            raise ValueError("decay must be in (0, 1)")
+        if scale <= 0:
+            raise ValueError("scale must be positive")
+        uniq, scores = self._combine(parts_ids, parts_scores)
+        vals = self._gather_column(uniq, decay_field).astype(np.float64)
+        d = np.maximum(0.0, np.abs(vals - origin) - offset)
+        if function == "gauss":
+            fv = np.exp(d * d * np.log(decay) / (scale * scale))
+        elif function == "exp":
+            fv = np.exp(d * np.log(decay) / scale)
+        elif function == "linear":
+            fv = np.maximum(0.0, 1.0 - d * (1.0 - decay) / scale)
+        else:
+            raise ValueError(f"unsupported decay function {function!r}")
+        if boost_mode == "multiply":
+            scores = scores * fv
+        elif boost_mode == "sum":
+            scores = scores + fv
+        elif boost_mode == "replace":
+            scores = fv
+        else:
+            raise ValueError(f"unsupported boost_mode {boost_mode!r}")
+        ids, sc = self._rank(uniq, scores, k)
+        return list(zip(ids.tolist(), sc.tolist()))
+
+    def search_random_score(
+        self,
+        query: str,
+        seed: int = 0,
+        k: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """``function_score`` with ``random_score`` in boost_mode
+        replace: a DETERMINISTIC uniform pseudo-score per (seed, doc) —
+        ``(splitmix64(doc_id XOR seed) >> 11) / 2^53``, an exact float64
+        in [0, 1) reproducible in SQL with the same shift-divide (the
+        extras/shuffle key, so sampling and shuffling share one
+        definition). OpenSearch seeds Lucene's hash the same way
+        conceptually; the exact generator is pinned here so results are
+        stable across versions AND partitioning. The standard
+        deterministic-sample idiom: top-k by random score = a seeded
+        uniform sample of the match set."""
+        from ..extras.shuffle import splitmix64
+
+        cand = self._match_ordinals(query, field)
+        if cand.size == 0:
+            return []
+        dids = self._map_ordinals(cand).astype(np.uint64)
+        u = splitmix64(dids ^ np.uint64(seed))
+        scores = (u >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        order = np.lexsort((dids, -scores))[:k]
+        return list(zip(dids[order].tolist(), scores[order].tolist()))
+
     def search_script_score(
         self,
         query: str,

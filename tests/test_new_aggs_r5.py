@@ -511,3 +511,59 @@ def test_script_fields_with_null_score_sort(rdr):
     })
     for h in resp["hits"]["hits"]:
         assert h["fields"]["s2"] == [float(DOCS[int(h["_id"])][2])]
+
+
+def test_decay_functions_vs_brute(rdr):
+    import math
+
+    from raybm25.oracle import OracleIndex
+
+    oracle = OracleIndex({i: t for i, (t, _, _) in enumerate(DOCS)})
+    base = {s: d for d, s in oracle.search("alpha gamma", k=100)}
+    origin, scale, decay, offset = 250.0, 100.0, 0.5, 20.0
+
+    def fv(v, fn):
+        d = max(0.0, abs(v - origin) - offset)
+        if fn == "gauss":
+            return math.exp(d * d * math.log(decay) / (scale * scale))
+        if fn == "exp":
+            return math.exp(d * math.log(decay) / scale)
+        return max(0.0, 1.0 - d * (1.0 - decay) / scale)
+
+    for fn in ("gauss", "exp", "linear"):
+        got = rdr.search_decay("alpha gamma", "size", origin, scale,
+                               offset=offset, decay=decay, function=fn, k=10)
+        want = sorted(
+            ((d, s * fv(DOCS[d][2], fn)) for s, d in
+             [(s, d) for d, s in oracle.search("alpha gamma", k=100)]),
+            key=lambda t: (-t[1], t[0]))
+        assert [d for d, _ in got] == [d for d, _ in want[:len(got)]], fn
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws), fn
+    with pytest.raises(ValueError):
+        rdr.search_decay("alpha", "size", 0, 0)   # scale must be > 0
+    with pytest.raises(ValueError):
+        rdr.search_decay("alpha", "size", 0, 1, decay=1.0)
+
+
+def test_random_score_deterministic_and_uniformish(rdr):
+    a = rdr.search_random_score("alpha beta gamma delta", seed=42, k=100)
+    b = rdr.search_random_score("alpha beta gamma delta", seed=42, k=100)
+    assert a == b                         # same seed => same sample order
+    c = rdr.search_random_score("alpha beta gamma delta", seed=43, k=100)
+    assert [d for d, _ in a] != [d for d, _ in c]  # seed changes order
+    assert all(0.0 <= s < 1.0 for _, s in a)
+    assert set(d for d, _ in a) == set(_match("alpha beta gamma delta"))
+
+
+def test_random_score_matches_shuffle_key_order(rdr):
+    # the random_score generator IS the shuffle key: descending score
+    # order must equal descending splitmix64 order
+    import numpy as np
+
+    from raybm25.extras.shuffle import splitmix64
+
+    hits = rdr.search_random_score("alpha beta gamma delta", seed=7, k=100)
+    ids = np.array([d for d, _ in hits], dtype=np.uint64)
+    keys = splitmix64(ids ^ np.uint64(7))
+    assert list(keys) == sorted(keys, reverse=True)
