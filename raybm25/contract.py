@@ -1797,6 +1797,313 @@ def _ip_index(sf_dir: str) -> str:
     return idx
 
 
+_JOIN_INDEX_CACHE: dict[str, str] = {}
+_JOIN_NB = 8               # join-index docstore buckets
+_JOIN_CHILD_BASE = 1 << 40  # child-id offset, a multiple of _JOIN_NB
+
+
+def _join_index(sf_dir: str) -> str:
+    """``orders`` (parents) and ``lineitem`` (children) in ONE index
+    with a join field — the OpenSearch ``join`` datatype layout (a
+    child's join value is its parent's ``_id``). Child doc ids are
+    synthetic (file row order) but constructed ≡ parent key mod
+    ``num_buckets``, the routing convention that co-locates every
+    family in one docstore partition; ids stay internal — each
+    oracle-checked column is a real table value."""
+    if sf_dir in _JOIN_INDEX_CACHE:
+        return _JOIN_INDEX_CACHE[sf_dir]
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .index.build import build_index
+
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    src = os.path.join(CACHE_ROOT, f"joinsrc_{_tag(sf_dir)}.parquet")
+    if not os.path.exists(src):
+        o = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        )
+        li = pq.read_table(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_returnflag", "l_quantity"],
+        )
+        n_o, n_l = o.num_rows, li.num_rows
+        lkey = li.column("l_orderkey").to_numpy()
+        child_ids = (
+            _JOIN_CHILD_BASE
+            + np.arange(n_l, dtype=np.int64) * _JOIN_NB
+            + (lkey % _JOIN_NB)
+        )
+        tbl = pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        o.column("o_orderkey").combine_chunks().cast(pa.int64()),
+                        pa.array(child_ids, pa.int64()),
+                    ]
+                ),
+                "join_name": pa.array(["order"] * n_o + ["line"] * n_l),
+                "parent_key": pa.array(
+                    [None] * n_o + lkey.tolist(), pa.int64()
+                ),
+                "o_orderstatus": pa.concat_arrays(
+                    [
+                        o.column("o_orderstatus").combine_chunks(),
+                        pa.array([None] * n_l, pa.string()),
+                    ]
+                ),
+                "o_totalprice": pa.concat_arrays(
+                    [
+                        o.column("o_totalprice").combine_chunks(),
+                        pa.array([None] * n_l, pa.float64()),
+                    ]
+                ),
+                "l_returnflag": pa.concat_arrays(
+                    [
+                        pa.array([None] * n_o, pa.string()),
+                        li.column("l_returnflag").combine_chunks(),
+                    ]
+                ),
+                "l_quantity": pa.concat_arrays(
+                    [
+                        pa.array([None] * n_o, pa.float64()),
+                        li.column("l_quantity").combine_chunks(),
+                    ]
+                ),
+            }
+        )
+        tmp = src + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, src)
+    idx = os.path.join(CACHE_ROOT, f"joinidx_{_tag(sf_dir)}")
+    build_index(
+        src,
+        idx,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("join_name",),
+        keyword_cols=("join_name", "o_orderstatus", "l_returnflag"),
+        stored_cols=[
+            "join_name",
+            "parent_key",
+            "o_orderstatus",
+            "o_totalprice",
+            "l_returnflag",
+            "l_quantity",
+        ],
+        num_buckets=_JOIN_NB,
+        relations={
+            "join_field": "join_name",
+            "parent_field": "parent_key",
+            "children": {"line": "order"},
+        },
+    )
+    _JOIN_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_has_child_orders(sf_dir: str):
+    """has_child (filter context) with min_children: orders having at
+    least 3 'R'-returnflag lines — the join-field membership query
+    (dsl._match_docs has_child; children reduce to unique parent keys
+    via one pruned keys-only partition scan). Constant-score rank =
+    doc_id asc, so the page is the first 25 order keys."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _join_index(sf_dir),
+        {
+            "size": 25,
+            "query": {
+                "has_child": {
+                    "type": "line",
+                    "min_children": 3,
+                    "query": {"term": {"l_returnflag": "R"}},
+                }
+            },
+        },
+    )
+    return pd.DataFrame(
+        {
+            "o_orderkey": pd.array(
+                [int(h["_id"]) for h in resp["hits"]["hits"]], dtype="int64"
+            )
+        }
+    )
+
+
+def q_has_child_count_topk(sf_dir: str):
+    """has_child score_mode=sum over a filter inner query: each
+    matching child contributes the constant 1.0, so parents rank by
+    matching-line COUNT (the standard join-field idiom;
+    dsl._join_scored). Top 15 orders by count of R-flag lines with
+    quantity >= 30, ties by order key asc."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _join_index(sf_dir),
+        {
+            "size": 15,
+            "query": {
+                "has_child": {
+                    "type": "line",
+                    "score_mode": "sum",
+                    "query": {
+                        "bool": {
+                            "filter": [
+                                {"term": {"l_returnflag": "R"}},
+                                {"range": {"l_quantity": {"gte": 30}}},
+                            ]
+                        }
+                    },
+                }
+            },
+        },
+    )
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "o_orderkey": pd.array([int(h["_id"]) for h in hits], dtype="int64"),
+            "n_lines": pd.array([int(h["_score"]) for h in hits], dtype="int64"),
+        }
+    )
+
+
+def q_has_parent_lines(sf_dir: str):
+    """has_parent: every line of a high-value order (o_totalprice >=
+    490000). The result is the oracle-reproducible (order key,
+    quantity) multiset — child doc ids stay internal; the page carries
+    them out via docvalue_fields (one batched docstore gather)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _join_index(sf_dir),
+        {
+            "size": 1_000_000,
+            "query": {
+                "has_parent": {
+                    "parent_type": "order",
+                    "query": {"range": {"o_totalprice": {"gte": 490000}}},
+                }
+            },
+            "docvalue_fields": ["parent_key", "l_quantity"],
+        },
+    )
+    rows = [
+        (int(h["fields"]["parent_key"][0]), float(h["fields"]["l_quantity"][0]))
+        for h in resp["hits"]["hits"]
+    ]
+    out = pd.DataFrame(rows, columns=["l_orderkey", "l_quantity"])
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    return out.sort_values(["l_orderkey", "l_quantity"]).reset_index(drop=True)
+
+
+def q_parent_id_lines(sf_dir: str):
+    """parent_id query: the lines of one specific order (the smallest
+    order key — computed from the parquet footer-cheap column read so
+    the pick is deterministic at every scale)."""
+    import pyarrow.parquet as pq
+
+    from .query.dsl import run_query
+
+    keys = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"]
+    )
+    k0 = int(pa.compute.min(keys.column("o_orderkey")).as_py())
+    resp = run_query(
+        _join_index(sf_dir),
+        {
+            "size": 1000,
+            "query": {"parent_id": {"type": "line", "id": k0}},
+            "docvalue_fields": ["l_quantity", "l_returnflag"],
+        },
+    )
+    rows = [
+        (float(h["fields"]["l_quantity"][0]), str(h["fields"]["l_returnflag"][0]))
+        for h in resp["hits"]["hits"]
+    ]
+    out = pd.DataFrame(rows, columns=["l_quantity", "l_returnflag"])
+    return out.sort_values(["l_quantity", "l_returnflag"]).reset_index(drop=True)
+
+
+def q_children_agg(sf_dir: str):
+    """children aggregation: parents bucketed by o_orderstatus, each
+    bucket stepping to its CHILD docs for a sum over l_quantity
+    (engine.facet_children_stats — two single-column partition scans
+    and a searchsorted parent->group map)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _join_index(sf_dir),
+        {
+            "size": 0,
+            "query": {"match_all": {}},
+            "aggs": {
+                "by_status": {
+                    "terms": {"field": "o_orderstatus"},
+                    "aggs": {
+                        "lines": {
+                            "children": {"type": "line"},
+                            "aggs": {"sum_qty": {"sum": {"field": "l_quantity"}}},
+                        }
+                    },
+                }
+            },
+        },
+    )
+    rows = [
+        (
+            str(b["key"]),
+            int(b["doc_count"]),
+            int(b["lines"]["doc_count"]),
+            float(b["lines"]["sum_qty"]["value"]),
+        )
+        for b in resp["aggregations"]["by_status"]["buckets"]
+    ]
+    return pd.DataFrame(
+        rows, columns=["o_orderstatus", "n_orders", "n_lines", "sum_qty"]
+    )
+
+
+def q_nested_lines(sf_dir: str):
+    """nested query (same-object semantics): orders with a single line
+    satisfying BOTH l_returnflag='A' AND l_quantity >= 49 — evaluated
+    per child ROW, the discriminator that separates nested from a flat
+    cross-field bool. First 25 order keys (constant-score rank)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _join_index(sf_dir),
+        {
+            "size": 25,
+            "query": {
+                "nested": {
+                    "path": "line",
+                    "score_mode": "none",
+                    "query": {
+                        "bool": {
+                            "filter": [
+                                {"term": {"l_returnflag": "A"}},
+                                {"range": {"l_quantity": {"gte": 49}}},
+                            ]
+                        }
+                    },
+                }
+            },
+        },
+    )
+    return pd.DataFrame(
+        {
+            "o_orderkey": pd.array(
+                [int(h["_id"]) for h in resp["hits"]["hits"]], dtype="int64"
+            )
+        }
+    )
+
+
 def q_ip_range(sf_dir: str):
     """ip_range aggregation over the synthesized client_ip of events
     matching 'error': two explicit half-open [from, to) windows plus a
@@ -7338,6 +7645,47 @@ ORACLE_SQL: dict[str, str] = {
             " * ln(0.5) / 40000.0)"
         ),
     ),
+    "has_child_orders": (
+        "SELECT CAST(l_orderkey AS BIGINT) AS o_orderkey"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " WHERE l_returnflag = 'R'"
+        " GROUP BY l_orderkey HAVING count(*) >= 3"
+        " ORDER BY o_orderkey LIMIT 25"
+    ),
+    "has_child_count_topk": (
+        "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " WHERE l_returnflag = 'R' AND l_quantity >= 30"
+        " GROUP BY l_orderkey)"
+        " SELECT row_number() OVER (ORDER BY n DESC, l_orderkey) AS rank,"
+        " CAST(l_orderkey AS BIGINT) AS o_orderkey, CAST(n AS BIGINT) AS n_lines"
+        " FROM c ORDER BY rank LIMIT 15"
+    ),
+    "has_parent_lines": (
+        "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, l_quantity"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " WHERE o_totalprice >= 490000"
+        " ORDER BY l_orderkey, l_quantity"
+    ),
+    "parent_id_lines": (
+        "SELECT l_quantity, l_returnflag FROM lineitem"
+        " WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders)"
+        " ORDER BY l_quantity, l_returnflag"
+    ),
+    "children_agg_status": (
+        "SELECT o_orderstatus,"
+        " CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,"
+        " CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,"
+        " CAST(coalesce(sum(l.l_quantity), 0) AS DOUBLE) AS sum_qty"
+        " FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+        " GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+    "nested_lines": (
+        "SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o_orderkey"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " WHERE l_returnflag = 'A' AND l_quantity >= 49"
+        " ORDER BY o_orderkey LIMIT 25"
+    ),
     "random_sample_topk": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
@@ -8253,6 +8601,12 @@ QUERIES = {
     "docvalue_script_fields": q_docvalue_script_fields,
     "decay_gauss_nchars": q_decay_gauss,
     "random_sample_topk": q_random_sample_topk,
+    "has_child_orders": q_has_child_orders,
+    "has_child_count_topk": q_has_child_count_topk,
+    "has_parent_lines": q_has_parent_lines,
+    "parent_id_lines": q_parent_id_lines,
+    "children_agg_status": q_children_agg,
+    "nested_lines": q_nested_lines,
     "cum_cardinality_users": q_cum_cardinality_users,
     "mtermvectors_docs": q_mtermvectors,
 }
@@ -8287,6 +8641,11 @@ _DRIVER_PRIORITY = [
     "mtermvectors_docs", "ip_range_clients", "filter_stats_nchars",
     "sort_after_nchars", "knn_radial_docs", "ingest_json_props",
     "lm_xent_topk",
+    # session-7 additions: the join-field family + function_score
+    # decay/random_score — new operators, so they get driver rows
+    "has_child_orders", "has_child_count_topk", "has_parent_lines",
+    "parent_id_lines", "children_agg_status", "nested_lines",
+    "decay_gauss_nchars", "random_sample_topk",
     # then this round's headline additions, most valuable first
     "stem_bm25_topk", "stem_match_docs", "stop_dl",
     "synonym_match_docs", "synonym_blended_topk", "combined_fields_topk",

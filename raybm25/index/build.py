@@ -913,6 +913,7 @@ def build_index(
     positions: bool = False,
     ingest: list[dict] | None = None,
     analyzer: dict | None = None,
+    relations: dict | None = None,
 ) -> dict:
     """Build (or resume) a full-text index at ``index_dir``.
 
@@ -937,6 +938,20 @@ def build_index(
     :func:`raybm25.analysis.analyzer_spec` (stopword removal and/or an
     ``s`` / ``porter`` stemmer after the standard tokenizer). Recorded
     in the manifest; readers apply the identical chain to query text.
+
+    ``relations``: optional join-field declaration (the OpenSearch
+    ``join`` datatype analog) recorded verbatim in the manifest::
+
+        {"join_field": "join_name",      # keyword col naming each doc's type
+         "parent_field": "parent_key",   # stored col = parent doc's _id
+         "children": {"line": "order"}}  # child type -> parent type
+
+    Parent docs use their own ``doc_id`` as the join value (exactly
+    OpenSearch's convention: a child's join field stores the parent
+    ``_id``). Co-location follows OpenSearch's routing rule: give each
+    child a ``doc_id`` congruent to its parent's ``doc_id`` modulo
+    ``num_buckets`` and the hash bucketing puts every family in one
+    docstore partition, so join queries never cross partitions.
     """
     t0 = time.perf_counter()
     metrics: dict = {"index_dir": index_dir}
@@ -975,6 +990,7 @@ def build_index(
             "sayt_cols": list(sayt_cols),
             "checkpoint_partials": bool(checkpoint_partials),
             "positions": bool(positions),
+            **({"relations": relations} if relations else {}),
         }
     )
     partials_dir = None

@@ -88,6 +88,163 @@ def _field_query(spec) -> tuple[str, dict]:
     return field, body
 
 
+def _docs_of(r: IndexReader, kind: str, spec) -> np.ndarray:
+    """Doc-id set of any clause, composing ``bool`` by set algebra —
+    the evaluator join/nested inner queries use."""
+    if kind == "bool":
+        return _bool_docs(r, spec)
+    return _match_docs(r, kind, spec)
+
+
+def _bool_docs(r: IndexReader, spec: dict) -> np.ndarray:
+    """Pure set-algebra ``bool`` (filter context): must/filter clauses
+    AND, should clauses OR (>= minimum_should_match, default 1 only
+    when should stands alone — OpenSearch's rule), must_not subtracts.
+    Every leaf is a sorted doc-id set; no scores are computed."""
+    out: np.ndarray | None = None
+    for key in ("must", "filter"):
+        for c in _as_list(spec.get(key)):
+            ck, cs = _one(c, f"bool.{key}")
+            s = _docs_of(r, ck, cs)
+            out = s if out is None else out[np.isin(out, s, assume_unique=True)]
+    should = _as_list(spec.get("should"))
+    if should:
+        msm = spec.get("minimum_should_match")
+        msm = int(msm) if msm is not None else (1 if out is None else 0)
+        if msm > 0:
+            sets = [
+                _docs_of(r, *_one(c, "bool.should")) for c in should
+            ]
+            allv = (
+                np.concatenate(sets) if sets else np.empty(0, np.uint64)
+            )
+            u, cnt = np.unique(allv, return_counts=True)
+            s = u[cnt >= msm]
+            out = s if out is None else out[np.isin(out, s, assume_unique=True)]
+    if out is None:
+        out = _match_docs(r, "match_all", {})
+    for c in _as_list(spec.get("must_not")):
+        ck, cs = _one(c, "bool.must_not")
+        s = _docs_of(r, ck, cs)
+        if s.size:
+            out = out[~np.isin(out, s, assume_unique=True)]
+    return out
+
+
+def _as_list(v) -> list:
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+# inner-query kinds whose per-child score is a real relevance score;
+# everything else contributes the constant 1.0 (OpenSearch's
+# constant-score rewrite for filter-ish clauses), so score_mode=sum
+# over such an inner query ranks parents by matching-child COUNT —
+# the standard join-field idiom.
+_JOIN_SCORING = ("match", "match_phrase", "match_bool_prefix")
+
+
+def _inner_child_scores(
+    r: IndexReader, ik: str, ispec, type_docs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(child doc ids, per-child scores) of a join inner query,
+    restricted to the child type's docs."""
+    if ik in _JOIN_SCORING:
+        hits = _scored_hits(r, ik, ispec, r.n_docs)
+        cids = np.array([d for d, _ in hits], dtype=np.uint64)
+        cscores = np.array([s for _, s in hits], dtype=np.float64)
+    else:
+        cids = _docs_of(r, ik, ispec)
+        cscores = np.ones(cids.size, dtype=np.float64)
+    m = np.isin(cids, type_docs)
+    return cids[m], cscores[m]
+
+
+def _join_scored(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, float]]:
+    """Scored ``has_child`` / ``nested``: aggregate matching children's
+    scores per parent (score_mode sum / avg / max / min), apply the
+    min_children / max_children bounds, rank parents. The per-child
+    parent keys come from one pruned (doc_id, parent_field) partition
+    scan — keys and float scores only, no doc bodies."""
+    import pyarrow.dataset as pds
+
+    ctype = str(spec["type"] if kind == "has_child" else spec["path"])
+    rel = r._join_rel(ctype)
+    mode = str(spec.get("score_mode", "avg"))
+    ik, ispec = _one(spec["query"], f"{kind}.query")
+    cids, cscores = _inner_child_scores(r, ik, ispec, r.join_type_docs(ctype))
+    if cids.size == 0:
+        return []
+    ids2, pk = r._scan_column_pairs(
+        str(rel["parent_field"]), pds.field("doc_id").isin(cids)
+    )
+    order = np.argsort(cids, kind="mergesort")
+    sc = cscores[order][np.searchsorted(cids[order], ids2)]
+    u, inv = np.unique(pk.astype(np.uint64), return_inverse=True)
+    counts = np.bincount(inv, minlength=u.size)
+    if mode == "sum":
+        agg = np.bincount(inv, weights=sc, minlength=u.size)
+    elif mode == "avg":
+        agg = np.bincount(inv, weights=sc, minlength=u.size) / counts
+    elif mode == "max":
+        agg = np.full(u.size, -np.inf)
+        np.maximum.at(agg, inv, sc)
+    elif mode == "min":
+        agg = np.full(u.size, np.inf)
+        np.minimum.at(agg, inv, sc)
+    else:
+        raise ValueError(f"unsupported score_mode {mode!r}")
+    lo = int(spec.get("min_children", 1))
+    hi = spec.get("max_children")
+    keep = counts >= lo
+    if hi is not None:
+        keep &= counts <= int(hi)
+    u, agg = u[keep], agg[keep]
+    live = np.isin(u, r.join_type_docs(str(rel["children"][ctype])), assume_unique=True)
+    u, agg = u[live], agg[live]
+    order = np.lexsort((u, -agg))[:k]
+    return [(int(d), float(s)) for d, s in zip(u[order], agg[order])]
+
+
+def _parent_scored(r: IndexReader, spec, k: int) -> list[tuple[int, float]]:
+    """``has_parent`` with ``score: true``: every matching child
+    inherits its parent's score (OpenSearch's only scored mode for
+    has_parent), ranked score desc / doc_id asc."""
+    import pyarrow.dataset as pds
+
+    ptype = str(spec["parent_type"])
+    ik, ispec = _one(spec["query"], "has_parent.query")
+    pids, pscores = _inner_child_scores(r, ik, ispec, r.join_type_docs(ptype))
+    if pids.size == 0:
+        return []
+    ctypes = [
+        ct for ct, pt in r.relations.get("children", {}).items() if pt == ptype
+    ]
+    if not ctypes:
+        raise ValueError(f"no child type declares parent {ptype!r}")
+    rel = r.relations
+    out_ids, out_sc = [], []
+    order = np.argsort(pids, kind="mergesort")
+    pids_s, pscores_s = pids[order], pscores[order]
+    for ct in ctypes:
+        kids = r.children_of(pids_s, ct)
+        if kids.size == 0:
+            continue
+        ids2, pk = r._scan_column_pairs(
+            str(rel["parent_field"]), pds.field("doc_id").isin(kids)
+        )
+        sc = pscores_s[np.searchsorted(pids_s, pk.astype(np.uint64))]
+        out_ids.append(ids2)
+        out_sc.append(sc)
+    if not out_ids:
+        return []
+    ids = np.concatenate(out_ids)
+    sc = np.concatenate(out_sc)
+    order = np.lexsort((ids, -sc))[:k]
+    return [(int(d), float(s)) for d, s in zip(ids[order], sc[order])]
+
+
 def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
     """Doc-id SET (sorted uint64) for an unscored clause (filter /
     must_not contexts and the agg candidate set)."""
@@ -246,6 +403,59 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
         ).astype(np.uint64)
     if kind == "ids":
         return r.ids_docs([int(v) for v in spec["values"]])
+    if kind == "match_none":
+        return np.empty(0, np.uint64)
+    if kind == "bool":
+        return _bool_docs(r, spec)
+    if kind in ("has_child", "nested"):
+        # join-field / nested-object membership (filter context): docs
+        # of the parent type with >= min_children children (nested:
+        # >= 1 nested objects) matching the inner query. ``nested``
+        # rides the same relation machinery — a nested path is a child
+        # type whose rows are the nested objects, so a bool over two
+        # child fields is evaluated per OBJECT (the same-object
+        # semantics that distinguish nested from a flat bool).
+        ctype = str(spec["type"] if kind == "has_child" else spec["path"])
+        rel = r._join_rel(ctype)
+        ik, ispec = _one(spec["query"], f"{kind}.query")
+        inner = _docs_of(r, ik, ispec)
+        child_docs = np.intersect1d(
+            inner, r.join_type_docs(ctype), assume_unique=False
+        )
+        pk, counts = r.child_parent_counts(child_docs, ctype)
+        lo = int(spec.get("min_children", 1))
+        hi = spec.get("max_children")
+        keep = counts >= lo
+        if hi is not None:
+            keep &= counts <= int(hi)
+        pk = pk[keep]
+        parents = r.join_type_docs(str(rel["children"][ctype]))
+        return pk[np.isin(pk, parents, assume_unique=True)]
+    if kind == "has_parent":
+        # children whose parent matches the inner query: a keys-only
+        # membership scan (broadcast semi-join shape)
+        ptype = str(spec["parent_type"])
+        ik, ispec = _one(spec["query"], "has_parent.query")
+        pset = np.intersect1d(
+            _docs_of(r, ik, ispec), r.join_type_docs(ptype)
+        )
+        parts = [
+            r.children_of(pset, ct)
+            for ct, pt in r.relations.get("children", {}).items()
+            if pt == ptype
+        ]
+        if not parts:
+            raise ValueError(f"no child type declares parent {ptype!r}")
+        out = parts[0]
+        for s in parts[1:]:
+            out = np.union1d(out, s)
+        return out
+    if kind == "parent_id":
+        ctype = str(spec["type"])
+        r._join_rel(ctype)
+        return r.children_of(
+            np.array([int(spec["id"])], dtype=np.uint64), ctype
+        )
     if kind == "combined_fields":
         # filter context: docs matching ANY analyzed term in ANY of
         # the listed fields (OR, the combined_fields default operator)
@@ -420,6 +630,20 @@ def _scored_hits(r: IndexReader, kind: str, spec, k: int) -> list[tuple[int, flo
     if kind == "wrapper":
         ik, ispec = _unwrap(spec)
         return _scored_hits(r, ik, ispec, k)
+    if kind in ("has_child", "nested"):
+        mode = str(spec.get("score_mode", "none" if kind == "has_child" else "avg"))
+        if mode != "none":
+            return _join_scored(r, kind, spec, k)
+        ids = _match_docs(r, kind, spec)
+        return [(int(d), 1.0) for d in ids[:k]]
+    if kind == "has_parent":
+        if bool(spec.get("score", False)):
+            return _parent_scored(r, spec, k)
+        ids = _match_docs(r, kind, spec)
+        return [(int(d), 1.0) for d in ids[:k]]
+    if kind in ("parent_id", "match_none"):
+        ids = _match_docs(r, kind, spec)
+        return [(int(d), 1.0) for d in ids[:k]]
     if kind == "hybrid":
         # hybrid search with reciprocal-rank fusion: each sub-query
         # contributes 1/(rank_constant + rank) over its top window_size
@@ -876,6 +1100,19 @@ def _bool_hits(r: IndexReader, spec: dict, k: int) -> list[tuple[int, float]]:
             fdocs = sets[0]
             for s in sets[1:]:
                 fdocs = fdocs[np.isin(fdocs, s, assume_unique=True)]
+    if not must and not should and not must_not and (
+        fdocs is not None or filt is not None
+    ):
+        # filter-only bool: the filter set itself, score 0.0 (filter
+        # context contributes no score in OpenSearch), doc_id order
+        if filt is not None:
+            tset = r.term_docs(*filt)
+            fdocs = (
+                tset
+                if fdocs is None
+                else fdocs[np.isin(fdocs, tset, assume_unique=True)]
+            )
+        return [(int(d), 0.0) for d in fdocs[:k]]
     return r.search_bool(
         must=must,
         should=should,
@@ -1220,8 +1457,9 @@ def _aggregations(
         field, body = _field_query(query_spec)
         qtext = str(body.get("query", body.get("value", "")))
         f = None if field == r.primary_field else field
-    elif query_kind == "_global":
-        # the `global` agg context: every live doc, query ignored
+    elif query_kind == "_global" or query_kind == "match_all":
+        # the `global` agg context / an explicit match_all query:
+        # every live doc
         qtext, f = None, None
     else:
         raise ValueError("aggs are supported over 'match' queries")
@@ -1248,6 +1486,42 @@ def _aggregations(
         if isinstance(agg, dict) and "terms" in agg and "aggs" in agg:
             # terms bucket agg with a top_hits or stats sub-agg
             sub_name, sub = _one(agg["aggs"], f"agg {name}.aggs")
+            if "children" in sub:
+                # the `children` agg: per parent-terms bucket, step to
+                # that bucket's CHILD docs and aggregate a numeric
+                # child doc-value (one engine pass computes every
+                # bucket — facet_children_stats)
+                ct = str(sub["children"]["type"])
+                mname, mspec = _one(sub["aggs"], f"children {sub_name}.aggs")
+                mk, mbody = _one(mspec, f"children metric {mname}")
+                if mk not in ("sum", "avg", "min", "max", "value_count", "stats"):
+                    raise ValueError(
+                        "children sub-agg supports a single numeric metric"
+                    )
+                rows = r.facet_children_stats(
+                    str(agg["terms"]["field"]), str(mbody.get("field", "doc_id")), ct
+                )
+                buckets = []
+                for g, n_p, n_c, mn, mx, sm, av in sorted(rows):
+                    metric: dict[str, Any]
+                    if mk == "stats":
+                        metric = {
+                            "count": n_c, "min": mn, "max": mx,
+                            "sum": sm, "avg": av,
+                        }
+                    else:
+                        v = {"sum": sm, "avg": av, "min": mn, "max": mx,
+                             "value_count": float(n_c)}[mk]
+                        metric = {"value": v}
+                    buckets.append(
+                        {
+                            "key": g,
+                            "doc_count": n_p,
+                            sub_name: {"doc_count": n_c, mname: metric},
+                        }
+                    )
+                out[name] = {"buckets": buckets}
+                continue
             if "top_hits" in sub:
                 rows = r.facet_top_hits(
                     qtext,

@@ -150,6 +150,9 @@ class IndexReader:
         self.analyzer_spec = man.data.get("analyzer_spec")
         self.docstore_prefix = man.data.get("docstore_prefix", "bucket")
         self.key_buckets = int(man.data.get("key_buckets", 0))
+        # join-field declaration (OpenSearch ``join`` datatype): see
+        # index.build.build_index(relations=...)
+        self.relations = man.data.get("relations") or {}
         self.num_shards = int(man.data.get("num_shards", 0))
         self.n_ranges = int(man.data.get("n_ranges", 1))
         self._postings_dir = os.path.join(index_dir, POSTINGS_SUBDIR)
@@ -3952,6 +3955,180 @@ class IndexReader:
 
         vals = np.asarray(list(values), dtype=np.uint64)
         return self._scan_docs(pds.field("doc_id").isin(vals))
+
+    # ------------------------------------------------------- join fields
+    # OpenSearch ``join`` datatype (has_child / has_parent / parent_id /
+    # children agg): parents and children live in ONE index; each doc
+    # carries a type keyword (``join_field``) and children store their
+    # parent's _id (``parent_field``). Declared at build time via
+    # build_index(relations=...). Families are co-located by the
+    # routing convention (child doc_id ≡ parent doc_id mod num_buckets),
+    # so every join below is per-partition work + a keys-only exchange
+    # — no doc bodies ever move.
+
+    def _join_rel(self, child_type: str) -> dict:
+        rel = self.relations
+        if not rel or str(child_type) not in rel.get("children", {}):
+            raise ValueError(
+                f"index declares no join relation for child type {child_type!r}"
+            )
+        return rel
+
+    def join_type_docs(self, type_name: str) -> np.ndarray:
+        """Docs of one join type — a keyword-postings lookup on the
+        join field (no docstore scan)."""
+        if not self.relations:
+            raise ValueError("index declares no join relations")
+        return self.term_docs(str(self.relations["join_field"]), str(type_name))
+
+    def _scan_columns(
+        self, columns: list[str], expr
+    ) -> tuple[np.ndarray, list[np.ndarray]]:
+        """(doc_id, value-column arrays) of docstore rows matching a
+        pyarrow.dataset expression — ``_scan_docs`` with value columns
+        alongside. Same statistics-pruned per-partition reads, same
+        dead-list visibility; only the named columns leave storage. At
+        cluster scale each bucket file is an independent task."""
+        import glob
+        import json
+
+        import pyarrow.parquet as pq
+
+        from ..index.build_scan import DEAD_SUBDIR
+
+        dead_dir = os.path.join(self.index_dir, DEAD_SUBDIR)
+        id_parts: list[np.ndarray] = []
+        val_parts: list[list[np.ndarray]] = [[] for _ in columns]
+        for path in sorted(glob.glob(os.path.join(self._docs_dir, "*.parquet"))):
+            b = int(os.path.basename(path).split("=")[1].split(".")[0])
+            dpath = os.path.join(dead_dir, f"part={b:05d}.json")
+            has_dead = os.path.exists(dpath)
+            cols = ["doc_id", *columns] + (["ordinal"] if has_dead else [])
+            t = pq.read_table(path, columns=cols, filters=expr)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            vals = [
+                t.column(c).to_numpy(zero_copy_only=False) for c in columns
+            ]
+            if has_dead and ids.size:
+                with open(dpath) as fh:
+                    dead = np.unique(np.array(json.load(fh), dtype=np.uint64))
+                if dead.size:
+                    ords = (
+                        t.column("ordinal")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.uint64)
+                    )
+                    pos = np.minimum(np.searchsorted(dead, ords), dead.size - 1)
+                    live = dead[pos] != ords
+                    ids = ids[live]
+                    vals = [v[live] for v in vals]
+            if ids.size:
+                id_parts.append(ids)
+                for vp, v in zip(val_parts, vals):
+                    vp.append(v)
+        if not id_parts:
+            return np.empty(0, np.uint64), [
+                np.empty(0, np.int64) for _ in columns
+            ]
+        return np.concatenate(id_parts), [np.concatenate(vp) for vp in val_parts]
+
+    def _scan_column_pairs(self, column: str, expr) -> tuple[np.ndarray, np.ndarray]:
+        """Single-column convenience over ``_scan_columns``."""
+        ids, (vals,) = self._scan_columns([column], expr)
+        return ids, vals
+
+    def child_parent_counts(
+        self, child_ids: np.ndarray, child_type: str
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Unique parent ids of the given child docs plus per-parent
+        child counts (the ``has_child`` reduction). One pruned
+        (doc_id, parent_field) read over the touched partitions — a
+        keys-only gather (~16 B/child), then a vectorized unique."""
+        import pyarrow.dataset as pds
+
+        rel = self._join_rel(child_type)
+        if child_ids.size == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        ids, pk = self._scan_column_pairs(
+            str(rel["parent_field"]), pds.field("doc_id").isin(child_ids)
+        )
+        u, c = np.unique(pk.astype(np.uint64), return_counts=True)
+        return u, c
+
+    def children_of(self, parent_ids: np.ndarray, child_type: str) -> np.ndarray:
+        """Sorted child doc ids whose parent is in ``parent_ids`` (the
+        ``has_parent`` / ``parent_id`` scan): a statistics-pruned
+        docstore read filtered on (join type, parent-key membership).
+        The membership set is parent KEYS only — the broadcast-semi-join
+        pattern, never a doc-body shuffle."""
+        import pyarrow.dataset as pds
+
+        rel = self._join_rel(child_type)
+        if parent_ids.size == 0:
+            return np.empty(0, np.uint64)
+        expr = (
+            pds.field(str(rel["join_field"])) == str(child_type)
+        ) & pds.field(str(rel["parent_field"])).isin(
+            parent_ids.astype(np.int64)
+        )
+        return self._scan_docs(expr)
+
+    def facet_children_stats(
+        self, parent_group_field: str, child_value_field: str, child_type: str
+    ) -> list[tuple]:
+        """The ``children`` aggregation under a terms bucket: group
+        PARENTS by a keyword doc-value, aggregate a numeric doc-value
+        over each group's CHILDREN. Two single-column partition scans
+        (parents: doc_id+group key; children: parent key+value) and a
+        searchsorted key->group map — the scans fan out per bucket file
+        and, with routed families, the map never leaves a partition.
+        Returns rows ``(group, n_parents, n_children, min, max, sum,
+        avg)`` sorted by group key."""
+        import pyarrow.dataset as pds
+
+        rel = self._join_rel(child_type)
+        jf = str(rel["join_field"])
+        parent_type = str(rel["children"][str(child_type)])
+        pids, (pgroups,) = self._scan_columns(
+            [str(parent_group_field)], pds.field(jf) == parent_type
+        )
+        _, (ckeys, cvals) = self._scan_columns(
+            [str(rel["parent_field"]), str(child_value_field)],
+            pds.field(jf) == str(child_type),
+        )
+        if pids.size == 0:
+            return []
+        order = np.argsort(pids, kind="mergesort")
+        pids, pgroups = pids[order], pgroups[order]
+        ck = ckeys.astype(np.uint64)
+        pos = np.minimum(np.searchsorted(pids, ck), pids.size - 1)
+        live = pids[pos] == ck
+        cvals, pos = cvals[live], pos[live]
+        cgroups = pgroups[pos]
+        gkeys, pinv = np.unique(pgroups, return_inverse=True)
+        n_parents = np.bincount(pinv, minlength=gkeys.size)
+        rows = []
+        cvals = cvals.astype(np.float64)
+        for gi, g in enumerate(gkeys):
+            m = cgroups == g
+            n_c = int(np.count_nonzero(m))
+            if n_c == 0:
+                rows.append((g, int(n_parents[gi]), 0, None, None, 0.0, None))
+                continue
+            v = cvals[m]
+            s = float(v.sum())
+            rows.append(
+                (
+                    g,
+                    int(n_parents[gi]),
+                    n_c,
+                    float(v.min()),
+                    float(v.max()),
+                    s,
+                    s / n_c,
+                )
+            )
+        return rows
 
     def field_statistics(self, field: str | None = None) -> dict:
         """Lucene field statistics for ``_termvectors``:

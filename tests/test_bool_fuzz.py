@@ -162,8 +162,24 @@ def test_bool_dsl_matches_brute_force(
     if flt_lang == "xx":
         want = []  # keyword filter on an absent value matches nothing
     if not must and not should:
-        # engine contract: no scoring clause -> no hits
-        want = []
+        if not must_not and (flt_lang is not None or flt_range is not None):
+            # filter-only bool: the filter set itself, score 0.0
+            # (OpenSearch filter context contributes no score),
+            # doc_id order
+            want = [
+                (d, 0.0)
+                for d in range(len(DOCS))
+                if (flt_lang is None or LANGS[d] == flt_lang)
+                and (
+                    flt_range is None
+                    or flt_range[0] <= NS[d] < flt_range[1]
+                )
+            ]
+            if flt_lang == "xx":
+                want = []
+        else:
+            # engine contract otherwise: no scoring clause -> no hits
+            want = []
     resp = run_query(out, {"query": {"bool": spec}, "size": 50})
     got = [(int(h["_id"]), float(h["_score"])) for h in resp["hits"]["hits"]]
     assert [d for d, _ in got] == [d for d, _ in want], (spec, got, want)
