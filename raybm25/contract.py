@@ -2068,6 +2068,82 @@ def q_children_agg(sf_dir: str):
     )
 
 
+def q_nested_agg_flags(sf_dir: str):
+    """nested aggregation + reverse_nested: step INTO the line objects,
+    bucket by l_returnflag, then step back out for distinct-parent
+    counts per bucket (engine.facet_child_terms — one two-column
+    partition scan; the distinct count is first-seen flags on a
+    (group, parent) lexsort)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _join_index(sf_dir),
+        {
+            "size": 0,
+            "query": {"match_all": {}},
+            "aggs": {
+                "lines": {
+                    "nested": {"path": "line"},
+                    "aggs": {
+                        "flags": {
+                            "terms": {"field": "l_returnflag"},
+                            "aggs": {"orders": {"reverse_nested": {}}},
+                        }
+                    },
+                }
+            },
+        },
+    )
+    rows = [
+        (str(b["key"]), int(b["doc_count"]), int(b["orders"]["doc_count"]))
+        for b in resp["aggregations"]["lines"]["flags"]["buckets"]
+    ]
+    return pd.DataFrame(rows, columns=["l_returnflag", "n_lines", "n_orders"])
+
+
+def q_inner_hits_lines(sf_dir: str):
+    """inner_hits on a scored has_child page: the top 10 orders by
+    count of A-flag lines with quantity >= 40, each parent hit carrying
+    its matching children (one keys-only partition scan for the whole
+    page + one batched docstore gather — dsl._attach_inner_hits).
+    Flattened to the oracle-reproducible (order key, quantity)
+    multiset."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _join_index(sf_dir),
+        {
+            "size": 10,
+            "query": {
+                "has_child": {
+                    "type": "line",
+                    "score_mode": "sum",
+                    "query": {
+                        "bool": {
+                            "filter": [
+                                {"term": {"l_returnflag": "A"}},
+                                {"range": {"l_quantity": {"gte": 40}}},
+                            ]
+                        }
+                    },
+                    "inner_hits": {
+                        "size": 100,
+                        "name": "alines",
+                        "docvalue_fields": ["l_quantity"],
+                    },
+                }
+            },
+        },
+    )
+    rows = []
+    for h in resp["hits"]["hits"]:
+        for ih in h["inner_hits"]["alines"]["hits"]["hits"]:
+            rows.append((int(h["_id"]), float(ih["fields"]["l_quantity"][0])))
+    out = pd.DataFrame(rows, columns=["o_orderkey", "l_quantity"])
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values(["o_orderkey", "l_quantity"]).reset_index(drop=True)
+
+
 def q_nested_lines(sf_dir: str):
     """nested query (same-object semantics): orders with a single line
     satisfying BOTH l_returnflag='A' AND l_quantity >= 49 — evaluated
@@ -7686,6 +7762,22 @@ ORACLE_SQL: dict[str, str] = {
         " WHERE l_returnflag = 'A' AND l_quantity >= 49"
         " ORDER BY o_orderkey LIMIT 25"
     ),
+    "nested_agg_flags": (
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,"
+        " CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "inner_hits_lines": (
+        "WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " WHERE l_returnflag = 'A' AND l_quantity >= 40"
+        " GROUP BY l_orderkey ORDER BY n DESC, l_orderkey LIMIT 10)"
+        " SELECT CAST(l.l_orderkey AS BIGINT) AS o_orderkey, l.l_quantity"
+        " FROM lineitem l JOIN c ON l.l_orderkey = c.l_orderkey"
+        " WHERE l.l_returnflag = 'A' AND l.l_quantity >= 40"
+        " ORDER BY o_orderkey, l_quantity"
+    ),
     "random_sample_topk": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
@@ -8607,6 +8699,8 @@ QUERIES = {
     "parent_id_lines": q_parent_id_lines,
     "children_agg_status": q_children_agg,
     "nested_lines": q_nested_lines,
+    "nested_agg_flags": q_nested_agg_flags,
+    "inner_hits_lines": q_inner_hits_lines,
     "cum_cardinality_users": q_cum_cardinality_users,
     "mtermvectors_docs": q_mtermvectors,
 }
@@ -8645,6 +8739,7 @@ _DRIVER_PRIORITY = [
     # decay/random_score — new operators, so they get driver rows
     "has_child_orders", "has_child_count_topk", "has_parent_lines",
     "parent_id_lines", "children_agg_status", "nested_lines",
+    "nested_agg_flags", "inner_hits_lines",
     "decay_gauss_nchars", "random_sample_topk",
     # then this round's headline additions, most valuable first
     "stem_bm25_topk", "stem_match_docs", "stop_dl",

@@ -1471,6 +1471,7 @@ def _aggregations(
             and "aggs" in agg
             and "terms" not in agg
             and "composite" not in agg
+            and "nested" not in agg
         ):
             # histogram-family parent with pipeline sub-aggs
             agg = {k: v for k, v in agg.items() if k != "aggs"}
@@ -1483,9 +1484,54 @@ def _aggregations(
             kind = next(iter(agg))
             deferred.append((name, kind, agg[kind]))
             continue
+        if isinstance(agg, dict) and "nested" in agg and "aggs" in agg:
+            # nested agg: step INTO the nested docs (child rows of the
+            # path's relation), bucket them by a keyword, and step back
+            # out per bucket via reverse_nested (distinct-parent
+            # counts). One engine pass: facet_child_terms.
+            path = str(agg["nested"]["path"])
+            sub_name, sub = _one(agg["aggs"], f"nested agg {name}.aggs")
+            if "terms" not in sub:
+                raise ValueError("nested agg supports a terms sub-agg")
+            rn_name = None
+            if "aggs" in sub:
+                rn_name, rn = _one(sub["aggs"], f"nested terms {sub_name}.aggs")
+                if not (isinstance(rn, dict) and "reverse_nested" in rn):
+                    raise ValueError(
+                        "nested terms sub-agg supports reverse_nested"
+                    )
+            rows = r.facet_child_terms(str(sub["terms"]["field"]), path)
+            buckets = []
+            for g, n_c, n_p in rows:
+                b: dict[str, Any] = {"key": g, "doc_count": n_c}
+                if rn_name is not None:
+                    b[rn_name] = {"doc_count": n_p}
+                buckets.append(b)
+            out[name] = {
+                "doc_count": int(sum(n for _, n, _ in rows)),
+                sub_name: {"buckets": buckets},
+            }
+            continue
         if isinstance(agg, dict) and "terms" in agg and "aggs" in agg:
             # terms bucket agg with a top_hits or stats sub-agg
             sub_name, sub = _one(agg["aggs"], f"agg {name}.aggs")
+            if "parent" in sub:
+                # join-field `parent` agg: buckets over a CHILD keyword,
+                # each stepping to its distinct parents (same engine
+                # pass as nested/reverse_nested)
+                ct = str(sub["parent"]["type"])
+                rows = r.facet_child_terms(str(agg["terms"]["field"]), ct)
+                out[name] = {
+                    "buckets": [
+                        {
+                            "key": g,
+                            "doc_count": n_c,
+                            sub_name: {"doc_count": n_p},
+                        }
+                        for g, n_c, n_p in rows
+                    ]
+                }
+                continue
             if "children" in sub:
                 # the `children` agg: per parent-terms bucket, step to
                 # that bucket's CHILD docs and aggregate a numeric
@@ -2294,6 +2340,68 @@ def _aggregations(
     return out
 
 
+def _attach_inner_hits(r: IndexReader, hits_out: list[dict], kind: str, spec):
+    """``inner_hits`` on has_child / nested parent hits: each parent
+    carries its matching children (score desc, id asc, capped at
+    ``size``), with optional ``docvalue_fields``. Cost: ONE keys-only
+    (doc_id, parent_key) partition scan for the whole page plus one
+    batched docstore gather for the selected children — never per-hit
+    I/O."""
+    import pyarrow.dataset as pds
+
+    ctype = str(spec["type"] if kind == "has_child" else spec["path"])
+    rel = r._join_rel(ctype)
+    ih = spec.get("inner_hits") or {}
+    ih = ih if isinstance(ih, dict) else {}
+    ih_name = str(ih.get("name", ctype))
+    size = int(ih.get("size", 3))
+    ik, ispec = _one(spec["query"], f"{kind}.query")
+    cids, cscores = _inner_child_scores(r, ik, ispec, r.join_type_docs(ctype))
+    page_ids = np.array([h["_id"] for h in hits_out], dtype=np.uint64)
+    if cids.size:
+        ids2, pk = r._scan_column_pairs(
+            str(rel["parent_field"]), pds.field("doc_id").isin(cids)
+        )
+        order = np.argsort(cids, kind="mergesort")
+        sc = cscores[order][np.searchsorted(cids[order], ids2)]
+        keep = np.isin(pk.astype(np.uint64), page_ids)
+        ids2, pk, sc = ids2[keep], pk.astype(np.uint64)[keep], sc[keep]
+    else:
+        ids2 = pk = sc = np.empty(0, np.float64)
+    per_parent: dict[int, list[tuple[float, int]]] = {}
+    for cid, p, s in zip(ids2, pk, sc):
+        per_parent.setdefault(int(p), []).append((-float(s), int(cid)))
+    selected: list[int] = []
+    pages: dict[int, list[tuple[int, float]]] = {}
+    for p, rows in per_parent.items():
+        rows.sort()
+        page = [(cid, -negs) for negs, cid in rows[:size]]
+        pages[p] = page
+        selected.extend(cid for cid, _ in page)
+    dvf = [str(f) for f in ih.get("docvalue_fields", [])]
+    by_id_row: dict[int, dict] = {}
+    if dvf and selected:
+        tbl = r.get_docs(np.array(sorted(set(selected)), dtype=np.uint64))
+        by_id_row = {int(row["doc_id"]): row for row in tbl.to_pylist()}
+    for h in hits_out:
+        page = pages.get(int(h["_id"]), [])
+        inner = []
+        for cid, s in page:
+            hit = {"_id": cid, "_score": s}
+            if dvf:
+                row = by_id_row.get(cid, {})
+                hit["fields"] = {f: [row[f]] for f in dvf if f in row}
+            inner.append(hit)
+        h["inner_hits"] = {
+            ih_name: {
+                "hits": {
+                    "total": {"value": len(per_parent.get(int(h["_id"]), []))},
+                    "hits": inner,
+                }
+            }
+        }
+
+
 def _attach_page_fields(r: IndexReader, hits_out: list[dict], body: dict):
     """docvalue_fields / script_fields on a hit page: one batched
     docstore gather for the whole page (get_docs groups by bucket
@@ -2635,6 +2743,13 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
         for h in resp["hits"]["hits"]:
             h["_source"] = by_id.get(h["_id"], {})
     _attach_page_fields(r, resp["hits"]["hits"], body)
+    if (
+        kind in ("has_child", "nested")
+        and isinstance(spec, dict)
+        and "inner_hits" in spec
+        and resp["hits"]["hits"]
+    ):
+        _attach_inner_hits(r, resp["hits"]["hits"], kind, spec)
     hl = body.get("highlight")
     if hl and hits:
         if kind != "match":

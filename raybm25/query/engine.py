@@ -4130,6 +4130,41 @@ class IndexReader:
             )
         return rows
 
+    def facet_child_terms(
+        self, child_group_field: str, child_type: str
+    ) -> list[tuple]:
+        """The ``nested`` agg + ``reverse_nested`` (and the join-field
+        ``parent`` agg): bucket CHILD docs by a keyword doc-value and,
+        per bucket, count both children and DISTINCT parents. One
+        two-column partition scan over the child rows; the distinct
+        count is a vectorized unique over (group, parent-key) pairs.
+        Returns ``(group, n_children, n_parents)`` sorted by group."""
+        import pyarrow.dataset as pds
+
+        rel = self._join_rel(child_type)
+        jf = str(rel["join_field"])
+        _, (ckeys, cgroups) = self._scan_columns(
+            [str(rel["parent_field"]), str(child_group_field)],
+            pds.field(jf) == str(child_type),
+        )
+        if cgroups.size == 0:
+            return []
+        gkeys, ginv = np.unique(cgroups, return_inverse=True)
+        n_children = np.bincount(ginv, minlength=gkeys.size)
+        # distinct parents per group: first-seen flags on the
+        # (group, parent) lexsort — full 64-bit-key safe
+        ck = ckeys.astype(np.uint64)
+        order = np.lexsort((ck, ginv))
+        gi, cs = ginv[order], ck[order]
+        first = np.empty(gi.size, dtype=bool)
+        first[0] = True
+        first[1:] = (gi[1:] != gi[:-1]) | (cs[1:] != cs[:-1])
+        n_parents = np.bincount(gi[first], minlength=gkeys.size)
+        return [
+            (g, int(nc), int(np_))
+            for g, nc, np_ in zip(gkeys, n_children, n_parents)
+        ]
+
     def field_statistics(self, field: str | None = None) -> dict:
         """Lucene field statistics for ``_termvectors``:
         ``sum_doc_freq`` (Σ df over the field's terms), ``doc_count``

@@ -254,3 +254,55 @@ def test_join_engine_primitives(rdr):
     # children co-located with parents (routing convention)
     for p, ln, _, _ in CHILDREN:
         assert child_id(p, ln) % NB == p % NB
+
+
+def test_inner_hits(rdr):
+    resp = run_query(rdr, {
+        "size": 10,
+        "query": {"has_child": {"type": "line",
+                                "query": {"term": {"flag": "r"}},
+                                "inner_hits": {"size": 2, "name": "rl",
+                                               "docvalue_fields": ["qty"]}}},
+    })
+    by_parent = {int(h["_id"]): h["inner_hits"]["rl"]["hits"]
+                 for h in resp["hits"]["hits"]}
+    assert set(by_parent) == {1, 2, 3}
+    # parent 2 has two 'r' lines: qty 60 and 5, constant scores -> id asc
+    h2 = by_parent[2]
+    assert h2["total"]["value"] == 2
+    got = sorted(hh["fields"]["qty"][0] for hh in h2["hits"])
+    assert got == [5.0, 60.0]
+    # parent 1: one 'r' line (qty 10)
+    assert by_parent[1]["total"]["value"] == 1
+    assert by_parent[1]["hits"][0]["fields"]["qty"] == [10.0]
+    # size cap respected
+    assert all(len(v["hits"]) <= 2 for v in by_parent.values())
+
+
+def test_nested_agg_reverse_nested(rdr):
+    resp = run_query(rdr, {
+        "size": 0, "query": {"match_all": {}},
+        "aggs": {"lines": {"nested": {"path": "line"}, "aggs": {
+            "flags": {"terms": {"field": "flag"}, "aggs": {
+                "back": {"reverse_nested": {}}}}}}},
+    })
+    agg = resp["aggregations"]["lines"]
+    assert agg["doc_count"] == len(CHILDREN)
+    b = {x["key"]: x for x in agg["flags"]["buckets"]}
+    # 'r' lines: 4 across parents {1, 2, 3}
+    assert b["r"]["doc_count"] == 4
+    assert b["r"]["back"]["doc_count"] == 3
+    # 'a': 2 lines across parents {1, 3}
+    assert b["a"]["doc_count"] == 2 and b["a"]["back"]["doc_count"] == 2
+    assert b["n"]["doc_count"] == 1 and b["n"]["back"]["doc_count"] == 1
+
+
+def test_parent_agg(rdr):
+    resp = run_query(rdr, {
+        "size": 0, "query": {"match_all": {}},
+        "aggs": {"by_flag": {"terms": {"field": "flag"}, "aggs": {
+            "to_order": {"parent": {"type": "line"}}}}},
+    })
+    b = {x["key"]: x for x in resp["aggregations"]["by_flag"]["buckets"]}
+    assert b["r"]["doc_count"] == 4
+    assert b["r"]["to_order"]["doc_count"] == 3
