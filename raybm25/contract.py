@@ -4501,6 +4501,80 @@ def q_chunk_tokens(sf_dir: str):
     )
 
 
+def q_normalize_text(sf_dir: str):
+    """Unicode normalization stage (extras/textstats.normalize_batch):
+    NFC compose + C0/DEL strip + whitespace collapse + trim. The
+    synthetic corpus is pure ASCII, so the entry augments every doc
+    with a decomposed ``e``+U+0301, a \\x01 control byte and a padded
+    tail — the SAME expression on both sides — so all four steps are
+    exercised; the oracle is DuckDB ``nfc_normalize`` + the identical
+    RE2 passes (pyarrow and DuckDB share the RE2 regex engine)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .extras.textstats import normalize_batch
+
+    def augment(b: pa.Table) -> pa.Table:
+        aug = pc.binary_join_element_wise(
+            b.column("text"), " e\u0301\x01  fin ", ""
+        )
+        return b.set_column(b.schema.get_field_index("text"), "text", aug)
+
+    ds = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(augment, batch_format="pyarrow")
+        .map_batches(normalize_batch, batch_format="pyarrow")
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_bloom_incremental(sf_dir: str):
+    """Bloom-accelerated incremental dedup (extras/bloom): ids of "new
+    crawl" docs (doc_id %% 3 == 0) whose text is absent from the
+    standing corpus (the other two thirds) — WITHOUT re-shuffling the
+    corpus: its membership is folded into a broadcast Bloom filter;
+    bloom misses are admitted by proof-of-absence, bloom hits are
+    confirmed against true keys in one pruned corpus pass. The corpus
+    has no natural cross-split dups, so a deterministic CASE plants a
+    two-string dup pool on doc_id %% 5 rows (same expression in the
+    oracle); the filter is deliberately undersized (m=2048, k=2 for
+    ~300 keys) so real false positives flow through the confirm path.
+    Result is EXACT — the oracle is a plain anti-join on text."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .extras.bloom import incremental_new_ids
+
+    def augment(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        pool = pc.binary_join_element_wise(
+            "dup text block ",
+            pc.cast(pa.array(ids % 10, pa.int64()), pa.string()),
+            "",
+        )
+        t = pc.if_else(pa.array(ids % 5 == 0), pool, b.column("text"))
+        return b.set_column(b.schema.get_field_index("text"), "text", t)
+
+    def split(b: pa.Table, keep_new: bool) -> pa.Table:
+        m = b.column("doc_id").to_numpy(zero_copy_only=False) % 3 == 0
+        return b.filter(pa.array(m if keep_new else ~m))
+
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(augment, batch_format="pyarrow")
+    corpus = base.map_batches(
+        split, fn_kwargs={"keep_new": False}, batch_format="pyarrow"
+    )
+    new = base.map_batches(
+        split, fn_kwargs={"keep_new": True}, batch_format="pyarrow"
+    )
+    ids, stats = incremental_new_ids(corpus, new, m_bits=2048, k=2)
+    assert stats["n_definite_new"] + stats["n_candidates"] == stats["n_new"]
+    return ids.reset_index(drop=True)
+
+
 def q_rank_feature(sf_dir: str):
     """rank_feature (saturation) through the DSL: every doc scored
     boost * v/(v + pivot) on the n_chars doc-value (pivot explicit —
@@ -6903,6 +6977,34 @@ ORACLE_SQL: dict[str, str] = {
         " CAST(CASE WHEN chunk_id = nc - 1 THEN dl - (nc - 1) * 64"
         " ELSE 64 END AS BIGINT) AS n_tokens FROM x ORDER BY doc_id, chunk_id"
     ),
+    # normalize: same augment expression as the engine side (chr(769)
+    # = U+0301 combining acute, chr(1) = the stripped C0 byte), then
+    # DuckDB's utf8proc NFC + the identical RE2 passes.  trim(x, ' ')
+    # pins ASCII-space-only edge trim on both sides.
+    "normalize_text": (
+        "WITH a AS (SELECT doc_id,"
+        " text || ' e' || chr(769) || chr(1) || '  fin ' AS t0"
+        " FROM documents),\n"
+        "n AS (SELECT doc_id, t0, trim(regexp_replace(regexp_replace("
+        "nfc_normalize(t0),"
+        " '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),"
+        " '\\s+', ' ', 'g'), ' ') AS t FROM a)\n"
+        "SELECT doc_id, t AS text_norm,"
+        " CAST(length(t) AS BIGINT) AS n_chars_norm,"
+        " (t != t0) AS changed FROM n ORDER BY doc_id"
+    ),
+    # bloom incremental dedup is EXACT end-to-end (misses are proofs
+    # of absence, hits are confirmed against true keys), so the oracle
+    # is the plain anti-join the operator avoids running at scale
+    "bloom_new_docs": (
+        "WITH d AS (SELECT doc_id,"
+        " CASE WHEN doc_id % 5 = 0 THEN"
+        " 'dup text block ' || CAST(doc_id % 10 AS VARCHAR)"
+        " ELSE text END AS t FROM documents)\n"
+        "SELECT doc_id FROM d WHERE doc_id % 3 = 0"
+        " AND t NOT IN (SELECT t FROM d WHERE doc_id % 3 != 0)"
+        " ORDER BY doc_id"
+    ),
     "multi_index_search": _bm25_half_union_sql("merge join", 20),
     # dfs_query_then_fetch over the SAME split must equal the unsplit
     # corpus oracle exactly — global stats make the split invisible
@@ -8514,6 +8616,8 @@ QUERIES = {
     "phrase_sloppy": q_phrase_sloppy,
     "scrub_text": q_scrub_text,
     "chunk_tokens": q_chunk_tokens,
+    "normalize_text": q_normalize_text,
+    "bloom_new_docs": q_bloom_incremental,
     "multi_index_search": q_multi_index_search,
     "dfs_multi_bm25": q_dfs_multi_bm25,
     "percentile_ranks_nchars": q_percentile_ranks,
@@ -8737,6 +8841,8 @@ _DRIVER_PRIORITY = [
     "lm_xent_topk",
     # session-7 additions: the join-field family + function_score
     # decay/random_score — new operators, so they get driver rows
+    # session-8 additions: unicode normalize + bloom incremental dedup
+    "normalize_text", "bloom_new_docs",
     "has_child_orders", "has_child_count_topk", "has_parent_lines",
     "parent_id_lines", "children_agg_status", "nested_lines",
     "nested_agg_flags", "inner_hits_lines",

@@ -316,3 +316,55 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "max_token_run": pa.array(max_run, pa.int64()),
         }
     )
+
+
+# the control range with \t \n \r carved out (those are whitespace and
+# belong to the collapse step, not the strip step)
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Unicode text normalization for training-data pipelines: NFC
+    composition, control-character strip (C0/DEL except tab/newline/
+    carriage-return), whitespace-run collapse, edge trim — in that
+    pinned order. The strip/collapse/trim steps are Arrow-vectorized
+    (two RE2 passes + trim; both Arrow and DuckDB speak RE2, so the
+    chain has an exact SQL oracle: ``nfc_normalize`` +
+    ``regexp_replace(..., 'g')`` + ``trim``). The NFC step cannot use
+    ``pc.utf8_normalize`` — pyarrow 16's utf8proc build DECOMPOSES but
+    does not recompose (NFC('e'+U+0301) stays two codepoints, while
+    unicodedata and DuckDB both return U+00E9) — so it runs
+    ``unicodedata.normalize`` per row, but ONLY on rows that
+    ``pc.string_is_ascii`` proves need it: ASCII is NFC-invariant, so
+    the (dominant, for web text after lang-split) ASCII rows never
+    leave Arrow. Emits the normalized text, its codepoint length, and
+    a changed flag (the audit column: at 100 TB you sample what the
+    cleaner rewrote)."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    needs_nfc = pc.fill_null(pc.invert(pc.string_is_ascii(col)), False)
+    idx = np.flatnonzero(needs_nfc.to_numpy(zero_copy_only=False))
+    if idx.size:
+        sub = col.take(pa.array(idx)).to_pylist()
+        repl = np.full(len(col), None, dtype=object)
+        repl[idx] = [
+            unicodedata.normalize("NFC", v) if v is not None else None
+            for v in sub
+        ]
+        col = pc.if_else(needs_nfc, pa.array(repl, pa.string()), col)
+    col = pc.replace_substring_regex(col, _CTRL_RE, "")
+    col = pc.replace_substring_regex(col, r"\s+", " ")
+    col = pc.utf8_trim(col, " ")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text_norm": col,
+            "n_chars_norm": pc.cast(pc.utf8_length(col), pa.int64()),
+            "changed": pc.not_equal(col, batch.column(text_col)),
+        }
+    )
