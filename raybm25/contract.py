@@ -548,6 +548,32 @@ def q_span_near(sf_dir: str):
     )
 
 
+def q_span_multi_near(sf_dir: str):
+    """``span_multi`` inside ``span_near``: 'merge' followed within
+    slop 2 by ANY dictionary term with prefix 's' (the multi-term
+    clause expands on the term dictionary and any expansion fills the
+    slot — engine.span_near_slots_docs merges the expansions' position
+    keys into one slot stream for the shared greedy chain)."""
+    from .query.dsl import _match_docs
+
+    r = _IndexReader()(_pos_index(sf_dir))
+    ids = _match_docs(
+        r,
+        "span_near",
+        {
+            "clauses": [
+                {"span_term": {"text": "merge"}},
+                {"span_multi": {"match": {"prefix": {"text": {"value": "s"}}}}},
+            ],
+            "slop": 2,
+            "in_order": True,
+        },
+    )
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
 def q_span_first(sf_dir: str):
     """Lucene ``span_first``: docs whose first 'merge' occurrence ends
     at or before position 3 — one gather at each posting's position
@@ -7260,6 +7286,16 @@ ORACLE_SQL: dict[str, str] = {
         "range(i+1, least(i+4, len(toks)+1)), j -> toks[j] = 'sort')) > 0)) > 0"
         " ORDER BY doc_id"
     ),
+    # 'merge' followed within slop 2 (window of 3 positions after it)
+    # by any token with prefix 's' — the span_multi expansion slot
+    "span_multi_near_docs": (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')"
+        " AS toks FROM documents)"
+        " SELECT doc_id FROM t WHERE len(list_filter(range(1, len(toks)+1),"
+        " i -> toks[i] = 'merge' AND len(list_filter("
+        "range(i+1, least(i+4, len(toks)+1)), j -> starts_with(toks[j], 's'))) > 0)) > 0"
+        " ORDER BY doc_id"
+    ),
     # a 'merge' with no 'sort' in the 3 positions after it (post=3):
     # window [i, i+3] in 1-based list positions mirrors the engine's
     # [start, end+post] inclusive blocked test
@@ -8665,6 +8701,7 @@ QUERIES = {
     "agg_metrics_nchars": q_agg_metrics,
     "intervals_ordered": q_intervals_ordered,
     "span_near_docs": q_span_near,
+    "span_multi_near_docs": q_span_multi_near,
     "span_or_docs": q_span_or,
     "span_not_docs": q_span_not,
     "span_within_docs": q_span_within,
@@ -8842,7 +8879,7 @@ _DRIVER_PRIORITY = [
     # session-7 additions: the join-field family + function_score
     # decay/random_score — new operators, so they get driver rows
     # session-8 additions: unicode normalize + bloom incremental dedup
-    "normalize_text", "bloom_new_docs",
+    "normalize_text", "bloom_new_docs", "span_multi_near_docs",
     "has_child_orders", "has_child_count_topk", "has_parent_lines",
     "parent_id_lines", "children_agg_status", "nested_lines",
     "nested_agg_flags", "inner_hits_lines",

@@ -88,6 +88,39 @@ def _field_query(spec) -> tuple[str, dict]:
     return field, body
 
 
+def _span_multi_expansions(r: IndexReader, cs: dict) -> tuple[list[str], str]:
+    """Dictionary expansion of a ``span_multi`` clause's inner
+    multi-term query (prefix / wildcard / fuzzy / regexp), returned in
+    dictionary form (field-prefixed for non-primary fields) plus the
+    raw field name for the span chain's shared-field check."""
+    mk, ms = _one(cs["match"], "span_multi match")
+    f, b = _field_query(ms)
+    field = None if f == r.primary_field else f
+    v = str(b.get("value", b.get("query", "")))
+    if mk == "prefix":
+        terms = r.expand_prefix(v, field)
+    elif mk == "wildcard":
+        terms = r.expand_wildcard(v, field)
+    elif mk == "regexp":
+        terms = r.expand_regexp(v, field)
+    elif mk == "fuzzy":
+        terms = r.expand_fuzzy(
+            v,
+            max_edits=_fuzziness(b.get("fuzziness", 1), v),
+            prefix_length=int(b.get("prefix_length", 0)),
+            field=field,
+            transpositions=bool(b.get("transpositions", False)),
+        )
+    else:
+        raise ValueError(
+            "span_multi match supports prefix/wildcard/regexp/fuzzy, "
+            f"got {mk!r}"
+        )
+    if field is not None:
+        terms = [f"{field}:{t}" for t in terms]
+    return terms, f
+
+
 def _docs_of(r: IndexReader, kind: str, spec) -> np.ndarray:
     """Doc-id set of any clause, composing ``bool`` by set algebra —
     the evaluator join/nested inner queries use."""
@@ -290,6 +323,13 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
             bottom=float(br["lat"]),
             right=float(br["lon"]),
         )
+    if kind == "span_multi":
+        # a multi-term query lifted into span context: standalone it
+        # matches exactly the inner query's doc set (each expansion
+        # occurrence is a one-position span); inside span_near the
+        # clause contributes its expansion set to one slot
+        mk, ms = _one(spec["match"], "span_multi match")
+        return _match_docs(r, mk, ms)
     if kind == "span_or":
         # union of the clause spans' doc sets — exact at doc level
         # (any matching inner span qualifies the doc)
@@ -372,24 +412,83 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
     if kind == "span_near":
         # Lucene span_near(slop, in_order) == intervals all_of with
         # max_gaps=slop: both accept a window whose internal gap total
-        # is <= slop (matchLength - clauses <= slop). Clauses must be
-        # span_terms on one field.
-        texts = []
+        # is <= slop (matchLength - clauses <= slop). Clauses are
+        # span_terms on one field, plus span_multi (a multi-term query
+        # expanded on the dictionary: any expansion may fill the slot)
+        # and span_field_masking (the inner span_term queries ITS OWN
+        # field while declaring the masked field for this shared-field
+        # check — Lucene's cross-field composition, valid when both
+        # fields tokenize the same underlying text).
+        slots: list[list[str]] = []
         sfield = None
+        multi = False
+        raw_texts: list[str] = []
         for c in spec["clauses"]:
             ck, cs = _one(c, "span_near clause")
-            if ck != "span_term":
-                raise ValueError("span_near supports span_term clauses")
-            cf, cb = _field_query(cs)
-            if sfield is not None and cf != sfield:
-                raise ValueError("span_near clauses must share one field")
-            sfield = cf
-            texts.append(str(cb.get("query", cb.get("value", ""))))
-        return r.intervals_docs(
-            " ".join(texts),
-            max_gaps=int(spec.get("slop", 0)),
-            ordered=bool(spec.get("in_order", True)),
-            field=None if sfield == r.primary_field else sfield,
+            if ck == "span_term":
+                cf, cb = _field_query(cs)
+                t = str(cb.get("query", cb.get("value", "")))
+                raw_texts.append(t)
+                alts = r.field_terms(
+                    t, None if cf == r.primary_field else cf
+                )
+                if len(alts) > 1:
+                    raise ValueError(
+                        f"span_term {t!r} analyzed to {len(alts)} terms"
+                    )
+            elif ck == "span_multi":
+                alts, cf = _span_multi_expansions(r, cs)
+                multi = True
+            elif ck == "span_field_masking":
+                ik, ispec = _one(cs["query"], "span_field_masking query")
+                if ik != "span_term":
+                    raise ValueError(
+                        "span_field_masking supports a span_term query"
+                    )
+                inner_f, cb = _field_query(ispec)
+                t = str(cb.get("query", cb.get("value", "")))
+                # query the INNER field's positions under the masked
+                # field's name; analyzed eagerly so the slot carries
+                # the field-prefixed dictionary form
+                alts = r.field_terms(
+                    t, None if inner_f == r.primary_field else inner_f
+                )
+                if len(alts) != 1:
+                    raise ValueError(
+                        "span_field_masking term must analyze to one term"
+                    )
+                cf = str(cs["field"])
+                multi = True  # field mix: route to the slot kernel
+            else:
+                raise ValueError(
+                    "span_near supports span_term / span_multi / "
+                    "span_field_masking clauses"
+                )
+            if ck != "span_field_masking":
+                if sfield is not None and cf != sfield:
+                    raise ValueError(
+                        "span_near clauses must share one field"
+                    )
+                sfield = cf
+            if not alts:
+                return np.empty(0, np.uint64)
+            slots.append(alts)
+        if not multi:
+            # all-span_term chain: the pre-existing intervals route
+            # (it re-analyzes the raw texts; keeps unordered support)
+            sf = None if sfield in (None, r.primary_field) else sfield
+            return r.intervals_docs(
+                " ".join(raw_texts),
+                max_gaps=int(spec.get("slop", 0)),
+                ordered=bool(spec.get("in_order", True)),
+                field=sf,
+            ).astype(np.uint64)
+        if not bool(spec.get("in_order", True)):
+            raise ValueError(
+                "span_near with span_multi requires in_order=true"
+            )
+        return r.span_near_slots_docs(
+            slots, slop=int(spec.get("slop", 0))
         ).astype(np.uint64)
     if kind == "span_first":
         mk, ms = _one(spec["match"], "span_first match")

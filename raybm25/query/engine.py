@@ -4681,6 +4681,90 @@ class IndexReader:
         hit = np.unique(start[contained] // M)
         return np.sort(self._map_ordinals(cand[hit]))
 
+    def span_near_slots_docs(
+        self, slots: list[list[str]], slop: int = 0
+    ) -> np.ndarray:
+        """Ordered ``span_near`` where each slot is a SET of term
+        alternatives — the ``span_multi`` composition (a
+        prefix/wildcard/fuzzy/regexp clause inside a span chain
+        rewrites to its dictionary expansion, and any expansion may
+        fill that position). Lucene evaluates this as a span_or of the
+        expansions; here each slot's occurrences are the MERGE of its
+        alternatives' position keys, and the shared greedy chain runs
+        over the merged key streams — stepping to the earliest
+        strictly-later occurrence of ANY alternative still minimizes
+        each chain's end, so the final gap test
+        (span_end - span_start - (n_slots-1) <= slop) is exact.
+
+        ``slots`` carry ANALYZED dictionary-form terms (field-prefixed
+        for non-primary fields) — the DSL layer analyzes/expands, so a
+        ``span_field_masking`` clause can mix fields in one chain.
+
+        Candidate docs are the AND over slots of the UNION of each
+        slot's posting doc lists; one positional load covers every
+        term. Cost scales with the expansion's total occurrences in
+        candidate docs (bounded by the span AND), never the corpus."""
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                "index was built without positions=True; span queries "
+                "need positional postings"
+            )
+        analyzed = [sorted(set(map(str, alts))) for alts in slots]
+        if any(not s for s in analyzed):
+            return np.empty(0, np.uint64)
+        all_terms = sorted({t for s in analyzed for t in s})
+        postings = self.load_postings(all_terms, positions=True)
+        cand = None
+        for s in analyzed:
+            parts = [postings[t].doc_ids for t in s if t in postings]
+            if not parts:
+                return np.empty(0, np.uint64)
+            u = parts[0] if len(parts) == 1 else self._merge_unique(parts)
+            cand = u if cand is None else np.intersect1d(
+                cand, u, assume_unique=True
+            )
+            if cand.size == 0:
+                return np.empty(0, np.uint64)
+        M = (
+            max(
+                int(postings[t].poss.max())
+                for s in analyzed
+                for t in s
+                if t in postings
+            )
+            + 2
+        )
+
+        def slot_keys(s: list[str]) -> np.ndarray:
+            parts = [
+                self._occurrence_keys(postings[t], cand, M)
+                for t in s
+                if t in postings
+            ]
+            if len(parts) == 1:
+                return parts[0]
+            k = np.concatenate(parts)
+            k.sort(kind="mergesort")
+            return k
+
+        cur = slot_keys(analyzed[0])
+        start = cur.copy()
+        for s in analyzed[1:]:
+            nxt = slot_keys(s)
+            if nxt.size == 0 or cur.size == 0:
+                return np.empty(0, np.uint64)
+            idx = np.searchsorted(nxt, cur, side="right")
+            ok = idx < nxt.size
+            idx = np.minimum(idx, nxt.size - 1)
+            stepped = nxt[idx]
+            ok &= (stepped // M) == (cur // M)
+            cur, start = stepped[ok], start[ok]
+        if cur.size == 0:
+            return np.empty(0, np.uint64)
+        gap = (cur % M) - (start % M) - (len(analyzed) - 1)
+        hit = np.unique(start[gap <= slop] // M)
+        return np.sort(self._map_ordinals(cand[hit]))
+
     def match_phrase_prefix(
         self, phrase: str, field: str | None = None, max_expansions: int = 50
     ) -> np.ndarray:
