@@ -868,6 +868,33 @@ def q_geo_bbox(sf_dir: str):
     )
 
 
+_GEO_POLY_PTS = [
+    (60.0, -120.0),
+    (75.0, 10.0),
+    (20.0, 150.0),
+    (-50.0, 100.0),
+    (-40.0, -80.0),
+]
+
+
+def q_geo_polygon(sf_dir: str):
+    """legacy ``geo_polygon`` query: docs inside a 5-vertex polygon by
+    the even-odd crossing rule on the planar lat/lon grid
+    (engine.geo_polygon_docs — one vectorized pass per edge; the SQL
+    oracle is generated edge-for-edge from the same vertex list, so
+    the float arithmetic is bit-identical)."""
+    from .query.dsl import _match_docs
+
+    ids = _match_docs(
+        _IndexReader()(_geo_index(sf_dir)),
+        "geo_polygon",
+        {"loc": {"points": [{"lat": la, "lon": lo} for la, lo in _GEO_POLY_PTS]}},
+    )
+    return pd.DataFrame(
+        {"doc_id": pd.array(ids.astype(np.int64), dtype="int64")}
+    )
+
+
 def q_geo_distance_rings(sf_dir: str):
     """``geo_distance`` aggregation: doc counts per distance ring
     around (0, 0) over docs matching 'merge' (engine.
@@ -6589,6 +6616,36 @@ def q_geohash_grid(sf_dir: str):
     )
 
 
+def _geo_polygon_sql() -> str:
+    """Edge-for-edge SQL mirror of engine.geo_polygon_docs over the
+    shared synthesized geo_point: per edge a CASE crossing term (the
+    identical ``(xj-xi)*(lat-yi)/(yj-yi)+xi`` float expression), inside
+    = odd sum. Generated from the same _GEO_POLY_PTS vertex list the
+    queries() entry passes to the engine."""
+    pts = _GEO_POLY_PTS
+    terms = []
+    n = len(pts)
+    j = n - 1
+    for i in range(n):
+        yi, xi = pts[i]
+        yj, xj = pts[j]
+        terms.append(
+            f"CASE WHEN (({yi!r} > lat) != ({yj!r} > lat))"
+            f" AND lon < ({xj!r} - {xi!r}) * (lat - {yi!r})"
+            f" / ({yj!r} - {yi!r}) + {xi!r} THEN 1 ELSE 0 END"
+        )
+        j = i
+    total = " + ".join(terms)
+    return (
+        "WITH g AS (SELECT doc_id,"
+        " ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,"
+        " ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon"
+        " FROM documents)"
+        f" SELECT doc_id FROM g WHERE ({total}) % 2 = 1"
+        " ORDER BY doc_id"
+    )
+
+
 def _geohash_grid_sql(precision: int, term: str, size: int) -> str:
     """Oracle for ``geohash_grid``: the same quantize + interleave +
     base-32 render, generated as pure SQL (5*precision bit terms, one
@@ -7361,6 +7418,7 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT doc_id FROM g WHERE lat <= 30.0 AND lat >= -30.0"
         " AND lon >= -60.0 AND lon <= 60.0 ORDER BY doc_id"
     ),
+    "geo_polygon_docs": _geo_polygon_sql(),
     "geo_distance_rings": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
@@ -8708,6 +8766,7 @@ QUERIES = {
     "fuzzy_osa_docs": q_fuzzy_osa,
     "geo_distance_docs": q_geo_distance,
     "geo_bbox_docs": q_geo_bbox,
+    "geo_polygon_docs": q_geo_polygon,
     "geo_distance_rings": q_geo_distance_rings,
     "geotile_grid_docs": q_geotile_grid,
     "terms_set_docs": q_terms_set,
@@ -8900,7 +8959,7 @@ _DRIVER_PRIORITY = [
     "auto_date_histogram_errors", "date_histogram_filled",
     "ingest_pipeline_docs", "hybrid_rrf_topk", "span_or_docs",
     "pipeline_bucket_selector", "pipeline_stats_buckets",
-    "geo_bbox_docs", "geo_distance_rings", "terms_key_order",
+    "geo_bbox_docs", "geo_polygon_docs", "geo_distance_rings", "terms_key_order",
     # session-3 additions still without driver rows
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",
     "repetition_signals", "canonical_urls", "percolate_matches",

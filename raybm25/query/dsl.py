@@ -323,6 +323,10 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
             bottom=float(br["lat"]),
             right=float(br["lon"]),
         )
+    if kind == "geo_polygon":
+        gfield, poly = _one(spec, "geo_polygon")
+        pts = [(float(pt["lat"]), float(pt["lon"])) for pt in poly["points"]]
+        return r.geo_polygon_docs(gfield, pts)
     if kind == "span_multi":
         # a multi-term query lifted into span context: standalone it
         # matches exactly the inner query's doc set (each expansion

@@ -2478,6 +2478,43 @@ class IndexReader:
         m &= (lo >= float(left)) & (lo <= float(right))
         return np.sort(self._map_ordinals(ords[m]).astype(np.uint64))
 
+    def geo_polygon_docs(
+        self, geo_field: str, points: list[tuple[float, float]]
+    ) -> np.ndarray:
+        """``geo_polygon`` query (the legacy OpenSearch clause): docs
+        whose point is inside the closed polygon by the even-odd
+        ray-crossing rule on the planar lat/lon grid — per edge
+        (i, j): the point crosses iff ``(lat_i > lat) != (lat_j >
+        lat)`` and ``lon < (lon_j - lon_i) * (lat - lat_i) /
+        (lat_j - lat_i) + lon_i``; inside = odd crossing count.
+        One vectorized pass per edge over the live ordinal set (edges
+        are few, docs are many), the exact arithmetic order the SQL
+        oracle mirrors term-for-term. Horizontal edges never satisfy
+        the first conjunct, so their division is masked out. Planar
+        semantics (no great-circle edges, no dateline wrap) — the
+        documented behavior of the legacy clause for small polygons."""
+        if len(points) < 3:
+            raise ValueError("geo_polygon needs at least 3 points")
+        ords = self._all_ordinals()
+        if ords.size == 0:
+            return np.empty(0, np.uint64)
+        la, lo = self._geo_columns(ords, geo_field)
+        plats = np.asarray([p[0] for p in points], dtype=np.float64)
+        plons = np.asarray([p[1] for p in points], dtype=np.float64)
+        inside = np.zeros(la.size, dtype=bool)
+        n = plats.size
+        j = n - 1
+        for i in range(n):
+            yi, xi = plats[i], plons[i]
+            yj, xj = plats[j], plons[j]
+            crosses = (yi > la) != (yj > la)
+            denom = yj - yi
+            if denom != 0.0:
+                xcross = (xj - xi) * (la - yi) / denom + xi
+                inside ^= crosses & (lo < xcross)
+            j = i
+        return np.sort(self._map_ordinals(ords[inside]).astype(np.uint64))
+
     def facet_geo_distance(
         self,
         query: str,

@@ -278,3 +278,51 @@ def test_geohash_known_cells(ray_session, tmp_path_factory):
         r.facet_geohash("alpha", "loc", 0)
     with pytest.raises(ValueError):
         r.facet_geohash("alpha", "loc", 13)
+
+
+def test_geo_polygon_point_in_poly(idx):
+    """Even-odd crossing vs matplotlib-free brute force: a diamond
+    around the origin contains exactly docs 0 and 1."""
+    r = IndexReader(idx)
+    pts = [(10.0, -5.0), (10.0, 5.0), (-10.0, 5.0), (-10.0, -5.0)]
+    ids = r.geo_polygon_docs("loc", pts)
+    assert ids.tolist() == [0, 1]
+
+
+def test_geo_polygon_dsl_and_vertex_count(idx):
+    r = IndexReader(idx)
+    ids = _match_docs(
+        r,
+        "geo_polygon",
+        {
+            "loc": {
+                "points": [
+                    {"lat": 50.0, "lon": 40.0},
+                    {"lat": 50.0, "lon": 50.0},
+                    {"lat": 40.0, "lon": 50.0},
+                    {"lat": 40.0, "lon": 40.0},
+                ]
+            }
+        },
+    )
+    assert ids.tolist() == [2]
+    with pytest.raises(ValueError, match="at least 3"):
+        r.geo_polygon_docs("loc", [(0.0, 0.0), (1.0, 1.0)])
+
+
+def test_geo_polygon_concave(idx):
+    """A concave (arrow-shaped) polygon: the notch excludes the
+    origin while the wings still contain (0, 1) — the even-odd rule,
+    not a bbox approximation."""
+    r = IndexReader(idx)
+    # wings cover lon in [0.5, 3] at lat 0; the notch re-enters at
+    # lon < 0.5, excluding doc 0 at (0, 0)
+    pts = [
+        (5.0, 0.5),
+        (5.0, 3.0),
+        (-5.0, 3.0),
+        (-5.0, 0.5),
+        (0.0, 0.5),
+    ]
+    ids = r.geo_polygon_docs("loc", pts)
+    assert 1 in ids.tolist() and 0 not in ids.tolist()
