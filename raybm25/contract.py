@@ -4554,6 +4554,61 @@ def q_chunk_tokens(sf_dir: str):
     )
 
 
+# BPE vocabulary: the merge table is an iterative pure function of the
+# corpus (ties -> lexicographically smallest pair); the fixed-encode
+# entry pins a table trained on the shared synthetic corpus so the
+# encoder itself gets a bit-exact SQL oracle (one replace() per merge
+# on the |sym rendering == one left-to-right merge pass).
+_BPE_FIXED_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"),
+    ("t", "</w>"), ("er", "</w>"), ("o", "w"), ("ow", "</w>"),
+    ("l", "u"), ("i", "n"), ("y", "</w>"), ("a", "r"),
+]
+
+
+def q_bpe_train_merges(sf_dir: str):
+    """Distributed BPE vocabulary training (extras/bpe): per-batch
+    word-count combiner -> one groupby-sum shuffle -> merge loop on
+    the histogram. First 40 merges with pair frequencies; rows-only
+    here (iterative — not SQL-expressible), trainer-vs-naive
+    equivalence is pytest-gated (tests/test_bpe.py)."""
+    import ray.data
+
+    from .extras.bpe import bpe_train, word_histogram
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    merges = bpe_train(word_histogram(ds), 40)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(merges) + 1), dtype="int64"),
+            "left": [a for a, _, _ in merges],
+            "right": [b for _, b, _ in merges],
+            "freq": pd.array([n for _, _, n in merges], dtype="int64"),
+        }
+    )
+
+
+def q_bpe_encode_fixed(sf_dir: str):
+    """BPE encoding under the pinned merge table (extras/bpe.
+    BpeEncodeStage, an actor-pool map_batches stage with a per-actor
+    word memo): per-doc subword token count. Hash-checked against a
+    generated DuckDB oracle that renders each word as ``|sym `` tokens
+    and applies one replace() per merge — provably the same
+    left-to-right non-overlapping pass the encoder runs."""
+    import ray.data
+
+    from .extras.bpe import BpeEncodeStage
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        BpeEncodeStage(_BPE_FIXED_MERGES), batch_format="pyarrow", concurrency=2
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_normalize_text(sf_dir: str):
     """Unicode normalization stage (extras/textstats.normalize_batch):
     NFC compose + C0/DEL strip + whitespace collapse + trim. The
@@ -6616,6 +6671,30 @@ def q_geohash_grid(sf_dir: str):
     )
 
 
+def _bpe_encode_sql() -> str:
+    """Oracle for ``bpe_encode_fixed``: per word, render the symbol
+    sequence as ``|c |c ... |</w> `` and apply one ``replace('|a |b ',
+    '|ab ')`` per pinned merge in rank order.  A match consumes the
+    leading ``|`` of both merged tokens but never the next token's
+    ``|``, so consecutive matches cannot overlap and one replace() ==
+    one left-to-right merge pass — the encoder's pinned semantics.
+    Token count = number of ``|`` delimiters."""
+    expr = "('|' || regexp_replace(word, '(.)', '\\1 |', 'g') || '</w> ')"
+    for a, b in _BPE_FIXED_MERGES:
+        expr = f"replace({expr}, '|{a} |{b} ', '|{a}{b} ')"
+    return (
+        "WITH w AS (SELECT doc_id,"
+        " unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word"
+        " FROM documents),"
+        f" t AS (SELECT doc_id, {expr} AS seq FROM w),"
+        " s AS (SELECT doc_id, CAST(sum(length(seq)"
+        " - length(replace(seq, '|', ''))) AS BIGINT) AS n_bpe"
+        " FROM t GROUP BY doc_id)"
+        " SELECT doc_id, CAST(coalesce(n_bpe, 0) AS BIGINT) AS n_bpe"
+        " FROM documents LEFT JOIN s USING (doc_id) ORDER BY doc_id"
+    )
+
+
 def _geo_polygon_sql() -> str:
     """Edge-for-edge SQL mirror of engine.geo_polygon_docs over the
     shared synthesized geo_point: per edge a CASE crossing term (the
@@ -7419,6 +7498,10 @@ ORACLE_SQL: dict[str, str] = {
         " AND lon >= -60.0 AND lon <= 60.0 ORDER BY doc_id"
     ),
     "geo_polygon_docs": _geo_polygon_sql(),
+    # bpe_train_merges: iterative merge loop, not SQL-expressible ->
+    # rows-only (trainer equivalence pytest-gated); the ENCODER under a
+    # fixed table is oracle-checked via bpe_encode_fixed
+    "bpe_encode_fixed": _bpe_encode_sql(),
     "geo_distance_rings": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
@@ -8710,6 +8793,8 @@ QUERIES = {
     "phrase_sloppy": q_phrase_sloppy,
     "scrub_text": q_scrub_text,
     "chunk_tokens": q_chunk_tokens,
+    "bpe_train_merges": q_bpe_train_merges,
+    "bpe_encode_fixed": q_bpe_encode_fixed,
     "normalize_text": q_normalize_text,
     "bloom_new_docs": q_bloom_incremental,
     "multi_index_search": q_multi_index_search,
@@ -8959,7 +9044,8 @@ _DRIVER_PRIORITY = [
     "auto_date_histogram_errors", "date_histogram_filled",
     "ingest_pipeline_docs", "hybrid_rrf_topk", "span_or_docs",
     "pipeline_bucket_selector", "pipeline_stats_buckets",
-    "geo_bbox_docs", "geo_polygon_docs", "geo_distance_rings", "terms_key_order",
+    "geo_bbox_docs", "geo_polygon_docs", "bpe_encode_fixed",
+    "bpe_train_merges", "geo_distance_rings", "terms_key_order",
     # session-3 additions still without driver rows
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",
     "repetition_signals", "canonical_urls", "percolate_matches",
