@@ -4098,6 +4098,25 @@ def q_media_meta_mp4(sf_dir: str):
     )
 
 
+def q_knn_quantized_topk(sf_dir: str):
+    """int8 scalar-quantized brute-force knn (extras/similarity.
+    quantized_topk): per-batch quantize + integer-dot combiner, tiny
+    global reduce. Cosine is scale-invariant so quantized cosine ==
+    cosine of the int codes, whose sums are order-independent exact —
+    the oracle mirrors the quantization in SQL (double-cast, same
+    floor(x/m*127+0.5)) and compares ranks."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .extras.similarity import quantized_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q0 = emb.filter(pc_eq(emb.column("vec_id"), 7)).column("embedding").to_pylist()[0]
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = quantized_topk(ds, np.array(q0, dtype=np.float64), k=20)
+    return out[["rank", "vec_id"]]
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF ANN top-10 for the vec_id=0 query (nprobe=4 of 8 buckets);
     rows-only check here, exactness vs brute force is pytest-gated."""
@@ -8772,6 +8791,26 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"
         " ORDER BY doc_a, doc_b"
     ),
+    "knn_quantized_topk": (
+        "WITH qd AS (SELECT list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id = 7),"
+        " qm AS (SELECT list_max(list_transform(v, x -> abs(x))) AS m"
+        " FROM qd),"
+        " qq AS (SELECT list_transform(v, x -> floor(x / m"
+        " * 127.0 + 0.5)) AS q FROM qd, qm),"
+        " ed AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings),"
+        " em AS (SELECT vec_id, v, CASE WHEN"
+        " list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0"
+        " ELSE list_max(list_transform(v, x -> abs(x))) END AS m FROM ed),"
+        " eq AS (SELECT vec_id, list_transform(v,"
+        " x -> floor(x / m * 127.0 + 0.5)) AS q2 FROM em),"
+        " s AS (SELECT vec_id, list_cosine_similarity(q2, qq.q) AS s"
+        " FROM eq, qq)"
+        " SELECT rank, vec_id FROM (SELECT row_number() OVER"
+        " (ORDER BY s DESC, vec_id) AS rank, vec_id FROM s)"
+        " ORDER BY rank LIMIT 20"
+    ),
     # ann_ivf_topk: centroid-defined, not SQL-expressible -> rows-only
     # driver check; exactness is pytest-gated against brute force
     # (full probe == exhaustive search) instead
@@ -8910,6 +8949,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "knn_quantized_topk": q_knn_quantized_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "lang_id": q_lang_id,
@@ -9045,7 +9085,8 @@ _DRIVER_PRIORITY = [
     "ingest_pipeline_docs", "hybrid_rrf_topk", "span_or_docs",
     "pipeline_bucket_selector", "pipeline_stats_buckets",
     "geo_bbox_docs", "geo_polygon_docs", "bpe_encode_fixed",
-    "bpe_train_merges", "geo_distance_rings", "terms_key_order",
+    "bpe_train_merges", "knn_quantized_topk",
+    "geo_distance_rings", "terms_key_order",
     # session-3 additions still without driver rows
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",
     "repetition_signals", "canonical_urls", "percolate_matches",

@@ -138,6 +138,80 @@ def cosine_topk(ds, queries: dict[int, list[float]], k: int = 20,
     )
 
 
+# ----------------------------------------------- int8 scalar quantization
+
+
+def quantize_int8(mat: np.ndarray) -> np.ndarray:
+    """Per-vector symmetric int8 scalar quantization (the OpenSearch
+    knn_vector SQ codec shape): q = floor(v / max|v| * 127 + 0.5),
+    integer-valued float64 in [-127, 127].  Cosine is scale-invariant,
+    so quantized cosine == cosine of the int codes — and because the
+    codes are small integers, every dot/norm partial sum is exact in
+    float64 regardless of summation order, which is what lets the SQL
+    oracle reproduce the ranking bit-for-bit (contract.py
+    ``knn_quantized_topk``)."""
+    m = np.abs(mat).max(axis=1, keepdims=True)
+    m[m == 0] = 1.0
+    return np.floor(mat / m * 127.0 + 0.5)
+
+
+class QuantizedTopK:
+    """Per-batch combiner for quantized brute-force knn: quantize the
+    batch (quantization is stateless and per-vector, so it pipelines
+    with the scan), integer-dot against the quantized query, emit the
+    batch-local top-k.  4x less candidate bandwidth than float32
+    brute force at 100 TB; the global reduce stays k x n_batches."""
+
+    def __init__(self, query_vec, k: int = 20, vec_col: str = "embedding"):
+        q = np.asarray(query_vec, dtype=np.float64).reshape(1, -1)
+        self.q = quantize_int8(q)[0]
+        self.qn = float(np.linalg.norm(self.q))
+        self.k = int(k)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or self.qn == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        mat = quantize_int8(_emb_matrix(batch, self.vec_col))
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = np.inf  # zero vectors never rank
+        scores = (mat @ self.q) / (norms * self.qn)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -scores))[: self.k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(scores[order], pa.float64()),
+            }
+        )
+
+
+def quantized_topk(ds, query_vec, k: int = 20,
+                   vec_col: str = "embedding") -> pd.DataFrame:
+    """Global int8-quantized cosine top-k (ties: score desc, vec_id
+    asc): per-batch partial top-k stream to a tiny driver reduce."""
+    cand = ds.map_batches(
+        QuantizedTopK,
+        fn_constructor_kwargs={"query_vec": query_vec, "k": k, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=auto_concurrency(),
+    ).to_pandas()
+    order = np.lexsort((cand["vec_id"].to_numpy(), -cand["score"].to_numpy()))[:k]
+    sel = cand.iloc[order]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+            "vec_id": sel["vec_id"].to_numpy(),
+            "score": sel["score"].to_numpy(),
+        }
+    )
+
+
 # ------------------------------------------------------- blocked near-dup
 def _norm_block_stage(batch: pa.Table, vec_col: str, n_blocks: int) -> pa.Table:
     ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)

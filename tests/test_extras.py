@@ -21,6 +21,8 @@ def test_ann_full_probe_equals_brute_force(ray_session):
     from raybm25.extras.similarity import cosine_topk, ivf_build, ivf_search
     import pyarrow.parquet as pq
 
+    import pyarrow.parquet as pq
+
     emb = pq.read_table(f"{SF}/embeddings.parquet")
     ids = emb.column("vec_id").to_pylist()
     vecs = emb.column("embedding").to_pylist()
@@ -348,6 +350,8 @@ def test_blocked_neardup_matches_brute_force(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
     from raybm25.extras.similarity import embedding_neardup_pairs
+
+    import pyarrow.parquet as pq
 
     emb = pq.read_table(f"{SF}/embeddings.parquet")
     ids = np.array(emb.column("vec_id").to_pylist())
@@ -1241,3 +1245,41 @@ def test_reencode_resize_stage_real_path(ray_session):
     # unknown passes through untouched
     assert out["payload"][3] == b"??"
     assert out["media_type"][3] == "application/octet-stream"
+
+
+def test_quantized_topk_recall_and_determinism(ray_session):
+    """int8-quantized knn vs full-precision brute force: quantization
+    keeps high recall@10 on the synthetic embeddings, the combiner
+    reduce is deterministic, and quantize_int8 invariants hold."""
+    import ray.data
+
+    from raybm25.extras.similarity import (
+        cosine_topk,
+        quantize_int8,
+        quantized_topk,
+    )
+
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    vecs = emb.column("embedding").to_pylist()
+    ids = emb.column("vec_id").to_pylist()
+    q = np.asarray(vecs[ids.index(3)], dtype=np.float64)
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+    got = quantized_topk(ds, q, k=10)
+    again = quantized_topk(ds, q, k=10)
+    assert got["vec_id"].tolist() == again["vec_id"].tolist()
+    assert got["rank"].tolist() == list(range(1, 11))
+    # the query itself quantizes losslessly enough to stay rank 1
+    assert got["vec_id"].iloc[0] == 3
+
+    exact = cosine_topk(ds, {3: q.tolist()}, k=10)
+    overlap = len(set(got["vec_id"]) & set(exact["vec_id"]))
+    assert overlap >= 8, f"recall@10 too low after int8: {overlap}/10"
+
+    m = np.array([[0.5, -1.0, 0.25], [0.0, 0.0, 0.0]])
+    qz = quantize_int8(m)
+    assert qz[0].tolist() == [64.0, -127.0, 32.0]
+    assert qz[1].tolist() == [0.0, 0.0, 0.0]  # zero vector stays zero
+    assert np.all(np.abs(qz) <= 127) and np.all(qz == np.floor(qz))
