@@ -4098,6 +4098,23 @@ def q_media_meta_mp4(sf_dir: str):
     )
 
 
+def q_host_cap_docs(sf_dir: str):
+    """Per-host document cap (extras/mixture.host_cap): keep the 3
+    lowest doc_ids per ``source`` — the crawl-curation step that stops
+    a single host dominating a pretraining mix. Keys-only shuffle +
+    broadcast loser anti-join (the exact_dedup discipline); oracle is
+    one window rank per source."""
+    import ray.data
+
+    from .extras.mixture import host_cap
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    out = host_cap(ds, cap=3).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_knn_quantized_topk(sf_dir: str):
     """int8 scalar-quantized brute-force knn (extras/similarity.
     quantized_topk): per-batch quantize + integer-dot combiner, tiny
@@ -8791,6 +8808,11 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"
         " ORDER BY doc_a, doc_b"
     ),
+    "host_cap_docs": (
+        "SELECT doc_id, source FROM (SELECT doc_id, source,"
+        " row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk"
+        " FROM documents) WHERE rk <= 3 ORDER BY doc_id"
+    ),
     "knn_quantized_topk": (
         "WITH qd AS (SELECT list_transform(embedding,"
         " x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id = 7),"
@@ -8949,6 +8971,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "host_cap_docs": q_host_cap_docs,
     "knn_quantized_topk": q_knn_quantized_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -9085,7 +9108,7 @@ _DRIVER_PRIORITY = [
     "ingest_pipeline_docs", "hybrid_rrf_topk", "span_or_docs",
     "pipeline_bucket_selector", "pipeline_stats_buckets",
     "geo_bbox_docs", "geo_polygon_docs", "bpe_encode_fixed",
-    "bpe_train_merges", "knn_quantized_topk",
+    "bpe_train_merges", "knn_quantized_topk", "host_cap_docs",
     "geo_distance_rings", "terms_key_order",
     # session-3 additions still without driver rows
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",

@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from .textstats import poly_token_hashes
 
-__all__ = ["mixture_sample"]
+__all__ = ["mixture_sample", "host_cap", "host_cap_losers"]
 
 _MIX = np.uint64(11400714819323198485)  # 2^64 / golden ratio, odd
 
@@ -81,3 +81,68 @@ def mixture_sample(
         return batch.filter(pa.array(keys < thr_by_uniq[inv]))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def _cap_losers_in_bucket(cap: int):
+    import pandas as pd
+
+    def _losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__grp", "doc_id"], kind="mergesort")
+        rank = g.groupby("__grp", sort=False).cumcount()
+        return g.loc[rank >= cap, ["doc_id"]].astype({"doc_id": "int64"})
+
+    _losers.__name__ = "host_cap_losers"
+    return _losers
+
+
+def host_cap_losers(ds, cap: int, group_col: str = "source",
+                    id_col: str = "doc_id", num_buckets: int = 256):
+    """doc_ids EXCEEDING the per-group cap (survivors = the ``cap``
+    smallest ids of each group — deterministic, partition-independent).
+    Keys-only shuffle: (id, group) rows bucketed by a coarse group
+    hash, one vectorized rank pass per bucket — the exact_dedup
+    discipline (extras/dedup.exact_dedup_losers), so at 100 TB only
+    ~(8 + group bytes)/doc crosses the exchange and the per-group cap
+    never needs the doc bodies."""
+
+    from ..hashing import hash64
+
+    def _keys(batch: pa.Table) -> pa.Table:
+        grp = batch.column(group_col).cast(pa.string())
+        g = grp.to_numpy(zero_copy_only=False)
+        hb = (hash64(g) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col).cast(pa.int64()),
+                "__grp": grp,
+                "__hb": pa.array(hb, pa.int32()),
+            }
+        )
+
+    keys = ds.map_batches(_keys, batch_format="pyarrow")
+    return keys.groupby("__hb").map_groups(
+        _cap_losers_in_bucket(int(cap)), batch_format="pandas"
+    )
+
+
+def host_cap(ds, cap: int, group_col: str = "source", id_col: str = "doc_id"):
+    """Cap a Dataset at ``cap`` docs per group (host/domain/source) —
+    the crawl-pipeline step that stops one giant host from dominating
+    a pretraining mix.  Survivors = the ``cap`` lowest ids per group;
+    the loser set is broadcast once (``ray.put``) and the survivors
+    stream out of the source unchanged (anti-join filter)."""
+    import pandas as pd
+    import ray
+
+    losers = host_cap_losers(ds, cap, group_col, id_col).to_pandas()
+    if "doc_id" not in losers.columns:
+        losers = pd.DataFrame({"doc_id": pd.array([], dtype="int64")})
+    loser_arr = np.sort(losers["doc_id"].to_numpy().astype(np.int64))
+    loser_ref = ray.put(loser_arr)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        dead = ray.get(loser_ref)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(ids, dead)))
+
+    return ds.map_batches(drop, batch_format="pyarrow")

@@ -61,3 +61,35 @@ def test_rate_validation(ray_session):
         mixture_sample(_ds(), {"s0": 1.5})
     with pytest.raises(ValueError, match="<default>"):
         mixture_sample(_ds(), {}, default_rate=-0.1)
+
+
+def test_host_cap_keeps_lowest_ids(ray_session):
+    import ray.data
+
+    from raybm25.extras.mixture import host_cap, host_cap_losers
+
+    rows = [
+        {"doc_id": i, "source": f"h{i % 3}"} for i in range(12)
+    ]  # 4 docs per host
+    ds = ray.data.from_items(rows)
+    out = host_cap(ds, cap=2).to_pandas().sort_values("doc_id")
+    # survivors: the 2 lowest ids per host -> ids 0..5
+    assert out["doc_id"].tolist() == [0, 1, 2, 3, 4, 5]
+    losers = host_cap_losers(ds, 2).to_pandas()
+    assert sorted(losers["doc_id"].tolist()) == [6, 7, 8, 9, 10, 11]
+
+
+def test_host_cap_partition_independent(ray_session):
+    import ray.data
+
+    from raybm25.extras.mixture import host_cap
+
+    rows = [{"doc_id": i, "source": f"h{i % 5}"} for i in range(40)]
+    a = host_cap(ray.data.from_items(rows), cap=3).to_pandas()
+    b = host_cap(
+        ray.data.from_items(rows).repartition(7), cap=3
+    ).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # cap larger than any group: everything survives
+    c = host_cap(ray.data.from_items(rows), cap=100).to_pandas()
+    assert len(c) == 40
