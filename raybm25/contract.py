@@ -4098,6 +4098,24 @@ def q_media_meta_mp4(sf_dir: str):
     )
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher quality-filter rules (extras/textstats.gopher_batch;
+    Rae et al. 2021 arXiv:2112.11446 §A1.1): per-doc rule metrics +
+    keep flag, every float an exact integer count divided once so the
+    SQL oracle is bit-identical. The synthetic corpus's invented
+    vocabulary fails the required-stopword rule by construction, so
+    ``keep`` is 0 here; the per-rule boundary behavior is pinned by
+    tests/test_extras.py::test_gopher_rules_hand_cases."""
+    import ray.data
+
+    from .extras.textstats import gopher_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(gopher_batch, batch_format="pyarrow")
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_host_cap_docs(sf_dir: str):
     """Per-host document cap (extras/mixture.host_cap): keep the 3
     lowest doc_ids per ``source`` — the crawl-curation step that stops
@@ -8808,6 +8826,7 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"
         " ORDER BY doc_a, doc_b"
     ),
+    "gopher_quality": "WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS w, string_split(text, chr(10)) AS lines, regexp_extract_all(lower(text), '[a-z0-9]+') AS lw FROM documents), m AS (SELECT doc_id, len(w) AS n_words, CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) END AS mean_word_len, CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / len(w) END AS symbol_ratio, CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE) / len(lines) AS bullet_frac, CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE) / len(lines) AS ellipsis_frac, CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w) END AS alpha_frac, 0 + CASE WHEN list_contains(lw, 'the') THEN 1 ELSE 0 END + CASE WHEN list_contains(lw, 'be') THEN 1 ELSE 0 END + CASE WHEN list_contains(lw, 'to') THEN 1 ELSE 0 END + CASE WHEN list_contains(lw, 'of') THEN 1 ELSE 0 END + CASE WHEN list_contains(lw, 'and') THEN 1 ELSE 0 END + CASE WHEN list_contains(lw, 'that') THEN 1 ELSE 0 END + CASE WHEN list_contains(lw, 'have') THEN 1 ELSE 0 END + CASE WHEN list_contains(lw, 'with') THEN 1 ELSE 0 END AS stop_hits FROM t) SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, CAST(stop_hits AS BIGINT) AS stop_hits, CAST(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio < 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM m ORDER BY doc_id",
     "host_cap_docs": (
         "SELECT doc_id, source FROM (SELECT doc_id, source,"
         " row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk"
@@ -8971,6 +8990,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "gopher_quality": q_gopher_quality,
     "host_cap_docs": q_host_cap_docs,
     "knn_quantized_topk": q_knn_quantized_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -9109,6 +9129,7 @@ _DRIVER_PRIORITY = [
     "pipeline_bucket_selector", "pipeline_stats_buckets",
     "geo_bbox_docs", "geo_polygon_docs", "bpe_encode_fixed",
     "bpe_train_merges", "knn_quantized_topk", "host_cap_docs",
+    "gopher_quality",
     "geo_distance_rings", "terms_key_order",
     # session-3 additions still without driver rows
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",

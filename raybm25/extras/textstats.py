@@ -76,6 +76,80 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("stop_ratio", pa.array(stop_ratio, pa.float64()))
 
 
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446
+    §A1.1 — the published MassiveWeb heuristics) per doc:
+
+    - ``n_words``: whitespace tokens (``str.split()`` == ``\S+``),
+      bounds [50, 100000]
+    - ``mean_word_len``: non-whitespace chars / n_words, bounds [3, 10]
+    - ``symbol_ratio``: ('#' chars + non-overlapping '...') / n_words,
+      must be < 0.1
+    - ``bullet_frac``: lines starting with '- ' or '* ', <= 0.9
+    - ``ellipsis_frac``: lines ending with '...', <= 0.3
+    - ``alpha_frac``: words containing an ASCII letter / n_words,
+      >= 0.8
+    - ``stop_hits``: how many of Gopher's 8 required stopwords occur,
+      >= 2
+    - ``keep``: 1 iff every rule passes
+
+    Every metric is an exact integer count divided once, so the DuckDB
+    oracle (contract.py ``gopher_quality``) reproduces the floats
+    bit-for-bit. Counting is one pass per doc over split words/lines
+    (strings are inherently per-row); the stage is stateless and
+    shuffle-free — a pure streaming filter at 100 TB."""
+    texts = batch.column(text_col).to_pylist()
+    alpha = re.compile(r"[a-zA-Z]").search
+    cols: dict[str, list] = {
+        "n_words": [], "mean_word_len": [], "symbol_ratio": [],
+        "bullet_frac": [], "ellipsis_frac": [], "alpha_frac": [],
+        "stop_hits": [], "keep": [],
+    }
+    findall = TOKEN_RE.findall
+    for t in texts:
+        t = t if isinstance(t, str) else ""
+        words = t.split()
+        n = len(words)
+        lines = t.split("\n")
+        nl = len(lines)
+        if n:
+            nonws = sum(len(w) for w in words)
+            mwl = nonws / n
+            sym = (t.count("#") + t.count("...")) / n
+            af = sum(1 for w in words if alpha(w)) / n
+        else:
+            mwl = sym = af = 0.0
+        bf = sum(1 for l in lines if l.startswith(("- ", "* "))) / nl
+        ef = sum(1 for l in lines if l.endswith("...")) / nl
+        lw = set(findall(t.lower()))
+        sh = sum(1 for w in GOPHER_STOPS if w in lw)
+        keep = int(
+            50 <= n <= 100000
+            and 3.0 <= mwl <= 10.0
+            and sym < 0.1
+            and bf <= 0.9
+            and ef <= 0.3
+            and af >= 0.8
+            and sh >= 2
+        )
+        for k, v in (
+            ("n_words", n), ("mean_word_len", mwl), ("symbol_ratio", sym),
+            ("bullet_frac", bf), ("ellipsis_frac", ef), ("alpha_frac", af),
+            ("stop_hits", sh), ("keep", keep),
+        ):
+            cols[k].append(v)
+    out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
+    out = out.append_column("n_words", pa.array(cols["n_words"], pa.int64()))
+    for k in ("mean_word_len", "symbol_ratio", "bullet_frac",
+              "ellipsis_frac", "alpha_frac"):
+        out = out.append_column(k, pa.array(cols[k], pa.float64()))
+    out = out.append_column("stop_hits", pa.array(cols["stop_hits"], pa.int64()))
+    return out.append_column("keep", pa.array(cols["keep"], pa.int64()))
+
+
 FP_BASE = np.uint64(1_000_003)
 FP_WINDOW = 4
 

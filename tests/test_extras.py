@@ -1283,3 +1283,39 @@ def test_quantized_topk_recall_and_determinism(ray_session):
     assert qz[0].tolist() == [64.0, -127.0, 32.0]
     assert qz[1].tolist() == [0.0, 0.0, 0.0]  # zero vector stays zero
     assert np.all(np.abs(qz) <= 127) and np.all(qz == np.floor(qz))
+
+
+def test_gopher_rules_hand_cases():
+    """Hand-built docs hitting each Gopher rule boundary."""
+    from raybm25.extras.textstats import gopher_batch
+
+    good = "the quick brown fox " * 15 + "that and have with be to of."
+    docs = {
+        1: good,                                  # passes everything
+        2: "word " * 10,                          # too few words
+        3: "#tag " * 60 + "the be to of",         # symbol ratio too high
+        4: "\n".join("- bullet line the be" for _ in range(10)) * 1,
+        5: ("lead the be to of " * 12 + "\n")
+        + "\n".join("tail..." for _ in range(9)),  # ellipsis lines > 0.3
+        6: "12345 " * 60 + "the be",               # alpha_frac too low
+        7: "zz yy xx ww vv " * 20,                 # no required stopwords
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": list(docs.values()),
+        }
+    )
+    out = gopher_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "keep"] == 1
+    assert out.loc[2, "keep"] == 0 and out.loc[2, "n_words"] == 10
+    assert out.loc[3, "keep"] == 0 and out.loc[3, "symbol_ratio"] >= 0.1
+    assert out.loc[4, "keep"] == 0 and out.loc[4, "bullet_frac"] > 0.9
+    assert out.loc[5, "keep"] == 0 and out.loc[5, "ellipsis_frac"] > 0.3
+    assert out.loc[6, "keep"] == 0 and out.loc[6, "alpha_frac"] < 0.8
+    assert out.loc[7, "keep"] == 0 and out.loc[7, "stop_hits"] < 2
+    # empty text: all ratios 0, rejected, no division crash
+    e = gopher_batch(
+        pa.table({"doc_id": pa.array([9], pa.int64()), "text": [""]})
+    ).to_pandas()
+    assert e["keep"].iloc[0] == 0 and e["n_words"].iloc[0] == 0
