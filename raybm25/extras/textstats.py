@@ -150,6 +150,53 @@ def gopher_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("keep", pa.array(cols["keep"], pa.int64()))
 
 
+def c4_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2 —
+    the published Colossal-Clean-Crawled-Corpus line/page heuristics)
+    per doc, as counts + keep flag (the cleaned text itself is a
+    trivial join of the kept lines; counts keep the entry small):
+
+    line kept iff it ends in terminal punctuation (``. ! ? "``), has
+    >= 5 whitespace words, and does not contain ``javascript``
+    (case-insensitive). Page kept iff the raw text has no ``{``, no
+    ``lorem ipsum`` (case-insensitive), and the kept lines carry >= 3
+    sentence-terminal marks (``. ! ?``).
+
+    Exact integer counts only — the DuckDB oracle (contract.py
+    ``c4_clean``) reproduces every column bit-for-bit. Stateless
+    streaming stage; no shuffle at any scale."""
+    texts = batch.column(text_col).to_pylist()
+    out_total, out_kept, out_clen, out_sent, out_keep = [], [], [], [], []
+    for t in texts:
+        t = t if isinstance(t, str) else ""
+        lines = t.split("\n")
+        kept = [
+            l
+            for l in lines
+            if l.endswith((".", "!", "?", '"'))
+            and len(l.split()) >= 5
+            and "javascript" not in l.lower()
+        ]
+        joined = "\n".join(kept)
+        sents = sum(joined.count(c) for c in ".!?")
+        keep = int(
+            "{" not in t
+            and "lorem ipsum" not in t.lower()
+            and sents >= 3
+        )
+        out_total.append(len(lines))
+        out_kept.append(len(kept))
+        out_clen.append(len(joined))
+        out_sent.append(sents)
+        out_keep.append(keep)
+    out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
+    out = out.append_column("n_lines", pa.array(out_total, pa.int64()))
+    out = out.append_column("n_kept", pa.array(out_kept, pa.int64()))
+    out = out.append_column("clean_len", pa.array(out_clen, pa.int64()))
+    out = out.append_column("n_sents", pa.array(out_sent, pa.int64()))
+    return out.append_column("keep", pa.array(out_keep, pa.int64()))
+
+
 FP_BASE = np.uint64(1_000_003)
 FP_WINDOW = 4
 

@@ -1319,3 +1319,35 @@ def test_gopher_rules_hand_cases():
         pa.table({"doc_id": pa.array([9], pa.int64()), "text": [""]})
     ).to_pandas()
     assert e["keep"].iloc[0] == 0 and e["n_words"].iloc[0] == 0
+
+
+def test_c4_rules_hand_cases():
+    from raybm25.extras.textstats import c4_batch
+
+    docs = {
+        1: "One good sentence with enough words here.\n"
+        "Another solid line that clearly qualifies too!\n"
+        "And a third one finishing with a question mark?",
+        2: "short line.\nno terminal punctuation at all here",  # nothing kept
+        3: "Uses javascript in this otherwise fine sentence.\n"
+        "Only one other acceptable sentence is kept here.",      # < 3 sents
+        4: "Mentions lorem ipsum in a perfectly good sentence.\n"
+        "Second fine sentence appears right here now.\n"
+        "Third fine sentence appears right here also.",          # page drop
+        5: "Contains a { curly brace but three fine sentences.\n"
+        "Second fine sentence appears right here now.\n"
+        "Third fine sentence appears right here also.",          # page drop
+    }
+    t = pa.table(
+        {"doc_id": pa.array(list(docs), pa.int64()), "text": list(docs.values())}
+    )
+    out = c4_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "keep"] == 1 and out.loc[1, "n_kept"] == 3
+    assert out.loc[2, "n_kept"] == 0 and out.loc[2, "keep"] == 0
+    assert out.loc[3, "n_kept"] == 1 and out.loc[3, "keep"] == 0
+    assert out.loc[4, "keep"] == 0 and out.loc[4, "n_sents"] >= 3
+    assert out.loc[5, "keep"] == 0
+    # clean_len counts the joined text including newlines
+    assert out.loc[1, "clean_len"] == len(
+        "\n".join(l for l in docs[1].split("\n"))
+    )
