@@ -122,3 +122,78 @@ def test_union_find_matches_bfs_components(edges):
         for v in comp:
             want[v] = rep
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcde01", min_size=1, max_size=8),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_trainer_matches_naive(words, n_merges):
+    """Histogram-based trainer == expand-the-corpus reference on
+    arbitrary small vocabularies (tie-breaks included)."""
+    from collections import Counter
+
+    from raybm25.extras.bpe import bpe_train
+    from tests.test_bpe import naive_train
+
+    assert bpe_train(dict(Counter(words)), n_merges) == naive_train(
+        words, n_merges
+    )
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcde01", min_size=1, max_size=8),
+        min_size=1,
+        max_size=20,
+    ),
+    st.text(alphabet="abcde01xyz", min_size=0, max_size=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_apply_lossless_and_bounded(words, probe):
+    """Encoding any word (in- or out-of-vocabulary) is lossless and
+    emits between 1 and len+1 symbols."""
+    from collections import Counter
+
+    from raybm25.extras.bpe import END, bpe_apply, bpe_train
+
+    merges = [(a, b) for a, b, _ in bpe_train(dict(Counter(words)), 8)]
+    toks = bpe_apply(probe, merges)
+    assert "".join(toks).replace(END, "") == probe
+    assert 1 <= len(toks) <= len(probe) + 1
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_quantize_int8_bounds(rows):
+    import numpy as np
+
+    from raybm25.extras.similarity import quantize_int8
+
+    m = np.asarray(rows, dtype=np.float64)
+    q = quantize_int8(m)
+    assert q.shape == m.shape
+    assert np.all(np.abs(q) <= 127.0)
+    assert np.all(q == np.floor(q))
+    # the max-|v| component always quantizes to +-127 (scale anchor)
+    mx = np.abs(m).max(axis=1)
+    for i in np.flatnonzero(mx > 0):
+        assert np.abs(q[i]).max() == 127.0
