@@ -7,10 +7,14 @@
       -> near-dup dedup (MinHash)   (extras.dedup.neardup_dedup)
       -> eval decontamination       (extras.decontam.decontaminate)
       -> quality gate               (extras.textstats.quality_batch
-                                     + repetition_batch signals)
+                                     + repetition_batch signals;
+                                     Gopher/C4 rule metrics reported)
+      -> per-host document cap      (extras.mixture.host_cap)
       -> domain-mixture sampling    (extras.mixture.mixture_sample)
       -> token-window chunk stats   (extras.textstats.chunk_batch)
       -> sequence packing offsets   (extras.packing.pack_sequences)
+      -> BPE vocab train + encode   (extras.bpe.word_histogram /
+                                     bpe_train / BpeEncodeStage)
       -> full-text index build      (index.build.build_index)
       -> filtered BM25 via the DSL  (query.dsl.run_query)
 
@@ -69,7 +73,7 @@ def main(sf_dir: str, work: str) -> dict:
         )
 
     ds = ray.data.read_parquet(
-        src, columns=["doc_id", "text", "lang"]
+        src, columns=["doc_id", "text", "lang", "source"]
     ).map_batches(scrub, batch_format="pyarrow")
 
     # 2-3. dedup, exact then fuzzy — both stream (broadcast loser sets)
@@ -118,6 +122,29 @@ def main(sf_dir: str, work: str) -> dict:
     ds.map_batches(gate, batch_format="pyarrow").write_parquet(gated_path)
     counts["after_scrub_dedup_gate"] = ray.data.read_parquet(gated_path).count()
 
+    # 4a-. published-ruleset observability: how much of the gated
+    # corpus the Gopher (Rae 2021) and C4 (Raffel 2020) keep flags
+    # would retain — one streaming metrics pass each, no shuffle
+    from raybm25.extras.textstats import c4_batch, gopher_batch
+
+    gds = ray.data.read_parquet(gated_path, columns=["doc_id", "text"])
+    counts["gopher_keep"] = int(
+        gds.map_batches(gopher_batch, batch_format="pyarrow").sum("keep")
+    )
+    counts["c4_keep"] = int(
+        gds.map_batches(c4_batch, batch_format="pyarrow").sum("keep")
+    )
+
+    # 4a. per-host cap: no single source may contribute more than 40
+    # surviving docs (keys-only rank shuffle + broadcast anti-join)
+    from raybm25.extras.mixture import host_cap
+
+    capped_path = os.path.join(work, "capped")
+    host_cap(
+        ray.data.read_parquet(gated_path), cap=40, group_col="source"
+    ).write_parquet(capped_path)
+    counts["after_host_cap"] = ray.data.read_parquet(capped_path).count()
+
     # 4b. domain-mixture sampling: keep all English, half of every
     # other language (deterministic id-hash rates — shuffle-free,
     # restart-stable; re-running or re-sharding keeps the same subset)
@@ -125,7 +152,7 @@ def main(sf_dir: str, work: str) -> dict:
 
     mixed_path = os.path.join(work, "mixed")
     mixture_sample(
-        ray.data.read_parquet(gated_path),
+        ray.data.read_parquet(capped_path),
         {"en": 1.0},
         group_col="lang",
         default_rate=0.5,
@@ -157,6 +184,25 @@ def main(sf_dir: str, work: str) -> dict:
     counts["packed_sequences_512"] = int(packed["seq_last"].max()) + 1
     counts["packed_tokens"] = int(
         (packed["start_tok"] + packed["n_tok"]).max()
+    )
+
+    # 5c. subword accounting: train a BPE table on the surviving
+    # corpus (combiner + one groupby-sum shuffle; merge loop on the
+    # histogram) and count training tokens under it (actor-pool
+    # encode stage with a per-actor word memo)
+    from raybm25.extras.bpe import BpeEncodeStage, bpe_train, word_histogram
+
+    merges = bpe_train(
+        word_histogram(
+            ray.data.read_parquet(mixed_path, columns=["text"])
+        ),
+        32,
+    )
+    counts["bpe_merges"] = len(merges)
+    counts["bpe_tokens"] = int(
+        ray.data.read_parquet(mixed_path, columns=["doc_id", "text"])
+        .map_batches(BpeEncodeStage(merges), batch_format="pyarrow")
+        .sum("n_bpe")
     )
 
     # 6. index the surviving corpus; serve a filtered DSL query
