@@ -4098,6 +4098,34 @@ def q_media_meta_mp4(sf_dir: str):
     )
 
 
+def q_terms_lookup(sf_dir: str):
+    """``terms`` lookup (the OpenSearch {index, id, path} form,
+    query/dsl.py terms branch): docs whose ``source`` equals the
+    stored ``source`` of doc 5 — the looked-up doc's field values
+    become the terms list via one doc-store GET."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "size": 10000,
+            "query": {"terms": {"source": {"id": 5, "path": "source"}}},
+        },
+    )
+    return (
+        pd.DataFrame(
+            {
+                "doc_id": pd.array(
+                    [int(h["_id"]) for h in resp["hits"]["hits"]],
+                    dtype="int64",
+                )
+            }
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_c4_clean(sf_dir: str):
     """C4 cleaning rules (extras/textstats.c4_batch; Raffel et al.
     2020 arXiv:1910.10683 §2.2): per-doc line-filter counts + page
@@ -8843,6 +8871,11 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"
         " ORDER BY doc_a, doc_b"
     ),
+    "terms_lookup_docs": (
+        "SELECT doc_id FROM documents WHERE source ="
+        " (SELECT source FROM documents WHERE doc_id = 5)"
+        " ORDER BY doc_id"
+    ),
     "c4_clean": 'WITH t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents), k AS (SELECT doc_id, text, len(lines) AS n_lines, list_filter(lines, l -> (l LIKE \'%.\' OR l LIKE \'%!\' OR l LIKE \'%?\' OR l LIKE \'%"\') AND len(regexp_extract_all(l, \'\\S+\')) >= 5 AND lower(l) NOT LIKE \'%javascript%\') AS kept FROM t), m AS (SELECT doc_id, text, n_lines, len(kept) AS n_kept, CASE WHEN len(kept) = 0 THEN 0 ELSE list_sum(list_transform(kept, l -> length(l))) + len(kept) - 1 END AS clean_len, CASE WHEN len(kept) = 0 THEN 0 ELSE list_sum(list_transform(kept, l -> length(l) - length(replace(replace(replace(l, \'.\', \'\'), \'!\', \'\'), \'?\', \'\')))) END AS n_sents FROM k) SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, CAST(n_kept AS BIGINT) AS n_kept, CAST(clean_len AS BIGINT) AS clean_len, CAST(n_sents AS BIGINT) AS n_sents, CAST(CASE WHEN text NOT LIKE \'%{%\' AND lower(text) NOT LIKE \'%lorem ipsum%\' AND n_sents >= 3 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM m ORDER BY doc_id',
     "gopher_quality": "WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS w, string_split(text, chr(10)) AS lines, regexp_extract_all(lower(text), '[a-z0-9]+') AS lw FROM documents), m AS (SELECT doc_id, len(w) AS n_words, CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w) END AS mean_word_len, CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / len(w) END AS symbol_ratio, CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE) / len(lines) AS bullet_frac, CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE) / len(lines) AS ellipsis_frac, CASE WHEN len(w) = 0 THEN 0.0 ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w) END AS alpha_frac, 0 + CASE WHEN list_contains(lw, 'the') THEN 1 ELSE 0 END + CASE WHEN list_contains(lw, 'be') THEN 1 ELSE 0 END + CASE WHEN list_contains(lw, 'to') THEN 1 ELSE 0 END + CASE WHEN list_contains(lw, 'of') THEN 1 ELSE 0 END + CASE WHEN list_contains(lw, 'and') THEN 1 ELSE 0 END + CASE WHEN list_contains(lw, 'that') THEN 1 ELSE 0 END + CASE WHEN list_contains(lw, 'have') THEN 1 ELSE 0 END + CASE WHEN list_contains(lw, 'with') THEN 1 ELSE 0 END AS stop_hits FROM t) SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, CAST(stop_hits AS BIGINT) AS stop_hits, CAST(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio < 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM m ORDER BY doc_id",
     "host_cap_docs": (
@@ -9008,6 +9041,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "terms_lookup_docs": q_terms_lookup,
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
     "host_cap_docs": q_host_cap_docs,
@@ -9148,7 +9182,7 @@ _DRIVER_PRIORITY = [
     "pipeline_bucket_selector", "pipeline_stats_buckets",
     "geo_bbox_docs", "geo_polygon_docs", "bpe_encode_fixed",
     "bpe_train_merges", "knn_quantized_topk", "host_cap_docs",
-    "gopher_quality", "c4_clean",
+    "gopher_quality", "c4_clean", "terms_lookup_docs",
     "geo_distance_rings", "terms_key_order",
     # session-3 additions still without driver rows
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",

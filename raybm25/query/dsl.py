@@ -604,6 +604,27 @@ def _match_docs(r: IndexReader, kind: str, spec) -> np.ndarray:
         bounds = {kk: body[kk] for kk in ("gte", "gt", "lte", "lt") if kk in body}
         return r.range_docs(field, **bounds)
     if kind == "terms":
+        if isinstance(body, dict) and "path" in body and "query" not in body:
+            # terms lookup (the OpenSearch {index, id, path} form): GET
+            # the referenced doc from its index (default: this one) and
+            # use its stored field values as the terms list. A missing
+            # doc or field means zero terms -> empty hits, the
+            # OpenSearch behavior. ``index`` is an index directory in
+            # this engine's multi-index convention (run_query_multi).
+            src = (
+                IndexReader(str(body["index"]))
+                if "index" in body and str(body["index"]) != r.index_dir
+                else r
+            )
+            tbl = src.get_docs(np.array([int(body["id"])], dtype=np.uint64))
+            path = str(body["path"])
+            if tbl.num_rows == 0 or path not in tbl.column_names:
+                return np.empty(0, np.uint64)
+            v = tbl.column(path)[0].as_py()
+            vals = v if isinstance(v, list) else [v]
+            return r.terms_docs(
+                field, [str(x) for x in vals if x is not None]
+            )
         return r.terms_docs(field, [str(v) for v in q])
     if kind == "match":
         return np.sort(r._map_ordinals(r._match_ordinals(str(q), f)).astype(np.uint64))

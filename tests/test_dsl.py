@@ -347,3 +347,29 @@ def test_response_envelope_took(rdr):
     resp = run_query(rdr, {"query": {"match": {"text": "merge"}}, "size": 2})
     assert isinstance(resp["took"], int) and resp["took"] >= 0
     assert resp["timed_out"] is False
+
+
+def test_terms_lookup(rdr):
+    """terms lookup ({id, path}): the referenced doc's stored field
+    values become the terms list; missing doc/field -> empty hits."""
+    import numpy as np
+
+    from raybm25.query.dsl import run_query
+
+    r = run_query(
+        rdr,
+        {"size": 100, "query": {"terms": {"lang": {"id": 1, "path": "lang"}}}},
+    )
+    ids = sorted(int(h["_id"]) for h in r["hits"]["hits"])
+    lang = rdr.get_docs(np.array([1], dtype="uint64")).column("lang")[0].as_py()
+    want = run_query(
+        rdr, {"size": 100, "query": {"terms": {"lang": [lang]}}}
+    )
+    assert ids == sorted(int(h["_id"]) for h in want["hits"]["hits"])
+    assert ids  # doc 1's own language matches at least itself
+    # missing doc -> empty
+    miss = run_query(
+        rdr,
+        {"size": 10, "query": {"terms": {"lang": {"id": 999999, "path": "lang"}}}},
+    )
+    assert miss["hits"]["hits"] == []
