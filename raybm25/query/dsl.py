@@ -2831,6 +2831,7 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
         )[offset:]
     else:
         hits = _scored_hits(r, kind, spec, offset + size)[offset:]
+    _t_query = _time.perf_counter()
 
     resp: dict[str, Any] = {
         "hits": {
@@ -2930,6 +2931,49 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
                     "supported suggesters: term, phrase, completion"
                 )
         resp["suggest"] = sugg
+    if body.get("profile"):
+        # search profiling (OpenSearch ``profile: true``): one profile
+        # entry per top-level clause with REAL measured nanoseconds —
+        # the query phase (scoring/matching, everything up to the hits
+        # list) vs the collect/fetch phase (_source gather, page
+        # fields, aggregations, highlight, suggest). This engine runs
+        # one logical shard, so shards has one element.
+        import json as _json
+
+        _t_end = _time.perf_counter()
+        resp["profile"] = {
+            "shards": [
+                {
+                    "id": "[raybm25][0]",
+                    "searches": [
+                        {
+                            "query": [
+                                {
+                                    "type": kind,
+                                    "description": _json.dumps(
+                                        qspec, sort_keys=True, default=str
+                                    ),
+                                    "time_in_nanos": int(
+                                        (_t_query - _t0) * 1e9
+                                    ),
+                                }
+                            ],
+                            "rewrite_time": 0,
+                            "collector": [
+                                {
+                                    "name": "SimpleTopScoreDocCollector",
+                                    "reason": "search_top_hits",
+                                    "time_in_nanos": int(
+                                        (_t_end - _t_query) * 1e9
+                                    ),
+                                }
+                            ],
+                        }
+                    ],
+                    "aggregations": [],
+                }
+            ]
+        }
     # OpenSearch response envelope: wall-clock ms for the request
     resp["took"] = int((_time.perf_counter() - _t0) * 1000)
     resp["timed_out"] = False

@@ -373,3 +373,24 @@ def test_terms_lookup(rdr):
         {"size": 10, "query": {"terms": {"lang": {"id": 999999, "path": "lang"}}}},
     )
     assert miss["hits"]["hits"] == []
+
+
+def test_profile_true(rdr):
+    """profile: true attaches one per-clause entry with real measured
+    nanoseconds for the query and collect phases."""
+    from raybm25.query.dsl import run_query
+
+    resp = run_query(
+        rdr,
+        {"size": 3, "profile": True,
+         "query": {"match": {"text": "alpha"}}},
+    )
+    prof = resp["profile"]["shards"][0]["searches"][0]
+    assert prof["query"][0]["type"] == "match"
+    assert prof["query"][0]["time_in_nanos"] >= 0
+    assert prof["collector"][0]["time_in_nanos"] >= 0
+    assert "alpha" in prof["query"][0]["description"]
+    # absent unless requested
+    assert "profile" not in run_query(
+        rdr, {"size": 1, "query": {"match": {"text": "alpha"}}}
+    )
