@@ -4098,6 +4098,39 @@ def q_media_meta_mp4(sf_dir: str):
     )
 
 
+def q_bool_filter_aggs(sf_dir: str):
+    """Aggregations over a NON-match query (query/dsl._aggregations
+    else-branch): a bool(match 'merge' AND term lang=en) query with a
+    stats sub-body — the filter-context doc set feeds every facet
+    through the engine's single _match_ordinals funnel
+    (engine.ordinals_of_ids)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "size": 0,
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": "merge"}}],
+                    "filter": [{"term": {"lang": "en"}}],
+                }
+            },
+            "aggs": {"st": {"stats": {"field": "n_chars"}}},
+        },
+    )
+    st = resp["aggregations"]["st"]
+    return pd.DataFrame(
+        {
+            "count_v": pd.array([st["count"]], dtype="int64"),
+            "min_v": pd.array([int(st["min"])], dtype="int64"),
+            "max_v": pd.array([int(st["max"])], dtype="int64"),
+            "sum_v": pd.array([int(st["sum"])], dtype="int64"),
+            "avg_v": pd.array([float(st["avg"])], dtype="float64"),
+        }
+    )
+
+
 def q_terms_lookup(sf_dir: str):
     """``terms`` lookup (the OpenSearch {index, id, path} form,
     query/dsl.py terms branch): docs whose ``source`` equals the
@@ -8871,6 +8904,16 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"
         " ORDER BY doc_a, doc_b"
     ),
+    "bool_filter_aggs": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
+        " d AS (SELECT n_chars FROM documents JOIN m USING(doc_id)"
+        " WHERE lang = 'en')"
+        " SELECT CAST(count(*) AS BIGINT) AS count_v,"
+        " min(n_chars) AS min_v, max(n_chars) AS max_v,"
+        " CAST(sum(n_chars) AS BIGINT) AS sum_v,"
+        " CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_v FROM d"
+    ),
     "terms_lookup_docs": (
         "SELECT doc_id FROM documents WHERE source ="
         " (SELECT source FROM documents WHERE doc_id = 5)"
@@ -9041,6 +9084,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "bool_filter_aggs": q_bool_filter_aggs,
     "terms_lookup_docs": q_terms_lookup,
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
@@ -9183,6 +9227,7 @@ _DRIVER_PRIORITY = [
     "geo_bbox_docs", "geo_polygon_docs", "bpe_encode_fixed",
     "bpe_train_merges", "knn_quantized_topk", "host_cap_docs",
     "gopher_quality", "c4_clean", "terms_lookup_docs",
+    "bool_filter_aggs",
     "geo_distance_rings", "terms_key_order",
     # session-3 additions still without driver rows
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",

@@ -1586,7 +1586,13 @@ def _aggregations(
         # every live doc
         qtext, f = None, None
     else:
-        raise ValueError("aggs are supported over 'match' queries")
+        # any other query kind: evaluate it once in filter context and
+        # hand every aggregation the resulting ordinal set through the
+        # _match_ordinals funnel (scores are never needed by aggs —
+        # except top_hits, which requires a scoring query and is
+        # guarded at its branch)
+        qtext = r.ordinals_of_ids(_docs_of(r, query_kind, query_spec))
+        f = None
     deferred: list[tuple[str, str, dict]] = []
     for name, agg in aggs.items():
         sub_aggs = None
@@ -1693,6 +1699,10 @@ def _aggregations(
                 out[name] = {"buckets": buckets}
                 continue
             if "top_hits" in sub:
+                if not isinstance(qtext, (str, type(None))):
+                    raise ValueError(
+                        "top_hits needs a scoring (match) query"
+                    )
                 rows = r.facet_top_hits(
                     qtext,
                     agg["terms"]["field"],

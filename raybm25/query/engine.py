@@ -1389,7 +1389,14 @@ class IndexReader:
         """Sorted ordinals of ALL docs matching a match query (OR over
         analyzed terms) — the candidate set every aggregation runs
         over. ``query=None`` means every live doc (the ``global`` agg
-        context)."""
+        context); a precomputed SORTED ordinal array passes through
+        unchanged — the hook that lets every aggregation run over an
+        arbitrary filter-context doc set (bool / term / range / geo
+        queries with aggs: dsl._aggregations derives the set once via
+        ordinals_of_ids and hands it to each facet through this single
+        funnel)."""
+        if isinstance(query, np.ndarray):
+            return query
         if query is None:
             return self._all_ordinals()
         qterms = sorted(set(self.field_terms(query, field)))
@@ -1398,6 +1405,21 @@ class IndexReader:
         if not parts:
             return np.array([], dtype=np.uint64)
         return self._merge_unique(parts)
+
+    def ordinals_of_ids(self, doc_ids) -> np.ndarray:
+        """Sorted live ordinals whose doc ids are in ``doc_ids`` — the
+        inverse of ``_map_ordinals``, via the per-bucket doc-id arrays
+        that cache already holds. One vectorized membership test per
+        touched bucket; used to turn a filter-context doc-id set into
+        the candidate set aggregations consume."""
+        target = np.asarray(doc_ids, dtype=np.uint64)
+        if target.size == 0:
+            return np.empty(0, np.uint64)
+        ords = self._all_ordinals()
+        if ords.size == 0:
+            return ords
+        ids = self._map_ordinals(ords)
+        return ords[np.isin(ids, target)]
 
     def facet_ranges(
         self,

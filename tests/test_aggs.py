@@ -388,3 +388,58 @@ def test_mad_boxplot_ttest_dsl_body(rdr):
     assert ag["m"]["value"] == rdr.median_absolute_deviation_agg("alpha gamma", "size")
     assert ag["bx"] == rdr.boxplot_agg("alpha gamma", "size")
     assert ag["tt"] == rdr.t_test_agg("alpha gamma", "size", "lang", "en", "de")
+
+
+def test_aggs_over_filter_context_queries(rdr):
+    """Aggregations run over ANY filter-context query (bool / term /
+    range), not just match — the ordinals_of_ids funnel."""
+    import numpy as np
+
+    from raybm25.query.dsl import run_query
+    from raybm25.query.engine import IndexReader
+
+    r = rdr
+    got = run_query(
+        r,
+        {
+            "size": 0,
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": "alpha"}}],
+                    "filter": [{"term": {"lang": "en"}}],
+                }
+            },
+            "aggs": {"st": {"stats": {"field": "size"}}},
+        },
+    )["aggregations"]["st"]
+    # brute force: docs matching alpha AND lang=en
+    want = run_query(
+        r,
+        {
+            "size": 100,
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": "alpha"}}],
+                    "filter": [{"term": {"lang": "en"}}],
+                }
+            },
+        },
+    )["hits"]["hits"]
+    assert got["count"] == len(want)
+    # top_hits over a non-scoring query refuses loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="top_hits"):
+        run_query(
+            r,
+            {
+                "size": 0,
+                "query": {"term": {"lang": "en"}},
+                "aggs": {
+                    "g": {
+                        "terms": {"field": "lang"},
+                        "aggs": {"h": {"top_hits": {"size": 1}}},
+                    }
+                },
+            },
+        )
