@@ -4098,6 +4098,38 @@ def q_media_meta_mp4(sf_dir: str):
     )
 
 
+def q_sort_filtered_query(sf_dir: str):
+    """Field sort over a NON-match query: bool(match 'merge' AND term
+    lang=en) sorted by n_chars desc, top 10 — the filter-context
+    ordinal funnel feeding engine.search_sort_by (unscored sort, ties
+    by doc_id asc)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "size": 10,
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": "merge"}}],
+                    "filter": [{"term": {"lang": "en"}}],
+                }
+            },
+            "sort": [{"n_chars": "desc"}],
+        },
+    )
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array([int(h["_id"]) for h in hits], dtype="int64"),
+            "n_chars": pd.array(
+                [int(h["sort"][0]) for h in hits], dtype="int64"
+            ),
+        }
+    )
+
+
 def q_bool_filter_aggs(sf_dir: str):
     """Aggregations over a NON-match query (query/dsl._aggregations
     else-branch): a bool(match 'merge' AND term lang=en) query with a
@@ -8904,6 +8936,15 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"
         " ORDER BY doc_a, doc_b"
     ),
+    "sort_filtered_query": (
+        f"WITH {TOKS_CTE},"
+        " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
+        " d AS (SELECT doc_id, n_chars FROM documents JOIN m USING(doc_id)"
+        " WHERE lang = 'en')"
+        " SELECT rank, doc_id, n_chars FROM (SELECT row_number() OVER"
+        " (ORDER BY n_chars DESC, doc_id) AS rank, doc_id, n_chars FROM d)"
+        " ORDER BY rank LIMIT 10"
+    ),
     "bool_filter_aggs": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
@@ -9084,6 +9125,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "sort_filtered_query": q_sort_filtered_query,
     "bool_filter_aggs": q_bool_filter_aggs,
     "terms_lookup_docs": q_terms_lookup,
     "c4_clean": q_c4_clean,
@@ -9227,7 +9269,7 @@ _DRIVER_PRIORITY = [
     "geo_bbox_docs", "geo_polygon_docs", "bpe_encode_fixed",
     "bpe_train_merges", "knn_quantized_topk", "host_cap_docs",
     "gopher_quality", "c4_clean", "terms_lookup_docs",
-    "bool_filter_aggs",
+    "bool_filter_aggs", "sort_filtered_query",
     "geo_distance_rings", "terms_key_order",
     # session-3 additions still without driver rows
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",

@@ -2766,21 +2766,29 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
         # idiom — each page resumes strictly after (value, doc_id)
         s = sort[0] if isinstance(sort, list) else sort
         sfield, sdir = _one(s, "sort")
-        if kind != "match":
-            raise ValueError("field sort is supported over 'match' queries")
         if after is not None and offset:
             raise ValueError(
                 "'from' cannot combine with search_after (OpenSearch "
                 "rejects the pair too) — page via search_after alone"
             )
-        field, qb = _field_query(spec)
+        if kind == "match":
+            field, qb = _field_query(spec)
+            qarg = str(qb.get("query", ""))
+            f_sort = None if field == r.primary_field else field
+        elif kind == "match_all":
+            qarg, f_sort = None, None
+        else:
+            # any filter-context query sorts through the same ordinal
+            # funnel (search_sort_by never scores)
+            qarg = r.ordinals_of_ids(_docs_of(r, kind, spec))
+            f_sort = None
         hits = r.search_sort_by(
-            str(qb.get("query", "")),
+            qarg,
             sfield,
             k=offset + size,
             descending=(sdir in ("desc", {"order": "desc"})
                         or (isinstance(sdir, dict) and sdir.get("order") == "desc")),
-            field=None if field == r.primary_field else field,
+            field=f_sort,
             script=runtime.get(str(sfield)),
             after=(after[0], int(after[1])) if after is not None else None,
         )[offset:]

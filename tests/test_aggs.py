@@ -443,3 +443,28 @@ def test_aggs_over_filter_context_queries(rdr):
                 },
             },
         )
+
+
+def test_sort_over_filter_context_queries(rdr):
+    """Field sort works over bool / term / match_all queries via the
+    same ordinal funnel (unscored sort, ties by doc_id asc)."""
+    from raybm25.query.dsl import run_query
+
+    got = run_query(
+        rdr,
+        {
+            "size": 10,
+            "query": {"term": {"lang": "en"}},
+            "sort": [{"size": "desc"}],
+        },
+    )["hits"]["hits"]
+    en = [(i, s) for i, (_, l, s) in enumerate(DOCS) if l == "en"]
+    want = sorted(en, key=lambda t: (-t[1], t[0]))
+    assert [(h["_id"], h["sort"][0]) for h in got] == [
+        (i, s) for i, s in want
+    ]
+    ma = run_query(
+        rdr,
+        {"size": 3, "query": {"match_all": {}}, "sort": [{"size": "asc"}]},
+    )["hits"]["hits"]
+    assert [h["_id"] for h in ma] == [0, 5, 1]

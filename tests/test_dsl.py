@@ -191,12 +191,15 @@ def test_match_all_and_errors(rdr):
         run_query(rdr, {"query": {"nope": {"text": "x"}}})
     with pytest.raises(ValueError):
         run_query(rdr, {"query": {"match": {"text": "x"}, "extra": {}}})
-    with pytest.raises(ValueError):
-        run_query(
-            rdr,
-            {"query": {"term": {"lang": "en"}},
-             "aggs": {"a": {"terms": {"field": "lang"}}}},
-        )
+    # aggs over a non-match query aggregate its filter-context doc set
+    agg = run_query(
+        rdr,
+        {"size": 0, "query": {"term": {"lang": "en"}},
+         "aggs": {"a": {"terms": {"field": "lang"}}}},
+    )["aggregations"]["a"]["buckets"]
+    assert agg == [
+        {"key": "en", "doc_count": sum(1 for _, _, l, _ in DOCS if l == "en")}
+    ]
 
 
 def test_single_metric_aggs(rdr):
