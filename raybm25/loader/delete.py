@@ -246,7 +246,7 @@ def delete_docs(index_dir: str, doc_ids, *, rebuild: bool = True) -> dict:
 
 
 def delete_by_query(
-    index_dir: str, query: str, field: str | None = None, *, rebuild: bool = True
+    index_dir: str, query: str | dict, field: str | None = None, *, rebuild: bool = True
 ) -> dict:
     """Delete every document matching a match query (OR over analyzed
     terms) — OpenSearch ``_delete_by_query`` semantics. The match set
@@ -256,6 +256,11 @@ def delete_by_query(
     from ..query.engine import IndexReader
 
     r = IndexReader(index_dir)
+    if isinstance(query, dict):
+        # full DSL body ({"query": {...}} or a bare clause dict)
+        from ..query.dsl import query_docset
+
+        query = query_docset(r, query.get("query", query))
     cand = r._match_ordinals(query, field)
     if cand.size == 0:
         return {"deleted": 0, "missing": 0}

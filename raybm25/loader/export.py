@@ -68,7 +68,7 @@ class _ExportPart:
 def export_matching(
     index_dir: str,
     out_dir: str,
-    query: str | None = None,
+    query: str | dict | None = None,
     field: str | None = None,
     columns: list[str] | None = None,
 ) -> dict:
@@ -87,6 +87,10 @@ def export_matching(
     docs_dir = os.path.join(index_dir, DOCS_SUBDIR)
 
     r = IndexReader(index_dir)
+    if isinstance(query, dict):
+        from ..query.dsl import query_docset
+
+        query = query_docset(r, query.get("query", query))
     if query is None:
         # live corpus = every ordinal the postings can reach; for the
         # full-export case the per-partition row sets are dense, so ship
@@ -175,7 +179,7 @@ def export_matching(
 
 def update_by_query(
     index_dir: str,
-    query: str,
+    query: str | dict,
     set_values: dict | None = None,
     id_field: str = "doc_id",
     field: str | None = None,
@@ -199,6 +203,10 @@ def update_by_query(
     if not set_values and not script:
         raise ValueError("update_by_query needs set_values and/or script")
     r = IndexReader(index_dir)
+    if isinstance(query, dict):
+        from ..query.dsl import query_docset
+
+        query = query_docset(r, query.get("query", query))
     cand = r._match_ordinals(query, field)
     if cand.size == 0:
         return {"updated": 0, "missing": 0, "skipped_no_id": 0}

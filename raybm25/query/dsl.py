@@ -129,6 +129,16 @@ def _docs_of(r: IndexReader, kind: str, spec) -> np.ndarray:
     return _match_docs(r, kind, spec)
 
 
+def query_docset(r: IndexReader, body_query: dict) -> np.ndarray:
+    """Sorted live ORDINALS of a filter-context DSL query dict — the
+    hook the by-query maintenance ops (_delete_by_query /
+    _update_by_query / export) use to accept full request bodies: the
+    clause evaluates once here, and the result rides the
+    _match_ordinals passthrough into the existing match-text paths."""
+    k, sp = _one(body_query, "query")
+    return r.ordinals_of_ids(_docs_of(r, k, sp))
+
+
 def _bool_docs(r: IndexReader, spec: dict) -> np.ndarray:
     """Pure set-algebra ``bool`` (filter context): must/filter clauses
     AND, should clauses OR (>= minimum_should_match, default 1 only

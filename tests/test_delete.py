@@ -192,3 +192,41 @@ def test_scan_tombstone_mget_visibility(scan_pair):
     assert resp["docs"][1]["found"] is True
     got = r2.get_docs(np.array([victim, survivor], dtype=np.uint64))
     assert got.column("doc_id").to_pylist() == [survivor]
+
+
+def test_delete_by_query_dsl_body(ray_session, tmp_path):
+    """delete_by_query accepts a full DSL body: bool(match AND term)
+    deletes exactly the filter-context set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raybm25.index.build import build_index
+    from raybm25.loader.delete import delete_by_query
+    from raybm25.query.dsl import run_query
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(10)),
+                "text": [
+                    ("alpha beta" if i % 2 else "gamma") for i in range(10)
+                ],
+                "lang": ["en" if i < 5 else "fr" for i in range(10)],
+            }
+        ),
+        str(tmp_path / "d.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "d.parquet"), idx, key_col="doc_id",
+                id_col="doc_id", ts_col=None, text_cols=("text",),
+                keyword_cols=("lang",), num_buckets=2)
+    res = delete_by_query(
+        idx,
+        {"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
+                            "filter": [{"term": {"lang": "en"}}]}}},
+    )
+    # alpha docs: odd ids; en: ids < 5 -> {1, 3}
+    assert res["deleted"] == 2
+    left = run_query(idx, {"size": 100, "query": {"match_all": {}}})
+    ids = sorted(int(h["_id"]) for h in left["hits"]["hits"])
+    assert ids == [0, 2, 4, 5, 6, 7, 8, 9]
