@@ -2741,6 +2741,41 @@ def run_explain(index_dir_or_reader, doc_id: int, body: dict) -> dict:
     }
 
 
+def _highlight_terms(kind: str, spec) -> list[tuple[str | None, str]]:
+    """(field, text) pairs to highlight, collected from the query tree's
+    match-family leaves (match / match_phrase / *_prefix / term /
+    multi_match; positive bool arms only — must_not never highlights).
+    OpenSearch highlights every positive scoring clause; this walk is
+    the engine's analog."""
+    out: list[tuple[str | None, str]] = []
+    if kind in ("match", "match_phrase", "match_phrase_prefix",
+                "match_bool_prefix", "term"):
+        field, qb = _field_query(spec)
+        out.append((field, str(qb.get("query", qb.get("value", "")))))
+    elif kind == "multi_match":
+        flds = spec.get("fields") or [None]
+        first = flds[0] if flds else None
+        out.append((str(first).split("^")[0] if first else None,
+                    str(spec.get("query", ""))))
+    elif kind == "bool":
+        for key in ("must", "filter", "should"):
+            for c in _as_list(spec.get(key)):
+                ck, cs = _one(c, f"bool.{key}")
+                out.extend(_highlight_terms(ck, cs))
+    elif kind in ("constant_score", "boosting"):
+        inner = spec.get("filter") if kind == "constant_score" else spec.get("positive")
+        if inner:
+            out.extend(_highlight_terms(*_one(inner, kind)))
+    elif kind in ("dis_max",):
+        for c in _as_list(spec.get("queries")):
+            out.extend(_highlight_terms(*_one(c, "dis_max.queries")))
+    elif kind == "function_score":
+        inner = spec.get("query")
+        if inner:
+            out.extend(_highlight_terms(*_one(inner, "function_score.query")))
+    return out
+
+
 def run_query(index_dir_or_reader, body: dict) -> dict:
     """Execute one OpenSearch-DSL request body. See module docstring
     for the supported subset; raises ValueError on anything outside
@@ -2905,10 +2940,14 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
         _attach_inner_hits(r, resp["hits"]["hits"], kind, spec)
     hl = body.get("highlight")
     if hl and hits:
-        if kind != "match":
-            raise ValueError("highlight is supported over 'match' queries")
-        hfield, hbody = _field_query(spec)
-        qtext_h = str(hbody.get("query", ""))
+        texts = _highlight_terms(kind, spec)
+        if not texts:
+            raise ValueError(
+                "highlight needs at least one match-family clause in "
+                "the query (nothing to highlight in a pure filter)"
+            )
+        hfield = texts[0][0] or r.primary_field
+        qtext_h = " ".join(t for _, t in texts)
         tags = (
             str(hl.get("pre_tags", ["<em>"])[0]),
             str(hl.get("post_tags", ["</em>"])[0]),

@@ -397,3 +397,31 @@ def test_profile_true(rdr):
     assert "profile" not in run_query(
         rdr, {"size": 1, "query": {"match": {"text": "alpha"}}}
     )
+
+
+def test_highlight_over_bool(rdr):
+    """highlight collects terms from every positive match-family leaf
+    of a bool query; pure filters refuse loudly."""
+    from raybm25.query.dsl import run_query
+
+    resp = run_query(
+        rdr,
+        {
+            "size": 5,
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": "merge"}}],
+                    "filter": [{"term": {"lang": "en"}}],
+                }
+            },
+            "highlight": {"fields": {"text": {}}},
+        },
+    )
+    hl = resp["hits"]["hits"][0]["highlight"]["text"][0]
+    assert "<em>merge</em>" in hl
+    with pytest.raises(ValueError, match="highlight needs"):
+        run_query(
+            rdr,
+            {"size": 5, "query": {"range": {"size_b": {"gte": 0}}},
+             "highlight": {"fields": {"text": {}}}},
+        )
