@@ -2858,19 +2858,53 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
             k=size,
             field=None if field == r.primary_field else field,
         )
-    elif kind == "bool":
+    elif kind == "bool" and body.get("collapse") is None:
         hits = _bool_hits(r, spec, offset + size)[offset:]
     elif body.get("collapse") is not None:
-        if kind != "match":
-            raise ValueError("collapse is supported over 'match' queries")
-        field, qb = _field_query(spec)
-        rows = r.search_collapse(
-            str(qb.get("query", "")),
-            str(body["collapse"]["field"]),
-            k=offset + size,
-            field=None if field == r.primary_field else field,
-        )[offset:]
-        hits = [(d, s) for d, s, _ in rows]
+        cfield = str(body["collapse"]["field"])
+        if kind == "match":
+            field, qb = _field_query(spec)
+            rows = r.search_collapse(
+                str(qb.get("query", "")),
+                cfield,
+                k=offset + size,
+                field=None if field == r.primary_field else field,
+            )[offset:]
+            hits = [(d, s) for d, s, _ in rows]
+        elif kind == "bool":
+            # collapse over a scored bool: rank the FULL scored match
+            # set, gather the collapse key per hit, keep the best
+            # (first-ranked) doc per key — the same semantics
+            # search_collapse computes in one pass for plain match
+            all_hits = _bool_hits(r, spec, r.n_docs)
+            if all_hits:
+                ids = np.array([d for d, _ in all_hits], dtype=np.uint64)
+                keys = r._gather_column(
+                    r.ordinals_of_ids(ids), cfield
+                )
+                kmap = dict(
+                    zip(
+                        r._map_ordinals(
+                            r.ordinals_of_ids(ids)
+                        ).astype(np.uint64).tolist(),
+                        keys.tolist(),
+                    )
+                )
+                seen: set = set()
+                hits = []
+                for d, sc in all_hits:
+                    kv = kmap.get(d)
+                    if kv in seen:
+                        continue
+                    seen.add(kv)
+                    hits.append((d, sc))
+                hits = hits[offset : offset + size]
+            else:
+                hits = []
+        else:
+            raise ValueError(
+                "collapse is supported over 'match' and 'bool' queries"
+            )
     elif body.get("rescore") is not None:
         if kind != "match":
             raise ValueError("rescore is supported over 'match' queries")

@@ -205,3 +205,22 @@ def test_source_all_columns(rdr):
     )
     src = resp["hits"]["hits"][0]["_source"]
     assert {"text", "lang"} <= set(src)
+
+
+def test_collapse_over_bool(rdr):
+    """collapse over a scored bool query keeps the best-ranked doc per
+    collapse key, matching a brute-force group-best computation."""
+    from raybm25.query.dsl import run_query
+
+    body_q = {
+        "bool": {
+            "must": [{"match": {"text": "merge"}}],
+            "filter": [{"term": {"lang": "en"}}],
+        }
+    }
+    full = run_query(rdr, {"size": 100, "query": body_q})["hits"]["hits"]
+    got = run_query(
+        rdr, {"size": 10, "query": body_q, "collapse": {"field": "lang"}}
+    )["hits"]["hits"]
+    # all survivors are en here, so exactly one hit: the global best
+    assert len(got) == 1 and got[0]["_id"] == full[0]["_id"]
