@@ -2858,7 +2858,11 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
             k=size,
             field=None if field == r.primary_field else field,
         )
-    elif kind == "bool" and body.get("collapse") is None:
+    elif (
+        kind == "bool"
+        and body.get("collapse") is None
+        and body.get("rescore") is None
+    ):
         hits = _bool_hits(r, spec, offset + size)[offset:]
     elif body.get("collapse") is not None:
         cfield = str(body["collapse"]["field"])
@@ -2906,26 +2910,43 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
                 "collapse is supported over 'match' and 'bool' queries"
             )
     elif body.get("rescore") is not None:
-        if kind != "match":
-            raise ValueError("rescore is supported over 'match' queries")
         rs = body["rescore"]
         rq = rs["query"]["rescore_query"]
         rk, rspec = _one(rq, "rescore_query")
         if rk != "match_phrase":
             raise ValueError("rescore supports a match_phrase rescore query")
-        field, qb = _field_query(spec)
         rfield, rb = _field_query(rspec)
-        if rfield != field:
-            raise ValueError("rescore query must target the same field")
-        hits = r.rescore(
-            str(qb.get("query", "")),
-            str(rb.get("query", "")),
-            window_size=int(rs.get("window_size", 10)),
-            query_weight=float(rs["query"].get("query_weight", 1.0)),
-            rescore_weight=float(rs["query"].get("rescore_query_weight", 1.0)),
-            k=offset + size,
-            field=None if field == r.primary_field else field,
-        )[offset:]
+        window = int(rs.get("window_size", 10))
+        qw = float(rs["query"].get("query_weight", 1.0))
+        rw = float(rs["query"].get("rescore_query_weight", 1.0))
+        if kind == "match":
+            field, qb = _field_query(spec)
+            if rfield != field:
+                raise ValueError("rescore query must target the same field")
+            hits = r.rescore(
+                str(qb.get("query", "")),
+                str(rb.get("query", "")),
+                window_size=window,
+                query_weight=qw,
+                rescore_weight=rw,
+                k=offset + size,
+                field=None if field == r.primary_field else field,
+            )[offset:]
+        elif kind == "bool":
+            # rescore over a scored bool: the ranked window comes from
+            # _bool_hits, the phrase re-ranking is the same kernel
+            hits = r.rescore_hits(
+                _bool_hits(r, spec, window),
+                str(rb.get("query", "")),
+                query_weight=qw,
+                rescore_weight=rw,
+                k=offset + size,
+                field=None if rfield == r.primary_field else rfield,
+            )[offset:]
+        else:
+            raise ValueError(
+                "rescore is supported over 'match' and 'bool' queries"
+            )
     else:
         hits = _scored_hits(r, kind, spec, offset + size)[offset:]
     _t_query = _time.perf_counter()

@@ -2210,6 +2210,22 @@ class IndexReader:
         ``total`` score_mode default). Docs outside the window keep
         their base ranking below the window."""
         base = self.search(query, k=window_size, field=field)
+        return self.rescore_hits(
+            base, rescore_phrase, query_weight, rescore_weight, k, field
+        )
+
+    def rescore_hits(
+        self,
+        base: list[tuple[int, float]],
+        rescore_phrase: str,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        k: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Rescore an ALREADY-RANKED hit window (the generalization that
+        lets any scored query — bool, dis_max — feed the same
+        match_phrase re-ranking the plain-match ``rescore`` runs)."""
         if not base:
             return []
         # phrase scores via the same evaluator as search_phrase

@@ -224,3 +224,46 @@ def test_collapse_over_bool(rdr):
     )["hits"]["hits"]
     # all survivors are en here, so exactly one hit: the global best
     assert len(got) == 1 and got[0]["_id"] == full[0]["_id"]
+
+
+def test_rescore_over_bool(rdr):
+    """rescore over a scored bool re-ranks the bool window by the same
+    phrase kernel plain-match rescore uses."""
+    from raybm25.query.dsl import run_query
+
+    body_q = {
+        "bool": {
+            "must": [{"match": {"text": "merge sort"}}],
+            "filter": [{"term": {"lang": "en"}}],
+        }
+    }
+    base = run_query(rdr, {"size": 10, "query": body_q})["hits"]["hits"]
+    got = run_query(
+        rdr,
+        {
+            "size": 10,
+            "query": body_q,
+            "rescore": {
+                "window_size": 10,
+                "query": {
+                    "rescore_query": {
+                        "match_phrase": {"text": "merge sort"}
+                    },
+                    "rescore_query_weight": 5.0,
+                },
+            },
+        },
+    )["hits"]["hits"]
+    assert sorted(h["_id"] for h in got) == sorted(h["_id"] for h in base)
+    # doc 0 "merge sort is stable merge" contains the exact phrase and
+    # must outrank doc 6 "merge sort merge sort"? both contain it —
+    # every phrase-bearing doc must outrank every phrase-free doc
+    phrase_docs = {0, 6}
+    got_ids = [h["_id"] for h in got]
+    with_phrase = [i for i in got_ids if i in phrase_docs]
+    without = [i for i in got_ids if i not in phrase_docs]
+    assert all(
+        got_ids.index(a) < got_ids.index(b)
+        for a in with_phrase
+        for b in without
+    )
