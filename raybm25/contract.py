@@ -4098,6 +4098,37 @@ def q_media_meta_mp4(sf_dir: str):
     )
 
 
+def q_collapse_bool_source(sf_dir: str):
+    """Field collapsing over a SCORED bool query (dsl collapse branch
+    for kind=bool): bool(match 'merge join' AND term lang=en) ranked
+    by BM25, best-ranked doc kept per ``source`` — the oracle ranks
+    the same filtered BM25 set in SQL and takes row_number()=1 per
+    source, then re-ranks globally."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "size": 10,
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": "merge join"}}],
+                    "filter": [{"term": {"lang": "en"}}],
+                }
+            },
+            "collapse": {"field": "source"},
+        },
+    )
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array([int(h["_id"]) for h in hits], dtype="int64"),
+            "score": [float(h["_score"]) for h in hits],
+        }
+    )
+
+
 def q_sort_filtered_query(sf_dir: str):
     """Field sort over a NON-match query: bool(match 'merge' AND term
     lang=en) sorted by n_chars desc, top 10 — the filter-context
@@ -8936,6 +8967,19 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"
         " ORDER BY doc_a, doc_b"
     ),
+    "collapse_bool_source": (
+        "WITH b AS ("
+        + _bm25_sql(
+            "merge join", None, cols="doc_id, score", where="lang = 'en'"
+        )
+        + "), g AS (SELECT b.doc_id, b.score, d.source,"
+        " row_number() OVER (PARTITION BY d.source"
+        " ORDER BY b.score DESC, b.doc_id) AS rn"
+        " FROM b JOIN documents d USING (doc_id))"
+        " SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,"
+        " doc_id, score FROM g WHERE rn = 1"
+        " ORDER BY rank LIMIT 10"
+    ),
     "sort_filtered_query": (
         f"WITH {TOKS_CTE},"
         " m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),"
@@ -9125,6 +9169,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "collapse_bool_source": q_collapse_bool_source,
     "sort_filtered_query": q_sort_filtered_query,
     "bool_filter_aggs": q_bool_filter_aggs,
     "terms_lookup_docs": q_terms_lookup,
@@ -9269,7 +9314,7 @@ _DRIVER_PRIORITY = [
     "geo_bbox_docs", "geo_polygon_docs", "bpe_encode_fixed",
     "bpe_train_merges", "knn_quantized_topk", "host_cap_docs",
     "gopher_quality", "c4_clean", "terms_lookup_docs",
-    "bool_filter_aggs", "sort_filtered_query",
+    "bool_filter_aggs", "sort_filtered_query", "collapse_bool_source",
     "geo_distance_rings", "terms_key_order",
     # session-3 additions still without driver rows
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",
