@@ -4098,6 +4098,73 @@ def q_media_meta_mp4(sf_dir: str):
     )
 
 
+_POSKW_INDEX_CACHE: dict[str, str] = {}
+
+
+def _pos_kw_index(sf_dir: str) -> str:
+    """A positional index over ``documents`` that ALSO declares the
+    ``lang`` keyword (bool filters) — the rescore-over-bool entry
+    needs phrase postings and keyword filtering together."""
+    if sf_dir in _POSKW_INDEX_CACHE:
+        return _POSKW_INDEX_CACHE[sf_dir]
+    from .index.build import build_index
+
+    idx = os.path.join(CACHE_ROOT, f"poskwidx_{_tag(sf_dir)}")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        idx,
+        key_col="doc_id",
+        id_col="doc_id",
+        ts_col=None,
+        text_cols=("text",),
+        keyword_cols=("lang",),
+        stored_cols=["text", "lang"],
+        num_buckets=8,
+        positions=True,
+    )
+    _POSKW_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_rescore_bool(sf_dir: str):
+    """Rescore over a SCORED bool query (dsl rescore branch for
+    kind=bool): the bool(match 'merge join' AND lang=en) top-20 window
+    re-ranked by 1.0*base + 2.0*phrase('merge sort') — the oracle
+    left-joins the SQL phrase-BM25 scores onto the SQL filtered-BM25
+    window with the same float arithmetic order."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        _pos_kw_index(sf_dir),
+        {
+            "size": 10,
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": "merge join"}}],
+                    "filter": [{"term": {"lang": "en"}}],
+                }
+            },
+            "rescore": {
+                "window_size": 20,
+                "query": {
+                    "rescore_query": {
+                        "match_phrase": {"text": "merge sort"}
+                    },
+                    "rescore_query_weight": 2.0,
+                },
+            },
+        },
+    )
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+            "doc_id": pd.array([int(h["_id"]) for h in hits], dtype="int64"),
+            "score": [float(h["_score"]) for h in hits],
+        }
+    )
+
+
 def q_collapse_bool_source(sf_dir: str):
     """Field collapsing over a SCORED bool query (dsl collapse branch
     for kind=bool): bool(match 'merge join' AND term lang=en) ranked
@@ -8967,6 +9034,19 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"
         " ORDER BY doc_a, doc_b"
     ),
+    "rescore_bool": (
+        "WITH b AS ("
+        + _bm25_sql(
+            "merge join", 20, cols="doc_id, score", where="lang = 'en'"
+        )
+        + "), p AS ("
+        + _phrase_bm25_sql("merge sort", 10**9)
+        + "), c AS (SELECT b.doc_id,"
+        " 1.0 * b.score + 2.0 * coalesce(p.score, 0) AS score"
+        " FROM b LEFT JOIN p USING (doc_id))"
+        " SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,"
+        " doc_id, score FROM c ORDER BY rank LIMIT 10"
+    ),
     "collapse_bool_source": (
         "WITH b AS ("
         + _bm25_sql(
@@ -9169,6 +9249,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "rescore_bool": q_rescore_bool,
     "collapse_bool_source": q_collapse_bool_source,
     "sort_filtered_query": q_sort_filtered_query,
     "bool_filter_aggs": q_bool_filter_aggs,
@@ -9315,6 +9396,7 @@ _DRIVER_PRIORITY = [
     "bpe_train_merges", "knn_quantized_topk", "host_cap_docs",
     "gopher_quality", "c4_clean", "terms_lookup_docs",
     "bool_filter_aggs", "sort_filtered_query", "collapse_bool_source",
+    "rescore_bool",
     "geo_distance_rings", "terms_key_order",
     # session-3 additions still without driver rows
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",
