@@ -4098,6 +4098,44 @@ def q_media_meta_mp4(sf_dir: str):
     )
 
 
+def q_highlight_bool_counts(sf_dir: str):
+    """Highlight over a COMPOUND query (dsl _highlight_terms walk):
+    bool(match 'merge' must + match 'join' should + term lang=en
+    filter) top-10, counting wrapped tokens per doc — both positive
+    match leaves' terms highlight; the filter leaf contributes its
+    term too (term is match-family in the walk)."""
+    from .query.dsl import run_query
+
+    resp = run_query(
+        docs_index(sf_dir),
+        {
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": "merge"}}],
+                    "should": [{"match": {"text": "join"}}],
+                    "filter": [{"term": {"lang": "en"}}],
+                }
+            },
+            "size": 10,
+            "highlight": {
+                "fields": {"text": {}},
+                "pre_tags": ["⟦"],
+                "post_tags": ["⟧"],
+            },
+        },
+    )
+    rows = sorted(
+        (h["_id"], h["highlight"]["text"][0].count("⟦"))
+        for h in resp["hits"]["hits"]
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
+            "n_marked": pd.array([n for _, n in rows], dtype="int64"),
+        }
+    )
+
+
 _POSKW_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -9034,6 +9072,23 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"
         " ORDER BY doc_a, doc_b"
     ),
+    "highlight_bool_counts": (
+        f"WITH {TOKS_CTE},"
+        " topk AS ("
+        + _bm25_sql(
+            "merge join",
+            10,
+            cols="doc_id",
+            where=(
+                "lang = 'en' AND regexp_matches(lower(documents.text),"
+                " '(^|[^a-z0-9])merge($|[^a-z0-9])')"
+            ),
+        )
+        + ") SELECT topk.doc_id AS doc_id, count(*) AS n_marked FROM topk"
+        " JOIN toks ON toks.doc_id = topk.doc_id"
+        " WHERE toks.term IN ('merge', 'join')"
+        " GROUP BY topk.doc_id ORDER BY topk.doc_id"
+    ),
     "rescore_bool": (
         "WITH b AS ("
         + _bm25_sql(
@@ -9249,6 +9304,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "highlight_bool_counts": q_highlight_bool_counts,
     "rescore_bool": q_rescore_bool,
     "collapse_bool_source": q_collapse_bool_source,
     "sort_filtered_query": q_sort_filtered_query,
@@ -9396,7 +9452,7 @@ _DRIVER_PRIORITY = [
     "bpe_train_merges", "knn_quantized_topk", "host_cap_docs",
     "gopher_quality", "c4_clean", "terms_lookup_docs",
     "bool_filter_aggs", "sort_filtered_query", "collapse_bool_source",
-    "rescore_bool",
+    "rescore_bool", "highlight_bool_counts",
     "geo_distance_rings", "terms_key_order",
     # session-3 additions still without driver rows
     "rank_eval_prf", "rank_eval_ndcg", "decontam_trigram",

@@ -2758,7 +2758,9 @@ def _highlight_terms(kind: str, spec) -> list[tuple[str | None, str]]:
         out.append((str(first).split("^")[0] if first else None,
                     str(spec.get("query", ""))))
     elif kind == "bool":
-        for key in ("must", "filter", "should"):
+        # SCORING arms only — filter context never highlights
+        # (OpenSearch's behavior), must_not never matches the hit
+        for key in ("must", "should"):
             for c in _as_list(spec.get(key)):
                 ck, cs = _one(c, f"bool.{key}")
                 out.extend(_highlight_terms(ck, cs))
