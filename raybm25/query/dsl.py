@@ -2801,6 +2801,13 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
         )
     size = int(body.get("size", 10))
     offset = int(body.get("from", 0))
+    min_score = body.get("min_score")
+    page_size, page_offset = size, offset
+    if min_score is not None:
+        # min_score filters the MATCH SET before paging (OpenSearch
+        # semantics), so the branches rank everything and the page cut
+        # happens after the threshold filter below
+        size, offset = r.n_docs, 0
     qspec = body.get("query", {"match_all": {}})
     kind, spec = _one(qspec, "query")
 
@@ -2951,6 +2958,11 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
             )
     else:
         hits = _scored_hits(r, kind, spec, offset + size)[offset:]
+    if min_score is not None:
+        ms = float(min_score)
+        hits = [(d, sc) for d, sc in hits if sc >= ms][
+            page_offset : page_offset + page_size
+        ]
     _t_query = _time.perf_counter()
 
     resp: dict[str, Any] = {

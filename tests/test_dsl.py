@@ -425,3 +425,32 @@ def test_highlight_over_bool(rdr):
             {"size": 5, "query": {"range": {"size_b": {"gte": 0}}},
              "highlight": {"fields": {"text": {}}}},
         )
+
+
+def test_min_score(rdr):
+    """top-level min_score filters the match set before paging."""
+    from raybm25.query.dsl import run_query
+
+    full = run_query(rdr, {"size": 10, "query": {"match": {"text": "merge"}}})[
+        "hits"
+    ]["hits"]
+    cut = full[1]["_score"]  # threshold at the 2nd hit's score
+    got = run_query(
+        rdr,
+        {"size": 10, "min_score": cut, "query": {"match": {"text": "merge"}}},
+    )["hits"]["hits"]
+    assert got == [h for h in full if h["_score"] >= cut]
+    # paging applies after the filter
+    got2 = run_query(
+        rdr,
+        {"size": 1, "from": 1, "min_score": cut,
+         "query": {"match": {"text": "merge"}}},
+    )["hits"]["hits"]
+    assert got2 == got[1:2]
+    # works over bool too
+    gotb = run_query(
+        rdr,
+        {"size": 10, "min_score": 1e9,
+         "query": {"bool": {"must": [{"match": {"text": "merge"}}]}}},
+    )["hits"]["hits"]
+    assert gotb == []
