@@ -2984,12 +2984,32 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
     src = body.get("_source")
     if src and hits:
         # stored-field retrieval: one batched docstore gather for the
-        # whole page (get_docs groups by bucket file), not per hit
-        cols = list(src) if isinstance(src, (list, tuple)) else None
+        # whole page (get_docs groups by bucket file), not per hit.
+        # Accepted forms: true (everything), a list of names, or the
+        # OpenSearch filter object {"includes": [...], "excludes":
+        # [...]} with * wildcards (fnmatch), excludes winning.
         ids = np.array([d for d, _ in hits], dtype=np.uint64)
         tbl = r.get_docs(ids)
-        if cols:
-            keep = [c for c in cols if c in tbl.column_names]
+        if isinstance(src, dict):
+            import fnmatch as _fn
+
+            inc = src.get("includes")
+            exc = src.get("excludes") or []
+            names = [
+                c for c in tbl.column_names if c not in ("doc_id", "ordinal")
+            ]
+            keep = [
+                c
+                for c in names
+                if (
+                    inc is None
+                    or any(_fn.fnmatchcase(c, p) for p in _as_list(inc))
+                )
+                and not any(_fn.fnmatchcase(c, p) for p in _as_list(exc))
+            ]
+            tbl = tbl.select(["doc_id", *keep])
+        elif isinstance(src, (list, tuple)):
+            keep = [c for c in src if c in tbl.column_names]
             tbl = tbl.select(["doc_id", *keep])
         by_id = {
             int(row["doc_id"]): {

@@ -454,3 +454,22 @@ def test_min_score(rdr):
          "query": {"bool": {"must": [{"match": {"text": "merge"}}]}}},
     )["hits"]["hits"]
     assert gotb == []
+
+
+def test_source_filter_object(rdr):
+    """_source as {"includes": [...], "excludes": [...]} with
+    wildcards; excludes win over includes."""
+    from raybm25.query.dsl import run_query
+
+    h = run_query(
+        rdr,
+        {"size": 1, "query": {"match": {"text": "merge"}},
+         "_source": {"includes": ["la*", "size_b"], "excludes": ["size*"]}},
+    )["hits"]["hits"][0]
+    assert set(h["_source"]) == {"lang"}
+    h2 = run_query(
+        rdr,
+        {"size": 1, "query": {"match": {"text": "merge"}},
+         "_source": {"excludes": ["text"]}},
+    )["hits"]["hits"][0]
+    assert "text" not in h2["_source"] and "lang" in h2["_source"]
