@@ -3150,11 +3150,23 @@ def run_msearch(index_dir_or_reader, bodies: list[dict]) -> dict:
         if isinstance(index_dir_or_reader, IndexReader)
         else IndexReader(index_dir_or_reader)
     )
+    readers: dict[str, IndexReader] = {}
     responses: list[dict] = []
     for body in bodies:
         try:
-            responses.append(run_query(r, body))
-        except (ValueError, KeyError) as e:
+            # the NDJSON header-line form: a body may carry its own
+            # {"index": <dir>} routing (OpenSearch msearch header);
+            # per-dir readers are cached so repeated routes share
+            # postings/doc-value caches across the batch
+            target = r
+            if isinstance(body, dict) and "index" in body:
+                d = str(body["index"])
+                if d not in readers:
+                    readers[d] = IndexReader(d)
+                target = readers[d]
+                body = {k: v for k, v in body.items() if k != "index"}
+            responses.append(run_query(target, body))
+        except (ValueError, KeyError, FileNotFoundError) as e:
             responses.append(
                 {"error": {"type": type(e).__name__, "reason": str(e)},
                  "status": 400}

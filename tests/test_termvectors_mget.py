@@ -79,3 +79,36 @@ def test_run_termvectors_flags(rdr):
     terms = tv["term_vectors"]["text"]["terms"]
     assert "tokens" not in terms["beta"] and "doc_freq" not in terms["beta"]
     assert "field_statistics" not in tv["term_vectors"]["text"]
+
+
+def test_msearch_per_body_index_routing(rdr, tmp_path_factory, ray_session):
+    """msearch bodies can route to their own index via the header-form
+    'index' key; unrouted bodies use the default index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raybm25.index.build import build_index
+    from raybm25.query.dsl import run_msearch
+
+    tmp = tmp_path_factory.mktemp("msroute")
+    pq.write_table(
+        pa.table({"doc_id": [100], "text": ["zulu only here"]}),
+        str(tmp / "o.parquet"),
+    )
+    other = str(tmp / "oidx")
+    build_index(str(tmp / "o.parquet"), other, key_col="doc_id",
+                id_col="doc_id", ts_col=None, text_cols=("text",),
+                num_buckets=2)
+    out = run_msearch(
+        rdr,
+        [
+            {"size": 5, "query": {"match": {"text": "zulu"}}},
+            {"index": other, "size": 5,
+             "query": {"match": {"text": "zulu"}}},
+            {"index": str(tmp / "missing"), "size": 1,
+             "query": {"match_all": {}}},
+        ],
+    )["responses"]
+    assert out[0]["hits"]["hits"] == []          # default index: no zulu
+    assert [h["_id"] for h in out[1]["hits"]["hits"]] == [100]
+    assert out[2]["status"] == 400               # bad route isolated
