@@ -3470,12 +3470,25 @@ def run_query_multi(index_dirs: list, body: dict) -> dict:
     for ib in body.get("indices_boost", []) or []:
         bn, bv = _one(ib, "indices_boost")
         boosts[str(bn)] = float(bv)
-    sub_body = {k: v for k, v in body.items() if k != "indices_boost"}
+    ignore_unavailable = bool(body.get("ignore_unavailable"))
+    sub_body = {
+        k: v
+        for k, v in body.items()
+        if k not in ("indices_boost", "ignore_unavailable")
+    }
     merged: list[dict] = []
     total = 0
     relation = "eq" if body.get("track_total_hits") else None
     for d in index_dirs:
-        resp = run_query(d, {**sub_body, "size": size})
+        try:
+            resp = run_query(d, {**sub_body, "size": size})
+        except FileNotFoundError:
+            # ignore_unavailable=true: a missing index contributes
+            # nothing instead of failing the whole scatter-gather
+            # (the OpenSearch flag); without it the error propagates
+            if ignore_unavailable:
+                continue
+            raise
         name = _os.path.basename(_os.path.normpath(d)) if isinstance(d, str) else (
             _os.path.basename(_os.path.normpath(d.index_dir))
         )

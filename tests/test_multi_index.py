@@ -229,3 +229,27 @@ def test_dfs_multifield_uses_named_field(ray_session, tmp_path_factory):
         {"query": {"match": {"title": {"query": "apple"}}}, "size": 10},
     )
     assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == want
+
+
+def test_ignore_unavailable(dirs):
+    """ignore_unavailable=true skips missing indices in the
+    scatter-gather; without it the error propagates."""
+    import pytest as _pt
+
+    from raybm25.query.dsl import run_query_multi
+
+    a, b = dirs[0], dirs[1]
+    dirs = [a, a + "_does_not_exist", b]
+    with _pt.raises(FileNotFoundError):
+        run_query_multi(dirs, {"size": 5, "query": {"match_all": {}}})
+    ok = run_query_multi(
+        dirs,
+        {"size": 50, "query": {"match_all": {}}, "ignore_unavailable": True},
+    )
+    want = run_query_multi(
+        [a, b], {"size": 50, "query": {"match_all": {}}}
+    )
+    assert (
+        sorted((h["_index"], h["_id"]) for h in ok["hits"]["hits"])
+        == sorted((h["_index"], h["_id"]) for h in want["hits"]["hits"])
+    )
