@@ -3046,6 +3046,22 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
                 h.setdefault("highlight", {})[fld] = [
                     r.highlight(h["_id"], qtext_h, field=fld, tags=tags)
                 ]
+    if body.get("explain") and kind == "match" and resp["hits"]["hits"]:
+        # per-hit _explanation (the search-body ``explain: true`` flag;
+        # defined for the match clause, the same kernel as _explain) —
+        # page-sized work, one explain per served hit
+        efield, eqb = _field_query(spec)
+        for h in resp["hits"]["hits"]:
+            ex = r.explain(
+                str(eqb.get("query", "")),
+                int(h["_id"]),
+                field=None if efield == r.primary_field else efield,
+            )
+            h["_explanation"] = {
+                "value": ex["value"],
+                "description": ex["description"],
+                "details": ex["details"],
+            }
     if body.get("aggs"):
         resp["aggregations"] = _aggregations(
             r, kind, spec, body["aggs"], runtime=runtime

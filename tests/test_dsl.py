@@ -473,3 +473,23 @@ def test_source_filter_object(rdr):
          "_source": {"excludes": ["text"]}},
     )["hits"]["hits"][0]
     assert "text" not in h2["_source"] and "lang" in h2["_source"]
+
+
+def test_explain_flag_on_search(rdr):
+    """explain: true attaches a per-hit _explanation whose value
+    equals the hit's _score (same kernel as _explain)."""
+    from raybm25.query.dsl import run_query
+
+    resp = run_query(
+        rdr,
+        {"size": 3, "explain": True,
+         "query": {"match": {"text": "merge join"}}},
+    )
+    for h in resp["hits"]["hits"]:
+        assert abs(h["_explanation"]["value"] - h["_score"]) < 1e-12
+        assert h["_explanation"]["details"]
+    # absent unless requested
+    plain = run_query(
+        rdr, {"size": 1, "query": {"match": {"text": "merge"}}}
+    )["hits"]["hits"][0]
+    assert "_explanation" not in plain
