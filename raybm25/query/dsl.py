@@ -2820,6 +2820,11 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
         # idiom — each page resumes strictly after (value, doc_id)
         s = sort[0] if isinstance(sort, list) else sort
         sfield, sdir = _one(s, "sort")
+        if min_score is not None:
+            raise ValueError(
+                "min_score cannot combine with a field sort (sorted "
+                "hits carry no _score to threshold)"
+            )
         if after is not None and offset:
             raise ValueError(
                 "'from' cannot combine with search_after (OpenSearch "

@@ -493,3 +493,15 @@ def test_explain_flag_on_search(rdr):
         rdr, {"size": 1, "query": {"match": {"text": "merge"}}}
     )["hits"]["hits"][0]
     assert "_explanation" not in plain
+
+
+def test_min_score_with_field_sort_refuses(rdr):
+    from raybm25.query.dsl import run_query
+
+    with pytest.raises(ValueError, match="min_score"):
+        run_query(
+            rdr,
+            {"size": 5, "min_score": 0.1,
+             "query": {"match": {"text": "merge"}},
+             "sort": [{"size_b": "desc"}]},
+        )
