@@ -4101,9 +4101,9 @@ def q_media_meta_mp4(sf_dir: str):
 def q_highlight_bool_counts(sf_dir: str):
     """Highlight over a COMPOUND query (dsl _highlight_terms walk):
     bool(match 'merge' must + match 'join' should + term lang=en
-    filter) top-10, counting wrapped tokens per doc — both positive
-    match leaves' terms highlight; the filter leaf contributes its
-    term too (term is match-family in the walk)."""
+    filter) top-10, counting wrapped tokens per doc — the positive
+    SCORING leaves' terms highlight (must + should); filter context
+    never highlights, matching the walk and the SQL oracle."""
     from .query.dsl import run_query
 
     resp = run_query(
@@ -9161,7 +9161,8 @@ ORACLE_SQL: dict[str, str] = {
         " eq AS (SELECT vec_id, list_transform(v,"
         " x -> floor(x / m * 127.0 + 0.5)) AS q2 FROM em),"
         " s AS (SELECT vec_id, list_cosine_similarity(q2, qq.q) AS s"
-        " FROM eq, qq)"
+        " FROM eq, qq"
+        " WHERE list_max(list_transform(q2, x -> abs(x))) > 0)"
         " SELECT rank, vec_id FROM (SELECT row_number() OVER"
         " (ORDER BY s DESC, vec_id) AS rank, vec_id FROM s)"
         " ORDER BY rank LIMIT 20"

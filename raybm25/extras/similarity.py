@@ -179,9 +179,17 @@ class QuantizedTopK:
             )
         mat = quantize_int8(_emb_matrix(batch, self.vec_col))
         norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = np.inf  # zero vectors never rank
-        scores = (mat @ self.q) / (norms * self.qn)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        live = norms > 0  # zero vectors cannot cosine-match: excluded
+        mat, norms, ids = mat[live], norms[live], ids[live]
+        if ids.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        scores = (mat @ self.q) / (norms * self.qn)
         order = np.lexsort((ids, -scores))[: self.k]
         return pa.table(
             {

@@ -103,6 +103,11 @@ def gopher_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     shuffle-free — a pure streaming filter at 100 TB."""
     texts = batch.column(text_col).to_pylist()
     alpha = re.compile(r"[a-zA-Z]").search
+    # ASCII \S+ (re.ASCII), NOT str.split(): the SQL oracle's RE2
+    # character classes are ASCII-only, and str.split() would also
+    # break on Unicode whitespace (U+00A0, U+2028, ...), diverging
+    # the word counts and every derived ratio
+    words_of = re.compile(r"\S+", re.ASCII).findall
     cols: dict[str, list] = {
         "n_words": [], "mean_word_len": [], "symbol_ratio": [],
         "bullet_frac": [], "ellipsis_frac": [], "alpha_frac": [],
@@ -111,7 +116,7 @@ def gopher_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     findall = TOKEN_RE.findall
     for t in texts:
         t = t if isinstance(t, str) else ""
-        words = t.split()
+        words = words_of(t)
         n = len(words)
         lines = t.split("\n")
         nl = len(lines)
@@ -150,6 +155,9 @@ def gopher_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("keep", pa.array(cols["keep"], pa.int64()))
 
 
+_C4_WORDS = re.compile(r"\S+", re.ASCII).findall
+
+
 def c4_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2 —
     the published Colossal-Clean-Crawled-Corpus line/page heuristics)
@@ -174,7 +182,7 @@ def c4_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             l
             for l in lines
             if l.endswith((".", "!", "?", '"'))
-            and len(l.split()) >= 5
+            and len(_C4_WORDS(l)) >= 5
             and "javascript" not in l.lower()
         ]
         joined = "\n".join(kept)

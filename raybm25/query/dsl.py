@@ -1594,7 +1594,7 @@ def _aggregations(
     elif query_kind == "_global" or query_kind == "match_all":
         # the `global` agg context / an explicit match_all query:
         # every live doc
-        qtext, f = None, None
+        qtext, f, field = None, None, None
     else:
         # any other query kind: evaluate it once in filter context and
         # hand every aggregation the resulting ordinal set through the
@@ -1602,7 +1602,7 @@ def _aggregations(
         # except top_hits, which requires a scoring query and is
         # guarded at its branch)
         qtext = r.ordinals_of_ids(_docs_of(r, query_kind, query_spec))
-        f = None
+        f, field = None, None
     deferred: list[tuple[str, str, dict]] = []
     for name, agg in aggs.items():
         sub_aggs = None
@@ -1966,6 +1966,10 @@ def _aggregations(
             }
             continue
         if akind in ("sampler", "diversified_sampler"):
+            if not isinstance(qtext, (str, type(None))):
+                raise ValueError(
+                    f"{akind} needs a scoring (match) query"
+                )
             # sub-aggs run over only the shard_size BEST-scoring docs
             # of the query (deterministic: score desc, doc_id asc) —
             # the sample is small by design, so its keyword values
@@ -2436,6 +2440,10 @@ def _aggregations(
             cen = r.geo_centroid_agg(qtext, afield, field=f)
             out[name] = cen if cen is not None else {"count": 0}
         elif akind == "significant_text":
+            if not isinstance(qtext, (str, type(None))):
+                raise ValueError(
+                    "significant_text needs a scoring (match) query"
+                )
             if afield not in (r.primary_field, field):
                 raise ValueError(
                     "significant_text runs over the query's text field"
@@ -2897,15 +2905,11 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
             all_hits = _bool_hits(r, spec, r.n_docs)
             if all_hits:
                 ids = np.array([d for d, _ in all_hits], dtype=np.uint64)
-                keys = r._gather_column(
-                    r.ordinals_of_ids(ids), cfield
-                )
+                ords = r.ordinals_of_ids(ids)
                 kmap = dict(
                     zip(
-                        r._map_ordinals(
-                            r.ordinals_of_ids(ids)
-                        ).astype(np.uint64).tolist(),
-                        keys.tolist(),
+                        r._map_ordinals(ords).astype(np.uint64).tolist(),
+                        r._gather_column(ords, cfield).tolist(),
                     )
                 )
                 seen: set = set()
@@ -3041,15 +3045,24 @@ def run_query(index_dir_or_reader, body: dict) -> dict:
                 "the query (nothing to highlight in a pure filter)"
             )
         hfield = texts[0][0] or r.primary_field
-        qtext_h = " ".join(t for _, t in texts)
         tags = (
             str(hl.get("pre_tags", ["<em>"])[0]),
             str(hl.get("post_tags", ["</em>"])[0]),
         )
         for fld in hl.get("fields", {hfield: {}}):
+            # require_field_match (the OpenSearch default): a field
+            # highlights only the terms of clauses targeting IT — a
+            # title clause's terms never wrap in the text field
+            own = " ".join(
+                t
+                for tf, t in texts
+                if (tf or r.primary_field) == fld
+            )
+            if not own:
+                continue
             for h in resp["hits"]["hits"]:
                 h.setdefault("highlight", {})[fld] = [
-                    r.highlight(h["_id"], qtext_h, field=fld, tags=tags)
+                    r.highlight(h["_id"], own, field=fld, tags=tags)
                 ]
     if body.get("explain") and kind == "match" and resp["hits"]["hits"]:
         # per-hit _explanation (the search-body ``explain: true`` flag;

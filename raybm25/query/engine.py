@@ -1408,18 +1408,34 @@ class IndexReader:
 
     def ordinals_of_ids(self, doc_ids) -> np.ndarray:
         """Sorted live ordinals whose doc ids are in ``doc_ids`` — the
-        inverse of ``_map_ordinals``, via the per-bucket doc-id arrays
-        that cache already holds. One vectorized membership test per
-        touched bucket; used to turn a filter-context doc-id set into
-        the candidate set aggregations consume."""
+        inverse of ``_map_ordinals``. A per-reader (id-sorted ids,
+        aligned ordinals) index is built lazily from the bucket doc-id
+        arrays the cache already holds; after that each call is one
+        searchsorted membership probe, O(|target| log n) — no
+        per-request corpus pass. Used to turn a filter-context doc-id
+        set into the candidate set aggregations/sorts consume."""
         target = np.asarray(doc_ids, dtype=np.uint64)
         if target.size == 0:
             return np.empty(0, np.uint64)
-        ords = self._all_ordinals()
-        if ords.size == 0:
-            return ords
-        ids = self._map_ordinals(ords)
-        return ords[np.isin(ids, target)]
+        idx = getattr(self, "_id_ord_index", None)
+        if idx is None:
+            ords = self._all_ordinals()
+            if ords.size == 0:
+                self._id_ord_index = idx = (
+                    np.empty(0, np.uint64),
+                    np.empty(0, np.uint64),
+                )
+            else:
+                ids = self._map_ordinals(ords).astype(np.uint64)
+                order = np.argsort(ids, kind="mergesort")
+                self._id_ord_index = idx = (ids[order], ords[order])
+        ids_sorted, ords_by_id = idx
+        if ids_sorted.size == 0:
+            return np.empty(0, np.uint64)
+        pos = np.searchsorted(ids_sorted, target)
+        pos = np.minimum(pos, ids_sorted.size - 1)
+        hit = ids_sorted[pos] == target
+        return np.sort(ords_by_id[pos[hit]])
 
     def facet_ranges(
         self,

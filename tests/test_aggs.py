@@ -468,3 +468,28 @@ def test_sort_over_filter_context_queries(rdr):
         {"size": 3, "query": {"match_all": {}}, "sort": [{"size": "asc"}]},
     )["hits"]["hits"]
     assert [h["_id"] for h in ma] == [0, 5, 1]
+
+
+def test_filter_context_agg_guards_and_significant(rdr):
+    """Scoring aggs refuse filter-context queries loudly; funnel-based
+    aggs (significant_terms) work over them."""
+    from raybm25.query.dsl import run_query
+
+    got = run_query(
+        rdr,
+        {"size": 0, "query": {"term": {"lang": "en"}},
+         "aggs": {"sig": {"significant_terms": {"field": "text"}}}},
+    )["aggregations"]["sig"]["buckets"]
+    assert isinstance(got, list)
+    import pytest as _pt
+
+    for agg in (
+        {"s": {"sampler": {"shard_size": 2},
+               "aggs": {"m": {"avg": {"field": "size"}}}}},
+        {"s": {"significant_text": {"field": "text"}}},
+    ):
+        with _pt.raises(ValueError, match="scoring"):
+            run_query(
+                rdr,
+                {"size": 0, "query": {"term": {"lang": "en"}}, "aggs": agg},
+            )

@@ -505,3 +505,46 @@ def test_min_score_with_field_sort_refuses(rdr):
              "query": {"match": {"text": "merge"}},
              "sort": [{"size_b": "desc"}]},
         )
+
+
+def test_highlight_require_field_match(ray_session, tmp_path_factory):
+    """A clause's terms highlight only in the field it targets
+    (require_field_match, the OpenSearch default): a title clause's
+    terms must not wrap inside text even when the token occurs there."""
+    import pyarrow.parquet as pq
+
+    from raybm25.query.dsl import run_query
+
+    tmp = tmp_path_factory.mktemp("hlrfm")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": ["alpha beta here", "alpha beta there"],
+                "title": ["beta title", "other title"],
+            }
+        ),
+        str(tmp / "d.parquet"),
+    )
+    idx = str(tmp / "idx")
+    build_index(str(tmp / "d.parquet"), idx, key_col="doc_id",
+                id_col="doc_id", ts_col=None, text_cols=("text", "title"),
+                stored_cols=["text", "title"], num_buckets=2)
+    resp = run_query(
+        idx,
+        {
+            "size": 3,
+            "query": {
+                "bool": {
+                    "must": [{"match": {"text": "alpha"}}],
+                    "should": [{"match": {"title": "beta"}}],
+                }
+            },
+            "highlight": {"fields": {"text": {}}},
+        },
+    )
+    for h in resp["hits"]["hits"]:
+        hl = h["highlight"]["text"][0]
+        assert "<em>alpha</em>" in hl
+        # 'beta' occurs in text but only the TITLE clause asked for it
+        assert "<em>beta</em>" not in hl

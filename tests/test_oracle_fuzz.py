@@ -14,8 +14,10 @@ from raybm25.contract import ORACLE_SQL
 # printable, SQL-literal-safe alphabet exercising every rule: no
 # backslashes or single quotes (the oracle strings embed literals; the
 # corpus goes in via a registered view, so quotes would be fine, but
-# keeping the alphabet focused makes shrunken failures readable)
-ALPHA = "aAbB Je.!?\"{#-* \n01javascript LOREM ipsum"
+# keeping the alphabet focused makes shrunken failures readable).
+# U+00A0/U+2028 pin the ASCII-\S+ split: str.split() would treat them
+# as separators while the oracle's RE2 classes do not
+ALPHA = "aAbB Je.!?\"{#-* \n01javascript LOREM ipsum\u00a0\u2028"
 
 texts_strategy = st.lists(
     st.text(alphabet=ALPHA, min_size=0, max_size=120),
